@@ -1,13 +1,181 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator declared done in SURVEY.md §2 has a `queries` entry here;
+  * SQL-expressible ones also carry a DuckDB oracle in `oracleSql` with
+  * IDENTICAL output column names and a total deterministic ORDER BY.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.revenueByNation(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary"  -> Relational.pricingSummary _,
+    "q02_top_orders"       -> Relational.topOrders _,
+    "q03_revenue_by_nation" -> Relational.revenueByNation _,
+    "q04_window_rank"      -> Relational.topCustomersPerSegment _,
+    "q05_window_lag_lead"  -> Relational.eventDeltas _,
+    "q06_running_balance"  -> Relational.runningBalance _,
+    "q07_rollup"           -> Relational.rollupReturns _,
+    "q08_cube"             -> Relational.cubeOrders _,
+    "q09_semi_join"        -> Relational.customersWithOrders _,
+    "q10_anti_join"        -> Relational.ordersWithoutLineitems _,
+    "q11_outer_join_agg"   -> Relational.orderCountsPerCustomer _,
+    "q12_theta_join"       -> Relational.richerCustomersSameNation _,
+    "q13_asof_join"        -> Relational.lastClickBeforePurchase _,
+    "q14_set_ops"          -> Relational.setOpsCustomers _,
+    "q15_distinct"         -> Relational.distinctFlags _,
+    "q16_string_funcs"     -> Relational.partNameAnalysis _,
+    "q17_date_funcs"       -> Relational.orderDateBreakdown _,
+    "q18_math_funcs"       -> Relational.mathOnBalances _,
+    "q19_json_extract"     -> Relational.eventPropsExtract _,
+    "q20_conditional_agg"  -> Relational.conditionalAgg _,
+    "q21_count_distinct"   -> Relational.distinctCounts _,
+    "q22_grouping_sets"    -> Relational.groupingSets _,
+    "q23_scalar_subquery"  -> Relational.aboveAvgOrders _,
+  )
+
+  /** DuckDB-runnable oracle SQL per query (same parquet tables, same column
+    * names, same ORDER BY). Integer SUMs are cast to BIGINT (DuckDB would
+    * widen to HUGEINT); order-dependent double aggregates are rounded on
+    * both sides; passthrough doubles stay raw (bitwise-identical). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+             round(avg(l_quantity), 4) AS avg_qty,
+             min(l_extendedprice) AS min_price,
+             max(l_extendedprice) AS max_price,
+             count(1) AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+    "q02_top_orders" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q03_revenue_by_nation" -> """
+      SELECT n_name,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             count(1) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""",
+    "q04_window_rank" -> """
+      SELECT * FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        FROM customer) t
+      WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""",
+    "q05_window_lag_lead" -> """
+      SELECT user_id, event_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+             lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+      FROM events ORDER BY user_id, event_id""",
+    "q06_running_balance" -> """
+      SELECT user_id, event_id,
+             round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS balance
+      FROM events ORDER BY user_id, event_id""",
+    "q07_rollup" -> """
+      SELECT l_returnflag, l_linestatus, count(1) AS n,
+             round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q08_cube" -> """
+      SELECT o_orderstatus, o_orderpriority, count(1) AS n,
+             round(sum(o_totalprice), 2) AS sum_price
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "q09_semi_join" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""",
+    "q10_anti_join" -> """
+      SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+      ORDER BY o_orderkey""",
+    "q11_outer_join_agg" -> """
+      SELECT c_custkey, count(o_orderkey) AS n_orders,
+             round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey ORDER BY c_custkey""",
+    "q12_theta_join" -> """
+      SELECT s_suppkey, count(1) AS n_richer
+      FROM supplier JOIN customer
+        ON s_nationkey = c_nationkey AND c_acctbal > s_acctbal
+      GROUP BY s_suppkey ORDER BY s_suppkey""",
+    "q13_asof_join" -> """
+      SELECT p.user_id, p.event_id, c.value AS last_click_value
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY p.user_id, p.event_id""",
+    "q14_set_ops" -> """
+      WITH hi AS (SELECT c_custkey FROM customer WHERE c_acctbal > 4000),
+           seg AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      SELECT c_custkey, 'union' AS op FROM (SELECT c_custkey FROM hi UNION SELECT c_custkey FROM seg)
+      UNION ALL
+      SELECT c_custkey, 'intersect' AS op FROM (SELECT c_custkey FROM hi INTERSECT SELECT c_custkey FROM seg)
+      UNION ALL
+      SELECT c_custkey, 'except' AS op FROM (SELECT c_custkey FROM hi EXCEPT SELECT c_custkey FROM seg)
+      ORDER BY op, c_custkey""",
+    "q15_distinct" -> """
+      SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      ORDER BY l_returnflag, l_linestatus""",
+    "q16_string_funcs" -> """
+      SELECT p_partkey, upper(p_brand) AS brand_up,
+             substr(p_name, 1, 8) AS name_prefix,
+             length(p_name) AS name_len,
+             concat_ws('|', p_brand, p_type) AS brand_type,
+             replace(p_name, ' ', '_') AS name_snake
+      FROM part WHERE p_size >= 25 ORDER BY p_partkey""",
+    "q17_date_funcs" -> """
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST(quarter(o_orderdate) AS INT) AS o_quarter,
+             count(1) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+      FROM orders GROUP BY 1, 2 ORDER BY o_year, o_quarter""",
+    "q18_math_funcs" -> """
+      SELECT c_custkey, abs(c_acctbal) AS abs_bal,
+             CAST(ceil(c_acctbal) AS BIGINT) AS ceil_bal,
+             CAST(floor(c_acctbal) AS BIGINT) AS floor_bal,
+             sqrt(abs(c_acctbal)) AS sqrt_bal,
+             CAST(c_custkey % 7 AS BIGINT) AS key_mod7
+      FROM customer ORDER BY c_custkey""",
+    "q19_json_extract" -> """
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+      FROM events
+      WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
+      ORDER BY event_id""",
+    "q20_conditional_agg" -> """
+      SELECT o_orderpriority,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+             CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+             round(avg(CASE WHEN o_totalprice > 1000 THEN o_totalprice END), 2) AS avg_big_price
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q21_count_distinct" -> """
+      SELECT l_returnflag,
+             count(DISTINCT l_orderkey) AS n_orders,
+             count(DISTINCT l_partkey) AS n_parts
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q22_grouping_sets" -> """
+      SELECT o_orderstatus, o_orderpriority, count(1) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "q23_scalar_subquery" -> """
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+      ORDER BY o_orderkey""",
+  )
 }

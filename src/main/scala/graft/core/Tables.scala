@@ -1,0 +1,36 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Canonical loaders for the TPC-H-ish test corpus (TESTDATA.md).
+  *
+  * All relational operators take the scale-factor directory as a parameter so
+  * the same code runs at sf0.001 (smoke), sf0.01 (correctness) and sf0.1+
+  * (bench) — and, unchanged, against a 100 TB lake: the loaders are plain
+  * `spark.read.parquet`, so partition pruning / predicate pushdown / column
+  * pruning all reach the scan.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
+    // rejects; read as long (epoch nanos) — it is only ever a sort/window key
+    // and converts explicitly where wall-clock semantics are needed.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** events.ts (epoch nanos, long) as a proper TimestampType column. */
+  def nanosToTimestamp(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.timestamp_micros((c / 1000L).cast("long"))
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

@@ -1,0 +1,292 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** The relational/analytic query surface (SURVEY.md §2.5–2.8).
+  *
+  * The reference (rh-marketingops/fluvii) has no relational operators at all —
+  * users hand-roll everything inside `app_function`
+  * (reference: fluvii/apps/fluvii_app.py:41-43). Our engine declares the full
+  * surface and lets Catalyst supply hash/sort aggregation, broadcast vs
+  * sort-merge join selection, predicate pushdown and whole-stage codegen.
+  *
+  * Design rules applied to every query (these are what make the same code
+  * correct at sf0.001 and at 100 TB):
+  *   - dimension tables (region/nation/customer/supplier/part) are broadcast
+  *     explicitly — no shuffle of the fact table for a dim join;
+  *   - aggregates go partial→final automatically (declarative groupBy);
+  *   - computed doubles are rounded at the OUTPUT boundary only, so plans
+  *     stay codegen-friendly and oracle hashes are FP-stable;
+  *   - every result has a total deterministic order (keys are unique in the
+  *     ORDER BY) so driver-side hashing is order-insensitive-safe.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: partial+final hash agg over the fact
+    * table, zero shuffles beyond the single agg exchange. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Top-k with deterministic tie-break; Spark plans this as TakeOrderedAndProject
+    * (no global sort materialization) — the right plan at any scale. */
+  def topOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Multi-join revenue rollup: fact table joins broadcast dims; only the
+    * lineitem↔orders join shuffles (both large), then a partial agg. */
+  def revenueByNation(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o  = Tables.orders(s, dir)
+    val c  = Tables.customer(s, dir)
+    val n  = Tables.nation(s, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Ranking window (W1): top-3 customers per market segment. */
+  def topCustomersPerSegment(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("c_mktsegment"), col("rnk"))
+  }
+
+  /** Analytic window (W2): lag/lead over a per-user event timeline. */
+  def eventDeltas(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("next_value", lead(col("value"), 1).over(w))
+      .drop("ts")
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Running aggregate (W2 frame): the batch twin of the reference's flagship
+    * running-balance demo (fluvii_consumer_ex.py:21-42). */
+  def runningBalance(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("balance", round(sum(col("value")).over(w), 2))
+      .drop("ts", "value")
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** ROLLUP (A3). */
+  def rollupReturns(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** CUBE (A3). */
+  def cubeOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** Semi join (J2): customers that have at least one order.  Broadcast the
+    * *aggregated key set* never materializes — Catalyst plans a broadcast/
+    * shuffled hash semi join directly. */
+  def customersWithOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Anti join (J2): orders that never shipped a line item. */
+  def ordersWithoutLineitems(s: SparkSession, dir: String): DataFrame = {
+    val o  = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Outer join (J1) + null-compensating aggregate. */
+  def orderCountsPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spent"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Theta/range join (J3): same-nation supplier↔customer pairs where the
+    * customer out-balances the supplier. Equi part (nationkey) drives the
+    * join; the inequality is a post-join filter — exactly how Catalyst
+    * keeps a theta join out of BNLJ territory. */
+  def richerCustomersSameNation(s: SparkSession, dir: String): DataFrame = {
+    val su = Tables.supplier(s, dir)
+    val c  = Tables.customer(s, dir)
+    su.join(c, su("s_nationkey") === c("c_nationkey") && c("c_acctbal") > su("s_acctbal"))
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n_richer"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** As-of join (J4), Spark-first: union the two event streams, then a single
+    * window pass carries the latest click value forward onto each purchase.
+    * One shuffle by user_id, one sort — no N×M join blowup, scales linearly. */
+  def lastClickBeforePurchase(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").as("click_value"), lit(0).as("is_p"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(null).cast("double").as("click_value"), lit(1).as("is_p"))
+    // At equal ts the click sorts first (is_p asc) => "<=" as-of semantics.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_p"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click_value",
+        last(col("click_value"), ignoreNulls = true).over(w))
+      .filter(col("is_p") === 1)
+      .select(col("user_id"), col("event_id"), col("last_click_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Set ops (W4): UNION / INTERSECT / EXCEPT over customer key sets. */
+  def setOpsCustomers(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val hi  = c.filter(col("c_acctbal") > 4000).select(col("c_custkey"))
+    val seg = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val u = hi.union(seg).distinct().withColumn("op", lit("union"))
+    val i = hi.intersect(seg).withColumn("op", lit("intersect"))
+    val e = hi.except(seg).withColumn("op", lit("except"))
+    u.unionByName(i).unionByName(e)
+      .orderBy(col("op"), col("c_custkey"))
+  }
+
+  /** DISTINCT (W4). */
+  def distinctFlags(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** String scalar surface (§2.8): pure codegen'd functions, pushdown-friendly. */
+  def partNameAnalysis(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .filter(col("p_size") >= 25)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_up"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), " ", "_").as("name_snake"))
+      .orderBy(col("p_partkey"))
+
+  /** Date scalar surface (§2.8): the reference's only time math is epoch-millis
+    * lag detection (apps/transactions/consumer.py:60-69); we expose the full
+    * date function library. */
+  def orderDateBreakdown(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(
+        year(col("o_orderdate")).as("o_year"),
+        quarter(col("o_orderdate")).as("o_quarter"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("o_year"), col("o_quarter"))
+
+  /** Math scalar surface (§2.8). */
+  def mathOnBalances(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(
+        col("c_custkey"),
+        abs(col("c_acctbal")).as("abs_bal"),
+        ceil(col("c_acctbal")).cast("long").as("ceil_bal"),
+        floor(col("c_acctbal")).cast("long").as("floor_bal"),
+        sqrt(abs(col("c_acctbal"))).as("sqrt_bal"),
+        pmod(col("c_custkey"), lit(7)).cast("long").as("key_mod7"))
+      .orderBy(col("c_custkey"))
+
+  /** JSON scalar surface (§2.8): parity with the reference's JSON state
+    * encode/decode (sqlite.py:96,143-147) expressed as queryable columns. */
+  def eventPropsExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
+      .filter(col("prop_k") >= 90)
+      .orderBy(col("event_id"))
+
+  /** Conditional aggregation (CASE WHEN inside agg). */
+  def conditionalAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_finished"),
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_open"),
+        round(avg(when(col("o_totalprice") > 1000, col("o_totalprice"))), 2).as("avg_big_price"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Exact + approximate distinct counting (A2). The approx column has no
+    * cross-engine oracle (HLL++ internals differ) — it is validated in
+    * ScalaTest against the exact count (relative error bound), and this query
+    * exposes only the exact part to the oracle. */
+  def distinctCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+      .orderBy(col("l_returnflag"))
+
+  /** GROUPING SETS via SQL (A3) — exercises the SQL entry path too. */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority, count(1) AS n
+      FROM orders_gs
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """)
+  }
+
+  /** Scalar subquery (uncorrelated) — orders above the global mean. */
+  def aboveAvgOrders(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_sq")
+    s.sql("""
+      SELECT o_orderkey, o_totalprice
+      FROM orders_sq
+      WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders_sq)
+      ORDER BY o_orderkey
+    """)
+  }
+}
