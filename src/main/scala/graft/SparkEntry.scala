@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.Relational
+import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -40,6 +40,19 @@ object SparkEntry {
     "q21_count_distinct"   -> Relational.distinctCounts _,
     "q22_grouping_sets"    -> Relational.groupingSets _,
     "q23_scalar_subquery"  -> Relational.aboveAvgOrders _,
+    // LLM-data-pipeline operators (dedup / text analysis / similarity)
+    "dd01_exact_dedup"     -> Dedup.exactDedup _,
+    "dd02_ngram_jaccard"   -> Dedup.ngramJaccardPairs _,
+    "dd03_minhash_lsh"     -> Dedup.minhashLshPairs _,
+    "dd04_simhash"         -> Dedup.simhashPairs _,
+    "ta01_langid"          -> TextAnalysis.langIdQuery _,
+    "ta02_quality"         -> TextAnalysis.qualityQuery _,
+    "ta03_token_stats"     -> TextAnalysis.tokenStatsQuery _,
+    "ta04_fingerprint"     -> TextAnalysis.fingerprintQuery _,
+    "ta05_rolling_hash"    -> TextAnalysis.rollingHashQuery _,
+    "sim01_cosine_topk"    -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
+    "sim02_ann_lsh"        -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
+    "sim03_embed_neardup"  -> ((s: SparkSession, d: String) => Similarity.embeddingNearDupPairs(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables, same column
@@ -177,5 +190,73 @@ object SparkEntry {
       SELECT o_orderkey, o_totalprice FROM orders
       WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
       ORDER BY o_orderkey""",
+    "dd01_exact_dedup" -> """
+      SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+             min(doc_id) AS keep_id, count(1) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY keep_id""",
+    "dd02_ngram_jaccard" -> ngramJaccardSql,
+    // dd03 is LSH + exact verification; with 32x4 banding its recall at the
+    // 0.8 threshold is 1-5e-8, so the brute-force SQL is its exact oracle.
+    "dd03_minhash_lsh" -> ngramJaccardSql,
+    "ta01_langid" -> TextAnalysis.langIdOracleSql,
+    "ta02_quality" -> """
+      WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                 FROM documents),
+      c AS (SELECT doc_id, t,
+                   CAST(length(t) AS BIGINT) AS n_chars_norm,
+                   CAST(length(t) - length(regexp_replace(t, ' ', '', 'g')) + 1 AS BIGINT) AS n_tokens
+            FROM d)
+      SELECT doc_id, n_chars_norm, n_tokens,
+             CAST(length(t) - n_tokens + 1 AS DOUBLE) / n_tokens AS avg_token_len,
+             CAST(CAST((length(' ' || t || ' ') - length(regexp_replace(' ' || t || ' ', ' the ', ' ', 'g'))) / 4 AS BIGINT) AS DOUBLE) / n_tokens AS the_ratio
+      FROM c ORDER BY doc_id""",
+    "ta03_token_stats" -> """
+      WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                 FROM documents)
+      SELECT doc_id,
+             CAST(length(t) - length(regexp_replace(t, ' ', '', 'g')) + 1 AS BIGINT) AS ws_tokens,
+             CAST(len(regexp_extract_all(t, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens,
+             CAST(len(list_distinct(string_split(t, ' '))) AS BIGINT) AS uniq_tokens
+      FROM d ORDER BY doc_id""",
+    "ta04_fingerprint" -> """
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_md5
+      FROM documents ORDER BY doc_id""",
+    "sim01_cosine_topk" -> """
+      WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id < 100),
+      c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      p AS (SELECT query_id, cand_id,
+              round(list_sum(list_transform(range(1, len(qv)+1), i -> qv[CAST(i AS INT)]*cv[CAST(i AS INT)])) /
+                (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[CAST(i AS INT)]*qv[CAST(i AS INT)]))) *
+                 sqrt(list_sum(list_transform(range(1, len(cv)+1), i -> cv[CAST(i AS INT)]*cv[CAST(i AS INT)])))), 6) AS cos
+            FROM q, c WHERE query_id <> cand_id)
+      SELECT query_id, cand_id, cos, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+        FROM p) t
+      WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    "sim03_embed_neardup" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      SELECT vec_a, vec_b, cos FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[CAST(i AS INT)]*b.v[CAST(i AS INT)])) /
+                 (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[CAST(i AS INT)]*a.v[CAST(i AS INT)]))) *
+                  sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[CAST(i AS INT)]*b.v[CAST(i AS INT)])))), 6) AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id) t
+      WHERE cos >= 0.45 ORDER BY vec_a, vec_b""",
   )
+
+  /** Shared oracle for dd02 (brute force) and dd03 (MinHash-LSH + exact
+    * verification — same output by construction at this banding). */
+  private val ngramJaccardSql: String = """
+      WITH sh AS (SELECT doc_id,
+                         list_distinct(list_transform(range(1, greatest(length(text)-3, 2)),
+                                       i -> substr(text, CAST(i AS INT), 5))) AS s
+                  FROM documents)
+      SELECT doc_a, doc_b, jaccard FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+      WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b"""
 }

@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.GraftBridge
+
+/** SimHash-64 over a token array as a native Catalyst expression.
+  *
+  * Charikar's similarity-preserving fingerprint: each token is hashed to 64
+  * bits (two murmur3-32 passes with distinct seeds); bit b of the output is 1
+  * iff the signed sum of (+1 / -1) votes of all token-hash bits b is positive.
+  * Near-duplicate texts land within a small Hamming distance, so candidate
+  * pairs are found by exact-match on 16-bit bands (pigeonhole: hamming <= 3
+  * guarantees one of four bands equal) — an equi-join, not an O(n^2) scan.
+  *
+  * A custom Expression (not a UDF) keeps nulls/serialization inside Tungsten;
+  * eval is a tight loop over UTF8String bytes.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val bytes = arr.getUTF8String(i).getBytes
+        val lo = Murmur3.hash32(bytes, 0x9747b28c)
+        val hi = Murmur3.hash32(bytes, 0x85ebca6b)
+        val h = (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** simhash64(tokens: array<string>): bigint as a Column. */
+  def simhash64(tokens: Column): Column =
+    GraftBridge.toColumn(SimHash64(GraftBridge.toExpression(tokens)))
+}

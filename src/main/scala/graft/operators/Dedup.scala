@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Text
+import graft.functions.SimHash64.simhash64
+
+/** Deduplication operators for a large-scale training-data pipeline.
+  *
+  * Three tiers, all shuffle-on-key (never O(n^2) over the corpus):
+  *   - exact: hash-groupBy on a content fingerprint — one shuffle;
+  *   - MinHash+LSH: shingle → signature → band-bucket equi-join — candidate
+  *     generation cost scales with true collisions, not with corpus^2;
+  *   - SimHash: 64-bit fingerprint + 16-bit band equi-join (pigeonhole
+  *     guarantees recall for hamming <= 3).
+  * At 100 TB the only all-pairs work ever done is inside LSH buckets.
+  */
+object Dedup {
+
+  val ShingleSize  = 5
+  val SigK         = 128
+  val Bands        = 32   // 32 bands x 4 rows: P(candidate | j=0.8) ~ 1 - 5e-8
+  val JaccardThreshold = 0.8
+
+  /** Exact duplicate groups by md5 of normalized text (A1-style hash agg). */
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), md5(Text.normText(col("text"))).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** Brute-force exact n-gram Jaccard near-dup pairs. Quadratic — correct
+    * semantics oracle for the LSH path; never the plan you run at scale. */
+  def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), Text.charShingles(col("text"), ShingleSize).as("sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", Text.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** MinHash + LSH near-dup pairs, verified by exact Jaccard.
+    *
+    * Pipeline: shingles → 128-hash MinHash signature → 32 band hashes →
+    * explode → equi-self-join on (band, bandhash) → distinct candidates →
+    * exact Jaccard verification. With these parameters recall at the 0.8
+    * threshold is 1 - 5e-8, so the output equals [[ngramJaccardPairs]] —
+    * which is exactly how the oracle checks it — while the plan is a pair of
+    * shuffles instead of a cross join. */
+  def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), Text.charShingles(col("text"), ShingleSize).as("sh"))
+      .withColumn("sig", Text.minhashSignature(col("sh"), SigK))
+
+    val bands = docs
+      .select(col("doc_id"),
+        explode(Text.lshBands(col("sig"), SigK, Bands)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+
+    val candidates = bands.alias("x")
+      .join(bands.alias("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    val sh = docs.select(col("doc_id"), col("sh"))
+    candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard", Text.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash fingerprints + near-pairs at hamming distance <= 3 via 16-bit
+    * band equi-join. Output: candidate pairs with their hamming distance. */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        simhash64(split(Text.normText(col("text")), " ")).as("sh64"))
+
+    // four 16-bit bands; hamming <= 3 implies at least one band matches
+    val banded = docs.select(col("doc_id"), col("sh64"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sh64"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bandval")
+
+    banded.alias("x")
+      .join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.bandval") === col("y.bandval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.sh64").bitwiseXOR(col("y.sh64"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

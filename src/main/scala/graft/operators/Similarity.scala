@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Two paths, same semantics:
+  *   - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *     The candidate side is broadcast when small; the plan is a single
+  *     pass over the query side (no shuffle of the big table).
+  *   - [[lshTopK]]: random-hyperplane (sign) LSH — queries only compare
+  *     against candidates sharing a bucket (multi-probe over 1-bit flips),
+  *     turning O(N*M) into bucket-equi-joins. This is the 100 TB path; its
+  *     recall vs brute force is asserted in ScalaTest.
+  *
+  * All dot products run as aggregate() over zipped arrays — codegen'd
+  * built-ins, left-to-right summation (deterministic, engine-portable).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two double arrays (deterministic order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact cosine top-k: for each query vector (vec_id < nQueries), the k
+    * nearest other vectors. Cosine is rounded to 6 dp at the OUTPUT (rank
+    * uses the rounded value + id tie-break => fully deterministic). */
+  def bruteForceTopK(s: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 100): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
+    val c = emb
+      .select(col("vec_id").as("cand_id"), asDouble(col("embedding")).as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    q.join(broadcast(c), col("query_id") =!= col("cand_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component h in {-1,+1} for
+    * (plane p, dimension d), derived from xxhash64 — no RNG state, so the
+    * same buckets come out on every executor of every run. */
+  private def signComponent(p: Int, d: Column): Column =
+    when(pmod(xxhash64(lit(p), d), lit(2)) === 0, lit(1.0d)).otherwise(lit(-1.0d))
+
+  /** Sign-LSH bucket id from `planes` random hyperplanes (one bit each). */
+  def lshBucket(v: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1).cast("array<bigint>"),
+          (x, i) => x * signComponent(p, i)),
+        lit(0.0d), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN top-k via sign-LSH with multi-probe (flip each single bit):
+    * a query lands in its own bucket plus `planes` neighboring buckets;
+    * candidates are met with equi-joins on bucket id only. */
+  def lshTopK(s: SparkSession, dir: String, k: Int = 5, planes: Int = 8,
+      nQueries: Int = 100): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes))
+
+    val cands = emb.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+      col("bucket").as("cbucket"))
+
+    // probe buckets: identity + all 1-bit flips
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(array(
+          (col("bucket") +: (0 until planes).map(p =>
+            col("bucket").bitwiseXOR(lit(1L << p)))): _*)).as("probe"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+
+    probes
+      .join(cands, col("probe") === col("cbucket") &&
+        col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("qv"), col("cand_id"), col("cv")).distinct()
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold (exact
+    * all-pairs — the semantics oracle; at 100 TB you run the same verify
+    * step over LSH-bucketed candidates as in [[lshTopK]] instead of the
+    * cross join). Cosine rounded to 6 dp so the threshold test is
+    * engine-portable. */
+  def embeddingNearDupPairs(s: SparkSession, dir: String,
+      threshold: Double = 0.45): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val a = emb.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+}

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Text
+
+/** Text analysis for training-data curation: language ID, quality scoring,
+  * token counting, fingerprinting. All pure-columnar (codegen'd built-ins) —
+  * an embarrassingly parallel map over the corpus with zero shuffles, which
+  * is exactly what you want for a 100 TB cleaning pass. */
+object TextAnalysis {
+
+  /** DuckDB SQL replicating [[langIdQuery]] exactly — generated from the
+    * same [[LangProfiles]] so the heuristic and its oracle cannot drift. */
+  def langIdOracleSql: String = {
+    def occ(w: String): String =
+      s"CAST((length(' ' || t || ' ') - length(regexp_replace(' ' || t || ' ', ' $w ', ' ', 'g'))) / ${w.length + 1} AS BIGINT)"
+    val scoreExprs = LangProfiles.map { case (l, ws) =>
+      ws.map(occ).mkString(" + ") + s" AS score_$l"
+    }.mkString(",\n             ")
+    val langs = LangProfiles.map(_._1)
+    val caseExpr = langs.zipWithIndex.foldRight("'und'") { case ((l, i), acc) =>
+      val prevCmp = langs.take(i).map(p => s"score_$l > score_$p")
+      val cond = (s"score_$l > 0" +: prevCmp).mkString(" AND ")
+      s"CASE WHEN $cond THEN '$l' ELSE $acc END"
+    }
+    s"""
+      WITH d AS (SELECT doc_id, lang AS declared_lang,
+                        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                 FROM documents),
+      scored AS (
+        SELECT doc_id, declared_lang,
+             $scoreExprs
+        FROM d)
+      SELECT doc_id, declared_lang, $caseExpr AS pred_lang,
+             score_en, score_fr, score_de, score_es
+      FROM scored ORDER BY doc_id"""
+  }
+
+  /** Stopword profiles for the n-gram/stopword language heuristic. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "fr" -> Seq("le", "la", "et", "les", "une"),
+    "de" -> Seq("der", "die", "und", "das", "ein"),
+    "es" -> Seq("el", "la", "y", "los", "una"))
+
+  private def langScore(c: Column, words: Seq[String]): Column =
+    words.map(w => Text.wordOccurrences(c, w)).reduce(_ + _)
+
+  /** Language ID: per-language stopword hit counts; argmax with a
+    * deterministic tie-break (higher score wins, then profile order);
+    * no hits at all => 'und' (undetermined, BCP-47 style). */
+  def langIdQuery(s: SparkSession, dir: String): DataFrame = {
+    val txt = Text.normText(col("text"))
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang").as("declared_lang"), txt.as("t"))
+      .select(Seq(col("doc_id"), col("declared_lang")) ++
+        LangProfiles.map { case (l, ws) => langScore(col("t"), ws).as(s"score_$l") }: _*)
+    // argmax by score with first-profile-wins tie-break
+    val best = LangProfiles.map(_._1).foldRight(lit("und")) { (l, acc) =>
+      when(col(s"score_$l") > 0 &&
+        LangProfiles.map(_._1).takeWhile(_ != l)
+          .foldLeft(lit(true)) { (c, prev) => c && col(s"score_$l") > col(s"score_$prev") },
+        lit(l)).otherwise(acc)
+    }
+    scored
+      .withColumn("pred_lang", best)
+      .select(col("doc_id"), col("declared_lang"), col("pred_lang"),
+        col("score_en"), col("score_fr"), col("score_de"), col("score_es"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality metrics: char/token counts, mean token length, stopword ratio.
+    * Ratios are exact IEEE divisions of integer counts => oracle-stable. */
+  def qualityQuery(s: SparkSession, dir: String): DataFrame = {
+    val t = Text.normText(col("text"))
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        length(t).cast("long").as("n_chars_norm"),
+        Text.tokenCount(t).as("n_tokens"),
+        ((length(t) - Text.tokenCount(t) + 1).cast("double") /
+          Text.tokenCount(t)).as("avg_token_len"),
+        (Text.wordOccurrences(t, "the").cast("double") /
+          Text.tokenCount(t)).as("the_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting: whitespace tokens + regex "wordpiece-ish" tokens
+    * (alpha runs and digit runs counted separately — the BPE-flavored
+    * pre-tokenization split). */
+  def tokenStatsQuery(s: SparkSession, dir: String): DataFrame = {
+    val t = Text.normText(col("text"))
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        Text.tokenCount(t).as("ws_tokens"),
+        size(regexp_extract_all(t, lit("[a-z]+|[0-9]+"), lit(0))).cast("long")
+          .as("re_tokens"),
+        size(array_distinct(split(t, " "))).cast("long").as("uniq_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprint: md5 of normalized text (oracle-checkable). */
+  def fingerprintQuery(s: SparkSession, dir: String): DataFrame = {
+    val t = Text.normText(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), md5(t).as("content_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** 64-bit polynomial rolling hash over the token stream (xxhash64 token
+    * base folded into a 2^30 range, Horner accumulation mod 2^56-5 so
+    * acc*31 + h < 2^61 never overflows under ANSI mode). No cross-engine
+    * oracle (xxhash64 is Spark-specific); determinism asserted in ScalaTest. */
+  def rollingHashQuery(s: SparkSession, dir: String): DataFrame = {
+    val t = Text.normText(col("text"))
+    val P = 72057594037927931L // 2^56 - 5
+    val rolling = aggregate(
+      transform(split(t, " "), w => pmod(xxhash64(w), lit(1073741824L))), // < 2^30
+      lit(1125899906842597L), // seed
+      (acc, h) => pmod(acc * 31L + h, lit(P)))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), rolling.as("rolling_hash"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession.{spark, sf0001}
+
+class SimilaritySpec extends AnyFunSuite {
+
+  private def topkSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.collect().groupBy(_.getLong(0)).map { case (q, rows) =>
+      q -> rows.map(_.getLong(1)).toSet
+    }
+
+  test("brute-force top-k: k results per query, self excluded, cos in [-1,1]") {
+    val res = Similarity.bruteForceTopK(spark, sf0001, k = 5, nQueries = 50)
+    val rows = res.collect()
+    assert(rows.length == 50 * 5)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+  }
+
+  test("LSH ANN recall beats the random-candidate-sampling baseline") {
+    // The synthetic embeddings are isotropic random vectors (no cluster
+    // structure), so absolute ANN recall is information-theoretically
+    // limited; the correctness property is that LSH buckets correlate with
+    // cosine — recall must clearly exceed the fraction of the corpus probed.
+    val planes = 5 // 32 buckets, 6 probes => ~19% of corpus examined
+    val exact = topkSet(Similarity.bruteForceTopK(spark, sf0001, k = 5, nQueries = 50))
+    val ann = topkSet(Similarity.lshTopK(spark, sf0001, k = 5, planes = planes, nQueries = 50))
+    val recalls = exact.map { case (q, s) =>
+      ann.get(q).map(a => (a & s).size.toDouble / s.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    val probedFraction = (planes + 1).toDouble / (1 << planes)
+    info(s"mean top-5 recall = $mean, probed fraction ~ $probedFraction")
+    assert(mean >= 1.5 * probedFraction,
+      s"ANN recall $mean does not beat random sampling baseline $probedFraction")
+  }
+
+  test("near-dup pairs are symmetric-free, above threshold, deterministic") {
+    val p1 = Similarity.embeddingNearDupPairs(spark, sf0001).collect()
+    assert(p1.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(p1.forall(r => r.getDouble(2) >= 0.45))
+    val p2 = Similarity.embeddingNearDupPairs(spark, sf0001).collect()
+    assert(p1.map(_.toString).toSeq == p2.map(_.toString).toSeq)
+  }
+
+  test("approx_count_distinct stays within documented rsd of exact") {
+    val li = graft.core.Tables.lineitem(spark, sf0001)
+    val row = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.05).as("approx")).collect()(0)
+    val exact = row.getLong(0).toDouble
+    val approx = row.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.15)
+  }
+}
