@@ -1,0 +1,170 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** MinHash signature as a native Catalyst expression.
+  *
+  * Semantically identical to [[Text.minhashSignature]] (same xxhash64 base
+  * fold into the 2^31-1 field, same affine family h_j(x) = ((2j+1)x + 40503j)
+  * mod P) but evaluated as one tight JIT-friendly loop per row instead of
+  * k nested HigherOrderFunction lambdas. The HOF composition is interpreted
+  * per element (no codegen for array lambdas), costing ~n*k boxed expression
+  * evaluations per document; this expression costs n hashes + n*k primitive
+  * long ops. At 5k docs x 400 shingles x k=128 that is the difference
+  * between ~85 s and well under a second — and the gap widens linearly with
+  * corpus size, which is what matters at 100 TB.
+  */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  private val P = 2147483647L // 2^31 - 1
+  private val SeedXx = 42L    // functions.xxhash64's fixed seed
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill[Long](k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val raw = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, SeedXx)
+        val base = java.lang.Math.floorMod(raw, P)
+        var j = 0
+        while (j < k) {
+          val h = ((2L * j + 1L) * base + 40503L * j) % P
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  /** minhash_sig(shingles: array<string>, k): array<bigint> */
+  def minhashSig(shingles: Column, k: Int): Column =
+    GraftBridge.toColumn(MinHashSig(GraftBridge.toExpression(shingles), k))
+}
+
+/** MinHash signature straight from the text column: slides the n-char
+  * shingle window over the string and folds every window into the k
+  * running minima in one pass — no shingle array is ever materialized.
+  * Identical output to MinHashSig(charShingles(text, n), k): minimum over
+  * a multiset equals minimum over its distinct set, and substringSQL
+  * matches the SQL substring used by charShingles. */
+case class MinHashFromText(child: Expression, n: Int, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  private val P = 2147483647L
+  private val SeedXx = 42L
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val len = text.numChars()
+    val nWindows = math.max(len - (n - 1), 1)
+    val mins = Array.fill[Long](k)(Long.MaxValue)
+    var i = 1
+    while (i <= nWindows) {
+      val w = text.substringSQL(i, n)
+      val raw = XXH64.hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes, SeedXx)
+      val base = java.lang.Math.floorMod(raw, P)
+      var j = 0
+      while (j < k) {
+        val h = ((2L * j + 1L) * base + 40503L * j) % P
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashFromText =
+    copy(child = newChild)
+}
+
+object MinHashFromText {
+  def minhashFromText(text: Column, n: Int, k: Int): Column =
+    GraftBridge.toColumn(MinHashFromText(GraftBridge.toExpression(text), n, k))
+}
+
+/** Fraction of positions where two equal-length signatures agree — the
+  * unbiased MinHash estimate of Jaccard similarity. Used as a candidate
+  * prefilter: at sig length 128 the estimate's std around j=0.8 is 0.035,
+  * so a 0.6 cutoff is 5.7 sigma — it cannot drop a true >=0.8 pair, but
+  * it discards the huge mass of ~0.2-background candidates for 128 long
+  * comparisons instead of an 800-element array intersection. */
+case class SigOverlap(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData].toLongArray()
+    val b = r.asInstanceOf[ArrayData].toLongArray()
+    val n = math.min(a.length, b.length)
+    var eq = 0
+    var i = 0
+    while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
+    java.lang.Double.valueOf(if (n == 0) 0.0 else eq.toDouble / n)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SigOverlap =
+    copy(left = newLeft, right = newRight)
+}
+
+object SigOverlap {
+  def sigOverlap(a: Column, b: Column): Column =
+    GraftBridge.toColumn(SigOverlap(GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
+}
+
+/** Distinct character n-gram shingles as a native expression — output is
+  * identical to array_distinct(transform(sequence(...), substring(...)))
+  * (first-occurrence order preserved) without per-window interpreted
+  * lambda evaluation. */
+case class CharShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val len = text.numChars()
+    val nWindows = math.max(len - (n - 1), 1)
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String](nWindows * 2)
+    var i = 1
+    while (i <= nWindows) {
+      seen.add(text.substringSQL(i, n))
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharShingles =
+    copy(child = newChild)
+}
+
+object CharShingles {
+  def charShingles(text: Column, n: Int): Column =
+    GraftBridge.toColumn(CharShingles(GraftBridge.toExpression(text), n))
+}

@@ -32,9 +32,14 @@ object Text {
 
   /** Exact Jaccard similarity of two pre-distinct shingle arrays.
     * Pure integer set sizes + one IEEE division => bit-stable across engines. */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+  def jaccard(a: Column, b: Column): Column =
+    jaccardWithSizes(a, b, size(a), size(b))
+
+  /** Jaccard with pre-computed array sizes (compute them BEFORE a pair join
+    * so the per-pair work is a single array_intersect, not three passes). */
+  def jaccardWithSizes(a: Column, b: Column, na: Column, nb: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (na + nb - inter)
   }
 
   private val P: Long = 2147483647L // 2^31 - 1, Mersenne prime

@@ -35,28 +35,39 @@ object Dedup {
     * semantics oracle for the LSH path; never the plan you run at scale. */
   def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = Tables.documents(s, dir)
-      .select(col("doc_id"), Text.charShingles(col("text"), ShingleSize).as("sh"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      .select(col("doc_id"), graft.functions.CharShingles.charShingles(col("text"), ShingleSize).as("sh"))
+      .withColumn("n", size(col("sh")))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("n_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("n_b"))
     a.join(b, col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", Text.jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard",
+        Text.jaccardWithSizes(col("sh_a"), col("sh_b"), col("n_a"), col("n_b")))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** MinHash-estimate prefilter cutoff: 5.7 sigma below the 0.8 threshold
+    * at signature length 128 — cannot drop a true pair, kills the ~0.2
+    * Jaccard background that dominates LSH bucket collisions. */
+  val SigPrefilter = 0.6
+
   /** MinHash + LSH near-dup pairs, verified by exact Jaccard.
     *
-    * Pipeline: shingles → 128-hash MinHash signature → 32 band hashes →
-    * explode → equi-self-join on (band, bandhash) → distinct candidates →
-    * exact Jaccard verification. With these parameters recall at the 0.8
-    * threshold is 1 - 5e-8, so the output equals [[ngramJaccardPairs]] —
-    * which is exactly how the oracle checks it — while the plan is a pair of
-    * shuffles instead of a cross join. */
+    * Pipeline: one-pass text→signature → 32 band hashes → explode →
+    * equi-self-join on (band, bandhash) → distinct candidates → signature
+    * agreement prefilter → exact Jaccard verification. With these parameters
+    * recall at the 0.8 threshold is 1 - 5e-8, so the output equals
+    * [[ngramJaccardPairs]] — which is exactly how the oracle checks it —
+    * while the plan is equi-joins instead of a cross join. */
   def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
+    // Signatures are computed in ONE pass over the text (no shingle arrays
+    // materialized) and persisted — at cluster scale this is the "write
+    // signatures to a staging table" step.
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), Text.charShingles(col("text"), ShingleSize).as("sh"))
-      .withColumn("sig", Text.minhashSignature(col("sh"), SigK))
+      .select(col("doc_id"),
+        graft.functions.MinHashFromText.minhashFromText(col("text"), ShingleSize, SigK).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val bands = docs
       .select(col("doc_id"),
@@ -70,11 +81,22 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    val sh = docs.select(col("doc_id"), col("sh"))
-    candidates
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jaccard", Text.jaccard(col("sh_a"), col("sh_b")))
+    // cheap prefilter on signature agreement, then exact verification with
+    // shingles computed only for the handful of surviving docs
+    val prefiltered = candidates
+      .join(docs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .filter(graft.functions.SigOverlap.sigOverlap(col("sig_a"), col("sig_b")) >= SigPrefilter)
+      .select(col("doc_a"), col("doc_b"))
+
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), graft.functions.CharShingles.charShingles(col("text"), ShingleSize).as("sh"))
+      .withColumn("n", size(col("sh")))
+    prefiltered
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("n_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        Text.jaccardWithSizes(col("sh_a"), col("sh_b"), col("n_a"), col("n_b")))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -86,6 +108,7 @@ object Dedup {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"),
         simhash64(split(Text.normText(col("text")), " ")).as("sh64"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // four 16-bit bands; hamming <= 3 implies at least one band matches
     val banded = docs.select(col("doc_id"), col("sh64"),

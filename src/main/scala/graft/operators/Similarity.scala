@@ -20,13 +20,20 @@ import graft.core.Tables
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double arrays (deterministic order). */
+  /** Sequential-fold dot product of two double arrays (deterministic order).
+    * HOF formulation kept as the executable spec for [[cosine]]. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Native-expression cosine (bit-identical to the HOF spec, ~20x faster —
+    * see [[graft.functions.CosineSim]]). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim.cosineSim(a, b)
+
+  /** The interpreted HOF cosine, for cross-validation in tests. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -77,6 +84,7 @@ object Similarity {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val cands = emb.select(col("vec_id").as("cand_id"), col("v").as("cv"),
       col("bucket").as("cbucket"))

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession.{spark, sf0001}
+import graft.core.Tables
+
+/** Native Catalyst expressions must be bit-identical to the interpreted
+  * HOF formulations they replace (the HOF versions are the executable spec
+  * that the DuckDB oracles were validated against). */
+class ExpressionParitySpec extends AnyFunSuite {
+
+  test("MinHashSig == HOF minhashSignature, element for element") {
+    val df = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), Text.charShingles(col("text"), 5).as("sh"))
+      .withColumn("fast", MinHashSig.minhashSig(col("sh"), 32))
+      .withColumn("spec", Text.minhashSignature(col("sh"), 32))
+      .filter(col("fast") =!= col("spec"))
+    assert(df.count() == 0)
+  }
+
+  test("MinHashFromText == MinHashSig over HOF shingles") {
+    val df = Tables.documents(spark, sf0001)
+      .withColumn("fast", MinHashFromText.minhashFromText(col("text"), 5, 64))
+      .withColumn("spec",
+        MinHashSig.minhashSig(Text.charShingles(col("text"), 5), 64))
+      .filter(col("fast") =!= col("spec"))
+    assert(df.count() == 0)
+  }
+
+  test("native CharShingles == HOF charShingles, order included") {
+    val df = Tables.documents(spark, sf0001)
+      .withColumn("fast", CharShingles.charShingles(col("text"), 5))
+      .withColumn("spec", Text.charShingles(col("text"), 5))
+      .filter(col("fast") =!= col("spec"))
+    assert(df.count() == 0)
+  }
+
+  test("SigOverlap estimates jaccard within sampling error") {
+    val df = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        MinHashFromText.minhashFromText(col("text"), 5, 128).as("sig"),
+        CharShingles.charShingles(col("text"), 5).as("sh"))
+    val a = df.select(col("doc_id").as("da"), col("sig").as("sa"), col("sh").as("ha"))
+    val b = df.select(col("doc_id").as("db"), col("sig").as("sb"), col("sh").as("hb"))
+    val bad = a.join(b, col("da") < col("db") && col("da") < 30 && col("db") < 30)
+      .select(
+        SigOverlap.sigOverlap(col("sa"), col("sb")).as("est"),
+        Text.jaccard(col("ha"), col("hb")).as("truth"))
+      .filter(abs(col("est") - col("truth")) > lit(0.25))
+    assert(bad.count() == 0)
+  }
+
+  test("CosineSim == HOF cosine, bit for bit") {
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = e.select(col("vec_id").as("ia"), col("v").as("va")).filter(col("ia") < 40)
+    val b = e.select(col("vec_id").as("ib"), col("v").as("vb")).filter(col("ib") < 40)
+    val pairs = a.join(b, col("ia") < col("ib"))
+      .withColumn("fast", CosineSim.cosineSim(col("va"), col("vb")))
+      .withColumn("spec", graft.operators.Similarity.cosineHof(col("va"), col("vb")))
+      .filter(col("fast") =!= col("spec"))
+    assert(pairs.count() == 0)
+  }
+}
