@@ -53,6 +53,9 @@ object SparkEntry {
     "sim01_cosine_topk"    -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "sim02_ann_lsh"        -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
     "sim03_embed_neardup"  -> ((s: SparkSession, d: String) => Similarity.embeddingNearDupPairs(s, d)),
+    // stateful dataflow (the reference's core surface) — batch-mode run of
+    // the flatMapGroupsWithState facade, oracle-checked against SQL
+    "st01_stateful_balance" -> graft.streaming.BalanceApp.runningBalanceQuery _,
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables, same column
@@ -190,6 +193,11 @@ object SparkEntry {
       SELECT o_orderkey, o_totalprice FROM orders
       WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
       ORDER BY o_orderkey""",
+    "st01_stateful_balance" -> """
+      SELECT user_id, event_id,
+             round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS balance
+      FROM events ORDER BY user_id, event_id""",
     "dd01_exact_dedup" -> """
       SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
              min(doc_id) AS keep_id, count(1) AS n_copies

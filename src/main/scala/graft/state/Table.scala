@@ -1,0 +1,82 @@
+package graft.state
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.core.Message
+
+/** Per-key durable state facade — the reference's "table" surface
+  * (reference: fluvii/apps/transactions/transaction.py:180-192):
+  * read_table_entry / update_table_entry / delete_table_entry with
+  * read-your-writes inside a transaction batch and JSON document values.
+  *
+  * Deletes are modeled as state removal; the reference's '-DELETED-'
+  * sentinel (transaction.py:190-192, sqlite.py:61-62) is a SQLite
+  * representation detail, not an API value — a deleted entry reads back as
+  * absent there too.
+  */
+final class TableTransaction private[state] (
+    val message: Message,
+    stored: Option[String]) {
+
+  private[state] var pending: Option[Option[String]] = None // None = untouched
+
+  /** Point lookup for the current message's key, read-your-writes
+    * (pending transaction writes win over the stored table — reference:
+    * transaction.py:180-184, sqlite.py:130-152). */
+  def readTableEntry(): Option[String] = pending.getOrElse(stored)
+
+  /** Buffer a state write (any JSON document), applied on commit
+    * (reference: transaction.py:186-188,151-156). */
+  def updateTableEntry(value: String): Unit = pending = Some(Some(value))
+
+  /** Tombstone the entry (reference: transaction.py:190-192). */
+  def deleteTableEntry(): Unit = pending = Some(None)
+
+  private[state] def resultingState: Option[String] = pending.getOrElse(stored)
+}
+
+/** The FluviiTableApp-equivalent transform: arbitrary per-message logic with
+  * keyed durable state, on Spark's keyed-state machinery.
+  *
+  * The whole of the reference's SQLite-files + changelog-topic + rebalance
+  * recovery engine (fluvii/apps/helpers/rebalance_manager.py, ~253 LoC) is
+  * subsumed by flatMapGroupsWithState + the state store + checkpoint restore
+  * (SURVEY.md §3.2): in streaming mode state persists across microbatches
+  * and restarts; in batch mode the same code runs with fresh state — which
+  * is how the oracle checks these semantics against SQL.
+  *
+  * Ordering contract: the reference processes each partition's messages in
+  * offset order; a microbatch group iterator is unordered, so the facade
+  * sorts each group by (partition, offset) before applying the user
+  * function (SURVEY.md §7.4 risk 2).
+  */
+object GraftTableApp {
+
+  /** Run `appFn` over every message, keyed by message key, threading JSON
+    * state through [[TableTransaction]]. Emits whatever the function
+    * produces, exactly like the reference's app_function
+    * (reference: fluvii/apps/fluvii_app.py:41-43). */
+  def transform[OUT: Encoder](input: Dataset[Message])(
+      appFn: TableTransaction => IterableOnce[OUT]): Dataset[OUT] = {
+    import input.sparkSession.implicits._
+    input
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[String, OUT](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, msgs: Iterator[Message], state: GroupState[String]) =>
+          val sorted = msgs.toSeq.sortBy(m => (m.partition, m.offset))
+          var cur: Option[String] = state.getOption
+          val out = Seq.newBuilder[OUT]
+          sorted.foreach { m =>
+            val txn = new TableTransaction(m, cur)
+            out ++= appFn(txn)
+            cur = txn.resultingState
+          }
+          cur match {
+            case Some(v) => state.update(v)
+            case None    => if (state.exists) state.remove()
+          }
+          out.result().iterator
+      }
+  }
+}

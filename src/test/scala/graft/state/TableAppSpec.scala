@@ -1,0 +1,114 @@
+package graft.state
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkTestSession.{spark, sf0001}
+import graft.core.Message
+import graft.streaming.BalanceApp
+
+/** Streaming-state semantics, replicating the reference's own integration
+  * test scenario and assertions (reference: tests/temp_integration/
+  * integration.py:24-51,97-121): 3 partitions x 3 keys, per-key accumulated
+  * entry lists in table state, output count == input count, per-key
+  * accumulation equals the number of repeats.
+  */
+class TableAppSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def msg(key: String, part: Int, off: Long, v: String): Message =
+    Message(key, v, Map.empty, "fluvii_testing_input", part, off,
+      new Timestamp(1700000000000L + off))
+
+  test("integration scenario: accumulating table state across microbatches") {
+    // 3 partitions x 3 keys x 2 repeats (the reference uses 1 repeat; two
+    // microbatches prove state durability across commits = changelog replay)
+    val repeats = 2
+    val input = MemoryStream[Message](spark)
+    // app function: append "key-r<i>" to the state list, emit current list
+    // (reference: integration.py:54-66 — accumulate_cool_data)
+    val out = GraftTableApp.transform(input.toDS()) { txn =>
+      val prev = txn.readTableEntry().map(_ + ",").getOrElse("")
+      val acc = prev + txn.message.value
+      txn.updateTableEntry(acc)
+      Iterator.single((txn.message.key, acc))
+    }
+    val q = out.writeStream.format("memory").queryName("integration_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      (0 until repeats).foreach { r =>
+        val batch = for (p <- 0 until 3; k <- 0 until 3)
+          yield msg(s"test--key_${k}-p$p", p, r * 10 + k, s"test--key_${k}-p$p-r$r")
+        input.addData(batch)
+        q.processAllAvailable()
+      }
+      val rows = spark.table("integration_out").as[(String, String)].collect()
+      // output count == input count (every message produced one output)
+      assert(rows.length == 3 * 3 * repeats)
+      // per-key accumulation: final state has all repeats, in offset order
+      val finals = rows.groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._2.length)._2 }
+      finals.foreach { case (k, acc) =>
+        val parts = acc.split(",")
+        assert(parts.length == repeats, s"$k accumulated ${parts.length} != $repeats")
+        assert(parts.zipWithIndex.forall { case (p, i) => p == s"$k-r$i" },
+          s"$k accumulated out of order: $acc")
+      }
+      assert(finals.size == 9)
+    } finally q.stop()
+  }
+
+  test("delete_table_entry tombstones state (read-your-writes included)") {
+    val input = MemoryStream[Message](spark)
+    val out = GraftTableApp.transform(input.toDS()) { txn =>
+      txn.message.value match {
+        case "set" =>
+          txn.updateTableEntry("present")
+          val rywOk = txn.readTableEntry().contains("present") // RYW
+          Iterator.single((txn.message.key, s"set:$rywOk"))
+        case "del" =>
+          txn.deleteTableEntry()
+          Iterator.single((txn.message.key, s"del:${txn.readTableEntry().isEmpty}"))
+        case "read" =>
+          Iterator.single((txn.message.key, s"read:${txn.readTableEntry().getOrElse("<absent>")}"))
+      }
+    }
+    val q = out.writeStream.format("memory").queryName("tombstone_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Seq(msg("k1", 0, 0, "set")))
+      q.processAllAvailable()
+      input.addData(Seq(msg("k1", 0, 1, "del")))
+      q.processAllAvailable()
+      input.addData(Seq(msg("k1", 0, 2, "read")))
+      q.processAllAvailable()
+      val rows = spark.table("tombstone_out").as[(String, String)].collect().map(_._2).toSet
+      assert(rows == Set("set:true", "del:true", "read:<absent>"))
+    } finally q.stop()
+  }
+
+  test("running balance: streaming microbatches == batch == SQL window") {
+    // stream the sf0.001 events in two microbatches through the SAME app
+    // function exposed as query st01
+    val events = BalanceApp.eventsAsMessages(spark, sf0001).collect()
+      .sortBy(_.offset)
+    val (first, second) = events.splitAt(events.length / 2)
+    val input = MemoryStream[Message](spark)
+    val out = GraftTableApp.transform(input.toDS())(BalanceApp.appFn)
+    val q = out.writeStream.format("memory").queryName("balance_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(first.toSeq); q.processAllAvailable()
+      input.addData(second.toSeq); q.processAllAvailable()
+      val streamed = spark.table("balance_out")
+        .as[BalanceApp.BalanceUpdate].collect()
+        .map(b => (b.user_id, b.event_id) -> math.round(b.balance * 100))
+        .toMap
+      val batch = BalanceApp.runningBalanceQuery(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> math.round(r.getDouble(2) * 100))
+        .toMap
+      assert(streamed.size == batch.size)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
