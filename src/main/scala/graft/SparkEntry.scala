@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -56,6 +56,12 @@ object SparkEntry {
     // stateful dataflow (the reference's core surface) — batch-mode run of
     // the flatMapGroupsWithState facade, oracle-checked against SQL
     "st01_stateful_balance" -> graft.streaming.BalanceApp.runningBalanceQuery _,
+    // event-time windowing (batch twins of the streaming aggregations)
+    "w01_tumbling_window"  -> Windows.tumblingQuery _,
+    "w02_session_window"   -> Windows.sessionQuery _,
+    "w03_sliding_window"   -> Windows.slidingQuery _,
+    // multimodal binary-column pipeline (decode is a deterministic stub)
+    "mm01_media_features"  -> Multimodal.mediaFeaturesQuery _,
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables, same column
@@ -198,6 +204,26 @@ object SparkEntry {
              round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS balance
       FROM events ORDER BY user_id, event_id""",
+    "w01_tumbling_window" -> """
+      SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS window_start,
+             event_type, count(1) AS n, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "w02_session_window" -> """
+      WITH o AS (SELECT user_id, ts, event_id, value,
+                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+                 FROM events),
+      m AS (SELECT *, CASE WHEN pts IS NULL OR epoch(ts)-epoch(pts) >= 1800
+                           THEN 1 ELSE 0 END AS brk FROM o),
+      g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+      SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+             count(1) AS n_events, round(sum(value), 2) AS sum_value
+      FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "w03_sliding_window" -> """
+      WITH e AS (SELECT CAST(floor(epoch(ts)/1800) AS BIGINT) AS b, value FROM events),
+      x AS (SELECT (b - i.i)*1800 AS window_start, value FROM e, range(0, 2) i(i))
+      SELECT window_start, count(1) AS n, round(sum(value), 2) AS sum_value
+      FROM x GROUP BY 1 ORDER BY 1""",
     "dd01_exact_dedup" -> """
       SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
              min(doc_id) AS keep_id, count(1) AS n_copies

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Murmur3
+
+/** Multimodal (binary) column pipeline for training-data preparation.
+  *
+  * Media rides as an opaque `binary` column with typed metadata — the
+  * pattern that scales: bytes never round-trip through JVM object graphs,
+  * scans prune to metadata columns unless features are actually computed,
+  * and decode/feature-extract runs batched per partition.
+  *
+  * The actual image/audio decode is STUBBED (no codec libraries in this
+  * environment): [[FakeDecoder]] produces deterministic pseudo-features
+  * from the bytes. Everything AROUND the stub — schema, batching,
+  * partition-parallel execution, feature vector shape — is real and
+  * tested; swapping FakeDecoder for a JNI/javacv decoder changes one
+  * function.
+  */
+object Multimodal {
+
+  case class MediaRecord(media_id: Long, kind: String, bytes: Array[Byte],
+      width: Int, height: Int)
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+      features: Array[Double])
+
+  val FeatureDim = 8
+
+  /** STUB decoder: stands in for image decode + feature extraction.
+    * Deterministic in the bytes; replace with a real codec at the same
+    * signature. A real implementation would decode `bytes` (JPEG/PNG/...)
+    * and pool activations or pixel statistics into the feature vector. */
+  object FakeDecoder {
+    def features(bytes: Array[Byte], dim: Int = FeatureDim): Array[Double] = {
+      val out = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        // ??? real decode goes here — pseudo-features from seeded hashes
+        out(i) = Murmur3.hash32(bytes, i).toDouble / Int.MaxValue
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Synthesize a media table from the documents corpus (UTF-8 bytes as the
+    * opaque payload) — the environment ships no binary fixtures, and the
+    * plumbing is payload-agnostic by design. */
+  def mediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"), lit("text").as("kind"),
+        encode(col("text"), "UTF-8").as("bytes"),
+        lit(0).as("width"), lit(0).as("height"))
+      .as[MediaRecord]
+  }
+
+  /** Batched per-partition feature extraction — the mapInPandas-shaped
+    * plumbing (iterator-of-batches in, iterator-of-batches out), here as
+    * mapPartitions so the decode amortizes any per-batch setup (model
+    * load, codec init) once per partition, not per row. */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition setup happens HERE (once), e.g. codec/model init
+      it.map { m =>
+        MediaFeatures(m.media_id, m.kind, m.bytes.length.toLong,
+          FakeDecoder.features(m.bytes))
+      }
+    }
+  }
+
+  /** Frame sampling plumbing: split the payload into fixed-size chunks and
+    * keep every `stride`-th one (what frame extraction does to video;
+    * here over opaque bytes). */
+  def sampleFrames(media: Dataset[MediaRecord], chunkSize: Int = 64,
+      stride: Int = 4): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      m.bytes.grouped(chunkSize).zipWithIndex
+        .filter(_._2 % stride == 0)
+        .map { case (chunk, idx) => (m.media_id, idx, chunk.length, chunk) }
+    }.toDF("media_id", "frame_idx", "frame_bytes_len", "frame_bytes")
+  }
+
+  /** Query mm01: feature extraction over the corpus. Features are exploded
+    * to scalar columns for a stable parquet schema. */
+  def mediaFeaturesQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    extractFeatures(mediaFromDocuments(s, dir))
+      .toDF()
+      .select(
+        col("media_id"), col("kind"), col("n_bytes"),
+        round(element_at(col("features"), 1), 6).as("f0"),
+        round(element_at(col("features"), 2), 6).as("f1"),
+        round(element_at(col("features"), 3), 6).as("f2"))
+      .orderBy(col("media_id"))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.avro
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession.spark
+
+/** Confluent wire format + Avro codec over the reference's own fixture
+  * schemas (FIXTURES.md §2; reference: tests/temp_integration/
+  * integration.py:17-23, examples/fluvii_demo_current_2023). */
+class AvroSpec extends AnyFunSuite {
+
+  val coolSchema =
+    """{"name":"CoolSchema","type":"record","fields":[
+      {"name":"my_data_dict","type":{"type":"map","values":"string"},"default":{}}]}"""
+
+  val balanceSchema =
+    """{"name":"AccountBalanceChangeRequest","type":"record","fields":[
+      {"name":"account_id","type":"string","default":""},
+      {"name":"timestamp","type":"float","default":0},
+      {"name":"amount","type":"int","default":0}]}"""
+
+  // space-bearing field names (README AccountPurchase fixture)
+  val purchaseSchema =
+    """{"name":"AccountPurchase","type":"record","fields":[
+      {"name":"Account Number","type":"string","default":""},
+      {"name":"Purchase Amount","type":"string","default":""}]}"""
+
+  test("wire format: frame/unframe roundtrip, magic byte enforced") {
+    val payload = Array[Byte](1, 2, 3, 4, 5)
+    val framed = ConfluentAvro.frame(42, payload)
+    assert(framed(0) == 0x00)
+    assert(framed.length == 10)
+    val f = ConfluentAvro.unframe(framed)
+    assert(f.schemaId == 42 && f.payload.toSeq == payload.toSeq)
+    intercept[IllegalArgumentException] {
+      ConfluentAvro.unframe(Array[Byte](1, 0, 0, 0, 1, 9))
+    }
+  }
+
+  test("serialize/deserialize via registry (ids allocated per subject+schema)") {
+    val reg = new InMemorySchemaRegistry
+    val schema = SchemaRegistryClient.parse(balanceSchema)
+    val rec = ConfluentAvro.record(schema,
+      Map("account_id" -> "A7", "timestamp" -> 1.5f, "amount" -> -250))
+    val bytes = ConfluentAvro.serialize(rec, schema, "topic-value", reg)
+    val back = ConfluentAvro.deserialize(bytes, reg)
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+    assert(back.get("account_id").toString == "A7")
+    assert(back.get("amount") == -250)
+    // same schema re-registers to the same id
+    assert(ConfluentAvro.serialize(rec, schema, "topic-value", reg)(4) == bytes(4))
+  }
+
+  test("bare-type schemas load (changelog value schema is plain string)") {
+    // reference quirk: schema_registry.py:6-15 / fluvii_table_app.py:43
+    val schema = SchemaRegistryClient.parse("{\"type\":\"string\"}")
+    val bytes = ConfluentAvro.encode("{\"balance\": 12.5}", schema)
+    assert(ConfluentAvro.decode(bytes, schema).toString == "{\"balance\": 12.5}")
+    assert(SchemaRegistryClient.parse("\"string\"").getType.getName == "string")
+  }
+
+  test("map-typed record roundtrips (integration CoolSchema)") {
+    val schema = SchemaRegistryClient.parse(coolSchema)
+    val rec = ConfluentAvro.record(schema,
+      Map("my_data_dict" -> Map("test--key_0-p0" -> "test--key_0-p0-r0")))
+    val back = ConfluentAvro.decode(ConfluentAvro.encode(rec, schema), schema)
+    val json = ConfluentAvro.toJson(back)
+    assert(json == """{"my_data_dict":{"test--key_0-p0":"test--key_0-p0-r0"}}""")
+  }
+
+  test("AvroDecode expression: framed binary column -> struct column") {
+    import spark.implicits._
+    val reg = new InMemorySchemaRegistry
+    val schema = SchemaRegistryClient.parse(balanceSchema)
+    val rows = (1 to 5).map { i =>
+      val rec = ConfluentAvro.record(schema,
+        Map("account_id" -> s"A$i", "timestamp" -> i.toFloat, "amount" -> i * 100))
+      ConfluentAvro.serialize(rec, schema, "t-value", reg)
+    }
+    val df = rows.toDF("value")
+      .select(AvroDecode.decodeConfluent(col("value"), balanceSchema).as("v"))
+      .select("v.account_id", "v.amount")
+    val got = df.collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(got == (1 to 5).map(i => (s"A$i", i * 100)).toSet)
+  }
+
+  test("space-bearing field names survive decode and JSON") {
+    val schema = SchemaRegistryClient.parse(purchaseSchema)
+    val rec = ConfluentAvro.record(schema,
+      Map("Account Number" -> "123", "Purchase Amount" -> "$19.99"))
+    val back = ConfluentAvro.decode(ConfluentAvro.encode(rec, schema), schema)
+    assert(ConfluentAvro.toJson(back) ==
+      """{"Account Number":"123","Purchase Amount":"$19.99"}""")
+    import spark.implicits._
+    val df = Seq(ConfluentAvro.encode(rec, schema)).toDF("value")
+      .select(AvroDecode.decodeRaw(col("value"), purchaseSchema).as("v"))
+    assert(df.select(col("v").getField("Account Number")).as[String].head() == "123")
+  }
+}

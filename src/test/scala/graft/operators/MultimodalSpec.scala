@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession.{spark, sf0001}
+
+class MultimodalSpec extends AnyFunSuite {
+
+  test("feature extraction: full coverage, fixed dim, deterministic") {
+    val media = Multimodal.mediaFromDocuments(spark, sf0001)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == media.count())
+    assert(feats.forall(_.features.length == Multimodal.FeatureDim))
+    assert(feats.forall(f => f.features.forall(v => v >= -1.0 && v <= 1.0)))
+    val again = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f.features.toSeq).toMap
+    assert(feats.forall(f => again(f.media_id) == f.features.toSeq))
+  }
+
+  test("n_bytes matches the payload length") {
+    val feats = Multimodal.extractFeatures(
+      Multimodal.mediaFromDocuments(spark, sf0001))
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "octet_length(text) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(feats.collect().forall(f => docs(f.media_id) == f.n_bytes))
+  }
+
+  test("frame sampling keeps every stride-th fixed-size chunk") {
+    val frames = Multimodal.sampleFrames(
+      Multimodal.mediaFromDocuments(spark, sf0001), chunkSize = 64, stride = 4)
+    val rows = frames.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(1) % 4 == 0))
+    assert(rows.filter(_.getInt(1) > 0).forall(r => r.getInt(2) <= 64))
+  }
+}
