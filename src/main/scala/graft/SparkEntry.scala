@@ -40,6 +40,11 @@ object SparkEntry {
     "q21_count_distinct"   -> Relational.distinctCounts _,
     "q22_grouping_sets"    -> Relational.groupingSets _,
     "q23_scalar_subquery"  -> Relational.aboveAvgOrders _,
+    "q24_custom_udaf"      -> graft.operators.Udaf.weightedMeanQuery _,
+    "q25_window_misc"      -> Relational.windowMisc _,
+    "q26_array_funcs"      -> Relational.arrayFuncs _,
+    "q27_pivot"            -> Relational.pivotOrders _,
+    "q28_percentiles"      -> Relational.percentiles _,
     // LLM-data-pipeline operators (dedup / text analysis / similarity)
     "dd01_exact_dedup"     -> Dedup.exactDedup _,
     "dd02_ngram_jaccard"   -> Dedup.ngramJaccardPairs _,
@@ -204,6 +209,37 @@ object SparkEntry {
              round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS balance
       FROM events ORDER BY user_id, event_id""",
+    "q24_custom_udaf" -> """
+      SELECT l_returnflag,
+             round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2) AS w_mean_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q25_window_misc" -> """
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             dense_rank() OVER w AS drnk,
+             ntile(4) OVER w AS quartile,
+             first_value(c_custkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+               AND UNBOUNDED FOLLOWING) AS seg_top_key,
+             last_value(c_custkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+               AND UNBOUNDED FOLLOWING) AS seg_bottom_key
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+      ORDER BY c_mktsegment, c_custkey""",
+    "q26_array_funcs" -> """
+      SELECT l_returnflag,
+             array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+             CAST(len(list(DISTINCT l_linestatus)) AS BIGINT) AS n_statuses
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q27_pivot" -> """
+      SELECT o_orderpriority,
+             count(1) FILTER (o_orderstatus = 'F') AS n_f,
+             count(1) FILTER (o_orderstatus = 'O') AS n_o,
+             count(1) FILTER (o_orderstatus = 'P') AS n_p
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q28_percentiles" -> """
+      SELECT o_orderpriority,
+             round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+             round(quantile_cont(o_totalprice, 0.9), 2) AS p90
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "w01_tumbling_window" -> """
       SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS window_start,
              event_type, count(1) AS n, round(sum(value), 2) AS sum_value

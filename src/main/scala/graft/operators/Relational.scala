@@ -279,6 +279,51 @@ object Relational {
     """)
   }
 
+  /** Window function breadth (W1/W2): dense_rank, ntile, first/last frames. */
+  def windowMisc(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val wFrame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("seg_top_key", first(col("c_custkey")).over(wFrame))
+      .withColumn("seg_bottom_key", last(col("c_custkey")).over(wFrame))
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
+  /** Array/collection functions (§2.8): aggregation to sorted collections,
+    * emitted as join-strings for a stable cross-engine schema. */
+  def arrayFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        array_join(sort_array(collect_set(col("l_linestatus"))), ",").as("statuses"),
+        size(collect_set(col("l_linestatus"))).cast("long").as("n_statuses"))
+      .orderBy(col("l_returnflag"))
+
+  /** PIVOT: order counts per priority pivoted by status. */
+  def pivotOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnRenamed("F", "n_f")
+      .withColumnRenamed("O", "n_o")
+      .withColumnRenamed("P", "n_p")
+      .orderBy(col("o_orderpriority"))
+
+  /** Exact interpolated percentiles (median / p90) per order priority. */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(percentile(col("o_totalprice"), lit(0.5)), 2).as("p50"),
+        round(percentile(col("o_totalprice"), lit(0.9)), 2).as("p90"))
+      .orderBy(col("o_orderpriority"))
+
   /** Scalar subquery (uncorrelated) — orders above the global mean. */
   def aboveAvgOrders(s: SparkSession, dir: String): DataFrame = {
     Tables.orders(s, dir).createOrReplaceTempView("orders_sq")

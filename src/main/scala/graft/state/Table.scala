@@ -79,4 +79,15 @@ object GraftTableApp {
           out.result().iterator
       }
   }
+
+  /** T2 — the multi-message variant (reference: fluvii/apps/
+    * fluvii_multi_msg_app.py:7-21): the user function sees the whole
+    * transaction batch at once (here: the partition's slice of the
+    * microbatch, in (partition, offset) order) for bulk processing. */
+  def transformBatch[OUT: Encoder](input: Dataset[Message])(
+      bulkFn: Seq[Message] => IterableOnce[OUT]): Dataset[OUT] =
+    input.mapPartitions { it =>
+      val batch = it.toSeq.sortBy(m => (m.partition, m.offset))
+      if (batch.isEmpty) Iterator.empty else bulkFn(batch).iterator
+    }
 }
