@@ -25,6 +25,13 @@ object Bench {
     "q13_asof_join",
     "q17_date_funcs",
     "q21_count_distinct",
+    "q24_custom_udaf",
+    "q27_pivot",
+    "q28_percentiles",
+    "st01_stateful_balance",
+    "w01_tumbling_window",
+    "w02_session_window",
+    "mm01_media_features",
     "dd01_exact_dedup",
     "dd03_minhash_lsh",
     "dd04_simhash",

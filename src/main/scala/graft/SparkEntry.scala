@@ -50,6 +50,8 @@ object SparkEntry {
     "dd02_ngram_jaccard"   -> Dedup.ngramJaccardPairs _,
     "dd03_minhash_lsh"     -> Dedup.minhashLshPairs _,
     "dd04_simhash"         -> Dedup.simhashPairs _,
+    "dd05_dup_clusters"    -> Dedup.dupClusters _,
+    "dd06_dedup_apply"     -> Dedup.dedupApply _,
     "ta01_langid"          -> TextAnalysis.langIdQuery _,
     "ta02_quality"         -> TextAnalysis.qualityQuery _,
     "ta03_token_stats"     -> TextAnalysis.tokenStatsQuery _,
@@ -268,6 +270,22 @@ object SparkEntry {
     // dd03 is LSH + exact verification; with 32x4 banding its recall at the
     // 0.8 threshold is 1-5e-8, so the brute-force SQL is its exact oracle.
     "dd03_minhash_lsh" -> ngramJaccardSql,
+    "dd05_dup_clusters" -> s"""
+      WITH RECURSIVE pairs AS (${pairsSubquerySql}),
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach(n, m) AS (
+        SELECT a, a FROM (SELECT a FROM edges UNION SELECT b FROM edges) t(a)
+        UNION
+        SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n
+      )
+      SELECT n AS doc_id, min(m) AS cluster_id FROM reach
+      GROUP BY n ORDER BY doc_id""",
+    "dd06_dedup_apply" -> s"""
+      WITH pairs AS (${pairsSubquerySql})
+      SELECT doc_id, n_chars FROM documents
+      WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+      ORDER BY doc_id""",
     "ta01_langid" -> TextAnalysis.langIdOracleSql,
     "ta02_quality" -> """
       WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
@@ -315,6 +333,20 @@ object SparkEntry {
         FROM e a JOIN e b ON a.vec_id < b.vec_id) t
       WHERE cos >= 0.45 ORDER BY vec_a, vec_b""",
   )
+
+  /** The verified near-dup pair set as a subquery (shared by the cluster
+    * and dedup-apply oracles). */
+  private val pairsSubquerySql: String = """
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        FROM (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(text)-3, 2)),
+                     i -> substr(text, CAST(i AS INT), 5))) AS s FROM documents) a
+        JOIN (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(text)-3, 2)),
+                     i -> substr(text, CAST(i AS INT), 5))) AS s FROM documents) b
+          ON a.doc_id < b.doc_id) t
+      WHERE jaccard >= 0.8"""
 
   /** Shared oracle for dd02 (brute force) and dd03 (MinHash-LSH + exact
     * verification — same output by construction at this banding). */

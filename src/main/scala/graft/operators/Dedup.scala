@@ -102,6 +102,52 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Transitive duplicate clusters from the LSH pair set, by iterative
+    * min-label propagation (the scalable connected-components pattern:
+    * each round is one shuffle join; rounds ~ cluster diameter, which for
+    * near-dup graphs is tiny). Output: (doc_id, cluster_id=min id of the
+    * component) for every doc that appears in at least one pair. */
+  def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLshPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var labels = edges.select(col("doc_a").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      // each node adopts min(own label, neighbors' labels)
+      val viaNeighbors = edges
+        .join(labels, edges("doc_a") === labels("id"))
+        .groupBy(col("doc_b").as("id"))
+        .agg(min(col("cluster")).as("ncluster"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Applied dedup (greedy keep-first): the retained corpus after dropping
+    * the higher-id member of every detected near-dup pair. */
+  def dedupApply(s: SparkSession, dir: String): DataFrame = {
+    val drop = minhashLshPairs(s, dir).select(col("doc_b").as("doc_id")).distinct()
+    Tables.documents(s, dir)
+      .join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash fingerprints + near-pairs at hamming distance <= 3 via 16-bit
     * band equi-join. Output: candidate pairs with their hamming distance. */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
