@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession.{spark, sf0001}
+import graft.core.Tables
+
+/** S5 — file-format breadth: the same relation roundtrips through
+  * parquet (the corpus), csv (header+schema) and json, with identical
+  * query results over each. */
+class FileFormatsSpec extends AnyFunSuite {
+
+  test("csv and json roundtrips preserve query results") {
+    val base = Tables.nation(spark, sf0001)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    base.write.mode("overwrite").option("header", "true").csv(s"$tmp/nation_csv")
+    base.write.mode("overwrite").json(s"$tmp/nation_json")
+
+    val fromCsv = spark.read.option("header", "true")
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .csv(s"$tmp/nation_csv")
+    val fromJson = spark.read
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .json(s"$tmp/nation_json")
+
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("n_regionkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n_regionkey")).collect().toSeq
+
+    assert(agg(fromCsv) == agg(base))
+    assert(agg(fromJson) == agg(base))
+  }
+}
