@@ -45,6 +45,8 @@ object SparkEntry {
     "q26_array_funcs"      -> Relational.arrayFuncs _,
     "q27_pivot"            -> Relational.pivotOrders _,
     "q28_percentiles"      -> Relational.percentiles _,
+    "q29_correlated_subq"  -> Relational.aboveNationAvg _,
+    "q30_pushdown"         -> Relational.pushdownShowcase _,
     // LLM-data-pipeline operators (dedup / text analysis / similarity)
     "dd01_exact_dedup"     -> Dedup.exactDedup _,
     "dd02_ngram_jaccard"   -> Dedup.ngramJaccardPairs _,
@@ -242,6 +244,18 @@ object SparkEntry {
              round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
              round(quantile_cont(o_totalprice, 0.9), 2) AS p90
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q29_correlated_subq" -> """
+      SELECT c_custkey, c_nationkey, c_acctbal
+      FROM customer o
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer i
+                         WHERE i.c_nationkey = o.c_nationkey)
+      ORDER BY c_custkey""",
+    "q30_pushdown" -> """
+      SELECT p_partkey, p_retailprice FROM part
+      WHERE p_size BETWEEN 10 AND 20
+        AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        AND p_name LIKE 'small%'
+      ORDER BY p_partkey""",
     "w01_tumbling_window" -> """
       SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS window_start,
              event_type, count(1) AS n, round(sum(value), 2) AS sum_value

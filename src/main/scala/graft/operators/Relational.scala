@@ -324,6 +324,31 @@ object Relational {
         round(percentile(col("o_totalprice"), lit(0.9)), 2).as("p90"))
       .orderBy(col("o_orderpriority"))
 
+  /** Correlated aggregate subquery: customers whose balance is above their
+    * own nation's average (decorrelated by Catalyst into a join against a
+    * grouped aggregate — no per-row re-execution). */
+  def aboveNationAvg(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_cs")
+    s.sql("""
+      SELECT c_custkey, c_nationkey, c_acctbal
+      FROM customer_cs o
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_cs i
+                         WHERE i.c_nationkey = o.c_nationkey)
+      ORDER BY c_custkey
+    """)
+  }
+
+  /** Predicate-pushdown showcase: range + IN-list + LIKE predicates that
+    * must all reach the parquet scan (visible as PushedFilters), with a
+    * pruned two-column projection. */
+  def pushdownShowcase(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .filter(col("p_size").between(10, 20) &&
+        col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+        col("p_name").startsWith("small"))
+      .select(col("p_partkey"), col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+
   /** Scalar subquery (uncorrelated) — orders above the global mean. */
   def aboveAvgOrders(s: SparkSession, dir: String): DataFrame = {
     Tables.orders(s, dir).createOrReplaceTempView("orders_sq")
