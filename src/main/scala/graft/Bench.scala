@@ -28,6 +28,8 @@ object Bench {
     "q24_custom_udaf",
     "q27_pivot",
     "q28_percentiles",
+    "q29_correlated_subq",
+    "q31_approx_stats",
     "st01_stateful_balance",
     "w01_tumbling_window",
     "w02_session_window",

@@ -47,6 +47,7 @@ object SparkEntry {
     "q28_percentiles"      -> Relational.percentiles _,
     "q29_correlated_subq"  -> Relational.aboveNationAvg _,
     "q30_pushdown"         -> Relational.pushdownShowcase _,
+    "q31_approx_stats"     -> Relational.approxStats _,
     // LLM-data-pipeline operators (dedup / text analysis / similarity)
     "dd01_exact_dedup"     -> Dedup.exactDedup _,
     "dd02_ngram_jaccard"   -> Dedup.ngramJaccardPairs _,

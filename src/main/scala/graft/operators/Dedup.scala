@@ -88,10 +88,18 @@ object Dedup {
       .join(docs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .filter(graft.functions.SigOverlap.sigOverlap(col("sig_a"), col("sig_b")) >= SigPrefilter)
       .select(col("doc_a"), col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // shingles are computed ONLY for docs that survived the prefilter —
+    // verification cost scales with survivors, not with the corpus
+    val neededIds = prefiltered
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
     val sh = Tables.documents(s, dir)
+      .join(broadcast(neededIds), "doc_id")
       .select(col("doc_id"), graft.functions.CharShingles.charShingles(col("text"), ShingleSize).as("sh"))
       .withColumn("n", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     prefiltered
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("n_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("n_b")), "doc_b")

@@ -349,6 +349,19 @@ object Relational {
       .select(col("p_partkey"), col("p_retailprice"))
       .orderBy(col("p_partkey"))
 
+  /** Sketch-based approximate aggregates (A2): HLL++ distinct counts and
+    * approximate quantiles — the constant-memory forms that replace their
+    * exact cousins at 100 TB. No cross-engine oracle (sketch internals
+    * differ); error bounds are asserted in ScalaTest. */
+  def approxStats(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
+      .orderBy(col("l_returnflag"))
+
   /** Scalar subquery (uncorrelated) — orders above the global mean. */
   def aboveAvgOrders(s: SparkSession, dir: String): DataFrame = {
     Tables.orders(s, dir).createOrReplaceTempView("orders_sq")
