@@ -72,11 +72,18 @@ object Bench {
     }
     spark.catalog.clearCache()
 
+    // two timed runs per query, report the min — damps GC/JIT noise so the
+    // number reflects the plan, not the weather in this JVM. The cache is
+    // cleared before every attempt so intra-query persist() stages are
+    // honestly recomputed each time.
     val results = headline.map { name =>
-      val t0 = System.nanoTime()
-      val ok = try { force(name); true } catch { case _: Throwable => false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) dt else -1.0)
+      val times = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val ok = try { force(name); true } catch { case _: Throwable => false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

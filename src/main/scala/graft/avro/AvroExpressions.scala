@@ -7,7 +7,7 @@ import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import scala.jdk.CollectionConverters._
@@ -117,4 +117,71 @@ object AvroDecode {
 
   def decodeRaw(value: Column, schemaJson: String): Column =
     GraftBridge.toColumn(AvroDecode(GraftBridge.toExpression(value), schemaJson, framed = false))
+}
+
+/** encode_confluent_avro(struct) — the produce-side twin of [[AvroDecode]]:
+  * Catalyst struct → Avro binary, framed with a fixed schema id (the id a
+  * registry assigned at plan-build time, mirroring the reference's
+  * topic→serializer map, producer.py:136-140). */
+case class AvroEncode(child: Expression, schemaJson: String, schemaId: Int,
+    framed: Boolean = true)
+    extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val schema: Schema = SchemaRegistryClient.parse(schemaJson)
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+
+  override def nullSafeEval(input: Any): Any = {
+    val datum = fromCatalyst(input, schema)
+    val payload = ConfluentAvro.encode(datum, schema)
+    if (framed) ConfluentAvro.frame(schemaId, payload) else payload
+  }
+
+  private def fromCatalyst(v: Any, s: Schema): AnyRef = {
+    if (v == null) return null
+    s.getType match {
+      case Schema.Type.UNION =>
+        val nonNull = s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+        fromCatalyst(v, nonNull)
+      case Schema.Type.STRING | Schema.Type.ENUM => v.toString
+      case Schema.Type.INT | Schema.Type.LONG | Schema.Type.FLOAT |
+           Schema.Type.DOUBLE | Schema.Type.BOOLEAN => v.asInstanceOf[AnyRef]
+      case Schema.Type.BYTES =>
+        java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case Schema.Type.MAP =>
+        val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+        val out = new java.util.HashMap[String, AnyRef](m.numElements())
+        val keys = m.keyArray(); val vals = m.valueArray()
+        (0 until m.numElements()).foreach { i =>
+          out.put(keys.getUTF8String(i).toString,
+            fromCatalyst(vals.get(i, AvroSchemaConverter.toSqlType(s.getValueType)), s.getValueType))
+        }
+        out
+      case Schema.Type.ARRAY =>
+        val a = v.asInstanceOf[ArrayData]
+        val out = new java.util.ArrayList[AnyRef](a.numElements())
+        (0 until a.numElements()).foreach { i =>
+          out.add(fromCatalyst(a.get(i, AvroSchemaConverter.toSqlType(s.getElementType)), s.getElementType))
+        }
+        out
+      case Schema.Type.RECORD =>
+        val row = v.asInstanceOf[InternalRow]
+        val rec = new org.apache.avro.generic.GenericData.Record(s)
+        s.getFields.asScala.zipWithIndex.foreach { case (f, i) =>
+          val sqlT = AvroSchemaConverter.toSqlType(f.schema())
+          rec.put(f.name(),
+            if (row.isNullAt(i)) null else fromCatalyst(row.get(i, sqlT), f.schema()))
+        }
+        rec
+      case other => throw new UnsupportedOperationException(s"avro type $other")
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AvroEncode =
+    copy(child = newChild)
+}
+
+object AvroEncode {
+  def encodeConfluent(value: Column, schemaJson: String, schemaId: Int): Column =
+    GraftBridge.toColumn(AvroEncode(GraftBridge.toExpression(value), schemaJson, schemaId))
 }

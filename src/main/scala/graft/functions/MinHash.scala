@@ -39,7 +39,10 @@ case class MinHashSig(child: Expression, k: Int)
         val base = java.lang.Math.floorMod(raw, P)
         var j = 0
         while (j < k) {
-          val h = ((2L * j + 1L) * base + 40503L * j) % P
+          // a < 2^41 and P is Mersenne (2^31-1): a mod P = fold(a>>>31 + (a&P))
+          val a = (2L * j + 1L) * base + 40503L * j
+          var h = (a >>> 31) + (a & P)
+          if (h >= P) h -= P
           if (h < mins(j)) mins(j) = h
           j += 1
         }
@@ -85,7 +88,10 @@ case class MinHashFromText(child: Expression, n: Int, k: Int)
       val base = java.lang.Math.floorMod(raw, P)
       var j = 0
       while (j < k) {
-        val h = ((2L * j + 1L) * base + 40503L * j) % P
+        // a < 2^41 and P is Mersenne (2^31-1): a mod P = fold(a>>>31 + (a&P))
+        val a = (2L * j + 1L) * base + 40503L * j
+        var h = (a >>> 31) + (a & P)
+        if (h >= P) h -= P
         if (h < mins(j)) mins(j) = h
         j += 1
       }

@@ -84,6 +84,25 @@ class AvroSpec extends AnyFunSuite {
     assert(got == (1 to 5).map(i => (s"A$i", i * 100)).toSet)
   }
 
+  test("AvroEncode -> AvroDecode roundtrips through columns (K1 produce)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(("A9", 1.25f, 500), ("A10", -3.5f, -20))
+      .toDF("account_id", "timestamp", "amount")
+      .select(AvroEncode.encodeConfluent(
+        struct(col("account_id"), col("timestamp"), col("amount")), balanceSchema, 17).as("value"))
+      .select(AvroDecode.decodeConfluent(col("value"), balanceSchema).as("v"))
+      .select("v.account_id", "v.timestamp", "v.amount")
+    val got = df.collect().map(r => (r.getString(0), r.getFloat(1), r.getInt(2))).toSet
+    assert(got == Set(("A9", 1.25f, 500), ("A10", -3.5f, -20)))
+    // and the raw bytes carry the declared schema id in the frame
+    val raw = Seq(("A1", 0f, 1)).toDF("account_id", "timestamp", "amount")
+      .select(AvroEncode.encodeConfluent(
+        struct(col("account_id"), col("timestamp"), col("amount")), balanceSchema, 17).as("value"))
+      .as[Array[Byte]].head()
+    assert(ConfluentAvro.unframe(raw).schemaId == 17)
+  }
+
   test("space-bearing field names survive decode and JSON") {
     val schema = SchemaRegistryClient.parse(purchaseSchema)
     val rec = ConfluentAvro.record(schema,
