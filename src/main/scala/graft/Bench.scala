@@ -70,12 +70,12 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
     }
-    spark.catalog.clearCache()
 
     // two timed runs per query, report the min — damps GC/JIT noise so the
     // number reflects the plan, not the weather in this JVM. The cache is
     // cleared before every attempt so intra-query persist() stages are
-    // honestly recomputed each time.
+    // honestly recomputed each time; a query failing ANY attempt reports
+    // -1 (a flaky query must not be certified with its lucky run's time).
     val results = headline.map { name =>
       val times = (1 to 2).map { _ =>
         spark.catalog.clearCache()
@@ -83,7 +83,7 @@ object Bench {
         val ok = try { force(name); true } catch { case _: Throwable => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
+      name -> (if (times.forall(_ >= 0)) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

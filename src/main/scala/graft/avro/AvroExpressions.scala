@@ -53,10 +53,12 @@ object AvroSchemaConverter {
     schema.getType == Schema.Type.UNION &&
       schema.getTypes.asScala.exists(_.getType == Schema.Type.NULL)
 
-  private def nonNullOf(schema: Schema): Schema =
-    if (schema.getType == Schema.Type.UNION)
-      schema.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
-    else schema
+  private[avro] def nonNullOf(schema: Schema): Schema =
+    if (schema.getType == Schema.Type.UNION) {
+      val nonNull = schema.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+      require(nonNull.size == 1, s"only nullable unions supported: $schema")
+      nonNull.head
+    } else schema
 
   /** Avro datum → Catalyst value. */
   def toCatalyst(datum: AnyRef, schema: Schema): Any = {
@@ -129,48 +131,90 @@ case class AvroEncode(child: Expression, schemaJson: String, schemaId: Int,
 
   @transient private lazy val schema: Schema = SchemaRegistryClient.parse(schemaJson)
 
+  /** Per-schema-node Catalyst type, memoized — the schema is fixed at plan
+    * time, so the recursive conversion runs once per node, not per row. */
+  @transient private lazy val typeMemo =
+    new java.util.IdentityHashMap[Schema, DataType]()
+  private def sqlTypeOf(s: Schema): DataType = {
+    val cached = typeMemo.get(s)
+    if (cached != null) cached
+    else { val t = AvroSchemaConverter.toSqlType(s); typeMemo.put(s, t); t }
+  }
+
+  /** The child struct must match the record schema by name AND position —
+    * positional InternalRow access cannot detect reordering at eval time,
+    * so it is rejected here with a clear message on first evaluation. */
+  @transient private lazy val validated: Boolean = {
+    val rootSchema = AvroSchemaConverter.nonNullOf(schema)
+    if (rootSchema.getType == Schema.Type.RECORD) {
+      child.dataType match {
+        case st: org.apache.spark.sql.types.StructType =>
+          val want = rootSchema.getFields.asScala.map(_.name()).toSeq
+          val got = st.fields.map(_.name).toSeq
+          require(got == want,
+            s"AvroEncode: struct fields $got do not match schema fields $want " +
+              "(same names in the same order required)")
+        case other =>
+          throw new IllegalArgumentException(
+            s"AvroEncode: record schema requires a struct input, got $other")
+      }
+    }
+    true
+  }
+
   override def dataType: DataType = org.apache.spark.sql.types.BinaryType
 
   override def nullSafeEval(input: Any): Any = {
+    require(validated)
     val datum = fromCatalyst(input, schema)
     val payload = ConfluentAvro.encode(datum, schema)
     if (framed) ConfluentAvro.frame(schemaId, payload) else payload
   }
 
-  private def fromCatalyst(v: Any, s: Schema): AnyRef = {
+  private def fromCatalyst(v: Any, rawSchema: Schema): AnyRef = {
     if (v == null) return null
+    val s = AvroSchemaConverter.nonNullOf(rawSchema)
     s.getType match {
-      case Schema.Type.UNION =>
-        val nonNull = s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
-        fromCatalyst(v, nonNull)
-      case Schema.Type.STRING | Schema.Type.ENUM => v.toString
+      case Schema.Type.STRING => v.toString
+      case Schema.Type.ENUM =>
+        new org.apache.avro.generic.GenericData.EnumSymbol(s, v.toString)
       case Schema.Type.INT | Schema.Type.LONG | Schema.Type.FLOAT |
            Schema.Type.DOUBLE | Schema.Type.BOOLEAN => v.asInstanceOf[AnyRef]
       case Schema.Type.BYTES =>
         java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case Schema.Type.FIXED =>
+        new org.apache.avro.generic.GenericData.Fixed(s, v.asInstanceOf[Array[Byte]])
       case Schema.Type.MAP =>
         val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
         val out = new java.util.HashMap[String, AnyRef](m.numElements())
         val keys = m.keyArray(); val vals = m.valueArray()
+        val vt = sqlTypeOf(s.getValueType)
         (0 until m.numElements()).foreach { i =>
           out.put(keys.getUTF8String(i).toString,
-            fromCatalyst(vals.get(i, AvroSchemaConverter.toSqlType(s.getValueType)), s.getValueType))
+            fromCatalyst(vals.get(i, vt), s.getValueType))
         }
         out
       case Schema.Type.ARRAY =>
         val a = v.asInstanceOf[ArrayData]
         val out = new java.util.ArrayList[AnyRef](a.numElements())
+        val et = sqlTypeOf(s.getElementType)
         (0 until a.numElements()).foreach { i =>
-          out.add(fromCatalyst(a.get(i, AvroSchemaConverter.toSqlType(s.getElementType)), s.getElementType))
+          out.add(fromCatalyst(a.get(i, et), s.getElementType))
         }
         out
       case Schema.Type.RECORD =>
         val row = v.asInstanceOf[InternalRow]
         val rec = new org.apache.avro.generic.GenericData.Record(s)
-        s.getFields.asScala.zipWithIndex.foreach { case (f, i) =>
-          val sqlT = AvroSchemaConverter.toSqlType(f.schema())
+        val fields = s.getFields
+        require(row.numFields == fields.size(),
+          s"AvroEncode: struct has ${row.numFields} fields, schema ${s.getName} has ${fields.size()}")
+        var i = 0
+        while (i < fields.size()) {
+          val f = fields.get(i)
           rec.put(f.name(),
-            if (row.isNullAt(i)) null else fromCatalyst(row.get(i, sqlT), f.schema()))
+            if (row.isNullAt(i)) null
+            else fromCatalyst(row.get(i, sqlTypeOf(f.schema())), f.schema()))
+          i += 1
         }
         rec
       case other => throw new UnsupportedOperationException(s"avro type $other")

@@ -103,6 +103,34 @@ class AvroSpec extends AnyFunSuite {
     assert(ConfluentAvro.unframe(raw).schemaId == 17)
   }
 
+  test("AvroEncode handles enum and fixed; rejects reordered structs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val schema =
+      """{"name":"E","type":"record","fields":[
+        {"name":"color","type":{"type":"enum","name":"Color","symbols":["RED","BLUE"]}},
+        {"name":"digest","type":{"type":"fixed","name":"D8","size":4}}]}"""
+    val enc = Seq(("RED", Array[Byte](1, 2, 3, 4))).toDF("color", "digest")
+      .select(AvroEncode.encodeConfluent(
+        struct(col("color"), col("digest")), schema, 3).as("value"))
+      .select(AvroDecode.decodeConfluent(col("value"), schema).as("v"))
+      .select("v.color", "v.digest")
+      .collect()(0)
+    assert(enc.getString(0) == "RED")
+    assert(enc.getAs[Array[Byte]](1).toSeq == Seq[Byte](1, 2, 3, 4))
+
+    // struct fields in the wrong order must be rejected, not corrupted
+    val ex = intercept[Exception] {
+      Seq(("RED", Array[Byte](1, 2, 3, 4))).toDF("color", "digest")
+        .select(AvroEncode.encodeConfluent(
+          struct(col("digest"), col("color")), schema, 3).as("value"))
+        .collect()
+    }
+    assert(ex.getMessage.contains("do not match schema fields") ||
+      Option(ex.getCause).exists(_.getMessage.contains("do not match schema fields")),
+      s"unexpected error: $ex")
+  }
+
   test("space-bearing field names survive decode and JSON") {
     val schema = SchemaRegistryClient.parse(purchaseSchema)
     val rec = ConfluentAvro.record(schema,
