@@ -307,17 +307,22 @@ object SparkEntry {
                  FROM documents),
       c AS (SELECT doc_id, t,
                    CAST(length(t) AS BIGINT) AS n_chars_norm,
-                   CAST(length(t) - length(regexp_replace(t, ' ', '', 'g')) + 1 AS BIGINT) AS n_tokens
+                   CASE WHEN length(t) = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(length(t) - length(regexp_replace(t, ' ', '', 'g')) + 1 AS BIGINT)
+                   END AS n_tokens,
+                   replace(' ' || t || ' ', ' ', '  ') AS dd
             FROM d)
       SELECT doc_id, n_chars_norm, n_tokens,
              CAST(length(t) - n_tokens + 1 AS DOUBLE) / n_tokens AS avg_token_len,
-             CAST(CAST((length(' ' || t || ' ') - length(regexp_replace(' ' || t || ' ', ' the ', ' ', 'g'))) / 4 AS BIGINT) AS DOUBLE) / n_tokens AS the_ratio
+             CAST(CAST((length(dd) - length(regexp_replace(dd, ' \Qthe\E ', '', 'g'))) / 5 AS BIGINT) AS DOUBLE) / n_tokens AS the_ratio
       FROM c ORDER BY doc_id""",
     "ta03_token_stats" -> """
       WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
                  FROM documents)
       SELECT doc_id,
-             CAST(length(t) - length(regexp_replace(t, ' ', '', 'g')) + 1 AS BIGINT) AS ws_tokens,
+             CASE WHEN length(t) = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(length(t) - length(regexp_replace(t, ' ', '', 'g')) + 1 AS BIGINT)
+             END AS ws_tokens,
              CAST(len(regexp_extract_all(t, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens,
              CAST(len(list_distinct(string_split(t, ' '))) AS BIGINT) AS uniq_tokens
       FROM d ORDER BY doc_id""",

@@ -19,9 +19,18 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** events.ts (epoch nanos, long) as a proper TimestampType column. */
-  def nanosToTimestamp(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.timestamp_micros((c / 1000L).cast("long"))
+  /** events.ts (epoch nanos, long) as a proper TimestampType column.
+    * Exact integer truncation: `(c / 1000L).cast("long")` would divide in
+    * DOUBLE, whose 2^53 mantissa cannot represent epoch nanos (~1.7e18) —
+    * values within ~128 ns of a microsecond boundary would round to the
+    * wrong microsecond. Subtracting the remainder first makes the decimal
+    * division exact. */
+  def nanosToTimestamp(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val micros = ((c - pmod(c, lit(1000L))).cast("decimal(25,0)") / lit(1000))
+      .cast("long")
+    timestamp_micros(micros)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -33,19 +33,23 @@ case class MinHashSig(child: Expression, k: Int)
     val mins = Array.fill[Long](k)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val raw = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, SeedXx)
-        val base = java.lang.Math.floorMod(raw, P)
-        var j = 0
-        while (j < k) {
-          // a < 2^41 and P is Mersenne (2^31-1): a mod P = fold(a>>>31 + (a&P))
-          val a = (2L * j + 1L) * base + 40503L * j
-          var h = (a >>> 31) + (a & P)
-          if (h >= P) h -= P
-          if (h < mins(j)) mins(j) = h
-          j += 1
+      // null elements fold the xxhash64 seed (42) like the HOF spec does —
+      // Spark's hash functions return the seed for null inputs
+      val base =
+        if (arr.isNullAt(i)) 42L
+        else {
+          val s = arr.getUTF8String(i)
+          java.lang.Math.floorMod(
+            XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, SeedXx), P)
         }
+      var j = 0
+      while (j < k) {
+        // a < 2^41 and P is Mersenne (2^31-1): a mod P = fold(a>>>31 + (a&P))
+        val a = (2L * j + 1L) * base + 40503L * j
+        var h = (a >>> 31) + (a & P)
+        if (h >= P) h -= P
+        if (h < mins(j)) mins(j) = h
+        j += 1
       }
       i += 1
     }

@@ -69,17 +69,22 @@ object Text {
 
   /** Whitespace token count via pure length arithmetic (parity-exact with any
     * engine: no regex/split edge semantics involved). Assumes normalized
-    * single-space text. */
+    * single-space text; empty text counts 0 tokens. */
   def tokenCount(c: Column): Column =
-    (length(c) - length(regexp_replace(c, " ", "")) + 1).cast("long")
+    when(length(c) === 0, lit(0L))
+      .otherwise((length(c) - length(regexp_replace(c, " ", "")) + 1).cast("long"))
 
-  /** Occurrences of a literal word with delimiters, via replace-length math. */
+  /** Occurrences of a literal word with delimiters, via replace-length math.
+    *
+    * Every space is doubled first so adjacent occurrences ("the the") do not
+    * share a delimiter — a plain non-overlapping replace then counts each
+    * occurrence exactly once. The word is regex-quoted (\Q...\E, supported
+    * identically by java.util.regex and RE2/DuckDB), keeping the "literal
+    * word" contract for metacharacter-bearing words. */
   def wordOccurrences(c: Column, word: String): Column = {
-    val padded  = concat(lit(" "), c, lit(" "))
-    val needle  = s" $word "
-    // Non-overlapping left-to-right replace — same RE2/java.util.regex
-    // semantics in Spark and DuckDB, so the count is parity-exact.
-    ((length(padded) - length(regexp_replace(padded, needle, " ")))
-      / (needle.length - 1)).cast("long")
+    val doubled = regexp_replace(concat(lit(" "), c, lit(" ")), " ", "  ")
+    val needle  = " \\Q" + word + "\\E "
+    ((length(doubled) - length(regexp_replace(doubled, needle, "")))
+      / (word.length + 2)).cast("long")
   }
 }

@@ -33,7 +33,11 @@ case class CosineSim(left: Expression, right: Expression)
       nb += b(i) * b(i)
       i += 1
     }
-    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+    // zero-norm guard: NaN would sort ABOVE every real cosine under Spark's
+    // NaN-largest ordering, making a degenerate all-zero vector everyone's
+    // "nearest neighbor"; similarity to a zero vector is defined as 0.
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    java.lang.Double.valueOf(if (denom == 0.0) 0.0 else dot / denom)
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =

@@ -139,9 +139,13 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
         .filter(col("cluster") =!= col("old")).count()
+      labels.unpersist(blocking = false) // superseded iteration's cache
       labels = next
       iter += 1
     }
+    // silent non-convergence would report one component as several clusters
+    require(changed == 0,
+      s"dupClusters did not converge after $iter rounds (component diameter > $iter?)")
     labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
       .orderBy(col("doc_id"))
   }

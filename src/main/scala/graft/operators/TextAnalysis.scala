@@ -14,15 +14,23 @@ object TextAnalysis {
   /** DuckDB SQL replicating [[langIdQuery]] exactly — generated from the
     * same [[LangProfiles]] so the heuristic and its oracle cannot drift. */
   def langIdOracleSql: String = {
-    def occ(w: String): String =
-      s"CAST((length(' ' || t || ' ') - length(regexp_replace(' ' || t || ' ', ' $w ', ' ', 'g'))) / ${w.length + 1} AS BIGINT)"
+    // mirror of Text.wordOccurrences: double the spaces so adjacent
+    // occurrences count, \Q..\E-quoted literal, non-overlapping 'g' replace
+    def occ(w: String): String = {
+      val dd = "replace(' ' || t || ' ', ' ', '  ')"
+      s"CAST((length($dd) - length(regexp_replace($dd, ' \\Q$w\\E ', '', 'g'))) / ${w.length + 2} AS BIGINT)"
+    }
     val scoreExprs = LangProfiles.map { case (l, ws) =>
       ws.map(occ).mkString(" + ") + s" AS score_$l"
     }.mkString(",\n             ")
     val langs = LangProfiles.map(_._1)
+    // argmax with first-profile tie-break: l wins iff score_l > 0, strictly
+    // beats every EARLIER profile, and is >= every LATER profile — the
+    // branches are mutually exclusive, so CASE order cannot mask a winner
     val caseExpr = langs.zipWithIndex.foldRight("'und'") { case ((l, i), acc) =>
-      val prevCmp = langs.take(i).map(p => s"score_$l > score_$p")
-      val cond = (s"score_$l > 0" +: prevCmp).mkString(" AND ")
+      val earlier = langs.take(i).map(p => s"score_$l > score_$p")
+      val later = langs.drop(i + 1).map(p => s"score_$l >= score_$p")
+      val cond = (s"score_$l > 0" +: (earlier ++ later)).mkString(" AND ")
       s"CASE WHEN $cond THEN '$l' ELSE $acc END"
     }
     s"""
@@ -57,12 +65,15 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang").as("declared_lang"), txt.as("t"))
       .select(Seq(col("doc_id"), col("declared_lang")) ++
         LangProfiles.map { case (l, ws) => langScore(col("t"), ws).as(s"score_$l") }: _*)
-    // argmax by score with first-profile-wins tie-break
-    val best = LangProfiles.map(_._1).foldRight(lit("und")) { (l, acc) =>
-      when(col(s"score_$l") > 0 &&
-        LangProfiles.map(_._1).takeWhile(_ != l)
-          .foldLeft(lit(true)) { (c, prev) => c && col(s"score_$l") > col(s"score_$prev") },
-        lit(l)).otherwise(acc)
+    // argmax with first-profile tie-break: same mutually-exclusive
+    // conditions as the generated oracle (strictly beats earlier profiles,
+    // >= later ones) — see langIdOracleSql
+    val langs = LangProfiles.map(_._1)
+    val best = langs.zipWithIndex.foldRight(lit("und")) { case ((l, i), acc) =>
+      val earlier = langs.take(i).map(p => col(s"score_$l") > col(s"score_$p"))
+      val later = langs.drop(i + 1).map(p => col(s"score_$l") >= col(s"score_$p"))
+      val cond = ((col(s"score_$l") > 0) +: (earlier ++ later)).reduce(_ && _)
+      when(cond, lit(l)).otherwise(acc)
     }
     scored
       .withColumn("pred_lang", best)

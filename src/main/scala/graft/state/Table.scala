@@ -81,13 +81,17 @@ object GraftTableApp {
   }
 
   /** T2 — the multi-message variant (reference: fluvii/apps/
-    * fluvii_multi_msg_app.py:7-21): the user function sees the whole
-    * transaction batch at once (here: the partition's slice of the
-    * microbatch, in (partition, offset) order) for bulk processing. */
+    * fluvii_multi_msg_app.py:7-21): the user function sees a whole
+    * transaction batch at once for bulk processing. The input is first
+    * repartitioned by source partition so one Kafka partition's messages
+    * are never split across bulkFn invocations (a batch may span several
+    * source partitions, as the reference's poll batches do), and each
+    * batch arrives in (partition, offset) order. */
   def transformBatch[OUT: Encoder](input: Dataset[Message])(
       bulkFn: Seq[Message] => IterableOnce[OUT]): Dataset[OUT] =
-    input.mapPartitions { it =>
-      val batch = it.toSeq.sortBy(m => (m.partition, m.offset))
-      if (batch.isEmpty) Iterator.empty else bulkFn(batch).iterator
-    }
+    input.repartition(org.apache.spark.sql.functions.col("partition"))
+      .mapPartitions { it =>
+        val batch = it.toSeq.sortBy(m => (m.partition, m.offset))
+        if (batch.isEmpty) Iterator.empty else bulkFn(batch).iterator
+      }
 }
