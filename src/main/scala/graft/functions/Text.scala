@@ -81,9 +81,17 @@ object Text {
     * occurrence exactly once. The word is regex-quoted (\Q...\E, supported
     * identically by java.util.regex and RE2/DuckDB), keeping the "literal
     * word" contract for metacharacter-bearing words. */
-  def wordOccurrences(c: Column, word: String): Column = {
-    val doubled = regexp_replace(concat(lit(" "), c, lit(" ")), " ", "  ")
-    val needle  = " \\Q" + word + "\\E "
+  def wordOccurrences(c: Column, word: String): Column =
+    wordOccurrencesInDoubled(doubledSpaces(c), word)
+
+  /** The space-doubled padded form — compute ONCE per row and share across
+    * many [[wordOccurrencesInDoubled]] calls (each inlined copy would redo
+    * the doubling regex). */
+  def doubledSpaces(c: Column): Column =
+    regexp_replace(concat(lit(" "), c, lit(" ")), " ", "  ")
+
+  def wordOccurrencesInDoubled(doubled: Column, word: String): Column = {
+    val needle = " \\Q" + word + "\\E "
     ((length(doubled) - length(regexp_replace(doubled, needle, "")))
       / (word.length + 2)).cast("long")
   }

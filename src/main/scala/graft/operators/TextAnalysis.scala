@@ -16,10 +16,8 @@ object TextAnalysis {
   def langIdOracleSql: String = {
     // mirror of Text.wordOccurrences: double the spaces so adjacent
     // occurrences count, \Q..\E-quoted literal, non-overlapping 'g' replace
-    def occ(w: String): String = {
-      val dd = "replace(' ' || t || ' ', ' ', '  ')"
-      s"CAST((length($dd) - length(regexp_replace($dd, ' \\Q$w\\E ', '', 'g'))) / ${w.length + 2} AS BIGINT)"
-    }
+    def occ(w: String): String =
+      s"CAST((length(dd) - length(regexp_replace(dd, ' \\Q$w\\E ', '', 'g'))) / ${w.length + 2} AS BIGINT)"
     val scoreExprs = LangProfiles.map { case (l, ws) =>
       ws.map(occ).mkString(" + ") + s" AS score_$l"
     }.mkString(",\n             ")
@@ -37,10 +35,12 @@ object TextAnalysis {
       WITH d AS (SELECT doc_id, lang AS declared_lang,
                         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
                  FROM documents),
+      d2 AS (SELECT doc_id, declared_lang,
+                    replace(' ' || t || ' ', ' ', '  ') AS dd FROM d),
       scored AS (
         SELECT doc_id, declared_lang,
              $scoreExprs
-        FROM d)
+        FROM d2)
       SELECT doc_id, declared_lang, $caseExpr AS pred_lang,
              score_en, score_fr, score_de, score_es
       FROM scored ORDER BY doc_id"""
@@ -53,8 +53,8 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "das", "ein"),
     "es" -> Seq("el", "la", "y", "los", "una"))
 
-  private def langScore(c: Column, words: Seq[String]): Column =
-    words.map(w => Text.wordOccurrences(c, w)).reduce(_ + _)
+  private def langScore(doubled: Column, words: Seq[String]): Column =
+    words.map(w => Text.wordOccurrencesInDoubled(doubled, w)).reduce(_ + _)
 
   /** Language ID: per-language stopword hit counts; argmax with a
     * deterministic tie-break (higher score wins, then profile order);
@@ -62,9 +62,10 @@ object TextAnalysis {
   def langIdQuery(s: SparkSession, dir: String): DataFrame = {
     val txt = Text.normText(col("text"))
     val scored = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang").as("declared_lang"), txt.as("t"))
+      .select(col("doc_id"), col("lang").as("declared_lang"),
+        Text.doubledSpaces(txt).as("dd"))
       .select(Seq(col("doc_id"), col("declared_lang")) ++
-        LangProfiles.map { case (l, ws) => langScore(col("t"), ws).as(s"score_$l") }: _*)
+        LangProfiles.map { case (l, ws) => langScore(col("dd"), ws).as(s"score_$l") }: _*)
     // argmax with first-profile tie-break: same mutually-exclusive
     // conditions as the generated oracle (strictly beats earlier profiles,
     // >= later ones) — see langIdOracleSql
