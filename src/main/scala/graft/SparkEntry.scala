@@ -72,6 +72,7 @@ object SparkEntry {
     "w03_sliding_window"   -> Windows.slidingQuery _,
     // multimodal binary-column pipeline (decode is a deterministic stub)
     "mm01_media_features"  -> Multimodal.mediaFeaturesQuery _,
+    "mm02_frame_sample"    -> Multimodal.frameSampleQuery _,
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables, same column
@@ -301,6 +302,13 @@ object SparkEntry {
       SELECT doc_id, n_chars FROM documents
       WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
       ORDER BY doc_id""",
+    "mm02_frame_sample" -> """
+      WITH d AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n FROM documents)
+      SELECT media_id, CAST(i.i AS INT) AS frame_idx,
+             CAST(least(64, n - i.i*64) AS BIGINT) AS frame_len
+      FROM d, range(0, 100) i(i)
+      WHERE i.i*64 < n AND i.i % 4 = 0
+      ORDER BY media_id, frame_idx""",
     "ta01_langid" -> TextAnalysis.langIdOracleSql,
     "ta02_quality" -> """
       WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t

@@ -85,6 +85,14 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "frame_bytes_len", "frame_bytes")
   }
 
+  /** Query mm02: frame-sampling plumbing over the corpus (every 4th
+    * 64-byte chunk), emitting per-frame sizes. */
+  def frameSampleQuery(s: SparkSession, dir: String): DataFrame =
+    sampleFrames(mediaFromDocuments(s, dir))
+      .select(col("media_id"), col("frame_idx"),
+        col("frame_bytes_len").cast("long").as("frame_len"))
+      .orderBy(col("media_id"), col("frame_idx"))
+
   /** Query mm01: feature extraction over the corpus. Features are exploded
     * to scalar columns for a stable parquet schema. */
   def mediaFeaturesQuery(s: SparkSession, dir: String): DataFrame = {
