@@ -321,8 +321,8 @@ object SparkEntry {
                    replace(' ' || t || ' ', ' ', '  ') AS dd
             FROM d)
       SELECT doc_id, n_chars_norm, n_tokens,
-             CAST(length(t) - n_tokens + 1 AS DOUBLE) / n_tokens AS avg_token_len,
-             CAST(CAST((length(dd) - length(regexp_replace(dd, ' \Qthe\E ', '', 'g'))) / 5 AS BIGINT) AS DOUBLE) / n_tokens AS the_ratio
+             CAST(length(t) - n_tokens + 1 AS DOUBLE) / nullif(n_tokens, 0) AS avg_token_len,
+             CAST(CAST((length(dd) - length(regexp_replace(dd, ' \Qthe\E ', '', 'g'))) / 5 AS BIGINT) AS DOUBLE) / nullif(n_tokens, 0) AS the_ratio
       FROM c ORDER BY doc_id""",
     "ta03_token_stats" -> """
       WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t

@@ -141,24 +141,36 @@ case class AvroEncode(child: Expression, schemaJson: String, schemaId: Int,
     else { val t = AvroSchemaConverter.toSqlType(s); typeMemo.put(s, t); t }
   }
 
-  /** The child struct must match the record schema by name AND position —
+  /** Every struct in the input (root AND nested — records inside records,
+    * arrays, maps) must match its record schema by name AND position:
     * positional InternalRow access cannot detect reordering at eval time,
-    * so it is rejected here with a clear message on first evaluation. */
+    * so a same-arity reordered struct would silently encode values into
+    * the wrong Avro fields. Rejected here with a clear message on first
+    * evaluation instead. */
   @transient private lazy val validated: Boolean = {
-    val rootSchema = AvroSchemaConverter.nonNullOf(schema)
-    if (rootSchema.getType == Schema.Type.RECORD) {
-      child.dataType match {
-        case st: org.apache.spark.sql.types.StructType =>
-          val want = rootSchema.getFields.asScala.map(_.name()).toSeq
+    def check(rawSchema: Schema, t: DataType, path: String): Unit = {
+      val s = AvroSchemaConverter.nonNullOf(rawSchema)
+      (s.getType, t) match {
+        case (Schema.Type.RECORD, st: StructType) =>
+          val want = s.getFields.asScala.map(_.name()).toSeq
           val got = st.fields.map(_.name).toSeq
           require(got == want,
-            s"AvroEncode: struct fields $got do not match schema fields $want " +
-              "(same names in the same order required)")
-        case other =>
+            s"AvroEncode at $path: struct fields $got do not match schema " +
+              s"fields $want (same names in the same order required)")
+          s.getFields.asScala.zip(st.fields).foreach { case (f, sf) =>
+            check(f.schema(), sf.dataType, s"$path.${f.name()}")
+          }
+        case (Schema.Type.RECORD, other) =>
           throw new IllegalArgumentException(
-            s"AvroEncode: record schema requires a struct input, got $other")
+            s"AvroEncode at $path: record schema requires a struct input, got $other")
+        case (Schema.Type.ARRAY, ArrayType(et, _)) =>
+          check(s.getElementType, et, s"$path[]")
+        case (Schema.Type.MAP, MapType(_, vt, _)) =>
+          check(s.getValueType, vt, s"$path{}")
+        case _ => ()
       }
     }
+    check(schema, child.dataType, "$")
     true
   }
 

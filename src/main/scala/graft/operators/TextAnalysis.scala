@@ -84,18 +84,21 @@ object TextAnalysis {
   }
 
   /** Quality metrics: char/token counts, mean token length, stopword ratio.
-    * Ratios are exact IEEE divisions of integer counts => oracle-stable. */
+    * Ratios are exact IEEE divisions of integer counts => oracle-stable.
+    * A document that normalizes to empty has 0 tokens; its ratios are null
+    * (guarded — bare division would throw DIVIDE_BY_ZERO under ANSI mode). */
   def qualityQuery(s: SparkSession, dir: String): DataFrame = {
     val t = Text.normText(col("text"))
+    val tok = Text.tokenCount(t)
     Tables.documents(s, dir)
       .select(
         col("doc_id"),
         length(t).cast("long").as("n_chars_norm"),
-        Text.tokenCount(t).as("n_tokens"),
-        ((length(t) - Text.tokenCount(t) + 1).cast("double") /
-          Text.tokenCount(t)).as("avg_token_len"),
-        (Text.wordOccurrences(t, "the").cast("double") /
-          Text.tokenCount(t)).as("the_ratio"))
+        tok.as("n_tokens"),
+        when(tok > 0, (length(t) - tok + 1).cast("double") / tok)
+          .as("avg_token_len"),
+        when(tok > 0, Text.wordOccurrences(t, "the").cast("double") / tok)
+          .as("the_ratio"))
       .orderBy(col("doc_id"))
   }
 

@@ -2,7 +2,8 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.avro.AvroDecode
+import org.apache.spark.sql.types.StructType
+import graft.avro.{AvroDecode, AvroEncode, AvroSchemaConverter, SchemaRegistryClient}
 import graft.core.{Configs, Message}
 
 /** Kafka source/sink construction (SURVEY.md §2.1/§2.2).
@@ -35,8 +36,12 @@ object Kafka {
       "kafka.group.id" -> groupId,
       "startingOffsets" -> (if (consumer.autoOffsetReset == "earliest") "earliest" else "latest"),
       "includeHeaders" -> "true",
-      // S2 — transaction batching becomes microbatch bounds:
-      // <=100 msgs/partition-batch (batch_consume_max_count)
+      // S2 — transaction batching becomes microbatch bounds. Spark's
+      // maxOffsetsPerTrigger is a TOTAL per-microbatch cap distributed
+      // proportionally across all topic-partitions; count*topics is an
+      // approximate total standing in for the reference's per-transaction
+      // bound (batch_consume_max_count=100). Sizing it exactly would need
+      // partition counts from the AdminClient (minPartitions-style).
       "maxOffsetsPerTrigger" -> (consumer.batchConsumeMaxCount * topics.size).toString,
       // EOS reads: only committed transactional messages
       // (reference: fluvii/apps/transactions/consumer.py:109-116)
@@ -95,19 +100,56 @@ object Kafka {
         filter(coalesce(headers, array()), h => h.getField("value").isNotNull),
         h => struct(h.getField("key"), h.getField("value").cast("string"))))
 
-  /** K1/K4 — envelope → Kafka sink columns: framed Avro value, explicit
-    * mmh3 partition column, headers re-encoded
-    * (reference: producer.py:151-182). */
-  def toSinkColumns(messages: Dataset[Message]): DataFrame =
+  /** K1/K4 — envelope → Kafka sink columns the Confluent way: the JSON
+    * value is parsed back to a struct of the topic's declared Avro schema
+    * and encoded as Confluent-framed Avro; the key is framed with the
+    * reference's hardcoded {"type":"string"} key schema (producer.py:62).
+    * Schema ids come from registering `{topic}-key`/`{topic}-value`
+    * subjects at plan-build time, mirroring the producer's topic→serializer
+    * map (producer.py:136-140). Round-trips through [[toEnvelope]] with its
+    * `framedKey=true` default. */
+  def toSinkColumns(
+      messages: Dataset[Message],
+      valueSchemaJson: String,
+      registry: SchemaRegistryClient,
+      topic: String): DataFrame = {
+    val valueSchema = SchemaRegistryClient.parse(valueSchemaJson)
+    val keySchemaJson = "\"string\""
+    val valueId = registry.register(s"$topic-value", valueSchema)
+    val keyId = registry.register(s"$topic-key", SchemaRegistryClient.parse(keySchemaJson))
+    // Record schemas: envelope JSON -> struct -> Avro. Bare-type schemas
+    // (e.g. the changelog's {"type":"string"}) encode the raw value string —
+    // the registry monkey-patch parity case (schema_registry.py:6-15).
+    val parsedValue = AvroSchemaConverter.toSqlType(valueSchema) match {
+      case st: StructType => from_json(col("value"), st)
+      case _              => col("value")
+    }
+    messages.toDF()
+      .select(
+        AvroEncode.encodeConfluent(col("key"), keySchemaJson, keyId).as("key"),
+        AvroEncode.encodeConfluent(parsedValue, valueSchemaJson, valueId).as("value"),
+        col("topic"),
+        col("partition"),
+        sinkHeaders)
+  }
+
+  /** Raw (unframed) sink columns: key/value as plain UTF-8 bytes. This is
+    * the JSON-passthrough path (K6 bulk produce of a JSON dump) — a
+    * reference consumer expecting Confluent framing needs [[toSinkColumns]]
+    * instead. */
+  def toSinkColumnsRaw(messages: Dataset[Message]): DataFrame =
     messages.toDF()
       .select(
         col("key").cast("binary").as("key"),
         col("value").cast("binary").as("value"),
         col("topic"),
         col("partition"),
-        transform(map_entries(col("headers")),
-          e => struct(e.getField("key").as("key"),
-            e.getField("value").cast("binary").as("value"))).as("headers"))
+        sinkHeaders)
+
+  private def sinkHeaders: Column =
+    transform(map_entries(col("headers")),
+      e => struct(e.getField("key").as("key"),
+        e.getField("value").cast("binary").as("value"))).as("headers")
 
   /** K5 — JSON file dump of consumed messages
     * (reference: fluvii/cli/commands/topics.py:85-97). */
@@ -116,7 +158,8 @@ object Kafka {
 
   /** K6 — bulk produce from a JSON dump (reference:
     * fluvii/kafka_tools/fluvii_toolbox.py:209-229): read back and hand to
-    * the Kafka sink via [[toSinkColumns]]. */
+    * the Kafka sink via [[toSinkColumns]] (framed Avro) or
+    * [[toSinkColumnsRaw]] (JSON passthrough). */
   def readJsonDump(s: SparkSession, path: String): Dataset[Message] = {
     import s.implicits._
     s.read.schema(

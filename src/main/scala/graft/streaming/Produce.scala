@@ -59,7 +59,9 @@ object Produce {
   /** Default-topic inference (T5): exactly one non-changelog topic or error
     * (reference: producer.py:163-168). */
   def inferTopic(registered: Seq[String]): String = {
-    val nonChangelog = registered.filterNot(_.endsWith("__changelog"))
+    // substring test, not suffix — the reference excludes any topic whose
+    // name CONTAINS '__changelog' (producer.py:163-168)
+    val nonChangelog = registered.filterNot(_.contains("__changelog"))
     require(nonChangelog.size == 1,
       s"cannot infer default topic from $registered — exactly one non-changelog topic required")
     nonChangelog.head

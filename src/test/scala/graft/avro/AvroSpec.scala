@@ -131,6 +131,35 @@ class AvroSpec extends AnyFunSuite {
       s"unexpected error: $ex")
   }
 
+  test("AvroEncode rejects reordered NESTED structs (name/order checked recursively)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // inner record with two same-type fields: a reorder is type-compatible
+    // and would silently swap values if only arity were checked
+    val schema =
+      """{"name":"Outer","type":"record","fields":[
+        {"name":"id","type":"string"},
+        {"name":"inner","type":{"name":"Inner","type":"record","fields":[
+          {"name":"lo","type":"int"},{"name":"hi","type":"int"}]}}]}"""
+    val ok = Seq(("a", 1, 9)).toDF("id", "lo", "hi")
+      .select(AvroEncode.encodeConfluent(
+        struct(col("id"), struct(col("lo"), col("hi")).as("inner")), schema, 5).as("value"))
+      .select(AvroDecode.decodeConfluent(col("value"), schema).as("v"))
+      .select("v.inner.lo", "v.inner.hi").collect()(0)
+    assert(ok.getInt(0) == 1 && ok.getInt(1) == 9)
+
+    val ex = intercept[Exception] {
+      Seq(("a", 1, 9)).toDF("id", "lo", "hi")
+        .select(AvroEncode.encodeConfluent(
+          struct(col("id"), struct(col("hi"), col("lo")).as("inner")), schema, 5).as("value"))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(m => m.contains("$.inner") && m.contains("do not match")),
+      s"unexpected error: $ex")
+  }
+
   test("space-bearing field names survive decode and JSON") {
     val schema = SchemaRegistryClient.parse(purchaseSchema)
     val rec = ConfluentAvro.record(schema,

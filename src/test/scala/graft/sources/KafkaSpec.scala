@@ -59,15 +59,46 @@ class KafkaSpec extends AnyFunSuite {
     assert(env.topic == "t" && env.partition == 0 && env.offset == 5L)
   }
 
-  test("sink columns carry explicit partition + binary key/value/headers") {
+  test("sink columns carry explicit partition + binary key/value/headers (raw)") {
     import spark.implicits._
     val msgs = Seq(graft.core.Message("k", "v", Map("guid" -> "g"), "out", 3, -1,
       java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))).toDS()
-    val sink = Kafka.toSinkColumns(msgs)
+    val sink = Kafka.toSinkColumnsRaw(msgs)
     assert(sink.columns.toSet == Set("key", "value", "topic", "partition", "headers"))
     val r = sink.collect()(0)
     assert(new String(r.getAs[Array[Byte]]("key")) == "k")
     assert(r.getAs[Int]("partition") == 3)
+  }
+
+  test("framed sink columns round-trip through toEnvelope (K1 Confluent parity)") {
+    import spark.implicits._
+    val valueSchema =
+      """{"name":"V","type":"record","fields":[
+        {"name":"x","type":"int"},{"name":"s","type":"string"}]}"""
+    val reg = new InMemorySchemaRegistry
+    val msgs = Seq(
+      graft.core.Message("k1", """{"x":7,"s":"a"}""", Map("guid" -> "g1"), "out", 3, -1,
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00")),
+      graft.core.Message("k2", """{"x":-1,"s":"b"}""", Map("guid" -> "g2"), "out", 1, -1,
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:01"))).toDS()
+    val sink = Kafka.toSinkColumns(msgs, valueSchema, reg, "out")
+    // both key and value are Confluent-framed (magic byte + schema id)
+    val rows = sink.collect()
+    rows.foreach { r =>
+      val key = ConfluentAvro.unframe(r.getAs[Array[Byte]]("key"))
+      val value = ConfluentAvro.unframe(r.getAs[Array[Byte]]("value"))
+      assert(reg.getById(key.schemaId).exists(_.getType.getName == "string"))
+      assert(reg.getById(value.schemaId).exists(_.getName == "V"))
+    }
+    // a consumer running toEnvelope (framedKey default) recovers the envelope
+    val back = Kafka.toEnvelope(
+      sink.withColumn("offset", lit(0L))
+        .withColumn("timestamp", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+        .withColumn("timestampType", lit(0)),
+      valueSchema).collect().sortBy(_.key)
+    assert(back.map(_.key).toSeq == Seq("k1", "k2"))
+    assert(back.map(_.value).toSeq == Seq("""{"x":7,"s":"a"}""", """{"x":-1,"s":"b"}"""))
+    assert(back(0).headers == Map("guid" -> "g1"))
   }
 
   test("json dump/read roundtrip (K5/K6)") {

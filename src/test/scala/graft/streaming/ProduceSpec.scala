@@ -44,5 +44,8 @@ class ProduceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Produce.inferTopic(Seq("a", "b", "app__changelog"))
     }
+    // substring exclusion, not suffix: the reference's `'__changelog' in t`
+    // (producer.py:163-168) also excludes names like app__changelog_v2
+    assert(Produce.inferTopic(Seq("orders", "app__changelog_v2")) == "orders")
   }
 }
