@@ -32,6 +32,16 @@ object Tables {
     timestamp_micros(micros)
   }
 
+  /** Spread a scan across all cores before CPU-heavy per-row work (hashing,
+    * regex, vector math). A 100 TB input arrives as thousands of row-groups
+    * and parallelizes at the scan; a single small parquet file is ONE task,
+    * which would serialize the expensive map stage. One tiny round-robin
+    * shuffle buys full-width execution — the standard "rebalance before an
+    * expensive map" pattern, and a no-op cost at any scale relative to the
+    * work it parallelizes. */
+  def parallel(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")

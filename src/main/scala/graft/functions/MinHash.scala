@@ -70,8 +70,13 @@ object MinHashSig {
   * shingle window over the string and folds every window into the k
   * running minima in one pass — no shingle array is ever materialized.
   * Identical output to MinHashSig(charShingles(text, n), k): minimum over
-  * a multiset equals minimum over its distinct set, and substringSQL
-  * matches the SQL substring used by charShingles. */
+  * a multiset equals minimum over its distinct set, and the byte-offset
+  * windows are exactly the substrings charShingles takes.
+  *
+  * Windows are addressed by a precomputed char→byte offset table and hashed
+  * straight from the string's backing memory — O(len) per document and
+  * allocation-free, where a substring-per-window formulation is O(len^2)
+  * char scans plus a UTF8String allocation per window. */
 case class MinHashFromText(child: Expression, n: Int, k: Int)
     extends UnaryExpression with CodegenFallback {
 
@@ -82,18 +87,23 @@ case class MinHashFromText(child: Expression, n: Int, k: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-    val len = text.numChars()
-    val nWindows = math.max(len - (n - 1), 1)
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val numBytes = text.numBytes
+    val offs = Utf8Windows.charOffsets(base, off, numBytes)
+    val nChars = offs.length - 1
     val mins = Array.fill[Long](k)(Long.MaxValue)
-    var i = 1
-    while (i <= nWindows) {
-      val w = text.substringSQL(i, n)
-      val raw = XXH64.hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes, SeedXx)
-      val base = java.lang.Math.floorMod(raw, P)
+    val nWindows = math.max(nChars - (n - 1), 1)
+    var i = 0
+    while (i < nWindows) {
+      val startB = offs(i)
+      val endB = offs(math.min(i + n, nChars))
+      val raw = XXH64.hashUnsafeBytes(base, off + startB, endB - startB, SeedXx)
+      val h0 = java.lang.Math.floorMod(raw, P)
       var j = 0
       while (j < k) {
         // a < 2^41 and P is Mersenne (2^31-1): a mod P = fold(a>>>31 + (a&P))
-        val a = (2L * j + 1L) * base + 40503L * j
+        val a = (2L * j + 1L) * h0 + 40503L * j
         var h = (a >>> 31) + (a & P)
         if (h >= P) h -= P
         if (h < mins(j)) mins(j) = h
@@ -106,6 +116,27 @@ case class MinHashFromText(child: Expression, n: Int, k: Int)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashFromText =
     copy(child = newChild)
+}
+
+/** Shared char→byte offset table for sliding UTF-8 windows. */
+private[functions] object Utf8Windows {
+  /** Byte offset of every char start, plus a final entry = numBytes.
+    * One linear pass; makes any char-addressed window a byte slice. */
+  def charOffsets(base: AnyRef, off: Long, numBytes: Int): Array[Int] = {
+    // worst case 1 byte per char; trim by building into an exact-size copy
+    val tmp = new Array[Int](numBytes + 1)
+    var nChars = 0
+    var b = 0
+    while (b < numBytes) {
+      tmp(nChars) = b
+      b += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(
+        org.apache.spark.unsafe.Platform.getByte(base, off + b))
+      nChars += 1
+    }
+    tmp(nChars) = numBytes
+    if (nChars + 1 == tmp.length) tmp
+    else java.util.Arrays.copyOf(tmp, nChars + 1)
+  }
 }
 
 object MinHashFromText {
@@ -146,7 +177,8 @@ object SigOverlap {
 /** Distinct character n-gram shingles as a native expression — output is
   * identical to array_distinct(transform(sequence(...), substring(...)))
   * (first-occurrence order preserved) without per-window interpreted
-  * lambda evaluation. */
+  * lambda evaluation. Windows are byte slices over one precomputed offset
+  * table (O(len), not O(len^2) char scans). */
 case class CharShingles(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
 
@@ -155,12 +187,16 @@ case class CharShingles(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-    val len = text.numChars()
-    val nWindows = math.max(len - (n - 1), 1)
+    val bytes = text.getBytes // one copy; windows slice it without rescans
+    val offs = Utf8Windows.charOffsets(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length)
+    val nChars = offs.length - 1
+    val nWindows = math.max(nChars - (n - 1), 1)
     val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String](nWindows * 2)
-    var i = 1
-    while (i <= nWindows) {
-      seen.add(text.substringSQL(i, n))
+    var i = 0
+    while (i < nWindows) {
+      val startB = offs(i)
+      val endB = offs(math.min(i + n, nChars))
+      seen.add(org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes, startB, endB - startB))
       i += 1
     }
     val out = new Array[AnyRef](seen.size)

@@ -34,7 +34,7 @@ object Dedup {
   /** Brute-force exact n-gram Jaccard near-dup pairs. Quadratic — correct
     * semantics oracle for the LSH path; never the plan you run at scale. */
   def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(s, dir)
+    val sh = Tables.parallel(Tables.documents(s, dir))
       .select(col("doc_id"), graft.functions.CharShingles.charShingles(col("text"), ShingleSize).as("sh"))
       .withColumn("n", size(col("sh")))
     val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("n_a"))
@@ -64,7 +64,7 @@ object Dedup {
     // Signatures are computed in ONE pass over the text (no shingle arrays
     // materialized) and persisted — at cluster scale this is the "write
     // signatures to a staging table" step.
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.parallel(Tables.documents(s, dir))
       .select(col("doc_id"),
         graft.functions.MinHashFromText.minhashFromText(col("text"), ShingleSize, SigK).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -74,12 +74,16 @@ object Dedup {
         explode(Text.lshBands(col("sig"), SigK, Bands)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
 
+    // candidate pairs straight off the band collisions — deliberately NOT
+    // distinct'd here: deduplicating 100s of thousands of raw collisions
+    // costs a full shuffle, while the signature prefilter below is a cheap
+    // broadcast-join + 128-long compare that cuts them to a handful first
+    // (a pair colliding in several bands just re-runs the cheap compare)
     val candidates = bands.alias("x")
       .join(bands.alias("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
 
     // cheap prefilter on signature agreement, then exact verification with
     // shingles computed only for the handful of surviving docs
@@ -88,6 +92,7 @@ object Dedup {
       .join(docs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .filter(graft.functions.SigOverlap.sigOverlap(col("sig_a"), col("sig_b")) >= SigPrefilter)
       .select(col("doc_a"), col("doc_b"))
+      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // shingles are computed ONLY for docs that survived the prefilter —
@@ -163,7 +168,7 @@ object Dedup {
   /** SimHash fingerprints + near-pairs at hamming distance <= 3 via 16-bit
     * band equi-join. Output: candidate pairs with their hamming distance. */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.parallel(Tables.documents(s, dir))
       .select(col("doc_id"),
         simhash64(split(Text.normText(col("text")), " ")).as("sh64"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -43,7 +43,9 @@ object Similarity {
   def bruteForceTopK(s: SparkSession, dir: String, k: Int = 5,
       nQueries: Int = 100): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val q = emb.filter(col("vec_id") < nQueries)
+    // probe side: spread the per-pair cosine work across all cores (the
+    // candidate side is broadcast, so probe partitioning IS the parallelism)
+    val q = Tables.parallel(emb.filter(col("vec_id") < nQueries))
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
     val c = emb
       .select(col("vec_id").as("cand_id"), asDouble(col("embedding")).as("cv"))
@@ -81,7 +83,7 @@ object Similarity {
     * candidates are met with equi-joins on bucket id only. */
   def lshTopK(s: SparkSession, dir: String, k: Int = 5, planes: Int = 8,
       nQueries: Int = 100): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
+    val emb = Tables.parallel(Tables.embeddings(s, dir))
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -120,7 +122,7 @@ object Similarity {
       threshold: Double = 0.45): DataFrame = {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val a = emb.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val a = Tables.parallel(emb).select(col("vec_id").as("vec_a"), col("v").as("va"))
     val b = emb.select(col("vec_id").as("vec_b"), col("v").as("vb"))
     a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),

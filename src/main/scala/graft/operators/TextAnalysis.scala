@@ -61,7 +61,7 @@ object TextAnalysis {
     * no hits at all => 'und' (undetermined, BCP-47 style). */
   def langIdQuery(s: SparkSession, dir: String): DataFrame = {
     val txt = Text.normText(col("text"))
-    val scored = Tables.documents(s, dir)
+    val scored = Tables.parallel(Tables.documents(s, dir))
       .select(col("doc_id"), col("lang").as("declared_lang"),
         Text.doubledSpaces(txt).as("dd"))
       .select(Seq(col("doc_id"), col("declared_lang")) ++
@@ -90,7 +90,7 @@ object TextAnalysis {
   def qualityQuery(s: SparkSession, dir: String): DataFrame = {
     val t = Text.normText(col("text"))
     val tok = Text.tokenCount(t)
-    Tables.documents(s, dir)
+    Tables.parallel(Tables.documents(s, dir))
       .select(
         col("doc_id"),
         length(t).cast("long").as("n_chars_norm"),
@@ -107,7 +107,7 @@ object TextAnalysis {
     * pre-tokenization split). */
   def tokenStatsQuery(s: SparkSession, dir: String): DataFrame = {
     val t = Text.normText(col("text"))
-    Tables.documents(s, dir)
+    Tables.parallel(Tables.documents(s, dir))
       .select(
         col("doc_id"),
         Text.tokenCount(t).as("ws_tokens"),
@@ -136,7 +136,7 @@ object TextAnalysis {
       transform(split(t, " "), w => pmod(xxhash64(w), lit(1073741824L))), // < 2^30
       lit(1125899906842597L), // seed
       (acc, h) => pmod(acc * 31L + h, lit(P)))
-    Tables.documents(s, dir)
+    Tables.parallel(Tables.documents(s, dir))
       .select(col("doc_id"), rolling.as("rolling_hash"))
       .orderBy(col("doc_id"))
   }

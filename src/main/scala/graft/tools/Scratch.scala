@@ -17,6 +17,7 @@ object Scratch {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.contains("dd03stages")) { dd03Stages(spark, dir); spark.stop(); return }
     names.foreach { name =>
       val q = graft.SparkEntry.queries(name)
       if (verbose) q(spark, dir).explain("formatted")
@@ -28,5 +29,57 @@ object Scratch {
       }
     }
     spark.stop()
+  }
+
+  /** Stage-by-stage timing of the dd03 MinHash-LSH pipeline. */
+  private def dd03Stages(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.core.Tables
+    import graft.functions.{MinHashFromText, SigOverlap, Text}
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val docs = timed("sig+persist") {
+      val d = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          MinHashFromText.minhashFromText(col("text"), 5, 128).as("sig"))
+        .persist()
+      d.count(); d
+    }
+    val bands = timed("bands") {
+      val b = docs.select(col("doc_id"),
+          explode(Text.lshBands(col("sig"), 128, 32)).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+        .persist()
+      b.count(); b
+    }
+    val cand = timed("cand join+distinct") {
+      val c = bands.alias("x").join(bands.alias("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct().persist()
+      println(s"[scratch] candidates=${c.count()}"); c
+    }
+    val pre = timed("prefilter") {
+      val p = cand
+        .join(docs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .filter(SigOverlap.sigOverlap(col("sig_a"), col("sig_b")) >= 0.6)
+        .select(col("doc_a"), col("doc_b")).persist()
+      println(s"[scratch] prefiltered=${p.count()}"); p
+    }
+    timed("verify") {
+      val sh = Tables.documents(spark, dir)
+        .select(col("doc_id"), graft.functions.CharShingles.charShingles(col("text"), 5).as("sh"))
+        .withColumn("n", size(col("sh")))
+      val out = pre
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("n_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("n_b")), "doc_b")
+        .withColumn("jaccard", Text.jaccardWithSizes(col("sh_a"), col("sh_b"), col("n_a"), col("n_b")))
+        .filter(col("jaccard") >= 0.8).count()
+      println(s"[scratch] pairs=$out")
+    }
   }
 }
