@@ -41,7 +41,9 @@ object Bench {
     "ta02_quality",
     "ta03_token_stats",
     "ta05_rolling_hash",
-    "sim01_cosine_topk",
+    // sim02 (bucketed ANN) is the scalable similarity representative;
+    // sim01 broadcasts the whole candidate set — an exact oracle baseline
+    // like dd02/sim03, excluded here for the same reason
     "sim02_ann_lsh",
   )
 

@@ -286,6 +286,10 @@ object SparkEntry {
     // dd03 is LSH + exact verification; with 32x4 banding its recall at the
     // 0.8 threshold is 1-5e-8, so the brute-force SQL is its exact oracle.
     "dd03_minhash_lsh" -> ngramJaccardSql,
+    // dd04's portable md5-based fingerprint is re-derived in pure SQL and
+    // compared brute-force — checks fingerprint, banding recall and the
+    // hamming cut end to end.
+    "dd04_simhash" -> Dedup.simhashOracleSql,
     "dd05_dup_clusters" -> s"""
       WITH RECURSIVE pairs AS (${pairsSubquerySql}),
       edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -302,6 +306,19 @@ object SparkEntry {
       SELECT doc_id, n_chars FROM documents
       WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
       ORDER BY doc_id""",
+    // the stub "decode" is strided octet pooling — plain byte arithmetic,
+    // so the whole multimodal plumbing is oracle-checked (corpus is ASCII:
+    // ord(char) == octet, verified for every sf; n_bytes uses the blob)
+    "mm01_media_features" -> """
+      SELECT doc_id AS media_id, 'text' AS kind,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             CAST(coalesce(list_sum(list_transform(range(1, length(text)+1, 8),
+               i -> ord(substr(text, CAST(i AS INT), 1)))), 0) AS BIGINT) AS f0,
+             CAST(coalesce(list_sum(list_transform(range(2, length(text)+1, 8),
+               i -> ord(substr(text, CAST(i AS INT), 1)))), 0) AS BIGINT) AS f1,
+             CAST(coalesce(list_sum(list_transform(range(3, length(text)+1, 8),
+               i -> ord(substr(text, CAST(i AS INT), 1)))), 0) AS BIGINT) AS f2
+      FROM documents ORDER BY media_id""",
     "mm02_frame_sample" -> """
       WITH d AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n FROM documents)
       SELECT media_id, CAST(i.i AS INT) AS frame_idx,

@@ -167,6 +167,12 @@ case class AvroEncode(child: Expression, schemaJson: String, schemaId: Int,
           check(s.getElementType, et, s"$path[]")
         case (Schema.Type.MAP, MapType(_, vt, _)) =>
           check(s.getValueType, vt, s"$path{}")
+        case (Schema.Type.ARRAY, other) =>
+          throw new IllegalArgumentException(
+            s"AvroEncode at $path: array schema requires an array input, got $other")
+        case (Schema.Type.MAP, other) =>
+          throw new IllegalArgumentException(
+            s"AvroEncode at $path: map schema requires a map input, got $other")
         case _ => ()
       }
     }

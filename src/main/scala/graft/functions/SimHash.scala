@@ -62,3 +62,67 @@ object SimHash64 {
   def simhash64(tokens: Column): Column =
     GraftBridge.toColumn(SimHash64(GraftBridge.toExpression(tokens)))
 }
+
+/** Portable 60-bit SimHash: identical arithmetic is expressible in ANSI SQL
+  * on any engine with md5(), so the fingerprint (not just derived pair
+  * sets) is cross-engine oracle-checkable.
+  *
+  * Token hash = first 15 hex chars of md5(token) read base-16 (60 bits —
+  * both the SQL `conv(substr(md5(w),1,15),16,10)` and a '0x…' cast parse it
+  * exactly; 60 < 63 bits so no sign issues). Votes and the sign rule are
+  * the same as [[SimHash64]]. Bands are 4 x 15 bits: hamming <= 3 still
+  * pigeonholes into at least one exact band match.
+  */
+case class Md5SimHash60(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  // MessageDigest is not thread-safe and not serializable; one per
+  // executor thread, reset per token
+  @transient private lazy val mdLocal =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val md = mdLocal.get()
+    val votes = new Array[Int](60)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        // big-endian first 8 digest bytes == first 16 hex chars; drop the
+        // 16th hex digit with an unsigned shift -> the 15-hex-char value
+        var be = 0L
+        var k = 0
+        while (k < 8) { be = (be << 8) | (d(k) & 0xffL); k += 1 }
+        val h = be >>> 4
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5SimHash60 =
+    copy(child = newChild)
+}
+
+object Md5SimHash60 {
+  /** md5Simhash60(tokens: array<string>): bigint as a Column. */
+  def md5Simhash60(tokens: Column): Column =
+    GraftBridge.toColumn(Md5SimHash60(GraftBridge.toExpression(tokens)))
+}

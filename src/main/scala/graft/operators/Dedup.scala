@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.Text
-import graft.functions.SimHash64.simhash64
 
 /** Deduplication operators for a large-scale training-data pipeline.
   *
@@ -64,6 +63,34 @@ object Dedup {
       val inHot = bands.join(hotSide, keys, "left_semi")
       (cold, inHot, nHot)
     }
+  }
+
+  /** DuckDB SQL replicating [[simhashPairs]] exactly — the portable 60-bit
+    * md5 fingerprint re-derived in pure SQL, then BRUTE-FORCE hamming <= 3
+    * over all pairs. Serving as ground truth, it also proves the banded
+    * equi-join path loses no pairs (hamming <= 3 pigeonholes into one of
+    * the four 15-bit bands, so recall is exact by construction). */
+  def simhashOracleSql: String = {
+    // fingerprint bit b: majority vote over tokens of bit b of
+    // h = first 15 hex chars of md5(token), parsed base-16 (ties -> 0)
+    val bitTerms = (0 until 60).map { b =>
+      s"CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
+        s"THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
+    }.mkString(" +\n               ")
+    s"""
+      WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                 FROM documents),
+      tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM d),
+      th AS (SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
+             FROM tok),
+      fp AS (SELECT doc_id,
+               $bitTerms AS fp
+             FROM th GROUP BY doc_id)
+      SELECT doc_a, doc_b, hamming FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id) p
+      WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
   }
 
   /** Exact duplicate groups by md5 of normalized text (A1-style hash agg). */
@@ -238,19 +265,26 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** SimHash fingerprints + near-pairs at hamming distance <= 3 via 16-bit
-    * band equi-join. Output: candidate pairs with their hamming distance. */
+  /** SimHash fingerprints + near-pairs at hamming distance <= 3 via 15-bit
+    * band equi-join. Output: candidate pairs with their hamming distance.
+    *
+    * Uses the PORTABLE 60-bit md5-based fingerprint ([[Md5SimHash60]]):
+    * its arithmetic is expressible in DuckDB SQL, so the whole query —
+    * fingerprint, banding, hamming cut — is oracle-checked end to end
+    * (the xxhash-based [[graft.functions.SimHash64]] stays available where
+    * cross-engine parity is not needed). */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.parallel(Tables.documents(s, dir))
       .select(col("doc_id"),
-        simhash64(split(Text.normText(col("text")), " ")).as("sh64"))
+        graft.functions.Md5SimHash60.md5Simhash60(
+          split(Text.normText(col("text")), " ")).as("sh64"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // four 16-bit bands; hamming <= 3 implies at least one band matches.
+    // four 15-bit bands; hamming <= 3 implies at least one band matches.
     // Persisted: it feeds both sides of the self-join plus the skew audit.
     val banded = docs.select(col("doc_id"), col("sh64"),
       posexplode(array((0 until 4).map(b =>
-        shiftright(col("sh64"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+        shiftright(col("sh64"), b * 15).bitwiseAND(lit(0x7fffL))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bandval")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.functions.Murmur3
 
 /** Multimodal (binary) column pipeline for training-data preparation.
   *
@@ -24,22 +23,28 @@ object Multimodal {
   case class MediaRecord(media_id: Long, kind: String, bytes: Array[Byte],
       width: Int, height: Int)
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
-      features: Array[Double])
+      features: Array[Long])
 
   val FeatureDim = 8
 
   /** STUB decoder: stands in for image decode + feature extraction.
     * Deterministic in the bytes; replace with a real codec at the same
     * signature. A real implementation would decode `bytes` (JPEG/PNG/...)
-    * and pool activations or pixel statistics into the feature vector. */
+    * and pool activations or pixel statistics into the feature vector.
+    *
+    * The stand-in "pooling" is strided octet sums — feature i sums every
+    * octet at position ≡ i (mod dim). Chosen because it is the same KIND of
+    * reduction a real extractor performs (channel pooling) while being
+    * plain byte arithmetic, so the whole pipeline is oracle-checkable in
+    * SQL (unlike a seeded-hash pseudo-feature). */
   object FakeDecoder {
-    def features(bytes: Array[Byte], dim: Int = FeatureDim): Array[Double] = {
-      val out = new Array[Double](dim)
-      var i = 0
-      while (i < dim) {
-        // ??? real decode goes here — pseudo-features from seeded hashes
-        out(i) = Murmur3.hash32(bytes, i).toDouble / Int.MaxValue
-        i += 1
+    def features(bytes: Array[Byte], dim: Int = FeatureDim): Array[Long] = {
+      val out = new Array[Long](dim)
+      var j = 0
+      while (j < bytes.length) {
+        // ??? real decode goes here — strided octet pooling stands in
+        out(j % dim) += (bytes(j) & 0xff).toLong
+        j += 1
       }
       out
     }
@@ -101,9 +106,9 @@ object Multimodal {
       .toDF()
       .select(
         col("media_id"), col("kind"), col("n_bytes"),
-        round(element_at(col("features"), 1), 6).as("f0"),
-        round(element_at(col("features"), 2), 6).as("f1"),
-        round(element_at(col("features"), 3), 6).as("f2"))
+        element_at(col("features"), 1).as("f0"),
+        element_at(col("features"), 2).as("f1"),
+        element_at(col("features"), 3).as("f2"))
       .orderBy(col("media_id"))
   }
 }

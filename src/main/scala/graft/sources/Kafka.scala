@@ -120,8 +120,12 @@ object Kafka {
     // Record schemas: envelope JSON -> struct -> Avro. Bare-type schemas
     // (e.g. the changelog's {"type":"string"}) encode the raw value string —
     // the registry monkey-patch parity case (schema_registry.py:6-15).
+    // FAILFAST: in default PERMISSIVE mode a malformed value (possible on
+    // the K6 bulk-produce path, where the JSON dump is user-supplied) would
+    // silently become a null struct and then a null Kafka value — a
+    // tombstone that can DELETE records on a compacted topic. Fail loudly.
     val parsedValue = AvroSchemaConverter.toSqlType(valueSchema) match {
-      case st: StructType => from_json(col("value"), st)
+      case st: StructType => from_json(col("value"), st, Map("mode" -> "FAILFAST"))
       case _              => col("value")
     }
     messages.toDF()

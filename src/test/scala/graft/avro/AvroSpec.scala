@@ -160,6 +160,34 @@ class AvroSpec extends AnyFunSuite {
       s"unexpected error: $ex")
   }
 
+  test("AvroEncode rejects array/map schema vs non-matching catalyst type at plan time") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val arraySchema =
+      """{"name":"A","type":"record","fields":[
+        {"name":"xs","type":{"type":"array","items":"int"}}]}"""
+    val exA = intercept[Exception] {
+      Seq(("notAnArray")).toDF("xs")
+        .select(AvroEncode.encodeConfluent(struct(col("xs")), arraySchema, 1).as("v"))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(exA).exists(m => m.contains("array schema requires an array input")),
+      s"unexpected error: $exA")
+
+    val mapSchema =
+      """{"name":"M","type":"record","fields":[
+        {"name":"kv","type":{"type":"map","values":"long"}}]}"""
+    val exM = intercept[Exception] {
+      Seq((7L)).toDF("kv")
+        .select(AvroEncode.encodeConfluent(struct(col("kv")), mapSchema, 2).as("v"))
+        .collect()
+    }
+    assert(msgs(exM).exists(m => m.contains("map schema requires a map input")),
+      s"unexpected error: $exM")
+  }
+
   test("space-bearing field names survive decode and JSON") {
     val schema = SchemaRegistryClient.parse(purchaseSchema)
     val rec = ConfluentAvro.record(schema,

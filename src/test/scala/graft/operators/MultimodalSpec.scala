@@ -10,7 +10,12 @@ class MultimodalSpec extends AnyFunSuite {
     val feats = Multimodal.extractFeatures(media).collect()
     assert(feats.length == media.count())
     assert(feats.forall(_.features.length == Multimodal.FeatureDim))
-    assert(feats.forall(f => f.features.forall(v => v >= -1.0 && v <= 1.0)))
+    // strided octet pooling: each feature is a sum of octets, and together
+    // they partition the payload — their total equals the sum of all bytes
+    assert(feats.forall(f => f.features.forall(v => v >= 0L && v <= 255L * f.n_bytes)))
+    val media0 = media.collect().map(m => m.media_id -> m.bytes).toMap
+    assert(feats.forall(f =>
+      f.features.sum == media0(f.media_id).map(b => (b & 0xff).toLong).sum))
     val again = Multimodal.extractFeatures(media).collect()
       .map(f => f.media_id -> f.features.toSeq).toMap
     assert(feats.forall(f => again(f.media_id) == f.features.toSeq))

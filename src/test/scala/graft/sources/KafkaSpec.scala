@@ -101,6 +101,26 @@ class KafkaSpec extends AnyFunSuite {
     assert(back(0).headers == Map("guid" -> "g1"))
   }
 
+  test("malformed envelope JSON fails loudly instead of producing a tombstone") {
+    import spark.implicits._
+    val valueSchema =
+      """{"name":"V","type":"record","fields":[{"name":"x","type":"int"}]}"""
+    val reg = new InMemorySchemaRegistry
+    // a user-supplied K6 dump with a broken value: PERMISSIVE parsing would
+    // turn this into a null struct -> null Kafka value -> a DELETE on a
+    // compacted topic; FAILFAST must surface it as an error instead
+    val msgs = Seq(graft.core.Message("k", """{"x": <garbage>""", Map(), "out", 0, -1,
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))).toDS()
+    val ex = intercept[Exception] {
+      Kafka.toSinkColumns(msgs, valueSchema, reg, "out").collect()
+    }
+    def msgs0(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs0(e.getCause))
+    assert(msgs0(ex).exists(m =>
+      m.contains("MALFORMED_RECORD") || m.toLowerCase.contains("malformed")),
+      s"unexpected error: $ex")
+  }
+
   test("json dump/read roundtrip (K5/K6)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dump").toString
