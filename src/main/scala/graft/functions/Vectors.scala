@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Cosine similarity of two double arrays as a native Catalyst expression.
   *
@@ -48,4 +48,75 @@ object CosineSim {
   /** cosine_sim(a: array<double>, b: array<double>): double */
   def cosineSim(a: Column, b: Column): Column =
     GraftBridge.toColumn(CosineSim(GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
+}
+
+/** Sign-LSH bucket id of a double vector under `planes` deterministic random
+  * hyperplanes, as a native Catalyst expression.
+  *
+  * Bit-identical to the interpreted HOF spec in
+  * [[graft.operators.Similarity.lshBucketHof]]: hyperplane component
+  * (p, i) is +1 when pmod(xxhash64(p: int, i: bigint), 2) == 0 else -1
+  * (Spark's xxhash64 folds children left-to-right from seed 42), the
+  * projection is a left-to-right sum of v(i) * sign, and bit p is set when
+  * the projection is >= 0. The HOF form evaluates `planes` interpreted
+  * aggregate(zip_with(..)) lambda chains per row — O(planes x dim) boxed
+  * calls; this expression is one primitive loop over a per-dimension sign
+  * table computed once per (partition, dim), which is what keeps the ANN
+  * bucketing pass CPU-bound at corpus scale.
+  */
+case class SignLshBucket(child: Expression, planes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  // (dim -> sign table) cache; one reference assignment keeps the benign
+  // race safe if an instance is ever shared across threads
+  @transient private var cached: (Int, Array[Double]) = _
+
+  private def signsFor(dim: Int): Array[Double] = {
+    val c = cached
+    if (c != null && c._1 == dim) return c._2
+    val arr = new Array[Double](planes * dim)
+    var p = 0
+    while (p < planes) {
+      // xxhash64(p, i) = hashLong(i, hashInt(p, 42)): the exact fold Spark's
+      // xxhash64(lit(p), i.cast(bigint)) performs
+      val seedP = XXH64.hashInt(p, 42L)
+      var i = 0
+      while (i < dim) {
+        val h = XXH64.hashLong(i.toLong, seedP)
+        arr(p * dim + i) = if (((h % 2) + 2) % 2 == 0) 1.0 else -1.0
+        i += 1
+      }
+      p += 1
+    }
+    cached = (dim, arr)
+    arr
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData].toDoubleArray()
+    val dim = v.length
+    val sg = signsFor(dim)
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var proj = 0.0
+      val base = p * dim
+      var i = 0
+      while (i < dim) { proj += v(i) * sg(base + i); i += 1 }
+      if (proj >= 0) bucket += (1L << p)
+      p += 1
+    }
+    java.lang.Long.valueOf(bucket)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignLshBucket =
+    copy(child = newChild)
+}
+
+object SignLshBucket {
+  /** sign_lsh_bucket(v: array<double>, planes): bigint */
+  def signLshBucket(v: Column, planes: Int): Column =
+    GraftBridge.toColumn(SignLshBucket(GraftBridge.toExpression(v), planes))
 }

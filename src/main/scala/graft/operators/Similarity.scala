@@ -66,8 +66,10 @@ object Similarity {
   private def signComponent(p: Int, d: Column): Column =
     when(pmod(xxhash64(lit(p), d), lit(2)) === 0, lit(1.0d)).otherwise(lit(-1.0d))
 
-  /** Sign-LSH bucket id from `planes` random hyperplanes (one bit each). */
-  def lshBucket(v: Column, planes: Int): Column = {
+  /** Sign-LSH bucket id from `planes` random hyperplanes (one bit each):
+    * the interpreted HOF formulation, kept as the executable spec for
+    * [[lshBucket]] (cross-validated bit-for-bit in ExpressionParitySpec). */
+  def lshBucketHof(v: Column, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
       val proj = aggregate(
         zip_with(v, sequence(lit(0), size(v) - 1).cast("array<bigint>"),
@@ -77,6 +79,13 @@ object Similarity {
     }
     bits.reduce(_ + _)
   }
+
+  /** Sign-LSH bucket id — native-expression form (bit-identical to
+    * [[lshBucketHof]], one primitive loop per row instead of planes
+    * interpreted aggregate/zip_with chains — see
+    * [[graft.functions.SignLshBucket]]). */
+  def lshBucket(v: Column, planes: Int): Column =
+    graft.functions.SignLshBucket.signLshBucket(v, planes)
 
   /** ANN top-k via sign-LSH with multi-probe (flip each single bit):
     * a query lands in its own bucket plus `planes` neighboring buckets;

@@ -62,4 +62,13 @@ class ExpressionParitySpec extends AnyFunSuite {
       .filter(col("fast") =!= col("spec"))
     assert(pairs.count() == 0)
   }
+
+  test("SignLshBucket == HOF lshBucket, bit for bit") {
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("fast", SignLshBucket.signLshBucket(col("v"), 8))
+      .withColumn("spec", graft.operators.Similarity.lshBucketHof(col("v"), 8))
+      .filter(col("fast") =!= col("spec"))
+    assert(e.count() == 0)
+  }
 }
