@@ -288,7 +288,9 @@ object SparkEntry {
     "dd03_minhash_lsh" -> ngramJaccardSql,
     // dd04's portable md5-based fingerprint is re-derived in pure SQL and
     // compared brute-force — checks fingerprint, banding recall and the
-    // hamming cut end to end.
+    // hamming cut end to end. (The operator's hot-bucket guard is exact on
+    // this corpus: no band bucket approaches HotBucketCap, so the star
+    // approximation documented on Dedup.HotBucketCap never engages here.)
     "dd04_simhash" -> Dedup.simhashOracleSql,
     "dd05_dup_clusters" -> s"""
       WITH RECURSIVE pairs AS (${pairsSubquerySql}),
@@ -355,6 +357,7 @@ object SparkEntry {
       SELECT doc_id,
              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_md5
       FROM documents ORDER BY doc_id""",
+    "ta05_rolling_hash" -> TextAnalysis.rollingHashOracleSql,
     "sim01_cosine_topk" -> """
       WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                  FROM embeddings WHERE vec_id < 100),

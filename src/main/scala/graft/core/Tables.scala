@@ -39,10 +39,19 @@ object Tables {
     * below the scan's natural partition count), so the widen only happens
     * when the plan's partitioning is narrower than the cluster: the
     * single-small-file case, where one task would serialize the expensive
-    * map stage. */
+    * map stage.
+    *
+    * Contract: call this on SCAN-SHAPED inputs only (a parquet scan plus
+    * optional filter/project). The partition probe reads
+    * `queryExecution.toRdd` — for an exchange-free plan that builds the RDD
+    * lineage without running jobs or spawning the extra
+    * deserialize-to-Row plan that `df.rdd` would; a shuffle-producing input
+    * would both trigger AQE execution here and report post-shuffle counts,
+    * which is not what this helper is for. */
   def parallel(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    if (df.queryExecution.toRdd.getNumPartitions >= target) df
+    else df.repartition(target)
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

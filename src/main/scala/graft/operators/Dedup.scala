@@ -29,24 +29,36 @@ object Dedup {
     * boilerplate (thousands of near-identical docs — the realistic 100 TB
     * case) would stall one task on ~n^2/2 pairs. Above the cap we switch
     * that bucket to STAR candidates (every member vs. the bucket's min
-    * doc_id): linear in bucket size, and since hot buckets are by
-    * construction sets of near-identical docs, the star still (a) connects
-    * the whole group into one component for [[dupClusters]] and (b) marks
-    * every non-min member as a duplicate for [[dedupApply]]. Pairs between
-    * two non-min members of a hot bucket are the only ones not emitted from
-    * that bucket (they may still surface via a colder band). The cap is far
-    * above any bucket the test corpus produces, so the oracle-checked pair
-    * set is unaffected; the guard exists for adversarial/production skew. */
+    * doc_id) plus a second linear pass that pairs IDENTICAL fingerprints
+    * within the bucket (member vs. fingerprint-group min) — so the
+    * identical-doc case, which is what actually produces hot buckets, is
+    * recovered exactly up to star shape. APPROXIMATION CONTRACT: pairs
+    * between two non-min members with *different* fingerprints inside a
+    * hot bucket are the only ones not emitted from that bucket (they may
+    * still surface via a colder band); the star still (a) connects the whole
+    * group into one component for [[dupClusters]] and (b) marks every
+    * non-min member as a duplicate for [[dedupApply]]. The cap is far above
+    * any bucket the test corpus produces, so the oracle-checked pair set is
+    * unaffected; the guard exists for adversarial/production skew, and the
+    * cap is a parameter on each operator so an exact (cap-disabled) run is
+    * one argument away. */
   val HotBucketCap = 1024
+
+  /** Broadcast budget for the signature prefilter join: above this estimated
+    * size the broadcast hint hard-fails (Spark's 8 GB limit) or OOMs the
+    * driver, so the operator switches to distinct()+shuffle automatically. */
+  val MaxSigBroadcastBytes: Long = 512L * 1024 * 1024
 
   /** Skew guard for an LSH band self-join: splits band rows into
     * (cold rows, hot-bucket rows) by bucket population. The population count
     * is one narrow-column hash aggregate over the (already persisted) band
     * table; its result is tiny (one row per HOT bucket only), so checking it
     * on the driver costs one cheap job and lets us skip the guard joins
-    * entirely in the overwhelmingly common no-skew case. */
+    * entirely in the overwhelmingly common no-skew case. The persisted hot
+    * set (if any) is returned so the caller can release it. */
   private def splitHotBuckets(
-      bands: DataFrame, keys: Seq[String], cap: Int): (DataFrame, DataFrame, Long) = {
+      bands: DataFrame, keys: Seq[String], cap: Int)
+      : (DataFrame, DataFrame, Long, Option[DataFrame]) = {
     val hot = bands.groupBy(keys.map(col): _*).count()
       .filter(col("count") > cap)
       .select(keys.map(col): _*)
@@ -54,14 +66,14 @@ object Dedup {
     val nHot = hot.count()
     if (nHot == 0L) {
       hot.unpersist(blocking = false)
-      (bands, null, 0L)
+      (bands, null, 0L, None)
     } else {
       // hot is one row per overloaded bucket — broadcastable unless the skew
       // is itself pathological, in which case fall back to a shuffle join.
       val hotSide = if (nHot <= 100000L) broadcast(hot) else hot
       val cold  = bands.join(hotSide, keys, "left_anti")
       val inHot = bands.join(hotSide, keys, "left_semi")
-      (cold, inHot, nHot)
+      (cold, inHot, nHot, Some(hot))
     }
   }
 
@@ -129,35 +141,74 @@ object Dedup {
     * agreement prefilter → exact Jaccard verification. With these parameters
     * recall at the 0.8 threshold is 1 - 5e-8, so the output equals
     * [[ngramJaccardPairs]] — which is exactly how the oracle checks it —
-    * while the plan is equi-joins instead of a cross join. */
-  def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
+    * while the plan is equi-joins instead of a cross join.
+    *
+    * Exactness caveat: buckets above [[HotBucketCap]] members emit star +
+    * identical-signature candidates instead of all pairs (see the
+    * [[HotBucketCap]] contract); the test corpus produces no such bucket,
+    * so the oracle comparison runs the exact path. */
+  def minhashLshPairs(s: SparkSession, dir: String): DataFrame =
+    minhashLshPairsTracked(s, dir)._1
+
+  /** [[minhashLshPairs]] plus the list of frames it persisted, so a caller
+    * that materializes a derivative (see [[dupClusters]], [[dedupApply]])
+    * can release the intermediate cache blocks instead of accumulating them
+    * for the life of the session. Callers that return the pair frame lazily
+    * (the plain query path) leave the persists in place — they are released
+    * by the session's cache-clear between queries. */
+  private[operators] def minhashLshPairsTracked(
+      s: SparkSession, dir: String, hotBucketCap: Int = HotBucketCap)
+      : (DataFrame, Seq[DataFrame]) = {
+    val caches = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def cached(df: DataFrame): DataFrame = {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      caches += df
+      df
+    }
+
     // Signatures are computed in ONE pass over the text (no shingle arrays
     // materialized) and persisted — at cluster scale this is the "write
     // signatures to a staging table" step.
-    val docs = Tables.parallel(Tables.documents(s, dir))
+    val docs = cached(Tables.parallel(Tables.documents(s, dir))
       .select(col("doc_id"),
-        graft.functions.MinHashFromText.minhashFromText(col("text"), ShingleSize, SigK).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.functions.MinHashFromText.minhashFromText(col("text"), ShingleSize, SigK).as("sig")))
 
-    val bands = docs
+    val bands = cached(docs
       .select(col("doc_id"),
         explode(Text.lshBands(col("sig"), SigK, Bands)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh")))
 
     // hot-bucket skew guard: all-pairs only inside buckets below the cap;
     // oversized buckets emit linear star candidates instead (see HotBucketCap)
-    val (cold, inHot, nHot) = splitHotBuckets(bands, Seq("band", "bh"), HotBucketCap)
+    val (cold, inHot, nHot, hotFrame) =
+      splitHotBuckets(bands, Seq("band", "bh"), hotBucketCap)
+    hotFrame.foreach(caches += _)
     if (nHot > 0)
-      log.warn(s"minhashLshPairs: $nHot LSH bucket(s) exceed $HotBucketCap members; " +
-        "emitting star candidates (member vs bucket-min) for those buckets " +
-        "instead of all-pairs — non-min/non-min pairs in hot buckets are dropped")
+      log.warn(s"minhashLshPairs: $nHot LSH bucket(s) exceed $hotBucketCap members; " +
+        "emitting star + identical-signature candidates for those buckets " +
+        "instead of all-pairs — non-min/non-min pairs with differing " +
+        "signatures in hot buckets are dropped (see HotBucketCap contract)")
+
+    // broadcast-vs-shuffle choice for the signature prefilter join: the sig
+    // table is doc_id + SigK longs per doc; docs is already persisted (and
+    // materialized by the skew audit above), so the count is one cheap
+    // cached-scan job. Above the budget the broadcast hint would hard-fail
+    // (8 GB limit) — switch to distinct()-then-shuffle so the join carries
+    // the deduplicated pair set instead.
+    val nDocs = docs.count()
+    val sigBytes = nDocs * (8L * SigK + 64L)
+    val broadcastSigs = sigBytes <= MaxSigBroadcastBytes
+    if (!broadcastSigs)
+      log.warn(s"minhashLshPairs: signature table ~${sigBytes >> 20} MiB exceeds " +
+        s"broadcast budget (${MaxSigBroadcastBytes >> 20} MiB); using shuffle join " +
+        "over distinct candidates")
 
     // candidate pairs straight off the band collisions — deliberately NOT
-    // distinct'd here: deduplicating 100s of thousands of raw collisions
-    // costs a full shuffle, while the signature prefilter below is a cheap
-    // broadcast-join + 128-long compare that cuts them to a handful first
-    // (a pair colliding in several bands just re-runs the cheap compare)
+    // distinct'd on the broadcast path: deduplicating 100s of thousands of
+    // raw collisions costs a full shuffle, while the signature prefilter
+    // below is a cheap broadcast-join + 128-long compare that cuts them to
+    // a handful first (a pair colliding in several bands just re-runs the
+    // cheap compare)
     val coldPairs = cold.alias("x")
       .join(cold.alias("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -166,41 +217,51 @@ object Dedup {
     val candidates =
       if (nHot == 0L) coldPairs
       else {
+        val wb = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bh"))
         val starPairs = inHot
-          .withColumn("min_id",
-            min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
-              .partitionBy(col("band"), col("bh"))))
+          .withColumn("min_id", min(col("doc_id")).over(wb))
           .filter(col("doc_id") > col("min_id"))
           .select(col("min_id").as("doc_a"), col("doc_id").as("doc_b"))
-        coldPairs.unionByName(starPairs)
+        // identical-signature recovery: the docs that actually produce hot
+        // buckets are (near-)identical; star them per signature group so
+        // every identical pair reaches the exact-verification stage. Groups
+        // keyed by hash(sig): a hash collision only adds a candidate, which
+        // exact verification then rejects — still linear per bucket.
+        val wfp = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bh"), hash(col("sig")))
+        val fpStar = inHot.join(docs, "doc_id")
+          .withColumn("fp_min", min(col("doc_id")).over(wfp))
+          .filter(col("doc_id") > col("fp_min"))
+          .select(col("fp_min").as("doc_a"), col("doc_id").as("doc_b"))
+        coldPairs.unionByName(starPairs).unionByName(fpStar)
       }
 
     // cheap prefilter on signature agreement, then exact verification with
-    // shingles computed only for the handful of surviving docs. The sig
-    // table (doc_id + 128 longs) is explicitly broadcast: it is orders of
-    // magnitude smaller than the un-distinct'd candidate stream. On a corpus
-    // shard where it outgrows the broadcast budget, drop the hint and
-    // distinct() the candidates first so the shuffle join carries the
-    // deduplicated pair set.
-    val prefiltered = candidates
-      .join(broadcast(docs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))), "doc_a")
-      .join(broadcast(docs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))), "doc_b")
+    // shingles computed only for the handful of surviving docs
+    val candidateSet = if (broadcastSigs) candidates else candidates.distinct()
+    val sigA = docs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val sigB = docs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val withSigs =
+      if (broadcastSigs)
+        candidateSet.join(broadcast(sigA), "doc_a").join(broadcast(sigB), "doc_b")
+      else
+        candidateSet.join(sigA, "doc_a").join(sigB, "doc_b")
+    val prefiltered = cached(withSigs
       .filter(graft.functions.SigOverlap.sigOverlap(col("sig_a"), col("sig_b")) >= SigPrefilter)
       .select(col("doc_a"), col("doc_b"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .distinct())
 
     // shingles are computed ONLY for docs that survived the prefilter —
     // verification cost scales with survivors, not with the corpus
     val neededIds = prefiltered
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    val sh = Tables.documents(s, dir)
+    val sh = cached(Tables.documents(s, dir)
       .join(broadcast(neededIds), "doc_id")
       .select(col("doc_id"), graft.functions.CharShingles.charShingles(col("text"), ShingleSize).as("sh"))
-      .withColumn("n", size(col("sh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    prefiltered
+      .withColumn("n", size(col("sh"))))
+    val pairs = prefiltered
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("n_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("n_b")), "doc_b")
       .withColumn("jaccard",
@@ -208,6 +269,7 @@ object Dedup {
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+    (pairs, caches.toSeq)
   }
 
   /** Transitive duplicate clusters from the LSH pair set, by iterative
@@ -216,10 +278,15 @@ object Dedup {
     * near-dup graphs is tiny). Output: (doc_id, cluster_id=min id of the
     * component) for every doc that appears in at least one pair. */
   def dupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLshPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val (rawPairs, lshCaches) = minhashLshPairsTracked(s, dir)
+    val pairs = rawPairs.select(col("doc_a"), col("doc_b"))
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (tiny) edge set once, then release the LSH pipeline's
+    // intermediate caches — label propagation only ever re-reads `edges`
+    edges.count()
+    lshCaches.foreach(_.unpersist(blocking = false))
 
     var labels = edges.select(col("doc_a").as("id")).distinct()
       .withColumn("cluster", col("id"))
@@ -251,6 +318,7 @@ object Dedup {
     // silent non-convergence would report one component as several clusters
     require(changed == 0,
       s"dupClusters did not converge after $iter rounds (component diameter > $iter?)")
+    edges.unpersist(blocking = false) // result depends only on final labels
     labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
       .orderBy(col("doc_id"))
   }
@@ -258,7 +326,13 @@ object Dedup {
   /** Applied dedup (greedy keep-first): the retained corpus after dropping
     * the higher-id member of every detected near-dup pair. */
   def dedupApply(s: SparkSession, dir: String): DataFrame = {
-    val drop = minhashLshPairs(s, dir).select(col("doc_b").as("doc_id")).distinct()
+    val (pairs, lshCaches) = minhashLshPairsTracked(s, dir)
+    val drop = pairs.select(col("doc_b").as("doc_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (tiny) drop set, then release the LSH pipeline's
+    // intermediate caches — the anti-join below only re-reads `drop`
+    drop.count()
+    lshCaches.foreach(_.unpersist(blocking = false))
     Tables.documents(s, dir)
       .join(drop, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_chars"))
@@ -272,8 +346,18 @@ object Dedup {
     * its arithmetic is expressible in DuckDB SQL, so the whole query —
     * fingerprint, banding, hamming cut — is oracle-checked end to end
     * (the xxhash-based [[graft.functions.SimHash64]] stays available where
-    * cross-engine parity is not needed). */
-  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    * cross-engine parity is not needed).
+    *
+    * Exactness caveat: buckets above `hotBucketCap` members emit star +
+    * identical-fingerprint candidates instead of all pairs (see the
+    * [[HotBucketCap]] contract — only non-min/non-min pairs with differing
+    * fingerprints are dropped, and only from hot buckets). The test corpus
+    * produces no hot bucket, so the brute-force oracle compares against the
+    * exact path; pass a larger cap to force exactness on a skewed corpus. */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    simhashPairs(s, dir, HotBucketCap)
+
+  def simhashPairs(s: SparkSession, dir: String, hotBucketCap: Int): DataFrame = {
     val docs = Tables.parallel(Tables.documents(s, dir))
       .select(col("doc_id"),
         graft.functions.Md5SimHash60.md5Simhash60(
@@ -291,10 +375,13 @@ object Dedup {
 
     // same hot-bucket guard as the MinHash path: a boilerplate-heavy corpus
     // drops thousands of near-identical fingerprints into one 16-bit bucket
-    val (cold, inHot, nHot) = splitHotBuckets(banded, Seq("band", "bandval"), HotBucketCap)
+    val (cold, inHot, nHot, _) =
+      splitHotBuckets(banded, Seq("band", "bandval"), hotBucketCap)
     if (nHot > 0)
-      log.warn(s"simhashPairs: $nHot simhash band bucket(s) exceed $HotBucketCap members; " +
-        "emitting star candidates for those buckets instead of all-pairs")
+      log.warn(s"simhashPairs: $nHot simhash band bucket(s) exceed $hotBucketCap members; " +
+        "emitting star + identical-fingerprint candidates for those buckets " +
+        "instead of all-pairs — non-min/non-min pairs with differing " +
+        "fingerprints in hot buckets are dropped (see HotBucketCap contract)")
 
     val coldPairs = cold.alias("x")
       .join(cold.alias("y"),
@@ -312,7 +399,17 @@ object Dedup {
           .filter(col("doc_id") > col("min_id"))
           .select(col("min_id").as("doc_a"), col("doc_id").as("doc_b"),
             bit_count(col("min_sh64").bitwiseXOR(col("sh64"))).cast("long").as("hamming"))
-        coldPairs.unionByName(starPairs)
+        // identical-fingerprint recovery (see HotBucketCap): hamming-0 pairs
+        // between same-fingerprint members, linear per bucket via a
+        // fingerprint-group star
+        val wfp = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bandval"), col("sh64"))
+        val fpStar = inHot
+          .withColumn("fp_min", min(col("doc_id")).over(wfp))
+          .filter(col("doc_id") > col("fp_min"))
+          .select(col("fp_min").as("doc_a"), col("doc_id").as("doc_b"),
+            lit(0L).as("hamming"))
+        coldPairs.unionByName(starPairs).unionByName(fpStar)
       }
 
     // filter BEFORE distinct: the hamming cut is a codegen'd bit_count over

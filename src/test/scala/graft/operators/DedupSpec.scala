@@ -102,6 +102,24 @@ class DedupSpec extends AnyFunSuite {
     assert(!sim.exists { case (a, b) => a == 9003L || b == 9003L })
   }
 
+  test("hot-bucket star approximation contract: subset of exact, h0 docs recovered") {
+    // cap=2 makes nearly every band bucket of the real corpus "hot", forcing
+    // the star + identical-fingerprint path everywhere. The contract: the
+    // guarded output never invents a pair (recorded hamming is the true
+    // hamming, so guarded <= exact), and every doc belonging to an exact
+    // hamming-0 pair still appears in a hamming-0 pair (identical-fingerprint
+    // recovery), keeping dedupApply/dupClusters semantics intact.
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = pairs(Dedup.simhashPairs(spark, sf0001))
+    val guarded = pairs(Dedup.simhashPairs(spark, sf0001, 2))
+    assert(guarded.subsetOf(exact), "guard must never emit a false pair")
+    val exactH0Docs = exact.filter(_._3 == 0L).flatMap(p => Seq(p._1, p._2))
+    val guardedH0Docs = guarded.filter(_._3 == 0L).flatMap(p => Seq(p._1, p._2))
+    assert(exactH0Docs.subsetOf(guardedH0Docs),
+      "every identical-fingerprint doc must survive the guard")
+  }
+
   test("exact dedup groups every doc exactly once") {
     val total = Dedup.exactDedup(spark, sf0001)
       .agg(sum(col("n_copies"))).collect()(0).getLong(0)
