@@ -133,19 +133,36 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** 64-bit polynomial rolling hash over the token stream (xxhash64 token
-    * base folded into a 2^30 range, Horner accumulation mod 2^56-5 so
-    * acc*31 + h < 2^61 never overflows under ANSI mode). No cross-engine
-    * oracle (xxhash64 is Spark-specific); determinism asserted in ScalaTest. */
+  /** Polynomial rolling hash over the token stream: per-token base hash =
+    * first 7 hex chars of md5(token) parsed base-16 (< 2^28 — md5 is
+    * identical in every engine, same trick as [[graft.functions.Md5SimHash60]]),
+    * Horner accumulation mod 2^56-5 so acc*31 + h < 2^62 never overflows
+    * under ANSI mode. Fully portable: the DuckDB oracle re-derives the same
+    * fold with list_reduce. */
   def rollingHashQuery(s: SparkSession, dir: String): DataFrame = {
     val t = Text.normText(col("text"))
     val P = 72057594037927931L // 2^56 - 5
     val rolling = aggregate(
-      transform(split(t, " "), w => pmod(xxhash64(w), lit(1073741824L))), // < 2^30
+      transform(split(t, " "),
+        w => conv(substring(md5(w), 1, 7), 16, 10).cast("long")), // < 2^28
       lit(1125899906842597L), // seed
       (acc, h) => pmod(acc * 31L + h, lit(P)))
     Tables.parallel(Tables.documents(s, dir))
       .select(col("doc_id"), rolling.as("rolling_hash"))
       .orderBy(col("doc_id"))
   }
+
+  /** DuckDB SQL replicating [[rollingHashQuery]] exactly: same md5-based
+    * token hash, same seeded Horner fold (seed carried via list_prepend —
+    * list_reduce has no initial-accumulator form). */
+  def rollingHashOracleSql: String = """
+      WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                 FROM documents)
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(1125899906842597 AS BIGINT),
+                 list_transform(string_split(t, ' '),
+                   w -> CAST(concat('0x', substr(md5(w), 1, 7)) AS BIGINT))),
+               (acc, h) -> (acc * 31 + h) % 72057594037927931) AS rolling_hash
+      FROM d ORDER BY doc_id"""
 }
