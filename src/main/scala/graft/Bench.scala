@@ -65,13 +65,22 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
 
     // JVM/codegen warm-up on the smallest sf so measured times are the
-    // steady-state engine, not janino compilation.
+    // steady-state engine, not janino compilation. A warm-up failure is
+    // LOGGED (stderr; stdout stays the one JSON line) — silently skipping
+    // it would charge janino compile time to the query's timed run.
     val warmDir = "/root/testdata/sf0.001"
     headline.foreach { n =>
       try SparkEntry.queries(n)(spark, warmDir)
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
+      catch { case t: Throwable =>
+        System.err.println(s"[bench] WARM-UP FAILED for $n: ${t.getClass.getName}: ${t.getMessage}")
+      }
     }
+
+    def loadavg: String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(",")
+      catch { case _: Throwable => "" }
+    val loadBefore = loadavg
 
     // two timed runs per query, report the min — damps GC/JIT noise so the
     // number reflects the plan, not the weather in this JVM. The cache is
@@ -85,12 +94,17 @@ object Bench {
         val ok = try { force(name); true } catch { case _: Throwable => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> (if (times.forall(_ >= 0)) times.min else -1.0)
+      (name, if (times.forall(_ >= 0)) times.min else -1.0, times)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // per-run spread + machine load: a contended sandbox shows up as a wide
+    // run1/run2 gap and a high loadavg, so an inflated total is auditable
+    // from the artifact itself instead of needing an idle-machine rerun
+    val runs = results.map { case (k, _, ts) => "\"" + k + "\":[" + ts.mkString(",") + "]" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"loadavg_start":"$loadBefore","loadavg_end":"$loadavg","sf":"$sfDir"}""")
     spark.stop()
   }
 }
