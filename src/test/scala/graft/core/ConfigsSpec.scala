@@ -46,4 +46,68 @@ class ConfigsSpec extends AnyFunSuite {
   test("changelog topic naming") {
     assert(AppConfig(name = "my_app").changelogTopic == "my_app__changelog")
   }
+
+  test("auth: no username compiles to an empty client dict") {
+    assert(AuthKafkaConfig().asClientDict == Map.empty)
+    assert(AuthKafkaConfig().asSparkOptions == Map.empty)
+  }
+
+  test("auth PLAIN: client dict carries sasl username/password (reference shape)") {
+    val cfg = AuthKafkaConfig(username = Some("u"), password = Some("pw"))
+    assert(cfg.mechanisms == "PLAIN")
+    assert(cfg.asClientDict == Map(
+      "security.protocol" -> "SASL_SSL",
+      "sasl.mechanisms" -> "PLAIN",
+      "sasl.username" -> "u",
+      "sasl.password" -> "pw"))
+    val sp = cfg.asSparkOptions
+    assert(sp("kafka.security.protocol") == "SASL_SSL")
+    assert(sp("kafka.sasl.mechanism") == "PLAIN") // JVM client: singular
+    assert(sp("kafka.sasl.jaas.config").contains("PlainLoginModule"))
+    assert(sp("kafka.sasl.jaas.config").contains("""username="u""""))
+  }
+
+  test("auth OAUTHBEARER: selected iff oauth_url is set, like the reference validator") {
+    val cfg = AuthKafkaConfig(username = Some("cid"), password = Some("sec"),
+      oauthUrl = Some("https://idp/token"), oauthScope = Some("kafka"))
+    assert(cfg.mechanisms == "OAUTHBEARER")
+    assert(cfg.asClientDict("sasl.mechanisms") == "OAUTHBEARER")
+    assert(cfg.asClientDict("sasl.oauthbearer.token.endpoint.url") == "https://idp/token")
+    assert(!cfg.asClientDict.contains("sasl.username")) // creds go to the token POST
+    assert(cfg.asSparkOptions("kafka.sasl.jaas.config").contains("OAuthBearerLoginModule"))
+    // the token callback contract (config.py:25-37)
+    assert(cfg.oauthTokenPayload == Map("grant_type" -> "client_credentials", "scope" -> "kafka"))
+    val (tok, exp) = cfg.parseOauthToken("""{"access_token":"abc","expires_in":300}""", 1000.0)
+    assert(tok == "abc" && exp == 1300.0)
+    val (_, exp2) = cfg.parseOauthToken("""{"access_token":"abc","expires_in":"60"}""", 0.0)
+    assert(exp2 == 60.0)
+  }
+
+  test("auth env resolution under FLUVII_AUTH_KAFKA_ prefix") {
+    val cfg = AuthKafkaConfig.fromEnv(Map(
+      "FLUVII_AUTH_KAFKA_USERNAME" -> "u2",
+      "FLUVII_AUTH_KAFKA_PASSWORD" -> "p2"))
+    assert(cfg.asClientDict("sasl.username") == "u2")
+    assert(cfg.mechanisms == "PLAIN")
+  }
+
+  test("dotenv layer: env wins over dotenv, dotenv wins over defaults") {
+    val f = java.nio.file.Files.createTempFile("graft", ".env")
+    java.nio.file.Files.writeString(f, """
+      |# comment line
+      |FLUVII_CONSUMER_AUTO_OFFSET_RESET=earliest
+      |export FLUVII_CONSUMER_TIMEOUT_MINUTES="9"
+      |FLUVII_APP_NAME='dotenv_app'
+      |""".stripMargin)
+    val env = Map(
+      "FLUVII_CONFIG_DOTENV" -> f.toString,
+      "FLUVII_CONSUMER_TIMEOUT_MINUTES" -> "3") // process env beats dotenv
+    val eff = Configs.effectiveEnv(env)
+    val cons = ConsumerConfig.fromEnv(eff)
+    assert(cons.autoOffsetReset == "earliest") // dotenv beats default
+    assert(cons.timeoutMinutes == 3)           // env beats dotenv
+    assert(AppConfig.fromEnv(eff).name == "dotenv_app") // quotes stripped
+    assert(cons.sessionTimeoutMs == 120000)    // untouched default survives
+    java.nio.file.Files.delete(f)
+  }
 }
