@@ -200,4 +200,25 @@ class AvroSpec extends AnyFunSuite {
       .select(AvroDecode.decodeRaw(col("value"), purchaseSchema).as("v"))
     assert(df.select(col("v").getField("Account Number")).as[String].head() == "123")
   }
+
+  test("schema resolution: inline JSON, file path, and dotted library path agree") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_schemas")
+    Files.createDirectories(root.resolve("billing/events"))
+    val direct = root.resolve("balance.avsc")
+    Files.writeString(direct, balanceSchema)
+    Files.writeString(root.resolve("billing/events/balance_change.json"), balanceSchema)
+
+    val inline = SchemaResolver.resolve(balanceSchema)
+    // 1. direct file path (producer.py:117-121)
+    assert(SchemaResolver.resolve(direct.toString) == inline)
+    // 2. file path under schema_library_root (producer.py:123-127)
+    assert(SchemaResolver.resolve("balance.avsc", Some(root.toString)) == inline)
+    // 3. dotted library path (producer.py:128-131 module import analog)
+    assert(SchemaResolver.resolve("billing.events.balance_change", Some(root.toString)) == inline)
+    // 4. fall-through: a .json-looking spec that is no file parses as inline
+    //    only if it IS json — mirror of the reference's final json.loads
+    assert(SchemaResolver.resolve("\"string\"").getType == org.apache.avro.Schema.Type.STRING)
+    intercept[Exception](SchemaResolver.resolve("no.such.path", Some(root.toString)))
+  }
 }
