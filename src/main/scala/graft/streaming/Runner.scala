@@ -48,16 +48,36 @@ object Runner {
 /** Prometheus-style counters with the reference's metric names
   * (reference: fluvii/components/metrics/manager/metrics_manager.py:56-60):
   * messages_consumed{topic}, messages_produced{topic},
-  * message_errors{exception}, seconds_behind. Fed from Spark's
-  * StreamingQueryListener progress events. */
+  * message_errors{exception}, external_requests{...}, seconds_behind.
+  * Fed from Spark's StreamingQueryListener progress events.
+  *
+  * seconds_behind carries the reference's semantics — wall clock minus the
+  * produce/event timestamp of the newest message processed
+  * (reference: fluvii/components/consumer/consumer.py:94) — derived from
+  * the batch's event-time progress (trigger timestamp minus eventTime.max),
+  * so it is only published once a query tracking event time has progressed;
+  * batch processing time is published separately as batch_duration_seconds,
+  * never under the lag name. */
 final class GraftMetricsListener extends StreamingQueryListener {
   val messagesConsumed = new ConcurrentHashMap[String, LongAdder]() // by source
   val messagesProduced = new ConcurrentHashMap[String, LongAdder]() // by sink
   val messageErrors = new ConcurrentHashMap[String, LongAdder]()    // by exception
-  @volatile var secondsBehind: Double = 0.0
+  val externalRequests = new ConcurrentHashMap[String, LongAdder]() // by label set
+  @volatile var secondsBehind: Option[Double] = None
+  @volatile var batchDurationSeconds: Double = 0.0
 
   private def add(m: ConcurrentHashMap[String, LongAdder], k: String, n: Long): Unit =
     m.computeIfAbsent(k, _ => new LongAdder).add(n)
+
+  /** external_requests with the reference's label set
+    * (metrics_manager.py:59) — call from any client that leaves the app
+    * (schema registry, token endpoint, ...). */
+  def recordExternalRequest(requestTo: String, requestEndpoint: String,
+      requestType: String = "GET", isBulk: Boolean = false,
+      statusCode: Int = 200): Unit =
+    add(externalRequests,
+      s"""request_to="$requestTo",request_endpoint="$requestEndpoint",""" +
+        s"""request_type="$requestType",is_bulk="$isBulk",status_code="$statusCode"""", 1)
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
 
@@ -65,8 +85,15 @@ final class GraftMetricsListener extends StreamingQueryListener {
     val p = e.progress
     p.sources.foreach(s => add(messagesConsumed, s.description, s.numInputRows))
     Option(p.sink).foreach(s => add(messagesProduced, s.description, s.numOutputRows))
-    // batchDuration as a proxy for lag when no event-time watermark exists
-    secondsBehind = p.batchDuration / 1000.0
+    batchDurationSeconds = p.batchDuration / 1000.0
+    val et = p.eventTime
+    if (et != null && et.containsKey("max")) {
+      try {
+        val maxMs = java.time.Instant.parse(et.get("max")).toEpochMilli
+        val trigMs = java.time.Instant.parse(p.timestamp).toEpochMilli
+        secondsBehind = Some((trigMs - maxMs) / 1000.0)
+      } catch { case _: Exception => () } // unparsable progress: keep last
+    }
   }
 
   override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
@@ -82,7 +109,46 @@ final class GraftMetricsListener extends StreamingQueryListener {
       b ++= s"""messages_produced{topic="$t"} ${n.sum()}\n""" }
     messageErrors.asScala.foreach { case (t, n) =>
       b ++= s"""message_errors{exception="$t"} ${n.sum()}\n""" }
-    b ++= s"seconds_behind $secondsBehind\n"
+    externalRequests.asScala.foreach { case (labels, n) =>
+      b ++= s"external_requests{$labels} ${n.sum()}\n" }
+    secondsBehind.foreach(v => b ++= s"seconds_behind $v\n")
+    b ++= s"batch_duration_seconds $batchDurationSeconds\n"
     b.result()
   }
+}
+
+/** Push-gateway loop (reference: fluvii/components/metrics/pusher/
+  * metrics_pusher.py:52-66): a daemon thread pushing the scrape text on an
+  * interval through a pluggable push function (prometheus push_to_gateway
+  * there; any HTTP POST here — kept a function so offline tests stub it).
+  * Push failures are logged and the loop continues, like the reference. */
+final class MetricsPusher(
+    scrape: () => String,
+    push: String => Unit,
+    pushIntervalMillis: Long = 10000) {
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  @volatile private var running = false
+  private var thread: Thread = _
+
+  def start(): Unit = synchronized {
+    if (!running) {
+      running = true
+      thread = new Thread(() => loop(), "graft-metrics-pusher")
+      thread.setDaemon(true)
+      thread.start()
+    }
+  }
+
+  def stop(): Unit = synchronized {
+    running = false
+    if (thread != null) { thread.interrupt(); thread = null }
+  }
+
+  private def loop(): Unit =
+    try while (running) {
+      Thread.sleep(pushIntervalMillis)
+      if (running)
+        try push(scrape())
+        catch { case e: Exception => log.warn(s"metrics push failed: ${e.getMessage}") }
+    } catch { case _: InterruptedException => () }
 }

@@ -75,8 +75,55 @@ class WindowsStreamingSpec extends AnyFunSuite {
         Thread.sleep(100)
       val scrape = listener.scrape()
       assert(scrape.contains("messages_consumed{topic="), scrape)
-      assert(scrape.contains("seconds_behind"), scrape)
+      // no event time tracked on this query -> the lag metric must NOT be
+      // fabricated from batch duration; that has its own honest name
+      assert(!scrape.contains("seconds_behind"), scrape)
+      assert(scrape.contains("batch_duration_seconds"), scrape)
       assert(listener.messagesConsumed.values().iterator().next().sum() >= 2)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
+  test("seconds_behind is genuine event-time lag; pusher pushes the scrape") {
+    val listener = new GraftMetricsListener
+    spark.streams.addListener(listener)
+    val input = MemoryStream[Ev](spark)
+    // watermarked aggregation => progress carries eventTime.max
+    val agg = input.toDS().withWatermark("et", "1 minute")
+      .groupBy(window(col("et"), "30 minutes")).agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("lag_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(Ev(t(0), "a", 1), Ev(t(5), "a", 2)))
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.secondsBehind.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      // events are stamped at epoch 1700000000 (Nov 2023) — the genuine lag
+      // to wall clock is years, not a batch duration of milliseconds
+      val lag = listener.secondsBehind.getOrElse(fail("no seconds_behind published"))
+      assert(lag > 1e6, s"lag=$lag does not look like event-time lag")
+      assert(listener.scrape().contains(s"seconds_behind "), listener.scrape())
+
+      // external_requests with the reference's label set
+      listener.recordExternalRequest("schema-registry", "/subjects", "POST")
+      assert(listener.scrape().contains(
+        """external_requests{request_to="schema-registry",request_endpoint="/subjects","""),
+        listener.scrape())
+
+      // pusher: periodic scrape through the pluggable push fn
+      val pushes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val pusher = new graft.streaming.MetricsPusher(
+        () => listener.scrape(), s => pushes.add(s), pushIntervalMillis = 50)
+      pusher.start()
+      val pushDeadline = System.currentTimeMillis() + 10000
+      while (pushes.isEmpty && System.currentTimeMillis() < pushDeadline)
+        Thread.sleep(50)
+      pusher.stop()
+      assert(!pushes.isEmpty, "pusher never pushed")
+      assert(pushes.peek().contains("messages_consumed"), pushes.peek())
     } finally {
       q.stop()
       spark.streams.removeListener(listener)
