@@ -81,17 +81,21 @@ object GraftTableApp {
   }
 
   /** T2 — the multi-message variant (reference: fluvii/apps/
-    * fluvii_multi_msg_app.py:7-21): the user function sees a whole
-    * transaction batch at once for bulk processing. The input is first
-    * repartitioned by source partition so one Kafka partition's messages
-    * are never split across bulkFn invocations (a batch may span several
-    * source partitions, as the reference's poll batches do), and each
-    * batch arrives in (partition, offset) order. */
-  def transformBatch[OUT: Encoder](input: Dataset[Message])(
-      bulkFn: Seq[Message] => IterableOnce[OUT]): Dataset[OUT] =
-    input.repartition(org.apache.spark.sql.functions.col("partition"))
-      .mapPartitions { it =>
-        val batch = it.toSeq.sortBy(m => (m.partition, m.offset))
-        if (batch.isEmpty) Iterator.empty else bulkFn(batch).iterator
-      }
+    * fluvii_multi_msg_app.py:7-21): the user function sees a transaction
+    * batch at once for bulk processing. The input is repartitioned by
+    * source partition and SORTED within partitions by (partition, offset) —
+    * Spark's sort is a disk-spillable external sort, so ordering costs
+    * bounded memory — then fed to bulkFn in chunks of at most `maxBatch`
+    * messages (default = the reference's batch_consume_max_count of 100,
+    * consumer/config.py). The reference's poll batches are bounded the same
+    * way; buffering a whole Spark partition instead would OOM an executor
+    * on a skewed 100 TB shard. A chunk may span several source partitions,
+    * as the reference's poll batches do. */
+  def transformBatch[OUT: Encoder](input: Dataset[Message], maxBatch: Int = 100)(
+      bulkFn: Seq[Message] => IterableOnce[OUT]): Dataset[OUT] = {
+    import org.apache.spark.sql.functions.col
+    input.repartition(col("partition"))
+      .sortWithinPartitions(col("partition"), col("offset"))
+      .mapPartitions(_.grouped(maxBatch).flatMap(batch => bulkFn(batch).iterator))
+  }
 }

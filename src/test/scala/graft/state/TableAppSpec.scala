@@ -111,4 +111,23 @@ class TableAppSpec extends AnyFunSuite {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("transformBatch feeds bounded chunks in (partition, offset) order") {
+    // 10k messages in ONE spark partition: the bulk function must see
+    // bounded chunks (reference batch_consume_max_count), never the whole
+    // partition materialized, and offsets must arrive globally ordered
+    val n = 10000
+    val msgs = spark.range(n).map { i =>
+      Message(s"k${i % 7}", s"v$i", Map.empty, "t", (i % 3).toInt, i,
+        new Timestamp(1700000000000L + i))
+    }.repartition(1)
+    val out = GraftTableApp.transformBatch(msgs, maxBatch = 100) { batch =>
+      assert(batch.size <= 100, s"oversized batch: ${batch.size}")
+      Iterator.single((batch.size, batch.map(m => (m.partition, m.offset))))
+    }.collect()
+    assert(out.map(_._1).sum == n)            // every message seen once
+    assert(out.forall(_._1 <= 100))
+    val offsets = out.toSeq.flatMap(_._2)
+    assert(offsets == offsets.sorted)          // (partition, offset) order
+  }
 }
