@@ -41,10 +41,11 @@ object Bench {
     "ta02_quality",
     "ta03_token_stats",
     "ta05_rolling_hash",
-    // sim02 (bucketed ANN) is the scalable similarity representative;
-    // sim01 broadcasts the whole candidate set — an exact oracle baseline
-    // like dd02/sim03, excluded here for the same reason
+    // sim02 (bucketed ANN) and sim04 (IVF) are the scalable similarity
+    // representatives; sim01 broadcasts the whole candidate set — an exact
+    // oracle baseline like dd02/sim03, excluded here for the same reason
     "sim02_ann_lsh",
+    "sim04_ivf_ann",
   )
 
   def main(args: Array[String]): Unit = {

@@ -63,6 +63,7 @@ object SparkEntry {
     "sim01_cosine_topk"    -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "sim02_ann_lsh"        -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
     "sim03_embed_neardup"  -> ((s: SparkSession, d: String) => Similarity.embeddingNearDupPairs(s, d)),
+    "sim04_ivf_ann"        -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     // stateful dataflow (the reference's core surface) — batch-mode run of
     // the flatMapGroupsWithState facade, oracle-checked against SQL
     "st01_stateful_balance" -> graft.streaming.BalanceApp.runningBalanceQuery _,
@@ -371,6 +372,28 @@ object SparkEntry {
         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
         FROM p) t
       WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    // sim04: IVF is deterministic by construction (fixed centroids, argmax
+    // assignment, exact top-k within probed lists) — the whole ANN structure
+    // is re-derived in SQL and hash-compared, unlike probabilistic LSH
+    "sim04_ivf_ann" -> s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      ac AS (SELECT e.vec_id, cent.cid, ${cosSql("e.v", "cent.cv")} AS ccos FROM e, cent),
+      assign AS (SELECT vec_id AS cand_id, cid FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS r
+          FROM ac) t WHERE r = 1),
+      probe AS (SELECT vec_id AS query_id, cid FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS r
+          FROM ac WHERE vec_id < 100) t WHERE r <= 4),
+      cand AS (SELECT p.query_id, a.cand_id FROM probe p
+               JOIN assign a ON p.cid = a.cid AND a.cand_id <> p.query_id),
+      scored AS (SELECT c.query_id, c.cand_id, round(${cosSql("q.v", "x.v")}, 6) AS cos
+                 FROM cand c JOIN e q ON c.query_id = q.vec_id
+                 JOIN e x ON c.cand_id = x.vec_id)
+      SELECT query_id, cand_id, cos, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+        FROM scored) t
+      WHERE rnk <= 5 ORDER BY query_id, rnk""",
     "sim03_embed_neardup" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
       SELECT vec_a, vec_b, cos FROM (
@@ -381,6 +404,14 @@ object SparkEntry {
         FROM e a JOIN e b ON a.vec_id < b.vec_id) t
       WHERE cos >= 0.45 ORDER BY vec_a, vec_b""",
   )
+
+  /** DuckDB sequential-fold cosine of two DOUBLE[] columns — bit-identical
+    * to [[graft.functions.CosineSim]] (left-to-right summation both sides;
+    * proven exact by sim01). */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(1, len($a)+1), i -> $a[CAST(i AS INT)]*$b[CAST(i AS INT)])) /
+       (sqrt(list_sum(list_transform(range(1, len($a)+1), i -> $a[CAST(i AS INT)]*$a[CAST(i AS INT)]))) *
+        sqrt(list_sum(list_transform(range(1, len($b)+1), i -> $b[CAST(i AS INT)]*$b[CAST(i AS INT)])))))"""
 
   /** The verified near-dup pair set as a subquery (shared by the cluster
     * and dedup-apply oracles). */

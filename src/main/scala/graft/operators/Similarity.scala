@@ -122,6 +122,72 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** ANN top-k via IVF (inverted-file) coarse quantization — the other
+    * classic ANN scale path next to sign-LSH ([[lshTopK]]), and fully
+    * DETERMINISTIC, so unlike probabilistic LSH its output is
+    * oracle-checkable end to end:
+    *   - centroids: the first `nCentroids` vectors (a deterministic coarse
+    *     quantizer — production would k-means these; the search structure
+    *     is identical);
+    *   - every vector is assigned to its nearest centroid by cosine
+    *     (tie-break: smaller centroid id) — ONE broadcast join against the
+    *     tiny centroid table + a map-side-combining argmax aggregation, no
+    *     all-pairs anywhere;
+    *   - a query probes its `nProbe` nearest centroids' inverted lists
+    *     only: candidate cost scales with N*nProbe/nCentroids, not N^2;
+    *   - exact cosine top-k over the probed candidates.
+    * At 100 TB the assignment pass is embarrassingly parallel (centroids
+    * broadcast), the inverted lists are just a shuffle on centroid id, and
+    * recall tunes with nProbe/nCentroids (SimilaritySpec pins it vs brute
+    * force). */
+  def ivfTopK(s: SparkSession, dir: String, k: Int = 5, nCentroids: Int = 16,
+      nProbe: Int = 4, nQueries: Int = 100): DataFrame = {
+    val emb = Tables.parallel(Tables.embeddings(s, dir))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cent = emb.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+
+    // vector x centroid cosines: broadcast the (tiny) centroid table
+    val ac = emb.join(broadcast(cent))
+      .withColumn("ccos", cosine(col("v"), col("cv")))
+      .select(col("vec_id"), col("cid"), col("ccos"))
+
+    // nearest centroid per vector: max_by over (ccos, -cid) — an argmax
+    // aggregation with map-side partial combine (no N x nCentroids shuffle)
+    val assign = ac
+      .groupBy(col("vec_id").as("cand_id"))
+      .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cid"))
+
+    // each query's nProbe nearest centroids (same ordering, windowed top-n
+    // over the small nQueries x nCentroids slice)
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+    val probes = ac.filter(col("vec_id") < nQueries)
+      .withColumn("r", row_number().over(wp))
+      .filter(col("r") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cid"))
+
+    // candidates: the probed inverted lists (each candidate is assigned to
+    // exactly one centroid, so no duplicate pairs arise)
+    val cands = probes.join(assign, "cid")
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"))
+
+    val qv = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
+    cands
+      .join(emb.select(col("vec_id").as("cand_id"), col("v").as("cv")), "cand_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold (exact
     * all-pairs — the semantics oracle; at 100 TB you run the same verify
     * step over LSH-bucketed candidates as in [[lshTopK]] instead of the
