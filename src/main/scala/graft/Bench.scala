@@ -37,6 +37,7 @@ object Bench {
     "dd01_exact_dedup",
     "dd03_minhash_lsh",
     "dd04_simhash",
+    "dd07_repeated_spans",
     "ta01_langid",
     "ta02_quality",
     "ta03_token_stats",

@@ -55,6 +55,7 @@ object SparkEntry {
     "dd04_simhash"         -> Dedup.simhashPairs _,
     "dd05_dup_clusters"    -> Dedup.dupClusters _,
     "dd06_dedup_apply"     -> Dedup.dedupApply _,
+    "dd07_repeated_spans"  -> ((s: SparkSession, d: String) => Dedup.repeatedSpans(s, d)),
     "ta01_langid"          -> TextAnalysis.langIdQuery _,
     "ta02_quality"         -> TextAnalysis.qualityQuery _,
     "ta03_token_stats"     -> TextAnalysis.tokenStatsQuery _,
@@ -293,6 +294,26 @@ object SparkEntry {
     // this corpus: no band bucket approaches HotBucketCap, so the star
     // approximation documented on Dedup.HotBucketCap never engages here.)
     "dd04_simhash" -> Dedup.simhashOracleSql,
+    // C4-style repeated-span stats over token 8-grams; span construction,
+    // the distinct-doc cut and the ratio are all re-derived in SQL
+    "dd07_repeated_spans" -> """
+      WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                 FROM documents),
+      tok AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
+      spans AS (SELECT doc_id,
+                  unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
+                    i -> array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' '))) AS span
+                FROM tok),
+      sd AS (SELECT span, count(DISTINCT doc_id) AS nd FROM spans GROUP BY span),
+      perdoc AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                        CAST(sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+                 FROM spans s JOIN sd c USING (span) GROUP BY s.doc_id)
+      SELECT d.doc_id, coalesce(n_spans, 0) AS n_spans,
+             coalesce(n_dup_spans, 0) AS n_dup_spans,
+             CASE WHEN coalesce(n_spans, 0) > 0
+                  THEN CAST(n_dup_spans AS DOUBLE) / n_spans END AS dup_ratio
+      FROM d LEFT JOIN perdoc ON d.doc_id = perdoc.doc_id
+      ORDER BY d.doc_id""",
     "dd05_dup_clusters" -> s"""
       WITH RECURSIVE pairs AS (${pairsSubquerySql}),
       edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs

@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+
+/** All consecutive token n-grams of a single-space-normalized text, one
+  * entry per POSITION (not deduplicated — span positions are what the
+  * repeated-span statistics count), as a native Catalyst expression.
+  *
+  * Equivalent by construction to splitting on ' ' and joining each n-token
+  * window back with ' ' (the executable HOF spec cross-checked in
+  * ExpressionParitySpec, and the DuckDB oracle's
+  * array_to_string(w[i:i+n-1], ' ') formulation) — but emitted as direct
+  * substrings between token boundaries: one scan for the boundaries, zero
+  * per-window array materialization. A text with fewer than n tokens yields
+  * an empty array. */
+case class TokenNgrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    // token start offsets (tokens are single-space separated after normText)
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](64)
+    starts += 0
+    var idx = s.indexOf(' ')
+    while (idx >= 0) { starts += idx + 1; idx = s.indexOf(' ', idx + 1) }
+    val nTok = starts.length
+    val m = nTok - n + 1
+    if (m <= 0) new GenericArrayData(Array.empty[AnyRef])
+    else {
+      val out = new Array[AnyRef](m)
+      var i = 0
+      while (i < m) {
+        val from = starts(i)
+        val until = if (i + n < nTok) starts(i + n) - 1 else s.length
+        out(i) = org.apache.spark.unsafe.types.UTF8String
+          .fromString(s.substring(from, until))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenNgrams =
+    copy(child = newChild)
+}
+
+object TokenNgrams {
+  def tokenNgrams(text: Column, n: Int): Column =
+    GraftBridge.toColumn(TokenNgrams(GraftBridge.toExpression(text), n))
+}

@@ -272,6 +272,43 @@ object Dedup {
     (pairs, caches.toSeq)
   }
 
+  /** Repeated-span statistics (C4-style span dedup, the "remove any
+    * three-sentence span occurring more than once" pass of large corpus
+    * cleaning — here over token n-grams since the corpus is unpunctuated):
+    * for every document, how many of its consecutive `n`-token spans also
+    * occur in at least one OTHER document.
+    *
+    * Plan shape for 100 TB: spans are emitted positionally by one native
+    * expression pass, the only shuffles are the span-key aggregation
+    * (map-side combined) and the span-key join back — never any doc-pair
+    * work. countDistinct(doc_id) per span is exact for oracle parity; at
+    * production scale the standard swap is approx_count_distinct (the
+    * `nd > 1` cut only needs "more than one doc"). Output: doc_id, n_spans,
+    * n_dup_spans, dup_ratio (null for docs shorter than n tokens). */
+  def repeatedSpans(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val spans = Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        explode(graft.functions.TokenNgrams.tokenNgrams(
+          Text.normText(col("text")), n)).as("span"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spanDocs = spans.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    val perDoc = spans.join(spanDocs, "span")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        when(col("n_spans") > 0,
+          col("n_dup_spans").cast("double") / col("n_spans")).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Transitive duplicate clusters from the LSH pair set, by iterative
     * min-label propagation (the scalable connected-components pattern:
     * each round is one shuffle join; rounds ~ cluster diameter, which for

@@ -63,6 +63,21 @@ class ExpressionParitySpec extends AnyFunSuite {
     assert(pairs.count() == 0)
   }
 
+  test("TokenNgrams == HOF split/slice/join spec, positions included") {
+    val n = 8
+    val t = Text.normText(col("text"))
+    val tok = split(t, " ")
+    val spec = when(size(tok) >= n,
+      transform(sequence(lit(0), size(tok) - n),
+        i => array_join(slice(tok, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val df = Tables.documents(spark, sf0001)
+      .withColumn("fast", TokenNgrams.tokenNgrams(t, n))
+      .withColumn("spec", spec)
+      .filter(col("fast") =!= col("spec"))
+    assert(df.count() == 0)
+  }
+
   test("SignLshBucket == HOF lshBucket, bit for bit") {
     val e = Tables.embeddings(spark, sf0001)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
