@@ -42,6 +42,7 @@ object Bench {
     "ta02_quality",
     "ta03_token_stats",
     "ta05_rolling_hash",
+    "ta06_curation",
     // sim02 (bucketed ANN) and sim04 (IVF) are the scalable similarity
     // representatives; sim01 broadcasts the whole candidate set — an exact
     // oracle baseline like dd02/sim03, excluded here for the same reason

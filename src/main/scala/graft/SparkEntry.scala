@@ -61,6 +61,7 @@ object SparkEntry {
     "ta03_token_stats"     -> TextAnalysis.tokenStatsQuery _,
     "ta04_fingerprint"     -> TextAnalysis.fingerprintQuery _,
     "ta05_rolling_hash"    -> TextAnalysis.rollingHashQuery _,
+    "ta06_curation"        -> graft.operators.Curation.curationQuery _,
     "sim01_cosine_topk"    -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "sim02_ann_lsh"        -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
     "sim03_embed_neardup"  -> ((s: SparkSession, d: String) => Similarity.embeddingNearDupPairs(s, d)),
@@ -296,24 +297,7 @@ object SparkEntry {
     "dd04_simhash" -> Dedup.simhashOracleSql,
     // C4-style repeated-span stats over token 8-grams; span construction,
     // the distinct-doc cut and the ratio are all re-derived in SQL
-    "dd07_repeated_spans" -> """
-      WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
-                 FROM documents),
-      tok AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
-      spans AS (SELECT doc_id,
-                  unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
-                    i -> array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' '))) AS span
-                FROM tok),
-      sd AS (SELECT span, count(DISTINCT doc_id) AS nd FROM spans GROUP BY span),
-      perdoc AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
-                        CAST(sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
-                 FROM spans s JOIN sd c USING (span) GROUP BY s.doc_id)
-      SELECT d.doc_id, coalesce(n_spans, 0) AS n_spans,
-             coalesce(n_dup_spans, 0) AS n_dup_spans,
-             CASE WHEN coalesce(n_spans, 0) > 0
-                  THEN CAST(n_dup_spans AS DOUBLE) / n_spans END AS dup_ratio
-      FROM d LEFT JOIN perdoc ON d.doc_id = perdoc.doc_id
-      ORDER BY d.doc_id""",
+    "dd07_repeated_spans" -> Dedup.repeatedSpansOracleSql,
     "dd05_dup_clusters" -> s"""
       WITH RECURSIVE pairs AS (${pairsSubquerySql}),
       edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -380,6 +364,9 @@ object SparkEntry {
              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_md5
       FROM documents ORDER BY doc_id""",
     "ta05_rolling_hash" -> TextAnalysis.rollingHashOracleSql,
+    // ta06 composes the langid/quality/dedup/span oracles into the same
+    // rule cascade as the operator — pipeline and oracle cannot drift
+    "ta06_curation" -> graft.operators.Curation.curationOracleSql,
     "sim01_cosine_topk" -> """
       WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                  FROM embeddings WHERE vec_id < 100),

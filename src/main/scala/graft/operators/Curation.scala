@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Text
+
+/** End-to-end corpus curation verdict — the composed "cleaning pass" a
+  * training-data pipeline actually runs, built from the engine's own
+  * operators: exact-dup grouping ([[Dedup.exactDedup]] semantics), language
+  * agreement ([[TextAnalysis.langIdQuery]]), length flooring
+  * ([[TextAnalysis.qualityQuery]]) and repeated-span pressure
+  * ([[Dedup.repeatedSpans]]). One row per document with the FIRST failing
+  * rule (fixed rule order makes the verdict deterministic), 'ok' if kept.
+  *
+  * Plan shape for 100 TB: four independent columnar/shuffle-on-key passes
+  * over the corpus joined back on doc_id — no doc-pair work anywhere; each
+  * input pass is itself the scalable formulation already audited under its
+  * own query. The oracle composes the same rule cascade from the
+  * sub-operators' oracle SQL, so the pipeline and its oracle cannot drift.
+  */
+object Curation {
+
+  val MinTokens = 10
+  val MaxDupRatio = 0.5
+
+  def curationQuery(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val keep = Tables.documents(s, dir)
+      .select(col("doc_id"), md5(Text.normText(col("text"))).as("fp"))
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("keep_id"))
+    val li = TextAnalysis.langIdQuery(s, dir)
+      .select(col("doc_id"), col("declared_lang"), col("pred_lang"))
+    val q = TextAnalysis.qualityQuery(s, dir)
+      .select(col("doc_id"), col("n_tokens"))
+    val sp = Dedup.repeatedSpans(s, dir)
+      .select(col("doc_id"), col("dup_ratio"))
+    keep
+      .join(li, "doc_id").join(q, "doc_id").join(sp, "doc_id")
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("keep_id"), "exact_dup")
+          .when(col("pred_lang") =!= col("declared_lang"), "lang_mismatch")
+          .when(col("n_tokens") < MinTokens, "too_short")
+          .when(col("dup_ratio") >= MaxDupRatio, "span_dup")
+          .otherwise("ok").as("reason"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle composed from the sub-operators' own oracle SQL (nested
+    * CTEs), applying the identical rule cascade. */
+  def curationOracleSql: String = s"""
+      WITH li AS (${TextAnalysis.langIdOracleSql}),
+      fpx AS (SELECT doc_id,
+                min(doc_id) OVER (PARTITION BY
+                  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS keep_id
+              FROM documents),
+      qx AS (SELECT doc_id,
+               CASE WHEN length(t) = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(length(t) - length(regexp_replace(t, ' ', '', 'g')) + 1 AS BIGINT)
+               END AS n_tokens
+             FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                   FROM documents) z),
+      spx AS (${Dedup.repeatedSpansOracleSql})
+      SELECT f.doc_id,
+        CASE WHEN f.doc_id <> f.keep_id THEN 'exact_dup'
+             WHEN li.pred_lang <> li.declared_lang THEN 'lang_mismatch'
+             WHEN qx.n_tokens < $MinTokens THEN 'too_short'
+             WHEN spx.dup_ratio >= $MaxDupRatio THEN 'span_dup'
+             ELSE 'ok' END AS reason
+      FROM fpx f JOIN li USING (doc_id) JOIN qx USING (doc_id) JOIN spx USING (doc_id)
+      ORDER BY f.doc_id"""
+}

@@ -272,6 +272,26 @@ object Dedup {
     (pairs, caches.toSeq)
   }
 
+  /** DuckDB SQL replicating [[repeatedSpans]] exactly (token 8-grams). */
+  val repeatedSpansOracleSql: String = """
+      WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                 FROM documents),
+      tok AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
+      spans AS (SELECT doc_id,
+                  unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
+                    i -> array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' '))) AS span
+                FROM tok),
+      sd AS (SELECT span, count(DISTINCT doc_id) AS nd FROM spans GROUP BY span),
+      perdoc AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                        CAST(sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+                 FROM spans s JOIN sd c USING (span) GROUP BY s.doc_id)
+      SELECT d.doc_id, coalesce(n_spans, 0) AS n_spans,
+             coalesce(n_dup_spans, 0) AS n_dup_spans,
+             CASE WHEN coalesce(n_spans, 0) > 0
+                  THEN CAST(n_dup_spans AS DOUBLE) / n_spans END AS dup_ratio
+      FROM d LEFT JOIN perdoc ON d.doc_id = perdoc.doc_id
+      ORDER BY d.doc_id"""
+
   /** Repeated-span statistics (C4-style span dedup, the "remove any
     * three-sentence span occurring more than once" pass of large corpus
     * cleaning — here over token n-grams since the corpus is unpunctuated):
