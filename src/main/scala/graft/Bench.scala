@@ -48,6 +48,7 @@ object Bench {
     // oracle baseline like dd02/sim03, excluded here for the same reason
     "sim02_ann_lsh",
     "sim04_ivf_ann",
+    "sim05_embed_neardup_lsh",
   )
 
   def main(args: Array[String]): Unit = {

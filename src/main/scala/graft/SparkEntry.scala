@@ -48,6 +48,7 @@ object SparkEntry {
     "q29_correlated_subq"  -> Relational.aboveNationAvg _,
     "q30_pushdown"         -> Relational.pushdownShowcase _,
     "q31_approx_stats"     -> Relational.approxStats _,
+    "q32_range_frame"      -> Relational.rangeFrame _,
     // LLM-data-pipeline operators (dedup / text analysis / similarity)
     "dd01_exact_dedup"     -> Dedup.exactDedup _,
     "dd02_ngram_jaccard"   -> Dedup.ngramJaccardPairs _,
@@ -66,6 +67,9 @@ object SparkEntry {
     "sim02_ann_lsh"        -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
     "sim03_embed_neardup"  -> ((s: SparkSession, d: String) => Similarity.embeddingNearDupPairs(s, d)),
     "sim04_ivf_ann"        -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
+    // no oracle by nature (LSH recall is probabilistic); SimilaritySpec pins
+    // exact-subset + deterministic recall against the sim03 brute force
+    "sim05_embed_neardup_lsh" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDupPairsBucketed(s, d)),
     // stateful dataflow (the reference's core surface) — batch-mode run of
     // the flatMapGroupsWithState facade, oracle-checked against SQL
     "st01_stateful_balance" -> graft.streaming.BalanceApp.runningBalanceQuery _,
@@ -213,6 +217,11 @@ object SparkEntry {
       SELECT o_orderkey, o_totalprice FROM orders
       WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
       ORDER BY o_orderkey""",
+    "q32_range_frame" -> """
+      SELECT user_id, event_id,
+             round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)
+                    RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW), 2) AS hour_sum
+      FROM events ORDER BY user_id, event_id""",
     "st01_stateful_balance" -> """
       SELECT user_id, event_id,
              round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id

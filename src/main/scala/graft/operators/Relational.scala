@@ -293,6 +293,20 @@ object Relational {
       .orderBy(col("c_mktsegment"), col("c_custkey"))
   }
 
+  /** Event-time RANGE frame (W2): per-user sliding one-hour sum keyed by
+    * VALUE distance on the sort key, not row count — peers at equal ts all
+    * enter the frame. ts is epoch nanos (long), so the bound is numeric
+    * (3600e9) on both engines. */
+  def rangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rangeBetween(-3600L * 1000000000L, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("hour_sum", round(sum(col("value")).over(w), 2))
+      .select(col("user_id"), col("event_id"), col("hour_sum"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Array/collection functions (§2.8): aggregation to sorted collections,
     * emitted as join-strings for a stable cross-engine schema. */
   def arrayFuncs(s: SparkSession, dir: String): DataFrame =

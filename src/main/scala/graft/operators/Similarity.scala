@@ -188,11 +188,43 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Scalable embedding near-dup: the LSH-bucketed form of
+    * [[embeddingNearDupPairs]] — candidates are id pairs meeting in a
+    * sign-LSH bucket (multi-probe over 1-bit flips), distinct'd as bare ids
+    * (vectors re-joined only for surviving pairs), then exact-verified
+    * against the cosine threshold. Every emitted pair is exact; recall is
+    * the LSH tradeoff (deterministic for a given corpus — SimilaritySpec
+    * pins it against the brute-force oracle), tuned by `planes`: fewer
+    * planes = bigger buckets = higher recall and more verify work. */
+  def embeddingNearDupPairsBucketed(s: SparkSession, dir: String,
+      threshold: Double = 0.45, planes: Int = 4): DataFrame = {
+    val emb = Tables.parallel(Tables.embeddings(s, dir))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = emb.select(col("vec_id").as("vec_a"),
+      explode(array(
+        (col("bucket") +: (0 until planes).map(p =>
+          col("bucket").bitwiseXOR(lit(1L << p)))): _*)).as("probe"))
+    val cands = probes
+      .join(emb.select(col("vec_id").as("vec_b"), col("bucket").as("cbucket")),
+        col("probe") === col("cbucket") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct() // a pair can meet via several probes; ids only — no vectors
+    cands
+      .join(emb.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold (exact
-    * all-pairs — the semantics oracle; at 100 TB you run the same verify
-    * step over LSH-bucketed candidates as in [[lshTopK]] instead of the
-    * cross join). Cosine rounded to 6 dp so the threshold test is
-    * engine-portable. */
+    * all-pairs — the semantics oracle; at 100 TB you run
+    * [[embeddingNearDupPairsBucketed]], the same verify step over
+    * LSH-bucketed candidates, instead of the cross join). Cosine rounded
+    * to 6 dp so the threshold test is engine-portable. */
   def embeddingNearDupPairs(s: SparkSession, dir: String,
       threshold: Double = 0.45): DataFrame = {
     val emb = Tables.embeddings(s, dir)

@@ -56,6 +56,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.375, s"IVF recall $mean does not beat probing baseline")
   }
 
+  test("bucketed near-dup: exact subset of brute force, deterministic recall") {
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Similarity.embeddingNearDupPairs(spark, sf0001))
+    val bucketed = pairSet(Similarity.embeddingNearDupPairsBucketed(spark, sf0001))
+    // every emitted pair is exact-verified -> no false positives, ever
+    assert(bucketed.subsetOf(exact), s"invented pairs: ${bucketed -- exact}")
+    val recall = if (exact.isEmpty) 1.0 else (bucketed & exact).size.toDouble / exact.size
+    info(s"bucketed near-dup recall = $recall over ${exact.size} true pairs")
+    // deterministic buckets -> recall is a fixed corpus property; the LSH
+    // probe (5 of 16 buckets) must clearly beat its probed fraction
+    assert(recall >= 0.4, s"recall $recall too low for planes=4 multi-probe")
+  }
+
   test("near-dup pairs are symmetric-free, above threshold, deterministic") {
     val p1 = Similarity.embeddingNearDupPairs(spark, sf0001).collect()
     assert(p1.forall(r => r.getLong(0) < r.getLong(1)))
