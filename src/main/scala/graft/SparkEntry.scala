@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis, Windows}
+import graft.operators.{Curation, Dedup, Multimodal, Relational, Search, Similarity, TextAnalysis, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -57,12 +57,16 @@ object SparkEntry {
     "dd05_dup_clusters"    -> Dedup.dupClusters _,
     "dd06_dedup_apply"     -> Dedup.dedupApply _,
     "dd07_repeated_spans"  -> ((s: SparkSession, d: String) => Dedup.repeatedSpans(s, d)),
+    "dd08_decontaminate"   -> ((s: SparkSession, d: String) => Dedup.decontaminate(s, d)),
     "ta01_langid"          -> TextAnalysis.langIdQuery _,
     "ta02_quality"         -> TextAnalysis.qualityQuery _,
     "ta03_token_stats"     -> TextAnalysis.tokenStatsQuery _,
     "ta04_fingerprint"     -> TextAnalysis.fingerprintQuery _,
     "ta05_rolling_hash"    -> TextAnalysis.rollingHashQuery _,
     "ta06_curation"        -> graft.operators.Curation.curationQuery _,
+    "ta07_unigram_logprob" -> TextAnalysis.unigramLogProbQuery _,
+    "sa01_stratified_sample" -> ((s: SparkSession, d: String) => Curation.stratifiedSampleQuery(s, d)),
+    "ir01_bm25_topk"       -> ((s: SparkSession, d: String) => Search.bm25TopK(s, d)),
     "sim01_cosine_topk"    -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "sim02_ann_lsh"        -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
     "sim03_embed_neardup"  -> ((s: SparkSession, d: String) => Similarity.embeddingNearDupPairs(s, d)),
@@ -307,6 +311,7 @@ object SparkEntry {
     // C4-style repeated-span stats over token 8-grams; span construction,
     // the distinct-doc cut and the ratio are all re-derived in SQL
     "dd07_repeated_spans" -> Dedup.repeatedSpansOracleSql,
+    "dd08_decontaminate" -> Dedup.decontaminateOracleSql,
     "dd05_dup_clusters" -> s"""
       WITH RECURSIVE pairs AS (${pairsSubquerySql}),
       edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -376,6 +381,9 @@ object SparkEntry {
     // ta06 composes the langid/quality/dedup/span oracles into the same
     // rule cascade as the operator — pipeline and oracle cannot drift
     "ta06_curation" -> graft.operators.Curation.curationOracleSql,
+    "ta07_unigram_logprob" -> TextAnalysis.unigramLogProbOracleSql,
+    "sa01_stratified_sample" -> graft.operators.Curation.stratifiedSampleOracleSql,
+    "ir01_bm25_topk" -> graft.operators.Search.bm25OracleSql,
     "sim01_cosine_topk" -> """
       WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                  FROM embeddings WHERE vec_id < 100),

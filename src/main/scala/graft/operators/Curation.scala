@@ -47,6 +47,41 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic stratified sampling: per stratum (language), keep the
+    * `perStratum` documents that rank first under a content-independent
+    * pseudo-random key md5(doc_id) — reproducible "random" selection with
+    * exact per-stratum counts, the downsampling step of corpus mixing.
+    *
+    * Plan shape for 100 TB: the `row_number <= k` filter is recognized by
+    * Catalyst's InferWindowGroupLimit, so each map task keeps only its own
+    * top-k per stratum before the shuffle-by-lang — the exchange carries
+    * O(strata x k), not the corpus. With few huge strata the per-key work
+    * still concentrates; when exact counts are not required the zero-shuffle
+    * alternative is the hash-threshold Bernoulli cut
+    * (md5(doc_id) < rate-threshold), same determinism, no exchange at all. */
+  def stratifiedSampleQuery(s: SparkSession, dir: String,
+      perStratum: Int = 40): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("rk"), col("doc_id"))
+    Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("rk"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= perStratum)
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+      .orderBy(col("lang"), col("sample_rank"))
+  }
+
+  /** DuckDB SQL replicating [[stratifiedSampleQuery]] exactly. */
+  val stratifiedSampleOracleSql: String = """
+      WITH r AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS rk
+                 FROM documents),
+      x AS (SELECT doc_id, lang,
+              row_number() OVER (PARTITION BY lang ORDER BY rk, doc_id) AS sample_rank
+            FROM r)
+      SELECT doc_id, lang, sample_rank FROM x
+      WHERE sample_rank <= 40 ORDER BY lang, sample_rank"""
+
   /** DuckDB oracle composed from the sub-operators' own oracle SQL (nested
     * CTEs), applying the identical rule cascade. */
   def curationOracleSql: String = s"""

@@ -329,6 +329,67 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark decontamination (the "remove eval-set contamination" pass
+    * every serious training-data pipeline runs before training): docs from
+    * `benchSource` are the held-out benchmark; every OTHER document is
+    * scored by how many of its token `n`-grams also appear anywhere in the
+    * benchmark, and flagged when the overlap is nonzero.
+    *
+    * Plan shape for 100 TB: benchmark sets are eval suites — bounded and
+    * tiny relative to the corpus — so their distinct span set is broadcast
+    * and the corpus side is ONE map-side pass (explode spans → broadcast
+    * left join marker → per-doc partial agg). No shuffle of the exploded
+    * corpus spans at all; the only wide exchange is the per-doc_id count
+    * aggregation. If a benchmark ever outgrew the broadcast limit the join
+    * degrades to shuffle-on-span, same answer. Output: doc_id, n_spans,
+    * n_contam_spans, contaminated. */
+  def decontaminate(s: SparkSession, dir: String, benchSource: String = "src0",
+      n: Int = 8): DataFrame = {
+    def spansOf(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      explode(graft.functions.TokenNgrams.tokenNgrams(
+        Text.normText(col("text")), n)).as("span"))
+    val docs = Tables.parallel(Tables.documents(s, dir))
+    val bench = spansOf(docs.filter(col("source") === benchSource))
+      .select(col("span")).distinct().withColumn("bhit", lit(1))
+    val corpus = docs.filter(col("source") =!= benchSource)
+    val perDoc = spansOf(corpus)
+      .join(broadcast(bench), Seq("span"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("bhit").isNotNull, 1L).otherwise(0L)).as("n_contam_spans"))
+    corpus.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_contam_spans"), lit(0L)).as("n_contam_spans"),
+        (coalesce(col("n_contam_spans"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB SQL replicating [[decontaminate]] exactly (token 8-grams,
+    * benchmark = source 'src0'). */
+  val decontaminateOracleSql: String = """
+      WITH d AS (SELECT doc_id, source,
+                        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                 FROM documents),
+      tok AS (SELECT doc_id, source, string_split(t, ' ') AS w FROM d),
+      spans AS (SELECT doc_id, source,
+                  unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
+                    i -> array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' '))) AS span
+                FROM tok),
+      bench AS (SELECT DISTINCT span FROM spans WHERE source = 'src0'),
+      perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                        CAST(sum(CASE WHEN span IN (SELECT span FROM bench)
+                                      THEN 1 ELSE 0 END) AS BIGINT) AS n_contam_spans
+                 FROM spans WHERE source <> 'src0' GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(n_spans, 0) AS n_spans,
+             coalesce(n_contam_spans, 0) AS n_contam_spans,
+             coalesce(n_contam_spans, 0) > 0 AS contaminated
+      FROM d LEFT JOIN perdoc USING (doc_id)
+      WHERE d.source <> 'src0' ORDER BY d.doc_id"""
+
   /** Transitive duplicate clusters from the LSH pair set, by iterative
     * min-label propagation (the scalable connected-components pattern:
     * each round is one shuffle join; rounds ~ cluster diameter, which for

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Text
+
+/** Keyword search over the corpus: BM25 relevance scoring and top-k
+  * retrieval for a fixed term set — the "find the documents most about X"
+  * primitive behind relevance filtering and targeted corpus slicing.
+  *
+  * Plan shape for 100 TB: no inverted index is materialized and nothing is
+  * exploded — per-term TFs are columnar count-occurrence expressions, the
+  * corpus statistics (N, avgdl, per-term df) reduce to ONE row via a
+  * map-side partial aggregate, and that row is broadcast back over the
+  * corpus for scoring. Two narrow passes over the scan plus a
+  * TakeOrderedAndProject top-k: each task keeps k rows, the driver merges
+  * 32 x k — the corpus is never globally sorted. */
+object Search {
+
+  /** Query terms for the oracle-checked bm25 query (all present in the
+    * synthetic vocabulary). */
+  val QueryTerms: Seq[String] = Seq("spark", "join", "window")
+  val K1 = 1.2
+  val B = 0.75
+  val TopK = 50
+
+  /** BM25 top-k: score = sum_t idf_t * tf_t*(k1+1) / (tf_t + k1*(1-b+b*dl/avgdl))
+    * with the Lucene-style smoothed idf = ln((N-df+0.5)/(df+0.5) + 1).
+    * All inputs to the floating-point score are exact integers (tf, df, N,
+    * dl) or exact ratios of integer sums (avgdl), and the arithmetic is
+    * written in the same association order as the oracle SQL, so the only
+    * cross-engine wobble is ln()'s last ulp — absorbed by the 4dp round.
+    * Ties in the rounded score break on doc_id: fully deterministic top-k. */
+  def bm25TopK(s: SparkSession, dir: String, terms: Seq[String] = QueryTerms,
+      k: Int = TopK): DataFrame = {
+    val perDoc = Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"), Text.normText(col("text")).as("t"))
+      .select(col("doc_id"), Text.tokenCount(col("t")).as("dl"),
+        Text.doubledSpaces(col("t")).as("dd"))
+      .select(Seq(col("doc_id"), col("dl")) ++ terms.map(t =>
+        Text.wordOccurrencesInDoubled(col("dd"), t).as(s"tf_$t")): _*)
+    val aggCols = Seq(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")) ++
+      terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = perDoc.agg(aggCols.head, aggCols.tail: _*)
+    def termScore(t: String): Column = {
+      val tf = col(s"tf_$t").cast("double")
+      val df = col(s"df_$t").cast("double")
+      val idf = log((col("n_docs").cast("double") - df + 0.5) / (df + 0.5) + 1.0)
+      idf * (tf * (K1 + 1.0)) /
+        (tf + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl").cast("double") / col("avgdl")))
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .select(Seq(col("doc_id")) ++ terms.map(t => col(s"tf_$t")) :+
+        round(terms.map(termScore).reduce(_ + _), 4).as("bm25"): _*)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB SQL replicating [[bm25TopK]]: same tokenization (doubled-space
+    * occurrence counting), same one-row corpus stats, same association
+    * order in the score arithmetic. */
+  def bm25OracleSql: String = {
+    def occ(w: String): String =
+      s"CAST((length(dd) - length(regexp_replace(dd, ' \\Q$w\\E ', '', 'g'))) / ${w.length + 2} AS BIGINT)"
+    val tfCols = QueryTerms.map(t => s"${occ(t)} AS tf_$t").mkString(",\n               ")
+    val dfCols = QueryTerms.map(t =>
+      s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
+      .mkString(",\n               ")
+    val scoreTerms = QueryTerms.map { t =>
+      val idf = s"ln((CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5) + 1.0)"
+      s"$idf * (CAST(tf_$t AS DOUBLE) * ${K1 + 1.0}) / " +
+        s"(CAST(tf_$t AS DOUBLE) + $K1 * ((1.0 - $B) + $B * CAST(dl AS DOUBLE) / avgdl))"
+    }.mkString(" + ")
+    val tfOut = QueryTerms.map(t => s"tf_$t").mkString(", ")
+    s"""
+      WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                 FROM documents),
+      d2 AS (SELECT doc_id,
+               CASE WHEN length(t) = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(length(t) - length(regexp_replace(t, ' ', '', 'g')) + 1 AS BIGINT)
+               END AS dl,
+               replace(' ' || t || ' ', ' ', '  ') AS dd
+             FROM d),
+      perdoc AS (SELECT doc_id, dl,
+               $tfCols
+             FROM d2),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl,
+               $dfCols
+             FROM perdoc)
+      SELECT doc_id, $tfOut, round($scoreTerms, 4) AS bm25
+      FROM perdoc CROSS JOIN stats
+      ORDER BY bm25 DESC, doc_id LIMIT $TopK"""
+  }
+}

@@ -165,4 +165,44 @@ object TextAnalysis {
                    w -> CAST(concat('0x', substr(md5(w), 1, 7)) AS BIGINT))),
                (acc, h) -> (acc * 31 + h) % 72057594037927931) AS rolling_hash
       FROM d ORDER BY doc_id"""
+
+  /** CCNet-style language-model quality score: per-document mean unigram
+    * log-probability under the corpus's own unigram distribution (a cheap
+    * stand-in for the KenLM perplexity filter real pipelines run). Two-pass:
+    * (1) corpus vocab = explode tokens, shuffle-count by word (map-side
+    * partial agg); (2) re-explode, join tokens to vocab, mean ln(c/t) per
+    * doc. The vocab join is left to AQE — at test SF the vocab auto-
+    * broadcasts; at 100 TB web-corpus vocab it degrades gracefully to a
+    * sort-merge join on the token shuffle, which is the plan you'd want.
+    * The token stream is deliberately recomputed from the scan, not
+    * persisted: at scale the exploded tokens are ~20x the corpus. Mean is
+    * rounded 4dp (order-dependent double agg, per the oracle policy). */
+  def unigramLogProbQuery(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(split(Text.normText(col("text")), " ")).as("word"))
+    val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("t"))
+    toks
+      .join(vocab, "word")
+      .crossJoin(total)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(log(col("c").cast("double") / col("t").cast("double"))), 4)
+          .as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[unigramLogProbQuery]]: same tokenization, same
+    * corpus-relative unigram probabilities, same 4dp-rounded mean. */
+  def unigramLogProbOracleSql: String = """
+      WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                 FROM documents),
+      toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS word FROM d),
+      cnt AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
+      tot AS (SELECT count(*) AS t FROM toks)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             round(avg(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))), 4) AS avg_logprob
+      FROM toks JOIN cnt USING (word) CROSS JOIN tot
+      GROUP BY doc_id ORDER BY doc_id"""
 }
