@@ -66,7 +66,9 @@ object SparkEntry {
     "ta06_curation"        -> graft.operators.Curation.curationQuery _,
     "ta07_unigram_logprob" -> TextAnalysis.unigramLogProbQuery _,
     "sa01_stratified_sample" -> ((s: SparkSession, d: String) => Curation.stratifiedSampleQuery(s, d)),
+    "sa02_domain_reweight" -> Curation.domainReweightQuery _,
     "ir01_bm25_topk"       -> ((s: SparkSession, d: String) => Search.bm25TopK(s, d)),
+    "ev01_funnel"          -> Windows.funnelQuery _,
     "sim01_cosine_topk"    -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "sim02_ann_lsh"        -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
     "sim03_embed_neardup"  -> ((s: SparkSession, d: String) => Similarity.embeddingNearDupPairs(s, d)),
@@ -74,6 +76,7 @@ object SparkEntry {
     // no oracle by nature (LSH recall is probabilistic); SimilaritySpec pins
     // exact-subset + deterministic recall against the sim03 brute force
     "sim05_embed_neardup_lsh" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDupPairsBucketed(s, d)),
+    "sim06_kmeans"         -> ((s: SparkSession, d: String) => Similarity.kmeansAssign(s, d)),
     // stateful dataflow (the reference's core surface) — batch-mode run of
     // the flatMapGroupsWithState facade, oracle-checked against SQL
     "st01_stateful_balance" -> graft.streaming.BalanceApp.runningBalanceQuery _,
@@ -383,7 +386,9 @@ object SparkEntry {
     "ta06_curation" -> graft.operators.Curation.curationOracleSql,
     "ta07_unigram_logprob" -> TextAnalysis.unigramLogProbOracleSql,
     "sa01_stratified_sample" -> graft.operators.Curation.stratifiedSampleOracleSql,
+    "sa02_domain_reweight" -> graft.operators.Curation.domainReweightOracleSql,
     "ir01_bm25_topk" -> graft.operators.Search.bm25OracleSql,
+    "ev01_funnel" -> Windows.funnelOracleSql,
     "sim01_cosine_topk" -> """
       WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                  FROM embeddings WHERE vec_id < 100),
@@ -428,6 +433,7 @@ object SparkEntry {
                   sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[CAST(i AS INT)]*b.v[CAST(i AS INT)])))), 6) AS cos
         FROM e a JOIN e b ON a.vec_id < b.vec_id) t
       WHERE cos >= 0.45 ORDER BY vec_a, vec_b""",
+    "sim06_kmeans" -> graft.operators.Similarity.kmeansOracleSql(),
   )
 
   /** DuckDB sequential-fold cosine of two DOUBLE[] columns — bit-identical

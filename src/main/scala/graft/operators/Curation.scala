@@ -82,6 +82,44 @@ object Curation {
       SELECT doc_id, lang, sample_rank FROM x
       WHERE sample_rank <= 40 ORDER BY lang, sample_rank"""
 
+  /** Domain mixture reweighting (the corpus-mixing planner): per source
+    * domain, the natural share of the corpus, a declared target share, and
+    * the sampling weight (= epochs multiplier) that reaches the target —
+    * the DoReMi-style "reweight domains before training" step. The target
+    * here is a deterministic function of the source index ((idx mod 4 + 1)
+    * / 50, which sums to 1 over the 20 synthetic sources); a production
+    * caller passes its own target map.
+    *
+    * All arithmetic is exact-integer ratios and one IEEE division, so every
+    * double is bit-identical cross-engine with NO rounding. Plan shape: one
+    * map-side-combined count per source (20 rows) plus a broadcast scalar
+    * total — nothing scales with the corpus but the count pass. */
+  def domainReweightQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallel(Tables.documents(s, dir))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val total = docs.agg(count(lit(1)).as("total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("idx", substring(col("source"), 4, 10).cast("long"))
+      .select(col("source"), col("n_docs"),
+        (col("n_docs").cast("double") / col("total").cast("double")).as("nat_share"),
+        ((col("idx") % 4 + 1).cast("double") / 50.0).as("target_share"))
+      .withColumn("weight", col("target_share") / col("nat_share"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB SQL replicating [[domainReweightQuery]] exactly. */
+  val domainReweightOracleSql: String = """
+      WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                 FROM documents GROUP BY source),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+      x AS (SELECT source, n_docs,
+              CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE) AS nat_share,
+              CAST(CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS DOUBLE) / 50.0 AS target_share
+            FROM c CROSS JOIN t)
+      SELECT source, n_docs, nat_share, target_share,
+             target_share / nat_share AS weight
+      FROM x ORDER BY source"""
+
   /** DuckDB oracle composed from the sub-operators' own oracle SQL (nested
     * CTEs), applying the identical rule cascade. */
   def curationOracleSql: String = s"""

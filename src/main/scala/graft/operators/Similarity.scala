@@ -237,4 +237,80 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** Deterministic Lloyd k-means over the embedding corpus (the trainer for
+    * the [[ivfTopK]] coarse quantizer): init centroids = vectors 0..k-1,
+    * then `iters` rounds of (assign to nearest-by-cosine centroid, recompute
+    * centroids as the element-wise member mean). Output = the assignment
+    * under the final centroids.
+    *
+    * Plan shape per iteration at 100 TB: centroids are k x dim — always
+    * broadcast; assignment is an embarrassingly parallel argmax aggregation
+    * (map-side combined); the recompute explodes members positionally and
+    * reduces (cluster, pos) partial sums — shuffle cardinality k x dim, not
+    * the corpus. Iterations stack lineage linearly (iters is small and
+    * fixed; cf. [[Dedup.dupClusters]] for the checkpointed unbounded form).
+    *
+    * Determinism for the oracle: ties in the argmax break on smaller
+    * centroid id; centroid components are rounded to 6 dp each round so the
+    * two engines' different partial-sum orders cannot drift. */
+  def kmeansAssign(s: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val emb = Tables.parallel(Tables.embeddings(s, dir))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def assign(cent: DataFrame): DataFrame = emb
+      .join(broadcast(cent))
+      .withColumn("ccos", cosine(col("v"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cid"))
+    var cent = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      cent = assign(cent)
+        .join(emb, "vec_id")
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(round(avg(col("x")), 6).as("cx"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+          e => e.getField("cx")).as("cv"))
+    }
+    assign(cent)
+      .select(col("vec_id"), col("cid").as("cluster"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB SQL replicating [[kmeansAssign]] exactly: the iteration loop is
+    * unrolled into CTE blocks generated from the same (k, iters) spec, so
+    * the operator and its oracle cannot drift. Assignment argmax is a
+    * row_number window (ccos DESC, cid ASC — same tie-break); centroid
+    * means are rounded 6 dp like the Spark side. */
+  def kmeansOracleSql(k: Int = 8, iters: Int = 2): String = {
+    def assignCte(name: String, cent: String) = s"""
+      $name AS (SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+        FROM e CROSS JOIN $cent c) z WHERE rn = 1)"""
+    def centCte(name: String, asg: String) = s"""
+      $name AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM (
+        SELECT a.cid, t.i AS pos, round(avg(e.v[CAST(t.i AS INT)]), 6) AS cx
+        FROM $asg a JOIN e USING (vec_id) CROSS JOIN range(1, 65) t(i)
+        GROUP BY a.cid, t.i) z GROUP BY cid)"""
+    val blocks = (1 to iters).flatMap { i =>
+      Seq(assignCte(s"a$i", if (i == 1) "c0" else s"c${i - 1}"),
+        centCte(s"c$i", s"a$i"))
+    }.mkString(",")
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $k),
+      ${blocks.drop(1)},
+      af AS (SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+        FROM e CROSS JOIN c$iters c) z WHERE rn = 1)
+      SELECT vec_id, cid AS cluster FROM af ORDER BY vec_id"""
+  }
 }

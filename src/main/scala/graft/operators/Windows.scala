@@ -49,4 +49,49 @@ object Windows {
       .select(unix_timestamp(col("w.start")).as("window_start"),
         col("n"), col("sum_value"))
       .orderBy(col("window_start"))
+
+  /** Conversion funnel (ordered-sequence analytics): per user, the first
+    * 'signup' and the first 'purchase' at-or-after it, whether the user
+    * converted, and the integer seconds in between. Times stay in epoch
+    * nanos (the raw sort key) so the comparison and the difference are
+    * exact integer arithmetic on both engines.
+    *
+    * Plan shape for 100 TB: two event-type-filtered scans each reduced by a
+    * map-side-combined min per user, then user-keyed joins — the exchanges
+    * carry one row per user, never the raw event stream; no window over the
+    * full event sequence is ever materialized. */
+  def funnelQuery(s: SparkSession, dir: String): DataFrame = {
+    // epoch MICROS both sides: DuckDB truncates TIMESTAMP(NANOS) parquet to
+    // micros on read, so micros (= ns div 1000, truncation) is the exact
+    // cross-engine timestamp resolution; comparisons use micros too so both
+    // engines apply identical at-or-after semantics
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("tus"))
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("tus")).as("signup_us"))
+    val purchase = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tus").as("pus"))
+      .join(signup, "user_id")
+      .filter(col("pus") >= col("signup_us"))
+      .groupBy(col("user_id")).agg(min(col("pus")).as("purchase_us"))
+    signup.join(purchase, Seq("user_id"), "left")
+      .select(col("user_id"), col("signup_us"), col("purchase_us"),
+        col("purchase_us").isNotNull.as("converted"),
+        expr("(purchase_us - signup_us) div 1000000").as("secs_to_convert"))
+      .orderBy(col("user_id"))
+  }
+
+  /** DuckDB SQL replicating [[funnelQuery]] exactly. */
+  val funnelOracleSql: String = """
+      WITH s AS (SELECT user_id, min(epoch_us(ts)) AS signup_us
+                 FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS purchase_us
+            FROM events e JOIN s USING (user_id)
+            WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.signup_us
+            GROUP BY e.user_id)
+      SELECT s.user_id, s.signup_us, p.purchase_us,
+             p.purchase_us IS NOT NULL AS converted,
+             (p.purchase_us - s.signup_us) // 1000000 AS secs_to_convert
+      FROM s LEFT JOIN p USING (user_id) ORDER BY s.user_id"""
 }

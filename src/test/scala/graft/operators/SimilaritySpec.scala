@@ -70,6 +70,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall $recall too low for planes=4 multi-probe")
   }
 
+  test("kmeans: full coverage, valid cluster ids, nontrivial, deterministic") {
+    val rows = Similarity.kmeansAssign(spark, sf0001).collect()
+    assert(rows.length == 500)
+    val clusters = rows.map(_.getLong(1)).toSet
+    assert(clusters.forall(c => c >= 0 && c < 8))
+    assert(clusters.size > 1, "k-means collapsed to a single cluster")
+    val again = Similarity.kmeansAssign(spark, sf0001).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1)))
+      .sameElements(again.map(r => (r.getLong(0), r.getLong(1)))))
+  }
+
   test("near-dup pairs are symmetric-free, above threshold, deterministic") {
     val p1 = Similarity.embeddingNearDupPairs(spark, sf0001).collect()
     assert(p1.forall(r => r.getLong(0) < r.getLong(1)))
