@@ -38,6 +38,28 @@ class WindowsStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup (dropDuplicatesWithinWatermark) == batch distinct") {
+    // the streaming twin of dd01: duplicates replayed across microbatches
+    // inside the watermark horizon are emitted once; state is bounded by
+    // the watermark (unlike plain dropDuplicates, whose state only grows)
+    val input = MemoryStream[Ev](spark)
+    val dedup = input.toDS()
+      .withWatermark("et", "2 hours")
+      .dropDuplicatesWithinWatermark("event_type", "value")
+      .select(col("event_type"), col("value"))
+    val q = dedup.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(Ev(t(0), "a", 1), Ev(t(1), "a", 1), Ev(t(2), "b", 2)))
+      q.processAllAvailable()
+      // same logical rows replayed in a later microbatch, still in horizon
+      input.addData(Seq(Ev(t(3), "a", 1), Ev(t(4), "b", 2), Ev(t(5), "c", 3)))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").as[(String, Double)].collect().toSeq
+      assert(rows.sorted == Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)))
+    } finally q.stop()
+  }
+
   test("watermark drops data later than the delay (X3)") {
     val input = MemoryStream[Ev](spark)
     val agg = input.toDS()
