@@ -87,6 +87,7 @@ object SparkEntry {
     // multimodal binary-column pipeline (decode is a deterministic stub)
     "mm01_media_features"  -> Multimodal.mediaFeaturesQuery _,
     "mm02_frame_sample"    -> Multimodal.frameSampleQuery _,
+    "mm03_media_embed_topk" -> ((s: SparkSession, d: String) => Multimodal.mediaEmbedTopK(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables, same column
@@ -351,6 +352,7 @@ object SparkEntry {
       FROM d, range(0, 100) i(i)
       WHERE i.i*64 < n AND i.i % 4 = 0
       ORDER BY media_id, frame_idx""",
+    "mm03_media_embed_topk" -> Multimodal.mediaEmbedTopKOracleSql(),
     "ta01_langid" -> TextAnalysis.langIdOracleSql,
     "ta02_quality" -> """
       WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t

@@ -111,4 +111,61 @@ object Multimodal {
         element_at(col("features"), 3).as("f2"))
       .orderBy(col("media_id"))
   }
+
+  /** Query mm03 — the full multimodal curation loop: binary payload →
+    * batched (stub) encoder → embedding column → similarity search. Each
+    * media item's pooled features become its embedding (cosine is scale-
+    * invariant, so the raw pooled vector works unnormalized), and the first
+    * `nQueries` items retrieve their `k` nearest others — media-level
+    * near-duplicate retrieval, the dedup primitive for image/video corpora.
+    *
+    * Plan shape for 100 TB: the encoder runs once per item inside
+    * mapPartitions (setup amortized per partition); the tiny query-vector
+    * table is broadcast over ONE pass of the candidate stream; per-query
+    * rank is a WindowGroupLimit-able top-k. Swapping [[FakeDecoder]] for a
+    * real model changes nothing downstream. */
+  def mediaEmbedTopK(s: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 20): DataFrame = {
+    import s.implicits._
+    val feats = extractFeatures(mediaFromDocuments(s, dir)).toDF()
+      .filter(col("n_bytes") > 0) // all-zero vector has no cosine
+      .select(col("media_id"), col("features").cast("array<double>").as("emb"))
+    val qs = feats.filter(col("media_id") < nQueries)
+      .select(col("media_id").as("query_id"), col("emb").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
+    feats.select(col("media_id").as("cand_id"), col("emb").as("cv"))
+      .join(broadcast(qs), col("cand_id") =!= col("query_id"))
+      .withColumn("cos", round(Similarity.cosine(col("qv"), col("cv")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** DuckDB SQL replicating [[mediaEmbedTopK]]: the same 8 strided octet
+    * sums as the mm01 oracle assembled into a DOUBLE[] embedding, the same
+    * sequential-fold cosine (bit-identical to CosineSim), same rank rules. */
+  def mediaEmbedTopKOracleSql(k: Int = 5, nQueries: Int = 20): String = {
+    val sums = (0 until FeatureDim).map { i =>
+      s"""CAST(CAST(coalesce(list_sum(list_transform(range(${i + 1}, length(text)+1, $FeatureDim),
+         i -> ord(substr(text, CAST(i AS INT), 1)))), 0) AS BIGINT) AS DOUBLE)"""
+    }.mkString("[", ", ", "]")
+    def fold(a: String, b: String): String =
+      s"""(list_sum(list_transform(range(1, len($a)+1), i -> $a[CAST(i AS INT)]*$b[CAST(i AS INT)])) /
+         (sqrt(list_sum(list_transform(range(1, len($a)+1), i -> $a[CAST(i AS INT)]*$a[CAST(i AS INT)]))) *
+          sqrt(list_sum(list_transform(range(1, len($b)+1), i -> $b[CAST(i AS INT)]*$b[CAST(i AS INT)])))))"""
+    s"""
+      WITH f AS (SELECT doc_id AS media_id, $sums AS emb
+                 FROM documents WHERE octet_length(encode(text)) > 0),
+      scored AS (SELECT q.media_id AS query_id, c.media_id AS cand_id,
+                        round(${fold("q.emb", "c.emb")}, 6) AS cos
+                 FROM f q JOIN f c ON c.media_id <> q.media_id
+                 WHERE q.media_id < $nQueries)
+      SELECT query_id, cand_id, cos, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, cand_id) AS rnk
+        FROM scored) t
+      WHERE rnk <= $k ORDER BY query_id, rnk"""
+  }
 }

@@ -38,4 +38,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.forall(_.getInt(1) % 4 == 0))
     assert(rows.filter(_.getInt(1) > 0).forall(r => r.getInt(2) <= 64))
   }
+
+  test("embed top-k: well-formed ranking; identical payloads embed identically") {
+    // ranking invariants over the corpus
+    val rows = Multimodal.mediaEmbedTopK(spark, sf0001).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.size == 20)
+    byQuery.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).sameElements(1L to sorted.length))
+      val cs = sorted.map(_.getDouble(2))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    // byte-identical payloads => identical embeddings => cosine exactly 1
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRecord(0L, "img", "same payload bytes".getBytes, 0, 0),
+      Multimodal.MediaRecord(1L, "img", "same payload bytes".getBytes, 0, 0),
+      Multimodal.MediaRecord(2L, "img", "other content here!".getBytes, 0, 0)
+    ).toDS()
+    val f = Multimodal.extractFeatures(media).collect()
+      .map(m => m.media_id -> m.features.toSeq).toMap
+    assert(f(0L) == f(1L) && f(0L) != f(2L))
+  }
 }

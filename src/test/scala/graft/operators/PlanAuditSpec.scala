@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import graft.SparkTestSession.{spark, sf0001}
+
+/** Physical-plan regression tests: every 100 TB design claim made in the
+  * operator scaladocs is pinned here, so a refactor that silently
+  * de-optimizes a plan (adds an exchange, loses a broadcast, drops a
+  * group-limit) fails CI instead of surfacing at cluster scale. */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private def planOf(df: DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+  private def count(plan: String, op: String): Int =
+    op.r.findAllMatchIn(plan).length
+
+  test("ta01/ta02/ta04: columnar text passes have ZERO exchanges") {
+    for (df <- Seq(TextAnalysis.langIdQuery(spark, sf0001),
+        TextAnalysis.qualityQuery(spark, sf0001),
+        TextAnalysis.fingerprintQuery(spark, sf0001))) {
+      val plan = planOf(df.limit(1))
+      // the only allowed exchange is the final singlePartition for the
+      // global orderBy/limit — none keyed by data
+      assert(!plan.contains("hashpartitioning"),
+        s"unexpected keyed exchange:\n$plan")
+    }
+  }
+
+  test("sa01: stratified sample plans a WindowGroupLimit before the shuffle") {
+    val plan = planOf(Curation.stratifiedSampleQuery(spark, sf0001))
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("ir01: bm25 top-k is TakeOrderedAndProject, stats join is broadcast") {
+    val plan = planOf(Search.bm25TopK(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("dd08: decontamination joins the benchmark span set by broadcast") {
+    val plan = planOf(Dedup.decontaminate(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the corpus span stream must NOT be exchanged for the bench join —
+    // only per-doc aggregation and the final doc_id joins may shuffle
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q30: filters reach the parquet scan (PushedFilters)") {
+    val plan = planOf(Relational.pushdownShowcase(spark, sf0001))
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("IsNotNull") || plan.contains("GreaterThan"), plan)
+  }
+
+  test("q02: global top-k is TakeOrderedAndProject, not a full sort") {
+    val plan = planOf(Relational.topOrders(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("sim06: kmeans centroids are broadcast every iteration") {
+    val plan = planOf(Similarity.kmeansAssign(spark, sf0001))
+    // 3 assignment passes (2 iterations + final) — each broadcasts the
+    // centroid table; none may degrade to a sort-merge or shuffled join
+    assert(count(plan, "BroadcastNestedLoopJoin") >= 3, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q03: dimension joins are broadcast at dimension scale") {
+    val plan = planOf(Relational.revenueByNation(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}

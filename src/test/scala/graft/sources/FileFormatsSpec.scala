@@ -30,4 +30,20 @@ class FileFormatsSpec extends AnyFunSuite {
     assert(agg(fromCsv) == agg(base))
     assert(agg(fromJson) == agg(base))
   }
+
+  test("orc roundtrip preserves query results and pushes filters") {
+    val base = Tables.orders(spark, sf0001)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    base.write.mode("overwrite").orc(s"$tmp/orders_orc")
+    val fromOrc = spark.read.orc(s"$tmp/orders_orc")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("o_totalprice") > 100000.0)
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus")).collect().toSeq
+    assert(agg(fromOrc) == agg(base))
+    // predicate pushdown reaches the ORC scan too
+    val plan = fromOrc.filter(col("o_totalprice") > 100000.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan)
+  }
 }
