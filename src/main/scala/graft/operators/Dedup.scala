@@ -301,10 +301,13 @@ object Dedup {
     * Plan shape for 100 TB: spans are emitted positionally by one native
     * expression pass, the only shuffles are the span-key aggregation
     * (map-side combined) and the span-key join back — never any doc-pair
-    * work. countDistinct(doc_id) per span is exact for oracle parity; at
-    * production scale the standard swap is approx_count_distinct (the
-    * `nd > 1` cut only needs "more than one doc"). Output: doc_id, n_spans,
-    * n_dup_spans, dup_ratio (null for docs shorter than n tokens). */
+    * work. "Occurs in more than one doc" is computed as
+    * min(doc_id) != max(doc_id) per span — EXACTLY equivalent to
+    * countDistinct(doc_id) > 1 but with plain min/max partial aggregation
+    * instead of a distinct-aggregate expand (no per-span doc_id
+    * deduplication state; the oracle keeps the countDistinct formulation to
+    * prove the equivalence). Output: doc_id, n_spans, n_dup_spans,
+    * dup_ratio (null for docs shorter than n tokens). */
   def repeatedSpans(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
     val spans = Tables.parallel(Tables.documents(s, dir))
       .select(col("doc_id"),
@@ -312,12 +315,12 @@ object Dedup {
           Text.normText(col("text")), n)).as("span"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spanDocs = spans.groupBy(col("span"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
+      .agg((min(col("doc_id")) =!= max(col("doc_id"))).as("multi_doc"))
     val perDoc = spans.join(spanDocs, "span")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_spans"),
-        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+        sum(when(col("multi_doc"), 1L).otherwise(0L)).as("n_dup_spans"))
     Tables.documents(s, dir).select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(
