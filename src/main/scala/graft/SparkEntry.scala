@@ -58,6 +58,7 @@ object SparkEntry {
     "dd06_dedup_apply"     -> Dedup.dedupApply _,
     "dd07_repeated_spans"  -> ((s: SparkSession, d: String) => Dedup.repeatedSpans(s, d)),
     "dd08_decontaminate"   -> ((s: SparkSession, d: String) => Dedup.decontaminate(s, d)),
+    "dd09_incremental_dedup" -> Dedup.incrementalDedup _,
     "ta01_langid"          -> TextAnalysis.langIdQuery _,
     "ta02_quality"         -> TextAnalysis.qualityQuery _,
     "ta03_token_stats"     -> TextAnalysis.tokenStatsQuery _,
@@ -68,6 +69,7 @@ object SparkEntry {
     "sa01_stratified_sample" -> ((s: SparkSession, d: String) => Curation.stratifiedSampleQuery(s, d)),
     "sa02_domain_reweight" -> Curation.domainReweightQuery _,
     "ir01_bm25_topk"       -> ((s: SparkSession, d: String) => Search.bm25TopK(s, d)),
+    "ir02_inverted_index"  -> ((s: SparkSession, d: String) => Search.invertedIndex(s, d)),
     "ev01_funnel"          -> Windows.funnelQuery _,
     "sim01_cosine_topk"    -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "sim02_ann_lsh"        -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
@@ -316,6 +318,7 @@ object SparkEntry {
     // the distinct-doc cut and the ratio are all re-derived in SQL
     "dd07_repeated_spans" -> Dedup.repeatedSpansOracleSql,
     "dd08_decontaminate" -> Dedup.decontaminateOracleSql,
+    "dd09_incremental_dedup" -> Dedup.incrementalDedupOracleSql,
     "dd05_dup_clusters" -> s"""
       WITH RECURSIVE pairs AS (${pairsSubquerySql}),
       edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -390,6 +393,7 @@ object SparkEntry {
     "sa01_stratified_sample" -> graft.operators.Curation.stratifiedSampleOracleSql,
     "sa02_domain_reweight" -> graft.operators.Curation.domainReweightOracleSql,
     "ir01_bm25_topk" -> graft.operators.Search.bm25OracleSql,
+    "ir02_inverted_index" -> graft.operators.Search.invertedIndexOracleSql,
     "ev01_funnel" -> Windows.funnelOracleSql,
     "sim01_cosine_topk" -> """
       WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

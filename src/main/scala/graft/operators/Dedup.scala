@@ -393,6 +393,54 @@ object Dedup {
       FROM d LEFT JOIN perdoc USING (doc_id)
       WHERE d.source <> 'src0' ORDER BY d.doc_id"""
 
+  /** Incremental ingestion dedup (the steady-state form of [[exactDedup]]:
+    * every real pipeline deduplicates each NEW batch against the corpus it
+    * has already accepted, not the world from scratch). Here the "existing
+    * corpus" is sources src0..src9 and the "new batch" src10..src19; each
+    * new document is marked duplicate-of-existing (fingerprint already in
+    * the store), duplicate-within-batch (an earlier new doc has the same
+    * fingerprint), or kept.
+    *
+    * Plan shape for 100 TB: fingerprints are md5 column ops; the store
+    * probe is a distinct + equi-join on the hash (AQE broadcasts the batch
+    * side when small — the common case: a daily batch vs a petabyte store
+    * shuffles ONLY the batch); within-batch dedup is one min-per-key
+    * window. Nothing rescans the accepted corpus's text. */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        substring(col("source"), 4, 10).cast("long").as("src_idx"),
+        md5(Text.normText(col("text"))).as("fp"))
+    val store = docs.filter(col("src_idx") < 10).select(col("fp")).distinct()
+      .withColumn("in_store", lit(true))
+    val batch = docs.filter(col("src_idx") >= 10)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    batch
+      .join(store, Seq("fp"), "left")
+      .withColumn("first_in_batch", min(col("doc_id")).over(w))
+      .select(col("doc_id"),
+        coalesce(col("in_store"), lit(false)).as("dup_of_existing"),
+        (col("doc_id") =!= col("first_in_batch")).as("dup_within_batch"))
+      .withColumn("keep", !col("dup_of_existing") && !col("dup_within_batch"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB SQL replicating [[incrementalDedup]] exactly. */
+  val incrementalDedupOracleSql: String = """
+      WITH d AS (SELECT doc_id, CAST(substr(source, 4) AS BIGINT) AS src_idx,
+                        md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+                 FROM documents),
+      store AS (SELECT DISTINCT fp FROM d WHERE src_idx < 10),
+      batch AS (SELECT doc_id, fp,
+                       min(doc_id) OVER (PARTITION BY fp) AS first_in_batch
+                FROM d WHERE src_idx >= 10)
+      SELECT b.doc_id,
+             s.fp IS NOT NULL AS dup_of_existing,
+             b.doc_id <> b.first_in_batch AS dup_within_batch,
+             (s.fp IS NULL AND b.doc_id = b.first_in_batch) AS keep
+      FROM batch b LEFT JOIN store s USING (fp)
+      ORDER BY b.doc_id"""
+
   /** Transitive duplicate clusters from the LSH pair set, by iterative
     * min-label propagation (the scalable connected-components pattern:
     * each round is one shuffle join; rounds ~ cluster diameter, which for

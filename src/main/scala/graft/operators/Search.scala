@@ -57,6 +57,42 @@ object Search {
       .limit(k)
   }
 
+  /** Inverted-index construction (the artifact behind [[bm25TopK]] when the
+    * term set is NOT fixed): per term, document frequency, total term
+    * frequency, and the first `cap` posting doc_ids in ascending order.
+    * Emitted for terms with df >= `minDf` (index pruning).
+    *
+    * Plan shape for 100 TB: explode tokens → ONE shuffle on term with
+    * map-side partial aggregation; postings are capped (slice) so no
+    * unbounded list ever crosses the wire — the classic "build the postings
+    * table" job. Downstream lookups are then broadcast/shuffle joins
+    * against this artifact. */
+  def invertedIndex(s: SparkSession, dir: String, minDf: Long = 25,
+      cap: Int = 8): DataFrame = {
+    Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(split(Text.normText(col("text")), " ")).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        concat_ws(",", slice(array_sort(collect_list(col("doc_id"))), 1, cap))
+          .as("postings_head"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("term"))
+  }
+
+  /** DuckDB SQL replicating [[invertedIndex]] exactly. */
+  val invertedIndexOracleSql: String = """
+      WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                 FROM documents),
+      toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM d),
+      tfs AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id)
+      SELECT term, CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(tf) AS BIGINT) AS total_tf,
+             array_to_string(list_sort(list(doc_id))[1:8], ',') AS postings_head
+      FROM tfs GROUP BY term HAVING count(*) >= 25 ORDER BY term"""
+
   /** DuckDB SQL replicating [[bm25TopK]]: same tokenization (doubled-space
     * occurrence counting), same one-row corpus stats, same association
     * order in the score arithmetic. */

@@ -47,6 +47,45 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(df.collect().map(_.toString).sameElements(rows.map(_.toString)))
   }
 
+  test("dd09: verdicts match a local recomputation from fingerprints") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val rows = Dedup.incrementalDedup(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(3) == (!r.getBoolean(1) && !r.getBoolean(2)), r.toString)
+    }
+    // independent recomputation driver-side
+    val fps = graft.core.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"),
+        md5(graft.functions.Text.normText(col("text"))).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1).drop(3).toLong, r.getString(2)))
+    val store = fps.filter(_._2 < 10).map(_._3).toSet
+    val batch = fps.filter(_._2 >= 10)
+    val firstIn = batch.groupBy(_._3).map { case (fp, ds) => fp -> ds.map(_._1).min }
+    val expected = batch.map { case (id, _, fp) =>
+      id -> (store.contains(fp), id != firstIn(fp))
+    }.toMap
+    assert(rows.length == batch.length)
+    rows.foreach { r =>
+      assert((r.getBoolean(1), r.getBoolean(2)) == expected(r.getLong(0)), r.toString)
+    }
+  }
+
+  test("ir02: pruned df, bounded postings, unique sorted terms") {
+    val rows = Search.invertedIndex(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val df = r.getLong(1)
+      assert(df >= 25 && r.getLong(2) >= df) // total_tf >= df
+      val postings = r.getString(3).split(",")
+      assert(postings.length == math.min(df, 8L), r.toString)
+      assert(postings.map(_.toLong).sorted.sameElements(postings.map(_.toLong)))
+    }
+    val terms = rows.map(_.getString(0))
+    assert(terms.distinct.length == terms.length)
+    assert(terms.sorted.sameElements(terms))
+  }
+
   test("ir01: top-k size, descending rounded scores, positive-tf head") {
     val rows = Search.bm25TopK(spark, sf0001).collect()
     assert(rows.length == Search.TopK)
