@@ -66,6 +66,7 @@ object SparkEntry {
     "ta05_rolling_hash"    -> TextAnalysis.rollingHashQuery _,
     "ta06_curation"        -> graft.operators.Curation.curationQuery _,
     "ta07_unigram_logprob" -> TextAnalysis.unigramLogProbQuery _,
+    "ta08_vocab_encode"    -> ((s: SparkSession, d: String) => TextAnalysis.vocabEncodeQuery(s, d)),
     "sa01_stratified_sample" -> ((s: SparkSession, d: String) => Curation.stratifiedSampleQuery(s, d)),
     "sa02_domain_reweight" -> Curation.domainReweightQuery _,
     "ir01_bm25_topk"       -> ((s: SparkSession, d: String) => Search.bm25TopK(s, d)),
@@ -390,6 +391,7 @@ object SparkEntry {
     // rule cascade as the operator — pipeline and oracle cannot drift
     "ta06_curation" -> graft.operators.Curation.curationOracleSql,
     "ta07_unigram_logprob" -> TextAnalysis.unigramLogProbOracleSql,
+    "ta08_vocab_encode" -> TextAnalysis.vocabEncodeOracleSql,
     "sa01_stratified_sample" -> graft.operators.Curation.stratifiedSampleOracleSql,
     "sa02_domain_reweight" -> graft.operators.Curation.domainReweightOracleSql,
     "ir01_bm25_topk" -> graft.operators.Search.bm25OracleSql,

@@ -205,4 +205,55 @@ object TextAnalysis {
              round(avg(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))), 4) AS avg_logprob
       FROM toks JOIN cnt USING (word) CROSS JOIN tot
       GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Vocabulary encoding — the "tokenize the corpus for training" step:
+    * build the vocabulary (id = frequency rank, ties broken
+    * lexicographically, 0-based like every tokenizer), then encode each
+    * document as its token-id sequence (head capped at `cap` ids for a
+    * bounded output schema).
+    *
+    * Plan shape for 100 TB: vocab build is the unigram count shuffle (map-
+    * side combined) + a rank that WindowGroupLimit cannot prune (full vocab
+    * is the artifact) but is over the VOCAB cardinality, not the corpus;
+    * encoding re-explodes the corpus ONCE, joins the vocab (AQE broadcast
+    * when it fits, sort-merge otherwise) and reassembles per doc with a
+    * positional sort — the exact shape of production tokenizer jobs. */
+  def vocabEncodeQuery(s: SparkSession, dir: String, cap: Int = 16): DataFrame = {
+    val wv = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("word"))
+    val toks = Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        posexplode(split(Text.normText(col("text")), " ")).as(Seq("pos", "word")))
+    val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .withColumn("token_id", row_number().over(wv).cast("long") - 1L)
+      .select(col("word"), col("token_id"))
+    toks
+      .join(vocab, "word")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        concat_ws(",", transform(
+          slice(array_sort(collect_list(struct(col("pos"), col("token_id")))), 1, cap),
+          e => e.getField("token_id").cast("string"))).as("ids_head"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB SQL replicating [[vocabEncodeQuery]] exactly (same rank rule,
+    * same positional reassembly, same 16-id head). */
+  def vocabEncodeOracleSql: String = """
+      WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                 FROM documents),
+      toks AS (SELECT doc_id,
+                 generate_subscripts(string_split(t, ' '), 1) AS pos,
+                 unnest(string_split(t, ' ')) AS word
+               FROM d),
+      vocab AS (SELECT word,
+                  CAST(row_number() OVER (ORDER BY count(*) DESC, word) AS BIGINT) - 1
+                    AS token_id
+                FROM toks GROUP BY word)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             array_to_string(list_transform(
+               list_sort(list([k.pos, k.token_id]))[1:16], x -> x[2]), ',') AS ids_head
+      FROM (SELECT t.doc_id, t.pos, v.token_id FROM toks t JOIN vocab v USING (word)) k
+      GROUP BY doc_id ORDER BY doc_id"""
 }

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession.spark
+
+/** Property tests: native expressions vs their HOF executable specs on
+  * ADVERSARIAL generated input (empty strings, unicode, repeated chars,
+  * huge tokens) — the corpus-based parity tests only see well-formed ASCII
+  * word soup. Inputs are generated with a fixed seed so failures replay. */
+class ExpressionPropertySpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def samples(g: Gen[String], n: Int): Seq[String] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val nastyText: Gen[String] = Gen.oneOf(
+    Gen.const(""),
+    Gen.const(" "),
+    Gen.const("    "),
+    Gen.asciiPrintableStr,
+    Gen.alphaNumStr,
+    Gen.listOf(Gen.oneOf('a', ' ', 'é', '中', '\ud83d', 'x')).map(_.mkString),
+    Gen.choose(1, 200).flatMap(k => Gen.const("ab " * k)),
+    Gen.identifier.map(s => s + " " + s + " " + s))
+
+  test("CharShingles == HOF spec on adversarial strings") {
+    val df = samples(nastyText, 300).toDF("text")
+      .withColumn("fast", CharShingles.charShingles(col("text"), 5))
+      .withColumn("spec", Text.charShingles(col("text"), 5))
+      .filter(col("fast") =!= col("spec"))
+    assert(df.count() == 0)
+  }
+
+  test("TokenNgrams == split/slice spec on adversarial strings") {
+    // TokenNgrams contract: input is already normalized (single spaces);
+    // normalize the generated text first, as every caller does
+    val df = samples(nastyText, 300).toDF("raw")
+      .select(Text.normText(col("raw")).as("text"))
+      .withColumn("fast", TokenNgrams.tokenNgrams(col("text"), 3))
+      .withColumn("spec", {
+        val w = split(col("text"), " ")
+        val n = 3
+        filter(
+          transform(sequence(lit(0), greatest(size(w) - n, lit(0))),
+            i => when(i + n <= size(w), concat_ws(" ", slice(w, i + lit(1), lit(n))))),
+          x => x.isNotNull)
+      })
+      .filter(col("fast") =!= col("spec"))
+    assert(df.count() == 0)
+  }
+
+  test("MinHashFromText is deterministic and shingle-consistent on nasty input") {
+    val df = samples(nastyText, 200).toDF("text")
+      .withColumn("fast", MinHashFromText.minhashFromText(col("text"), 5, 32))
+      .withColumn("spec", MinHashSig.minhashSig(Text.charShingles(col("text"), 5), 32))
+      .filter(col("fast") =!= col("spec"))
+    assert(df.count() == 0)
+  }
+
+  test("SignLshBucket == HOF bucket on random vectors incl. zeros/negatives") {
+    val vecs: Seq[Seq[Double]] = (0 until 200).map { i =>
+      val g = Gen.listOfN(16, Gen.chooseNum(-1e3, 1e3))
+      g.apply(Gen.Parameters.default, Seed(i.toLong)).getOrElse(Seq.fill(16)(0.0))
+    } :+ Seq.fill(16)(0.0)
+    val df = vecs.toDF("v")
+      .withColumn("fast", graft.operators.Similarity.lshBucket(col("v"), 6))
+      .withColumn("spec", graft.operators.Similarity.lshBucketHof(col("v"), 6))
+      .filter(col("fast") =!= col("spec"))
+    assert(df.count() == 0)
+  }
+
+  test("CosineSim == HOF cosine on random vectors, bit for bit") {
+    val vecs: Seq[(Seq[Double], Seq[Double])] = (0 until 200).map { i =>
+      val g = Gen.listOfN(12, Gen.chooseNum(-100.0, 100.0).suchThat(_ != 0.0))
+      (g.apply(Gen.Parameters.default, Seed(i.toLong)).getOrElse(Seq.fill(12)(1.0)),
+        g.apply(Gen.Parameters.default, Seed(i.toLong + 10000)).getOrElse(Seq.fill(12)(1.0)))
+    }
+    val df = vecs.toDF("a", "b")
+      .withColumn("fast", graft.operators.Similarity.cosine(col("a"), col("b")))
+      .withColumn("spec", graft.operators.Similarity.cosineHof(col("a"), col("b")))
+      .filter(col("fast") =!= col("spec"))
+    assert(df.count() == 0)
+  }
+}
