@@ -30,19 +30,31 @@ object Bench {
     "q28_percentiles",
     "q29_correlated_subq",
     "q31_approx_stats",
+    "q32_range_frame",
     "st01_stateful_balance",
     "w01_tumbling_window",
     "w02_session_window",
+    "ev01_funnel",
     "mm01_media_features",
+    "mm03_media_embed_topk",
     "dd01_exact_dedup",
     "dd03_minhash_lsh",
     "dd04_simhash",
     "dd07_repeated_spans",
+    "dd08_decontaminate",
+    "dd09_incremental_dedup",
     "ta01_langid",
     "ta02_quality",
     "ta03_token_stats",
     "ta05_rolling_hash",
     "ta06_curation",
+    "ta07_unigram_logprob",
+    "ta08_vocab_encode",
+    "sa01_stratified_sample",
+    "sa02_domain_reweight",
+    "ir01_bm25_topk",
+    "ir02_inverted_index",
+    "sim06_kmeans",
     // sim02 (bucketed ANN) and sim04 (IVF) are the scalable similarity
     // representatives; sim01 broadcasts the whole candidate set — an exact
     // oracle baseline like dd02/sim03, excluded here for the same reason
