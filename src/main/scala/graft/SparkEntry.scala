@@ -49,6 +49,7 @@ object SparkEntry {
     "q30_pushdown"         -> Relational.pushdownShowcase _,
     "q31_approx_stats"     -> Relational.approxStats _,
     "q32_range_frame"      -> Relational.rangeFrame _,
+    "q33_map_funcs"        -> Relational.mapFuncs _,
     // LLM-data-pipeline operators (dedup / text analysis / similarity)
     "dd01_exact_dedup"     -> Dedup.exactDedup _,
     "dd02_ngram_jaccard"   -> Dedup.ngramJaccardPairs _,
@@ -233,6 +234,14 @@ object SparkEntry {
              round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)
                     RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW), 2) AS hour_sum
       FROM events ORDER BY user_id, event_id""",
+    "q33_map_funcs" -> """
+      SELECT event_id,
+             CAST(len(json_keys(props)) + 1 AS BIGINT) AS map_size,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+             event_type AS etype,
+             array_to_string(list_sort(list_append(json_keys(props), 'type')), ',')
+               AS keys_sorted
+      FROM events ORDER BY event_id""",
     "st01_stateful_balance" -> """
       SELECT user_id, event_id,
              round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -307,6 +307,28 @@ object Relational {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Map functions (§2.8): construct, merge, probe and enumerate map
+    * columns (the headers/props shape every Kafka envelope carries) —
+    * map(), map_concat, element_at, size, map_keys. Scalars are emitted
+    * (not the map itself) so the DuckDB oracle can re-derive the same
+    * values from JSON without sharing a map encoding. */
+  def mapFuncs(s: SparkSession, dir: String): DataFrame = {
+    val m = map_concat(
+      map(lit("type"), col("event_type")),
+      from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType)))
+    Tables.events(s, dir)
+      .select(col("event_id"), m.as("m"))
+      .select(
+        col("event_id"),
+        size(col("m")).cast("long").as("map_size"),
+        element_at(col("m"), "k").cast("long").as("prop_k"),
+        element_at(col("m"), "type").as("etype"),
+        concat_ws(",", array_sort(map_keys(col("m")))).as("keys_sorted"))
+      .orderBy(col("event_id"))
+  }
+
   /** Array/collection functions (§2.8): aggregation to sorted collections,
     * emitted as join-strings for a stable cross-engine schema. */
   def arrayFuncs(s: SparkSession, dir: String): DataFrame =
