@@ -68,6 +68,9 @@ object SparkEntry {
     "ta06_curation"        -> graft.operators.Curation.curationQuery _,
     "ta07_unigram_logprob" -> TextAnalysis.unigramLogProbQuery _,
     "ta08_vocab_encode"    -> ((s: SparkSession, d: String) => TextAnalysis.vocabEncodeQuery(s, d)),
+    "ta09_repetition"      -> TextAnalysis.repetitionQuery _,
+    "ta10_chunking"        -> ((s: SparkSession, d: String) => TextAnalysis.chunkQuery(s, d)),
+    "ta11_pack_windows"    -> ((s: SparkSession, d: String) => Curation.packWindowsQuery(s, d)),
     "sa01_stratified_sample" -> ((s: SparkSession, d: String) => Curation.stratifiedSampleQuery(s, d)),
     "sa02_domain_reweight" -> Curation.domainReweightQuery _,
     "ir01_bm25_topk"       -> ((s: SparkSession, d: String) => Search.bm25TopK(s, d)),
@@ -401,6 +404,9 @@ object SparkEntry {
     "ta06_curation" -> graft.operators.Curation.curationOracleSql,
     "ta07_unigram_logprob" -> TextAnalysis.unigramLogProbOracleSql,
     "ta08_vocab_encode" -> TextAnalysis.vocabEncodeOracleSql,
+    "ta09_repetition" -> TextAnalysis.repetitionOracleSql,
+    "ta10_chunking" -> TextAnalysis.chunkOracleSql,
+    "ta11_pack_windows" -> graft.operators.Curation.packWindowsOracleSql,
     "sa01_stratified_sample" -> graft.operators.Curation.stratifiedSampleOracleSql,
     "sa02_domain_reweight" -> graft.operators.Curation.domainReweightOracleSql,
     "ir01_bm25_topk" -> graft.operators.Search.bm25OracleSql,

@@ -120,6 +120,84 @@ object Curation {
              target_share / nat_share AS weight
       FROM x ORDER BY source"""
 
+  /** Context-window sequence packing — the "concatenate the corpus and cut
+    * it into fixed-length training examples" step (GPT-style pretraining
+    * batches): documents are laid end-to-end in doc_id order and the token
+    * stream is cut every `ctx` tokens; each document reports its absolute
+    * token offset and the range of context windows it spans (documents may
+    * straddle window boundaries, exactly like production packing).
+    *
+    * The global prefix sum is computed as a DISTRIBUTED two-level scan, not
+    * a single-partition window: documents are bucketed on doc_id, bucket
+    * subtotals (one tiny row per bucket) are prefix-summed with a window
+    * over the BUCKET table only, and the per-document cumulative sum runs
+    * per-bucket in parallel with the broadcast bucket offsets joined back.
+    * At 100 TB the only full-data exchange is the shuffle-by-bucket; the
+    * sequential step touches #buckets rows (add a third level if even that
+    * outgrows one task). A naive `sum().over(Window.orderBy(doc_id))` would
+    * pull the whole corpus into ONE task — the classic global-cumsum scale
+    * trap this formulation exists to avoid. */
+  def packWindowsQuery(s: SparkSession, dir: String, ctx: Int = 256,
+      docsPerBucket: Int = 64): DataFrame = {
+    val wInBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wBuckets = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val docs = Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        Text.tokenCount(Text.normText(col("text"))).as("n_tokens"),
+        expr(s"doc_id div $docsPerBucket").as("bucket"))
+    val bucketOffsets = docs.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+      .select(col("bucket"),
+        coalesce(sum(col("bucket_tokens")).over(wBuckets), lit(0L))
+          .as("bucket_off"))
+    docs
+      .join(broadcast(bucketOffsets), "bucket")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("bucket_off") +
+          coalesce(sum(col("n_tokens")).over(wInBucket), lit(0L)))
+          .as("start_off"))
+      // `div` is 64-bit integral division — `/` divides in DOUBLE, whose
+      // 2^53 mantissa cannot represent a 100 TB corpus's token offsets
+      .select(col("doc_id"), col("n_tokens"), col("start_off"),
+        when(col("n_tokens") > 0, expr(s"start_off div $ctx"))
+          .as("first_window"),
+        when(col("n_tokens") > 0,
+          expr(s"(start_off + n_tokens - 1) div $ctx")).as("last_window"))
+      .withColumn("n_windows",
+        when(col("n_tokens") > 0, col("last_window") - col("first_window") + 1)
+          .otherwise(0L).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB SQL replicating [[packWindowsQuery]] exactly (256-token
+    * windows; the oracle uses the straightforward single cumsum — it only
+    * needs to be right, not scalable). */
+  val packWindowsOracleSql: String = """
+      WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                 FROM documents),
+      n AS (SELECT doc_id,
+                   CASE WHEN length(t) = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(length(t) - length(regexp_replace(t, ' ', '', 'g')) + 1 AS BIGINT)
+                   END AS n_tokens
+            FROM d),
+      c AS (SELECT doc_id, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                     AS start_off
+            FROM n)
+      SELECT doc_id, n_tokens, start_off,
+             CASE WHEN n_tokens > 0 THEN start_off // 256 END AS first_window,
+             CASE WHEN n_tokens > 0 THEN (start_off + n_tokens - 1) // 256 END
+               AS last_window,
+             CAST(CASE WHEN n_tokens > 0
+                  THEN (start_off + n_tokens - 1) // 256 - start_off // 256 + 1
+                  ELSE 0 END AS BIGINT) AS n_windows
+      FROM c ORDER BY doc_id"""
+
   /** DuckDB oracle composed from the sub-operators' own oracle SQL (nested
     * CTEs), applying the identical rule cascade. */
   def curationOracleSql: String = s"""

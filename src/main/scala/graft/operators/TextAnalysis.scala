@@ -206,6 +206,143 @@ object TextAnalysis {
       FROM toks JOIN cnt USING (word) CROSS JOIN tot
       GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Gopher-style repetition quality scores (the repetition-removal rules of
+    * Rae et al. 2021 §A1.1, adapted to word n-grams since this corpus has no
+    * line structure): per document,
+    *   - `top2_ratio`: fraction of normalized characters covered by the most
+    *     frequent word 2-gram (count × gram length / n_chars_norm);
+    *   - `dup3_ratio`: fraction of characters covered by ALL occurrences of
+    *     word 3-grams that occur more than once in the document.
+    * Both ratios are exact IEEE divisions of integer counts => oracle-stable
+    * with no rounding. Top-gram tie-break: higher count, then
+    * lexicographically smaller gram.
+    *
+    * Plan shape for 100 TB: n-grams are emitted positionally by the native
+    * [[graft.functions.TokenNgrams]] expression; each pass is one
+    * explode → groupBy(doc_id, gram) count (map-side combined — duplicate
+    * grams of a doc collapse before the exchange) followed by a per-doc
+    * reduce that reuses the same doc_id key. Per-doc work only — no
+    * cross-document joins anywhere, so the operator scales linearly with
+    * corpus size like every other cleaning pass here. */
+  def repetitionQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"), Text.normText(col("text")).as("t"))
+    def gramCounts(n: Int): DataFrame = docs
+      .select(col("doc_id"),
+        explode(graft.functions.TokenNgrams.tokenNgrams(col("t"), n)).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    // top 2-gram per doc: one more agg on the SAME doc_id key — min over a
+    // (-cnt, gram) struct picks highest count then lexicographically
+    // smallest gram, with ordinary partial aggregation instead of the
+    // window sort a row_number formulation would need
+    val top2 = gramCounts(2)
+      .select(col("doc_id"),
+        struct((-col("cnt")).as("neg_cnt"), col("gram"),
+          (col("cnt") * length(col("gram"))).as("chars")).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("g")).as("g"))
+      .select(col("doc_id"), col("g.gram").as("top_bigram"),
+        col("g.chars").as("top2_chars"))
+    val dup3 = gramCounts(3)
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("cnt") > 1, col("cnt") * length(col("gram")))
+        .otherwise(0L)).cast("long").as("dup3_chars"),
+        count(lit(1)).as("n_tri"))
+    docs
+      .select(col("doc_id"), length(col("t")).cast("long").as("n_chars_norm"))
+      .join(top2, Seq("doc_id"), "left")
+      .join(dup3, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_chars_norm"), col("top_bigram"),
+        when(col("n_chars_norm") > 0,
+          col("top2_chars").cast("double") / col("n_chars_norm")).as("top2_ratio"),
+        when(col("n_tri").isNotNull && col("n_chars_norm") > 0,
+          coalesce(col("dup3_chars"), lit(0L)).cast("double") / col("n_chars_norm"))
+          .as("dup3_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB SQL replicating [[repetitionQuery]] exactly (word 2-/3-grams,
+    * same tie-break via min_by over (cnt DESC, gram ASC) ordering). */
+  val repetitionOracleSql: String = """
+      WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                 FROM documents),
+      tok AS (SELECT doc_id, t, string_split(t, ' ') AS w FROM d),
+      g2 AS (SELECT doc_id, span, count(*) AS cnt FROM (
+               SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 0, 1)),
+                 i -> array_to_string(w[CAST(i AS INT):CAST(i + 1 AS INT)], ' '))) AS span
+               FROM tok WHERE len(w) >= 2) x
+             WHERE len(string_split(span, ' ')) = 2 GROUP BY doc_id, span),
+      top2 AS (SELECT doc_id, span AS top_bigram, cnt * length(span) AS top2_chars
+               FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY cnt DESC, span ASC) AS rn FROM g2) y WHERE rn = 1),
+      g3 AS (SELECT doc_id, span, count(*) AS cnt FROM (
+               SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                 i -> array_to_string(w[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))) AS span
+               FROM tok WHERE len(w) >= 3) x
+             WHERE len(string_split(span, ' ')) = 3 GROUP BY doc_id, span),
+      dup3 AS (SELECT doc_id,
+                 CAST(sum(CASE WHEN cnt > 1 THEN cnt * length(span) ELSE 0 END) AS BIGINT)
+                   AS dup3_chars
+               FROM g3 GROUP BY doc_id)
+      SELECT d.doc_id, CAST(length(d.t) AS BIGINT) AS n_chars_norm, top_bigram,
+             CASE WHEN length(d.t) > 0
+                  THEN CAST(top2_chars AS DOUBLE) / length(d.t) END AS top2_ratio,
+             CASE WHEN dup3.doc_id IS NOT NULL AND length(d.t) > 0
+                  THEN CAST(coalesce(dup3_chars, 0) AS DOUBLE) / length(d.t)
+             END AS dup3_ratio
+      FROM d LEFT JOIN top2 ON d.doc_id = top2.doc_id
+             LEFT JOIN dup3 ON d.doc_id = dup3.doc_id
+      ORDER BY d.doc_id"""
+
+  /** Fixed-size token-window chunking — the "split documents into
+    * model-context-sized pieces" step every RAG indexing and long-document
+    * training pipeline runs. Chunks of `size` tokens are cut every `stride`
+    * tokens (stride < size => overlapping context windows); the final chunk
+    * may be short. Output one row per (doc, chunk): doc_id, chunk_idx,
+    * n_chunk_tokens, chunk_text.
+    *
+    * Plan shape for 100 TB: the whole operator is a per-row columnar
+    * expression (token split, window slice, reassemble) followed by
+    * posexplode — ZERO shuffles; it is a flatMap over the scan and
+    * parallelizes with the input like the other cleaning passes. The
+    * ORDER BY exists only for the correctness harness. */
+  def chunkQuery(s: SparkSession, dir: String, width: Int = 32,
+      stride: Int = 24): DataFrame = {
+    require(stride >= 1 && width >= stride,
+      s"need 1 <= stride <= width, got width=$width stride=$stride")
+    val toks = split(Text.normText(col("text")), " ")
+    // chunk starts at 0, stride, 2*stride, ... while start < n_tokens
+    // (n_tokens-1)/stride is a per-document count (int range); the cast
+    // back to int after the double division is exact at that magnitude
+    val chunks = transform(
+      sequence(lit(0), ((size(toks) - 1) / stride).cast("int")),
+      i => slice(toks, i * stride + 1, lit(width)))
+    Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("c")).cast("long").as("n_chunk_tokens"),
+        array_join(col("c"), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** DuckDB SQL replicating [[chunkQuery]] exactly (32-token chunks every
+    * 24 tokens; DuckDB list slicing clamps the end like Spark's slice). */
+  val chunkOracleSql: String = """
+      WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                 FROM documents),
+      tok AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
+      idx AS (SELECT doc_id, w,
+                     unnest(range(0, (len(w) - 1) // 24 + 1)) AS i
+              FROM tok)
+      SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             CAST(len(w[CAST(i*24 + 1 AS INT):CAST(i*24 + 32 AS INT)]) AS BIGINT)
+               AS n_chunk_tokens,
+             array_to_string(w[CAST(i*24 + 1 AS INT):CAST(i*24 + 32 AS INT)], ' ')
+               AS chunk_text
+      FROM idx ORDER BY doc_id, chunk_idx"""
+
   /** Vocabulary encoding — the "tokenize the corpus for training" step:
     * build the vocabulary (id = frequency rank, ties broken
     * lexicographically, 0-based like every tokenizer), then encode each

@@ -86,6 +86,81 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(terms.sorted.sameElements(terms))
   }
 
+  test("ta09: repetition ratios match a local recomputation") {
+    val texts = graft.core.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), graft.functions.Text.normText(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextAnalysis.repetitionQuery(spark, sf0001).collect()
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val t = texts(r.getLong(0))
+      val w = t.split(" ", -1)
+      def grams(n: Int) = (0 to w.length - n).map(i => w.slice(i, i + n).mkString(" "))
+      assert(r.getLong(1) == t.length)
+      if (w.length >= 2) {
+        val counts = grams(2).groupBy(identity).map { case (g, o) => g -> o.length }
+        val (topG, topC) = counts.toSeq.minBy { case (g, c) => (-c, g) }
+        assert(r.getString(2) == topG, s"doc ${r.getLong(0)}")
+        assert(r.getDouble(3) == topC.toLong * topG.length.toDouble / t.length)
+      }
+      if (w.length >= 3) {
+        val counts = grams(3).groupBy(identity).map { case (g, o) => g -> o.length }
+        val dup = counts.collect { case (g, c) if c > 1 => c.toLong * g.length }.sum
+        assert(r.getDouble(4) == dup.toDouble / t.length, s"doc ${r.getLong(0)}")
+      }
+    }
+    // the synthetic corpus repeats heavily — the scores must not be vacuous
+    assert(rows.exists(_.getDouble(4) > 0.0))
+  }
+
+  test("ta10: chunks cover every token, overlap by width-stride, reassemble") {
+    val texts = graft.core.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), graft.functions.Text.normText(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextAnalysis.chunkQuery(spark, sf0001).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.keySet == texts.keySet)
+    byDoc.foreach { case (id, cs) =>
+      val w = texts(id).split(" ", -1)
+      val sorted = cs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).sameElements(sorted.indices))
+      assert(sorted.length == (w.length - 1) / 24 + 1)
+      sorted.foreach { c =>
+        val start = c.getInt(1) * 24
+        val exp = w.slice(start, start + 32)
+        assert(c.getLong(2) == exp.length)
+        assert(c.getString(3) == exp.mkString(" "), s"doc $id chunk ${c.getInt(1)}")
+      }
+      // stride-prefixes of the chunks reassemble the original document
+      val rebuilt = sorted.flatMap(c =>
+        c.getString(3).split(" ", -1).take(24)).take(w.length)
+      assert(rebuilt.sameElements(w.take(rebuilt.length)))
+    }
+  }
+
+  test("ta11: offsets are the exact global prefix sum; window spans consistent") {
+    val rows = Curation.packWindowsQuery(spark, sf0001).collect()
+    val nTok = graft.core.Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        graft.functions.Text.tokenCount(graft.functions.Text.normText(col("text"))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == nTok.size)
+    var expected = 0L
+    rows.sortBy(_.getLong(0)).foreach { r =>
+      val n = nTok(r.getLong(0))
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == expected, s"doc ${r.getLong(0)}")
+      if (n > 0) {
+        assert(r.getLong(3) == expected / 256)
+        assert(r.getLong(4) == (expected + n - 1) / 256)
+        assert(r.getLong(5) == r.getLong(4) - r.getLong(3) + 1)
+      } else assert(r.getLong(5) == 0L)
+      expected += n
+    }
+    // docs longer than one window must actually straddle boundaries
+    assert(rows.exists(_.getLong(5) > 1))
+  }
+
   test("ir01: top-k size, descending rounded scores, positive-tf head") {
     val rows = Search.bm25TopK(spark, sf0001).collect()
     assert(rows.length == Search.TopK)
