@@ -50,6 +50,9 @@ object Bench {
     "ta06_curation",
     "ta07_unigram_logprob",
     "ta08_vocab_encode",
+    "ta09_repetition",
+    "ta10_chunking",
+    "ta11_pack_windows",
     "sa01_stratified_sample",
     "sa02_domain_reweight",
     "ir01_bm25_topk",
