@@ -64,6 +64,7 @@ object Bench {
     "sim02_ann_lsh",
     "sim04_ivf_ann",
     "sim05_embed_neardup_lsh",
+    "sim07_pq_ann",
   )
 
   def main(args: Array[String]): Unit = {

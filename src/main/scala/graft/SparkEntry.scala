@@ -84,6 +84,7 @@ object SparkEntry {
     // exact-subset + deterministic recall against the sim03 brute force
     "sim05_embed_neardup_lsh" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDupPairsBucketed(s, d)),
     "sim06_kmeans"         -> ((s: SparkSession, d: String) => Similarity.kmeansAssign(s, d)),
+    "sim07_pq_ann"         -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
     // stateful dataflow (the reference's core surface) — batch-mode run of
     // the flatMapGroupsWithState facade, oracle-checked against SQL
     "st01_stateful_balance" -> graft.streaming.BalanceApp.runningBalanceQuery _,
@@ -457,6 +458,10 @@ object SparkEntry {
         FROM e a JOIN e b ON a.vec_id < b.vec_id) t
       WHERE cos >= 0.45 ORDER BY vec_a, vec_b""",
     "sim06_kmeans" -> graft.operators.Similarity.kmeansOracleSql(),
+    // sim07: PQ is deterministic end to end (fixed codebooks, argmin codes,
+    // ordered ADC folds) — like sim04, the full ANN structure is re-derived
+    // in SQL and hash-compared
+    "sim07_pq_ann" -> graft.operators.Similarity.pqOracleSql(),
   )
 
   /** DuckDB sequential-fold cosine of two DOUBLE[] columns — bit-identical

@@ -120,3 +120,65 @@ object SignLshBucket {
   def signLshBucket(v: Column, planes: Int): Column =
     GraftBridge.toColumn(SignLshBucket(GraftBridge.toExpression(v), planes))
 }
+
+/** Squared L2 distance of two double arrays as a native Catalyst expression
+  * (left-to-right summation, same fold order as DuckDB's list_sum — the
+  * per-subvector metric of the PQ encode/LUT passes, evaluated N x M x K
+  * times per corpus, so it gets the same primitive-loop treatment as
+  * [[CosineSim]]). */
+case class SqDist(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData].toDoubleArray()
+    val b = r.asInstanceOf[ArrayData].toDoubleArray()
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val d = a(i) - b(i); acc += d * d; i += 1 }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SqDist =
+    copy(left = newLeft, right = newRight)
+}
+
+object SqDist {
+  /** sq_dist(a: array<double>, b: array<double>): double */
+  def sqDist(a: Column, b: Column): Column =
+    GraftBridge.toColumn(SqDist(GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
+}
+
+/** PQ asymmetric-distance (ADC) score: codes is a candidate's per-subspace
+  * codeword array (M entries), lut a query's distance lookup table laid out
+  * as (subspace-major, code-minor: index m*k + code), k the codebook size.
+  * Result = sum over subspaces, in subspace order, of lut(m*k + codes(m)) —
+  * the table-lookup sum that makes PQ scans memory-bound instead of
+  * FLOP-bound. Native expression for the same reason as [[CosineSim]]: this
+  * evaluates once per (query, candidate) pair in the scan. */
+case class PqAdc(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(codesAny: Any, lutAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[ArrayData]
+    val lut = lutAny.asInstanceOf[ArrayData].toDoubleArray()
+    var acc = 0.0
+    var m = 0
+    val nM = codes.numElements()
+    while (m < nM) { acc += lut(m * k + codes.getInt(m)); m += 1 }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdc {
+  /** pq_adc(codes: array<int>, lut: array<double>, k): double */
+  def pqAdc(codes: Column, lut: Column, k: Int): Column =
+    GraftBridge.toColumn(PqAdc(GraftBridge.toExpression(codes), GraftBridge.toExpression(lut), k))
+}

@@ -188,6 +188,110 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** ANN top-k via Product Quantization with asymmetric-distance scoring —
+    * the compression-side ANN family next to hashing ([[lshTopK]]) and
+    * partitioning ([[ivfTopK]]), and like IVF fully DETERMINISTIC, so the
+    * whole structure (codebooks, codes, LUTs, ranking) is oracle-checkable:
+    *   - the vector space is split into `m` subspaces; each subspace's
+    *     codebook = the first `k` vectors' subvectors (deterministic; a
+    *     production system k-means these — [[kmeansAssign]] is the trainer);
+    *   - ENCODE: every vector becomes `m` small codes (argmin squared-L2
+    *     codeword per subspace, tie-break smaller code) — the corpus
+    *     representation shrinks from dim doubles to m bytes, the whole point
+    *     of PQ at 100 TB: the scan reads codes, not vectors;
+    *   - SCORE (ADC): a query precomputes one m x k distance LUT; each
+    *     (query, candidate) score is m table lookups
+    *     ([[graft.functions.PqAdc]], a native expression — this is the
+    *     per-pair hot loop), no vector arithmetic in the scan;
+    *   - exact top-`topK` per query by approximate distance.
+    * Plan shape: codebook and query LUTs are tiny and broadcast; encode is
+    * one broadcast join + argmin aggregation keyed by vec_id (map-side
+    * combined); the scan is candidates-codes x broadcast LUTs with no
+    * shuffle of the corpus beyond the per-query top-k. Recall vs brute
+    * force is pinned in SimilaritySpec. */
+  def pqTopK(s: SparkSession, dir: String, topK: Int = 5, m: Int = 8,
+      k: Int = 16, nQueries: Int = 100): DataFrame = {
+    val emb = Tables.parallel(Tables.embeddings(s, dir))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val subDim = emb.select(size(col("v"))).first().getInt(0) / m
+
+    // codebook: (m, code, cv) — m*k rows, broadcast everywhere below
+    val cb = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("code"),
+        explode(transform(sequence(lit(0), lit(m - 1)), mm =>
+          struct(mm.cast("int").as("msub"),
+            slice(col("v"), mm * subDim + 1, lit(subDim)).as("cv")))).as("e"))
+      .select(col("e.msub").as("msub"), col("code"), col("e.cv").as("cv"))
+
+    def subv = slice(col("v"), col("msub") * subDim + 1, lit(subDim))
+    val d = graft.functions.SqDist.sqDist(subv, col("cv"))
+
+    // encode: argmin codeword per (vector, subspace), reassembled in
+    // subspace order — min_by over (dist, code) breaks ties on smaller code
+    val codes = emb.join(broadcast(cb))
+      .select(col("vec_id"), col("msub"), col("code"), d.as("d"))
+      .groupBy(col("vec_id"), col("msub"))
+      .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("msub"), col("code")))),
+        e => e.getField("code")).as("codes"))
+
+    // query LUTs: all m*k subspace distances, laid out subspace-major
+    val lut = emb.filter(col("vec_id") < nQueries).join(broadcast(cb))
+      .select(col("vec_id").as("query_id"), col("msub"), col("code"), d.as("d"))
+      .groupBy(col("query_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("msub"), col("code"), col("d")))),
+        e => e.getField("d")).as("lut"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adist"), col("cand_id"))
+    codes.select(col("vec_id").as("cand_id"), col("codes"))
+      .join(broadcast(lut), col("query_id") =!= col("cand_id"))
+      .withColumn("adist",
+        round(graft.functions.PqAdc.pqAdc(col("codes"), col("lut"), k), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("cand_id"), col("adist"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** DuckDB SQL replicating [[pqTopK]] exactly: same codebooks, same
+    * argmin encode (identical doubles => identical comparisons), same
+    * subspace-ordered ADC fold, same 6 dp output rounding. */
+  def pqOracleSql(topK: Int = 5, m: Int = 8, k: Int = 16, dim: Int = 64,
+      nQueries: Int = 100): String = {
+    val subDim = dim / m
+    def l2(a: String, b: String) =
+      s"""list_sum(list_transform(range(1, ${subDim + 1}),
+         i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)])))"""
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cb AS (SELECT CAST(t.m AS INT) AS msub, CAST(vec_id AS INT) AS code,
+                    v[CAST(t.m*$subDim + 1 AS INT):CAST((t.m+1)*$subDim AS INT)] AS cv
+             FROM e, range(0, $m) t(m) WHERE vec_id < $k),
+      sub AS (SELECT e.vec_id, cb.msub, cb.code,
+                     ${l2(s"e.v[CAST(cb.msub*$subDim + 1 AS INT):CAST((cb.msub+1)*$subDim AS INT)]", "cb.cv")} AS d
+              FROM e CROSS JOIN cb),
+      enc AS (SELECT vec_id, msub, code FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, msub
+                  ORDER BY d, code) AS rn FROM sub) z WHERE rn = 1),
+      codes AS (SELECT vec_id, list(code ORDER BY msub) AS codes
+                FROM enc GROUP BY vec_id),
+      lut AS (SELECT vec_id AS query_id, list(d ORDER BY msub, code) AS lut
+              FROM sub WHERE vec_id < $nQueries GROUP BY vec_id),
+      pair AS (SELECT l.query_id, c.vec_id AS cand_id,
+                 round(list_sum(list_transform(range(1, ${m + 1}),
+                   s -> l.lut[CAST((s-1)*$k AS INT) + c.codes[CAST(s AS INT)] + 1])), 6)
+                   AS adist
+               FROM lut l CROSS JOIN codes c WHERE c.vec_id <> l.query_id)
+      SELECT query_id, cand_id, adist, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY adist, cand_id) AS rnk FROM pair) z
+      WHERE rnk <= $topK ORDER BY query_id, rnk"""
+  }
+
   /** Scalable embedding near-dup: the LSH-bucketed form of
     * [[embeddingNearDupPairs]] — candidates are id pairs meeting in a
     * sign-LSH bucket (multi-probe over 1-bit flips), distinct'd as bare ids

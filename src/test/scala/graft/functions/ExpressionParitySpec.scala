@@ -86,4 +86,37 @@ class ExpressionParitySpec extends AnyFunSuite {
       .filter(col("fast") =!= col("spec"))
     assert(e.count() == 0)
   }
+
+  test("SqDist == HOF squared-L2 fold, bit for bit") {
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = e.select(col("vec_id").as("ia"), col("v").as("va")).filter(col("ia") < 40)
+    val b = e.select(col("vec_id").as("ib"), col("v").as("vb")).filter(col("ib") < 40)
+    val spec = aggregate(zip_with(col("va"), col("vb"), (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, d) => acc + d)
+    val pairs = a.join(b, col("ia") < col("ib"))
+      .withColumn("fast", SqDist.sqDist(col("va"), col("vb")))
+      .withColumn("spec", spec)
+      .filter(col("fast") =!= col("spec"))
+    assert(pairs.count() == 0)
+  }
+
+  test("PqAdc == HOF lookup-sum fold, bit for bit") {
+    val k = 16
+    // codes: 8 pseudo-random codewords per vector; lut: 128 doubles
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("codes", transform(sequence(lit(0), lit(7)),
+        m => pmod(xxhash64(col("vec_id"), m), lit(k)).cast("int")))
+      .withColumn("lut", slice(concat(col("v"), col("v")), 1, 8 * k))
+    val spec = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(7)).cast("array<int>"),
+        (c, m) => element_at(col("lut"), m * k + c + 1)),
+      lit(0.0d), (acc, d) => acc + d)
+    val bad = e
+      .withColumn("fast", PqAdc.pqAdc(col("codes"), col("lut"), k))
+      .withColumn("spec", spec)
+      .filter(col("fast") =!= col("spec"))
+    assert(bad.count() == 0)
+  }
 }

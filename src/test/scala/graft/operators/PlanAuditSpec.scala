@@ -68,6 +68,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("ta10: chunking is a pure flatMap — zero keyed exchanges") {
+    // drop the harness-only orderBy: the operator itself must not shuffle
+    val plan = planOf(TextAnalysis.chunkQuery(spark, sf0001).limit(1))
+    assert(!plan.contains("hashpartitioning"), plan)
+  }
+
+  test("ta11: packing never plans a single-partition window over the docs") {
+    val df = Curation.packWindowsQuery(spark, sf0001)
+    val plan = planOf(df)
+    // the unpartitioned window (cumsum in ONE task) may only appear over
+    // the tiny BUCKET table; the document-side cumsum must be partitioned
+    // by bucket. Physical form: `Window [exprs], [partition], [order]`.
+    val docWindows = "Window \\[[^\\n]*\\], \\[bucket#\\d+L\\], \\[doc_id".r
+      .findAllMatchIn(plan).length
+    assert(docWindows == 1, s"$docWindows bucket-partitioned windows:\n$plan")
+    // exactly one single-partition exchange — the bucket-offset prefix sum
+    // — and it must consume the per-bucket AGGREGATE (tiny), not documents
+    val singles = count(plan, "Exchange SinglePartition")
+    assert(singles == 1, s"$singles single-partition exchanges:\n$plan")
+    val afterSingle = plan.substring(plan.indexOf("Exchange SinglePartition"))
+    assert(afterSingle.contains("HashAggregate(keys=[bucket"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q03: dimension joins are broadcast at dimension scale") {
     val plan = planOf(Relational.revenueByNation(spark, sf0001))
     assert(plan.contains("BroadcastHashJoin"), plan)

@@ -56,6 +56,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.375, s"IVF recall $mean does not beat probing baseline")
   }
 
+  test("PQ ANN: k per query, self excluded, quantization preserves ranking signal") {
+    val res = Similarity.pqTopK(spark, sf0001, topK = 5, nQueries = 50)
+    val rows = res.collect()
+    assert(rows.length == 50 * 5, s"expected 250 rows, got ${rows.length}")
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(rows.forall(r => r.getDouble(2) >= 0.0)) // squared distances
+    // ADC ranks by L2 while the reference ranks by cosine, and the corpus
+    // is isotropic 64-dim noise — the property is that 8-byte codes retain
+    // clearly-above-chance agreement with the exact top-5 (chance = 5/499)
+    val exact = topkSet(Similarity.bruteForceTopK(spark, sf0001, k = 5, nQueries = 50))
+    val pq = topkSet(res)
+    val recalls = exact.map { case (q, s) =>
+      pq.get(q).map(a => (a & s).size.toDouble / s.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"PQ mean top-5 recall = $mean (chance = ${5.0 / 499})")
+    assert(mean >= 5.0 / 499 * 4, s"PQ recall $mean not above chance")
+    // determinism: a second run is byte-identical
+    assert(res.collect().map(_.toString).sameElements(rows.map(_.toString)))
+  }
+
   test("bucketed near-dup: exact subset of brute force, deterministic recall") {
     def pairSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
