@@ -50,6 +50,7 @@ object SparkEntry {
     "q31_approx_stats"     -> Relational.approxStats _,
     "q32_range_frame"      -> Relational.rangeFrame _,
     "q33_map_funcs"        -> Relational.mapFuncs _,
+    "q34_window_dist"      -> Relational.windowDist _,
     // LLM-data-pipeline operators (dedup / text analysis / similarity)
     "dd01_exact_dedup"     -> Dedup.exactDedup _,
     "dd02_ngram_jaccard"   -> Dedup.ngramJaccardPairs _,
@@ -246,6 +247,14 @@ object SparkEntry {
              array_to_string(list_sort(list_append(json_keys(props), 'type')), ',')
                AS keys_sorted
       FROM events ORDER BY event_id""",
+    "q34_window_dist" -> """
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             percent_rank() OVER w AS pct_rank,
+             cume_dist() OVER w AS cume,
+             nth_value(c_custkey, 3) OVER w AS third_key
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+      ORDER BY c_mktsegment, c_custkey""",
     "st01_stateful_balance" -> """
       SELECT user_id, event_id,
              round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -293,6 +293,22 @@ object Relational {
       .orderBy(col("c_mktsegment"), col("c_custkey"))
   }
 
+  /** Distribution window functions (§2.7 breadth): percent_rank, cume_dist,
+    * nth_value. The distribution values are exact integer-ratio IEEE
+    * divisions ((rank-1)/(n-1), peers/n) — bit-stable cross-engine with no
+    * rounding; the unique-key tie-break makes nth_value's default
+    * RANGE-to-current-row frame deterministic. */
+  def windowDist(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("third_key", nth_value(col("c_custkey"), 3).over(w))
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
   /** Event-time RANGE frame (W2): per-user sliding one-hour sum keyed by
     * VALUE distance on the sort key, not row count — peers at equal ts all
     * enter the frame. ts is epoch nanos (long), so the bound is numeric

@@ -227,38 +227,38 @@ object TextAnalysis {
   def repetitionQuery(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.parallel(Tables.documents(s, dir))
       .select(col("doc_id"), Text.normText(col("text")).as("t"))
-    def gramCounts(n: Int): DataFrame = docs
+    def tagged(n: Int) = transform(
+      graft.functions.TokenNgrams.tokenNgrams(col("t"), n),
+      g => struct(lit(n).as("gn"), g.as("gram")))
+    // ONE corpus pass emits both gram sizes (tagged), ONE count shuffle on
+    // (doc_id, gn, gram) with map-side combine, then a per-doc reduce:
+    //   - top 2-gram: min over a (-cnt, gram) struct = highest count then
+    //     lexicographically smallest gram, as a plain aggregate (no window
+    //     sort); min ignores the null 3-gram rows
+    //   - dup-3-gram chars: conditional sum over the same reduce
+    val perDoc = docs
       .select(col("doc_id"),
-        explode(graft.functions.TokenNgrams.tokenNgrams(col("t"), n)).as("gram"))
-      .groupBy(col("doc_id"), col("gram"))
+        explode(concat(tagged(2), tagged(3))).as("e"))
+      .groupBy(col("doc_id"), col("e.gn").as("gn"), col("e.gram").as("gram"))
       .agg(count(lit(1)).as("cnt"))
-    // top 2-gram per doc: one more agg on the SAME doc_id key — min over a
-    // (-cnt, gram) struct picks highest count then lexicographically
-    // smallest gram, with ordinary partial aggregation instead of the
-    // window sort a row_number formulation would need
-    val top2 = gramCounts(2)
-      .select(col("doc_id"),
-        struct((-col("cnt")).as("neg_cnt"), col("gram"),
-          (col("cnt") * length(col("gram"))).as("chars")).as("g"))
       .groupBy(col("doc_id"))
-      .agg(min(col("g")).as("g"))
-      .select(col("doc_id"), col("g.gram").as("top_bigram"),
-        col("g.chars").as("top2_chars"))
-    val dup3 = gramCounts(3)
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("cnt") > 1, col("cnt") * length(col("gram")))
-        .otherwise(0L)).cast("long").as("dup3_chars"),
-        count(lit(1)).as("n_tri"))
+      .agg(
+        min(when(col("gn") === 2,
+          struct((-col("cnt")).as("neg_cnt"), col("gram"),
+            (col("cnt") * length(col("gram"))).as("chars")))).as("g"),
+        sum(when(col("gn") === 3 && col("cnt") > 1,
+          col("cnt") * length(col("gram"))).otherwise(0L))
+          .cast("long").as("dup3_chars"),
+        count(when(col("gn") === 3, lit(1))).as("n_tri"))
     docs
       .select(col("doc_id"), length(col("t")).cast("long").as("n_chars_norm"))
-      .join(top2, Seq("doc_id"), "left")
-      .join(dup3, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
       .select(
-        col("doc_id"), col("n_chars_norm"), col("top_bigram"),
+        col("doc_id"), col("n_chars_norm"), col("g.gram").as("top_bigram"),
         when(col("n_chars_norm") > 0,
-          col("top2_chars").cast("double") / col("n_chars_norm")).as("top2_ratio"),
-        when(col("n_tri").isNotNull && col("n_chars_norm") > 0,
-          coalesce(col("dup3_chars"), lit(0L)).cast("double") / col("n_chars_norm"))
+          col("g.chars").cast("double") / col("n_chars_norm")).as("top2_ratio"),
+        when(col("n_tri") > 0 && col("n_chars_norm") > 0,
+          col("dup3_chars").cast("double") / col("n_chars_norm"))
           .as("dup3_ratio"))
       .orderBy(col("doc_id"))
   }

@@ -92,6 +92,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("sim07: PQ scan joins codes x broadcast LUTs; codebook never SMJs") {
+    val plan = planOf(Similarity.pqTopK(spark, sf0001))
+    // encode pass: corpus x broadcast codebook; scan pass: codes x
+    // broadcast query LUTs — no sort-merge join may appear anywhere
+    assert(count(plan, "BroadcastNestedLoopJoin") >= 1, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("q03: dimension joins are broadcast at dimension scale") {
     val plan = planOf(Relational.revenueByNation(spark, sf0001))
     assert(plan.contains("BroadcastHashJoin"), plan)
