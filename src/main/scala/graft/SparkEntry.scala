@@ -51,6 +51,7 @@ object SparkEntry {
     "q32_range_frame"      -> Relational.rangeFrame _,
     "q33_map_funcs"        -> Relational.mapFuncs _,
     "q34_window_dist"      -> Relational.windowDist _,
+    "q35_full_outer"       -> Relational.nationPresence _,
     // LLM-data-pipeline operators (dedup / text analysis / similarity)
     "dd01_exact_dedup"     -> Dedup.exactDedup _,
     "dd02_ngram_jaccard"   -> Dedup.ngramJaccardPairs _,
@@ -255,6 +256,17 @@ object SparkEntry {
       FROM customer
       WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
       ORDER BY c_mktsegment, c_custkey""",
+    "q35_full_outer" -> """
+      SELECT coalesce(c.nationkey, s.skey) AS nationkey,
+             coalesce(n_customers, 0) AS n_customers,
+             coalesce(n_suppliers, 0) AS n_suppliers,
+             (n_customers IS NULL OR n_suppliers IS NULL) AS one_sided
+      FROM (SELECT c_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_customers
+            FROM customer GROUP BY 1) c
+      FULL OUTER JOIN (SELECT s_nationkey AS skey, CAST(count(*) AS BIGINT) AS n_suppliers
+            FROM supplier GROUP BY 1) s
+        ON c.nationkey = s.skey
+      ORDER BY nationkey""",
     "st01_stateful_balance" -> """
       SELECT user_id, event_id,
              round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id

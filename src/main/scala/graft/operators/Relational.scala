@@ -144,6 +144,25 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** Full outer join (J1): per-nation customer vs supplier presence — both
+    * null sides exercised (sparse supplier nations at small SF leave
+    * customer-only rows; the synthetic key spread leaves supplier-only
+    * ones). Aggregated per side BEFORE the join, so the full outer runs on
+    * nation cardinality, not a fact-table m:n blowup. */
+  def nationPresence(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+    val su = Tables.supplier(s, dir).groupBy(col("s_nationkey").as("skey"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(su, col("nationkey") === col("skey"), "full_outer")
+      .select(
+        coalesce(col("nationkey"), col("skey")).as("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+        (col("n_customers").isNull || col("n_suppliers").isNull).as("one_sided"))
+      .orderBy(col("nationkey"))
+  }
+
   /** Theta/range join (J3): same-nation supplier↔customer pairs where the
     * customer out-balances the supplier. Equi part (nationkey) drives the
     * join; the inequality is a post-join filter — exactly how Catalyst
