@@ -84,4 +84,39 @@ class ExpressionPropertySpec extends AnyFunSuite {
       .filter(col("fast") =!= col("spec"))
     assert(df.count() == 0)
   }
+
+  test("SqDist == HOF fold on random vectors incl. zeros and empties") {
+    val vecs: Seq[(Seq[Double], Seq[Double])] = ((0 until 200).map { i =>
+      val g = Gen.listOfN(9, Gen.chooseNum(-1e6, 1e6))
+      (g.apply(Gen.Parameters.default, Seed(i.toLong)).getOrElse(Seq.fill(9)(0.0)),
+        g.apply(Gen.Parameters.default, Seed(i.toLong + 5000)).getOrElse(Seq.fill(9)(0.0)))
+    }) :+ ((Seq.empty[Double], Seq.empty[Double])) :+ ((Seq.fill(9)(0.0), Seq.fill(9)(0.0)))
+    val spec = aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, d) => acc + d)
+    val df = vecs.toDF("a", "b")
+      .withColumn("fast", SqDist.sqDist(col("a"), col("b")))
+      .withColumn("spec", spec)
+      .filter(col("fast") =!= col("spec"))
+    assert(df.count() == 0)
+  }
+
+  test("PqAdc == lookup-sum fold on random codes/LUTs incl. empty codes") {
+    val k = 16
+    val rows: Seq[(Seq[Int], Seq[Double])] = ((0 until 200).map { i =>
+      val gc = Gen.listOfN(8, Gen.choose(0, k - 1))
+      val gl = Gen.listOfN(8 * k, Gen.chooseNum(-1e3, 1e3))
+      (gc.apply(Gen.Parameters.default, Seed(i.toLong)).getOrElse(Seq.fill(8)(0)),
+        gl.apply(Gen.Parameters.default, Seed(i.toLong + 7000)).getOrElse(Seq.fill(8 * k)(0.0)))
+    }) :+ ((Seq.empty[Int], Seq.fill(8 * k)(1.0)))
+    val spec = aggregate(
+      zip_with(col("codes"),
+        sequence(lit(0), size(col("codes")) - 1).cast("array<int>"),
+        (c, m) => element_at(col("lut"), m * k + c + 1)),
+      lit(0.0d), (acc, d) => acc + d)
+    val df = rows.toDF("codes", "lut")
+      .withColumn("fast", PqAdc.pqAdc(col("codes"), col("lut"), k))
+      .withColumn("spec", coalesce(spec, lit(0.0d))) // empty fold => seed
+      .filter(col("fast") =!= col("spec"))
+    assert(df.count() == 0)
+  }
 }
