@@ -22,7 +22,9 @@ object GraftSession {
   /** Register graft's native expressions as SQL functions:
     * graft_minhash(text, n, k), graft_shingles(text, n),
     * graft_sig_overlap(a, b), graft_simhash64(tokens),
-    * graft_cosine(a, b). */
+    * graft_cosine(a, b), graft_sq_dist(a, b),
+    * graft_pq_adc(codes, lut, k), graft_lsh_bucket(v, planes),
+    * graft_token_ngrams(text, n). */
   def registerFunctions(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     def lit(e: org.apache.spark.sql.catalyst.expressions.Expression): Any =
@@ -38,5 +40,13 @@ object GraftSession {
       SimHash64(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_cosine", exprs =>
       CosineSim(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_sq_dist", exprs =>
+      SqDist(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_pq_adc", exprs =>
+      PqAdc(exprs(0), exprs(1), lit(exprs(2)).asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_lsh_bucket", exprs =>
+      SignLshBucket(exprs(0), lit(exprs(1)).asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_token_ngrams", exprs =>
+      TokenNgrams(exprs(0), lit(exprs(1)).asInstanceOf[Int]), "scala_udf")
   }
 }

@@ -214,6 +214,9 @@ object Similarity {
     val emb = Tables.parallel(Tables.embeddings(s, dir))
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one-row probe for the vector dimensionality (not in the parquet
+    // schema) — a single bounded driver job against the persisted scan,
+    // same class of audited action as Dedup's hot-bucket count
     val subDim = emb.select(size(col("v"))).first().getInt(0) / m
 
     // codebook: (m, code, cv) — m*k rows, broadcast everywhere below

@@ -20,6 +20,20 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(row.getDouble(3) == 1.0)
   }
 
+  test("vector/ngram expressions are callable from SQL after registration") {
+    GraftSession.registerFunctions(spark)
+    val row = spark.sql("""
+      SELECT graft_sq_dist(array(1.0d, 2.0d), array(4.0d, 6.0d)) AS d,
+             graft_pq_adc(array(1, 0), array(10.0d, 20.0d, 30.0d, 40.0d), 2) AS adc,
+             graft_lsh_bucket(array(1.0d, -2.0d, 3.0d), 4) AS bkt,
+             graft_token_ngrams('a b c d', 3) AS ngrams
+    """).collect()(0)
+    assert(row.getDouble(0) == 25.0) // 3^2 + 4^2
+    assert(row.getDouble(1) == 50.0) // lut[0*2+1] + lut[1*2+0] = 20 + 30
+    assert(row.getLong(2) >= 0L && row.getLong(2) < 16L)
+    assert(row.getSeq[String](3) == Seq("a b c", "b c d"))
+  }
+
   test("SQL and Scala-API expressions agree") {
     GraftSession.registerFunctions(spark)
     import org.apache.spark.sql.functions._
