@@ -26,18 +26,27 @@ object Curation {
 
   def curationQuery(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-    val keep = Tables.documents(s, dir)
-      .select(col("doc_id"), md5(Text.normText(col("text"))).as("fp"))
+    // ONE columnar pass computes every per-row signal (fingerprint,
+    // language scores, token count — the exact formulas of the standalone
+    // sub-operators, sharing the normalize/doubled-spaces projections);
+    // only the repeated-span pressure needs its own explode+agg pass.
+    // Cuts the composed plan from four corpus scans + three doc_id joins
+    // to two scans + one join, same verdicts against the same oracle.
+    val base = Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"), col("lang").as("declared_lang"),
+        Text.normText(col("text")).as("t"))
+      .select(col("doc_id"), col("declared_lang"),
+        md5(col("t")).as("fp"),
+        Text.tokenCount(col("t")).as("n_tokens"),
+        Text.doubledSpaces(col("t")).as("dd"))
+      .select(Seq(col("doc_id"), col("declared_lang"), col("fp"),
+        col("n_tokens")) ++ TextAnalysis.langScoreCols(col("dd")): _*)
+      .withColumn("pred_lang", TextAnalysis.bestLangCol)
       .withColumn("keep_id", min(col("doc_id")).over(w))
-      .select(col("doc_id"), col("keep_id"))
-    val li = TextAnalysis.langIdQuery(s, dir)
-      .select(col("doc_id"), col("declared_lang"), col("pred_lang"))
-    val q = TextAnalysis.qualityQuery(s, dir)
-      .select(col("doc_id"), col("n_tokens"))
     val sp = Dedup.repeatedSpans(s, dir)
       .select(col("doc_id"), col("dup_ratio"))
-    keep
-      .join(li, "doc_id").join(q, "doc_id").join(sp, "doc_id")
+    base
+      .join(sp, "doc_id")
       .select(col("doc_id"),
         when(col("doc_id") =!= col("keep_id"), "exact_dup")
           .when(col("pred_lang") =!= col("declared_lang"), "lang_mismatch")

@@ -56,6 +56,24 @@ object TextAnalysis {
   private def langScore(doubled: Column, words: Seq[String]): Column =
     words.map(w => Text.wordOccurrencesInDoubled(doubled, w)).reduce(_ + _)
 
+  /** Per-profile score columns (named score_<lang>) over the doubled-spaces
+    * text — shared by [[langIdQuery]] and the fused [[Curation]] pass. */
+  def langScoreCols(doubled: Column): Seq[Column] =
+    LangProfiles.map { case (l, ws) => langScore(doubled, ws).as(s"score_$l") }
+
+  /** Argmax over the score_<lang> columns with the first-profile tie-break:
+    * mutually-exclusive conditions (strictly beats earlier profiles, >=
+    * later ones), 'und' when no profile scores — see langIdOracleSql. */
+  def bestLangCol: Column = {
+    val langs = LangProfiles.map(_._1)
+    langs.zipWithIndex.foldRight(lit("und")) { case ((l, i), acc) =>
+      val earlier = langs.take(i).map(p => col(s"score_$l") > col(s"score_$p"))
+      val later = langs.drop(i + 1).map(p => col(s"score_$l") >= col(s"score_$p"))
+      val cond = ((col(s"score_$l") > 0) +: (earlier ++ later)).reduce(_ && _)
+      when(cond, lit(l)).otherwise(acc)
+    }
+  }
+
   /** Language ID: per-language stopword hit counts; argmax with a
     * deterministic tie-break (higher score wins, then profile order);
     * no hits at all => 'und' (undetermined, BCP-47 style). */
@@ -65,19 +83,9 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang").as("declared_lang"),
         Text.doubledSpaces(txt).as("dd"))
       .select(Seq(col("doc_id"), col("declared_lang")) ++
-        LangProfiles.map { case (l, ws) => langScore(col("dd"), ws).as(s"score_$l") }: _*)
-    // argmax with first-profile tie-break: same mutually-exclusive
-    // conditions as the generated oracle (strictly beats earlier profiles,
-    // >= later ones) — see langIdOracleSql
-    val langs = LangProfiles.map(_._1)
-    val best = langs.zipWithIndex.foldRight(lit("und")) { case ((l, i), acc) =>
-      val earlier = langs.take(i).map(p => col(s"score_$l") > col(s"score_$p"))
-      val later = langs.drop(i + 1).map(p => col(s"score_$l") >= col(s"score_$p"))
-      val cond = ((col(s"score_$l") > 0) +: (earlier ++ later)).reduce(_ && _)
-      when(cond, lit(l)).otherwise(acc)
-    }
+        langScoreCols(col("dd")): _*)
     scored
-      .withColumn("pred_lang", best)
+      .withColumn("pred_lang", bestLangCol)
       .select(col("doc_id"), col("declared_lang"), col("pred_lang"),
         col("score_en"), col("score_fr"), col("score_de"), col("score_es"))
       .orderBy(col("doc_id"))
