@@ -145,7 +145,12 @@ object Curation {
     * sequential step touches #buckets rows (add a third level if even that
     * outgrows one task). A naive `sum().over(Window.orderBy(doc_id))` would
     * pull the whole corpus into ONE task — the classic global-cumsum scale
-    * trap this formulation exists to avoid. */
+    * trap this formulation exists to avoid.
+    *
+    * Size `docsPerBucket` so the bucket-offset table stays broadcastable
+    * (16 bytes per bucket): the default 64 suits the test SFs; a trillion-
+    * document lake wants ~1e6 docs/bucket => ~1e6 buckets = 16 MB broadcast,
+    * still one cheap window task. */
   def packWindowsQuery(s: SparkSession, dir: String, ctx: Int = 256,
       docsPerBucket: Int = 64): DataFrame = {
     val wInBucket = org.apache.spark.sql.expressions.Window

@@ -34,6 +34,26 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(row.getSeq[String](3) == Seq("a b c", "b c d"))
   }
 
+  test("GraftExtensions injects the function surface at session build") {
+    // a sibling session on the same context, built through the extensions
+    // hook exactly as spark.sql.extensions would at deploy time
+    val ext = new GraftExtensions()
+    val s2 = spark.newSession()
+    val reg = s2.sessionState.functionRegistry
+    ext.apply(new org.apache.spark.sql.SparkSessionExtensions {
+      override def injectFunction(
+          f: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+            org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+            Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+              org.apache.spark.sql.catalyst.expressions.Expression)): Unit =
+        reg.createOrReplaceTempFunction(f._1.funcName, f._3, "scala_udf")
+    })
+    val row = s2.sql(
+      "SELECT graft_cosine(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS c, " +
+        "graft_sq_dist(array(0.0d), array(2.0d)) AS d").collect()(0)
+    assert(row.getDouble(0) == 1.0 && row.getDouble(1) == 4.0)
+  }
+
   test("SQL and Scala-API expressions agree") {
     GraftSession.registerFunctions(spark)
     import org.apache.spark.sql.functions._
