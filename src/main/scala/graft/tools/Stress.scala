@@ -1,0 +1,68 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal: amplify the sf0.1 corpus N-fold (fresh doc/vec ids, a
+  * per-copy marker token so copies are near- rather than exact duplicates)
+  * into `target/stress/`, then run the scalable corpus operators against
+  * it. This drives the paths whose cost structure only shows beyond the
+  * test SFs — LSH bucket skew under heavy duplication (every document
+  * gains N-1 true near-dups), the packing scan's bucket fan-out, the
+  * vocab/token shuffles — on the same code the driver benches.
+  *
+  *   sbt "runMain graft.tools.Stress [copies]"     # default 10 => 50k docs
+  *
+  * Prints one timing line per query; any failure aborts with nonzero exit.
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = "target/stress"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def amplify(df: DataFrame, idCol: String, textCol: Option[String]): DataFrame = {
+      val span = df.agg(max(col(idCol))).first().getLong(0) + 1
+      (0 until copies).map { i =>
+        val shifted = df.withColumn(idCol, col(idCol) + lit(i * span))
+        textCol.fold(shifted)(t =>
+          shifted.withColumn(t, concat(col(t), lit(s" copymark$i"))))
+      }.reduce(_ unionAll _)
+    }
+
+    amplify(spark.read.parquet(s"$src/documents.parquet"), "doc_id", Some("text"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    amplify(spark.read.parquet(s"$src/embeddings.parquet"), "vec_id", None)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    val nDocs = spark.read.parquet(s"$out/documents.parquet").count()
+    println(s"[stress] corpus ready: $nDocs docs, ${copies}x $src")
+
+    val queries = Seq(
+      "dd01_exact_dedup", "dd03_minhash_lsh", "dd04_simhash",
+      "dd07_repeated_spans", "ta01_langid", "ta02_quality",
+      "ta09_repetition", "ta10_chunking", "ta11_pack_windows",
+      "ta08_vocab_encode", "ir02_inverted_index", "sa01_stratified_sample",
+      "sim02_ann_lsh", "sim04_ivf_ann", "sim07_pq_ann")
+    var failed = false
+    queries.foreach { name =>
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try {
+        val n = graft.SparkEntry.queries(name)(spark, out).count()
+        println(f"[stress] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
+      } catch { case t: Throwable =>
+        failed = true
+        println(s"[stress] $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
+      }
+    }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+}
