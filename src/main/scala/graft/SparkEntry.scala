@@ -82,8 +82,6 @@ object SparkEntry {
     "sim02_ann_lsh"        -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
     "sim03_embed_neardup"  -> ((s: SparkSession, d: String) => Similarity.embeddingNearDupPairs(s, d)),
     "sim04_ivf_ann"        -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
-    // no oracle by nature (LSH recall is probabilistic); SimilaritySpec pins
-    // exact-subset + deterministic recall against the sim03 brute force
     "sim05_embed_neardup_lsh" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDupPairsBucketed(s, d)),
     "sim06_kmeans"         -> ((s: SparkSession, d: String) => Similarity.kmeansAssign(s, d)),
     "sim07_pq_ann"         -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
@@ -479,6 +477,12 @@ object SparkEntry {
         FROM e a JOIN e b ON a.vec_id < b.vec_id) t
       WHERE cos >= 0.45 ORDER BY vec_a, vec_b""",
     "sim06_kmeans" -> graft.operators.Similarity.kmeansOracleSql(),
+    // sim02/sim05: the hyperplane signs are md5-derived (engine-portable),
+    // so even the "probabilistic" LSH structure is fully deterministic and
+    // re-derived in SQL — buckets, probe sets, verification and ranking
+    "sim02_ann_lsh" -> graft.operators.Similarity.lshTopKOracleSql(),
+    "sim05_embed_neardup_lsh" ->
+      graft.operators.Similarity.embedNearDupBucketedOracleSql(),
     // sim07: PQ is deterministic end to end (fixed codebooks, argmin codes,
     // ordered ADC folds) — like sim04, the full ANN structure is re-derived
     // in SQL and hash-compared

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
@@ -55,14 +55,16 @@ object CosineSim {
   *
   * Bit-identical to the interpreted HOF spec in
   * [[graft.operators.Similarity.lshBucketHof]]: hyperplane component
-  * (p, i) is +1 when pmod(xxhash64(p: int, i: bigint), 2) == 0 else -1
-  * (Spark's xxhash64 folds children left-to-right from seed 42), the
-  * projection is a left-to-right sum of v(i) * sign, and bit p is set when
-  * the projection is >= 0. The HOF form evaluates `planes` interpreted
-  * aggregate(zip_with(..)) lambda chains per row — O(planes x dim) boxed
-  * calls; this expression is one primitive loop over a per-dimension sign
-  * table computed once per (partition, dim), which is what keeps the ANN
-  * bucketing pass CPU-bound at corpus scale.
+  * (p, i) is +1 when the first hex digit of md5("p:i") is even, else -1 —
+  * md5 rather than xxhash64 so the SAME buckets are derivable in ANY
+  * engine (DuckDB has md5 but not Spark's xxhash64; this is what gives the
+  * bucketed ANN queries full end-to-end oracles, the Md5SimHash60 trick).
+  * The projection is a left-to-right sum of v(i) * sign, and bit p is set
+  * when the projection is >= 0. The HOF form evaluates `planes`
+  * interpreted aggregate(zip_with(..)) lambda chains per row —
+  * O(planes x dim) boxed calls; this expression is one primitive loop over
+  * a per-dimension sign table computed once per (partition, dim), which is
+  * what keeps the ANN bucketing pass CPU-bound at corpus scale.
   */
 case class SignLshBucket(child: Expression, planes: Int)
     extends UnaryExpression with CodegenFallback {
@@ -76,16 +78,16 @@ case class SignLshBucket(child: Expression, planes: Int)
   private def signsFor(dim: Int): Array[Double] = {
     val c = cached
     if (c != null && c._1 == dim) return c._2
+    val md = java.security.MessageDigest.getInstance("MD5")
     val arr = new Array[Double](planes * dim)
     var p = 0
     while (p < planes) {
-      // xxhash64(p, i) = hashLong(i, hashInt(p, 42)): the exact fold Spark's
-      // xxhash64(lit(p), i.cast(bigint)) performs
-      val seedP = XXH64.hashInt(p, 42L)
       var i = 0
       while (i < dim) {
-        val h = XXH64.hashLong(i.toLong, seedP)
-        arr(p * dim + i) = if (((h % 2) + 2) % 2 == 0) 1.0 else -1.0
+        md.reset()
+        val digest = md.digest(s"$p:$i".getBytes("UTF-8"))
+        val firstHexDigit = (digest(0) >> 4) & 0xF
+        arr(p * dim + i) = if (firstHexDigit % 2 == 0) 1.0 else -1.0
         i += 1
       }
       p += 1

@@ -61,10 +61,13 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component h in {-1,+1} for
-    * (plane p, dimension d), derived from xxhash64 — no RNG state, so the
-    * same buckets come out on every executor of every run. */
+    * (plane p, dimension d): +1 iff the first hex digit of md5("p:d") is
+    * even. No RNG state (same buckets on every executor of every run) AND
+    * engine-portable (md5 is identical everywhere), which is what lets the
+    * DuckDB oracles re-derive the bucket structure for sim02/sim05. */
   private def signComponent(p: Int, d: Column): Column =
-    when(pmod(xxhash64(lit(p), d), lit(2)) === 0, lit(1.0d)).otherwise(lit(-1.0d))
+    when(conv(substring(md5(concat(lit(s"$p:"), d.cast("string"))), 1, 1),
+      16, 10).cast("int") % 2 === 0, lit(1.0d)).otherwise(lit(-1.0d))
 
   /** Sign-LSH bucket id from `planes` random hyperplanes (one bit each):
     * the interpreted HOF formulation, kept as the executable spec for
@@ -121,6 +124,72 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("cos"), col("rnk"))
       .orderBy(col("query_id"), col("rnk"))
   }
+
+  /** DuckDB list-cosine with the same left-to-right fold as
+    * [[graft.functions.CosineSim]] (proven bit-exact by sim01). */
+  private def cosListSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(1, len($a)+1), i -> $a[CAST(i AS INT)]*$b[CAST(i AS INT)])) /
+       (sqrt(list_sum(list_transform(range(1, len($a)+1), i -> $a[CAST(i AS INT)]*$a[CAST(i AS INT)]))) *
+        sqrt(list_sum(list_transform(range(1, len($b)+1), i -> $b[CAST(i AS INT)]*$b[CAST(i AS INT)])))))"""
+
+  /** Shared oracle CTE block re-deriving the sign-LSH bucket of every
+    * vector: the md5-parity sign table (planes x dim rows), per-(vector,
+    * plane) projections as ORDERED folds (list(x ORDER BY i) => the same
+    * left-to-right summation as the native expression), and the bucket bit
+    * sum. Emits CTEs `e` and `bucket`. */
+  private def bucketCtesSql(planes: Int, dim: Int): String = s"""
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      signs AS (SELECT p.p, i.i,
+                  CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(p.p AS VARCHAR), ':', CAST(i.i AS VARCHAR))), 1, 1)) AS INT) % 2 = 0
+                       THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS sg
+                FROM range(0, $planes) p(p), range(0, $dim) i(i)),
+      proj AS (SELECT e.vec_id, s.p,
+                      list_sum(list(e.v[CAST(s.i + 1 AS INT)] * s.sg ORDER BY s.i)) AS pr
+               FROM e CROSS JOIN signs s GROUP BY e.vec_id, s.p),
+      bucket AS (SELECT vec_id,
+                   CAST(sum(CASE WHEN pr >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+                 FROM proj GROUP BY vec_id)"""
+
+  /** DuckDB SQL replicating [[lshTopK]] exactly — possible because the
+    * hyperplane signs are md5-derived (engine-portable): same buckets, same
+    * multi-probe set, same exact-cosine ranking. */
+  def lshTopKOracleSql(k: Int = 5, planes: Int = 8, dim: Int = 64,
+      nQueries: Int = 100): String = s"""
+      WITH ${bucketCtesSql(planes, dim)},
+      probes AS (SELECT vec_id AS query_id,
+                   unnest(list_prepend(bucket,
+                     list_transform(range(0, $planes), p -> xor(bucket, 1 << p)))) AS probe
+                 FROM bucket WHERE vec_id < $nQueries),
+      cand AS (SELECT DISTINCT p.query_id, c.vec_id AS cand_id
+               FROM probes p JOIN bucket c
+                 ON p.probe = c.bucket AND c.vec_id <> p.query_id),
+      scored AS (SELECT c.query_id, c.cand_id,
+                   round(${cosListSql("q.v", "x.v")}, 6) AS cos
+                 FROM cand c JOIN e q ON c.query_id = q.vec_id
+                 JOIN e x ON c.cand_id = x.vec_id)
+      SELECT query_id, cand_id, cos, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, cand_id) AS rnk FROM scored) z
+      WHERE rnk <= $k ORDER BY query_id, rnk"""
+
+  /** DuckDB SQL replicating [[embeddingNearDupPairsBucketed]] exactly:
+    * bucket-meeting candidate pairs (multi-probe, a < b), distinct, then
+    * the same exact-cosine threshold verification. */
+  def embedNearDupBucketedOracleSql(threshold: Double = 0.45,
+      planes: Int = 4, dim: Int = 64): String = s"""
+      WITH ${bucketCtesSql(planes, dim)},
+      probes AS (SELECT vec_id,
+                   unnest(list_prepend(bucket,
+                     list_transform(range(0, $planes), p -> xor(bucket, 1 << p)))) AS probe
+                 FROM bucket),
+      cand AS (SELECT DISTINCT p.vec_id AS vec_a, c.vec_id AS vec_b
+               FROM probes p JOIN bucket c
+                 ON p.probe = c.bucket AND p.vec_id < c.vec_id)
+      SELECT vec_a, vec_b, cos FROM (
+        SELECT c.vec_a, c.vec_b, round(${cosListSql("a.v", "b.v")}, 6) AS cos
+        FROM cand c JOIN e a ON c.vec_a = a.vec_id
+        JOIN e b ON c.vec_b = b.vec_id) z
+      WHERE cos >= $threshold ORDER BY vec_a, vec_b"""
 
   /** ANN top-k via IVF (inverted-file) coarse quantization — the other
     * classic ANN scale path next to sign-LSH ([[lshTopK]]), and fully
