@@ -358,19 +358,37 @@ object TextAnalysis {
     * bounded output schema).
     *
     * Plan shape for 100 TB: vocab build is the unigram count shuffle (map-
-    * side combined) + a rank that WindowGroupLimit cannot prune (full vocab
-    * is the artifact) but is over the VOCAB cardinality, not the corpus;
-    * encoding re-explodes the corpus ONCE, joins the vocab (AQE broadcast
-    * when it fits, sort-merge otherwise) and reassembles per doc with a
-    * positional sort — the exact shape of production tokenizer jobs. */
+    * side combined) + a DISTRIBUTED global frequency rank — the vocab is
+    * range-partitioned in rank order, each chunk gets local row_numbers,
+    * and chunk offsets (one tiny row per partition) are prefix-summed with
+    * a window over the CHUNK table only. A bare `row_number().over(orderBy)`
+    * would pull the whole vocab (web-scale: billions of distinct tokens)
+    * into ONE task — the same global-cumsum trap [[Curation.packWindowsQuery]]
+    * avoids. The assigned ids depend only on the total (count desc, word)
+    * order, not on where the range boundaries fall; the vocab is persisted
+    * so both consumers of the range exchange see one boundary sample.
+    * Encoding then re-explodes the corpus ONCE, joins the vocab (AQE
+    * broadcast when it fits, sort-merge otherwise) and reassembles per doc
+    * with a positional sort — the exact shape of production tokenizer jobs. */
   def vocabEncodeQuery(s: SparkSession, dir: String, cap: Int = 16): DataFrame = {
-    val wv = org.apache.spark.sql.expressions.Window
-      .orderBy(col("c").desc, col("word"))
     val toks = Tables.parallel(Tables.documents(s, dir))
       .select(col("doc_id"),
         posexplode(split(Text.normText(col("text")), " ")).as(Seq("pos", "word")))
-    val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("c"))
-      .withColumn("token_id", row_number().over(wv).cast("long") - 1L)
+    val chunked = toks.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .repartitionByRange(col("c").desc, col("word"))
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("c").desc, col("word"))
+    val wPids = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = chunked.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+      .select(col("pid"), coalesce(sum(col("n")).over(wPids), lit(0L)).as("off"))
+    val vocab = chunked
+      .join(broadcast(offsets), "pid")
+      .withColumn("token_id",
+        col("off") + row_number().over(wLocal).cast("long") - 1L)
       .select(col("word"), col("token_id"))
     toks
       .join(vocab, "word")

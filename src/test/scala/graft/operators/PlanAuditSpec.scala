@@ -92,6 +92,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("ta08: vocab rank is distributed — no single-task window over words") {
+    val plan = planOf(TextAnalysis.vocabEncodeQuery(spark, sf0001))
+    assert(plan.contains("rangepartitioning(c#"), plan)
+    // the only single-partition exchange may be the tiny per-chunk offset
+    // table (aggregated by pid), never the word-level vocab itself
+    val singles = count(plan, "Exchange SinglePartition")
+    assert(singles == 1, s"$singles single-partition exchanges:\n$plan")
+    val afterSingle = plan.substring(plan.indexOf("Exchange SinglePartition"))
+    assert(afterSingle.contains("HashAggregate(keys=[pid"), plan)
+  }
+
   test("sim07: PQ scan joins codes x broadcast LUTs; codebook never SMJs") {
     val plan = planOf(Similarity.pqTopK(spark, sf0001))
     // encode pass: corpus x broadcast codebook; scan pass: codes x
