@@ -55,6 +55,7 @@ object Bench {
     "ta11_pack_windows",
     "sa01_stratified_sample",
     "sa02_domain_reweight",
+    "sa03_hash_sample",
     "ir01_bm25_topk",
     "ir02_inverted_index",
     "sim06_kmeans",

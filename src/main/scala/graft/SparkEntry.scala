@@ -75,6 +75,7 @@ object SparkEntry {
     "ta11_pack_windows"    -> ((s: SparkSession, d: String) => Curation.packWindowsQuery(s, d)),
     "sa01_stratified_sample" -> ((s: SparkSession, d: String) => Curation.stratifiedSampleQuery(s, d)),
     "sa02_domain_reweight" -> Curation.domainReweightQuery _,
+    "sa03_hash_sample"     -> ((s: SparkSession, d: String) => Curation.hashSampleQuery(s, d)),
     "ir01_bm25_topk"       -> ((s: SparkSession, d: String) => Search.bm25TopK(s, d)),
     "ir02_inverted_index"  -> ((s: SparkSession, d: String) => Search.invertedIndex(s, d)),
     "ev01_funnel"          -> Windows.funnelQuery _,
@@ -429,6 +430,7 @@ object SparkEntry {
     "ta11_pack_windows" -> graft.operators.Curation.packWindowsOracleSql,
     "sa01_stratified_sample" -> graft.operators.Curation.stratifiedSampleOracleSql,
     "sa02_domain_reweight" -> graft.operators.Curation.domainReweightOracleSql,
+    "sa03_hash_sample" -> graft.operators.Curation.hashSampleOracleSql,
     "ir01_bm25_topk" -> graft.operators.Search.bm25OracleSql,
     "ir02_inverted_index" -> graft.operators.Search.invertedIndexOracleSql,
     "ev01_funnel" -> Windows.funnelOracleSql,

@@ -91,6 +91,33 @@ object Curation {
       SELECT doc_id, lang, sample_rank FROM x
       WHERE sample_rank <= 40 ORDER BY lang, sample_rank"""
 
+  /** Deterministic Bernoulli sampling by hash threshold — the zero-shuffle
+    * companion to [[stratifiedSampleQuery]] and the form a 100 TB pipeline
+    * actually runs when exact per-stratum counts are not required: keep a
+    * document iff the first 8 hex digits of md5(doc_id) fall under
+    * rate * 2^32. A pure map-side filter (no exchange at all, pushdown-
+    * friendly), reproducible across engines and runs, stable under corpus
+    * growth (a document's verdict never changes as neighbors arrive). */
+  def hashSampleQuery(s: SparkSession, dir: String, rate: Double = 0.15): DataFrame = {
+    val cut = (rate * 4294967296.0).toLong // rate * 2^32
+    val bucket32 = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), bucket32.as("h32"))
+      .filter(col("h32") < cut)
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB SQL replicating [[hashSampleQuery]] exactly (same md5-prefix
+    * threshold). */
+  val hashSampleOracleSql: String = """
+      SELECT doc_id, lang, source,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h32
+      FROM documents
+      WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            < 644245094
+      ORDER BY doc_id"""
+
   /** Domain mixture reweighting (the corpus-mixing planner): per source
     * domain, the natural share of the corpus, a declared target share, and
     * the sampling weight (= epochs multiplier) that reaches the target —

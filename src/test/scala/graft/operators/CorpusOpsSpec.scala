@@ -161,6 +161,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows.exists(_.getLong(5) > 1))
   }
 
+  test("sa03: hash sample matches a local md5 recomputation, rate on target") {
+    val rows = Curation.hashSampleQuery(spark, sf0001).collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(id: Long): Long = {
+      md.reset()
+      val d = md.digest(id.toString.getBytes("UTF-8"))
+      d.take(4).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+    }
+    val all = graft.core.Tables.documents(spark, sf0001)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val expected = all.filter(id => h32(id) < 644245094L).toSet
+    assert(rows.map(_.getLong(0)).toSet == expected)
+    rows.foreach(r => assert(h32(r.getLong(0)) == r.getLong(3)))
+    // md5 is uniform: 500 docs at rate .15 => ~75 expected, binomial sd ~8
+    assert(rows.length > 40 && rows.length < 115, s"${rows.length} sampled")
+  }
+
   test("ir01: top-k size, descending rounded scores, positive-tf head") {
     val rows = Search.bm25TopK(spark, sf0001).collect()
     assert(rows.length == Search.TopK)
