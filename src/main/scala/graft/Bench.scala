@@ -35,6 +35,7 @@ object Bench {
     "w01_tumbling_window",
     "w02_session_window",
     "ev01_funnel",
+    "ev02_retention",
     "mm01_media_features",
     "mm03_media_embed_topk",
     "dd01_exact_dedup",

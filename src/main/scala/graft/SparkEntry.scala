@@ -79,6 +79,7 @@ object SparkEntry {
     "ir01_bm25_topk"       -> ((s: SparkSession, d: String) => Search.bm25TopK(s, d)),
     "ir02_inverted_index"  -> ((s: SparkSession, d: String) => Search.invertedIndex(s, d)),
     "ev01_funnel"          -> Windows.funnelQuery _,
+    "ev02_retention"       -> Windows.retentionQuery _,
     "sim01_cosine_topk"    -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "sim02_ann_lsh"        -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
     "sim03_embed_neardup"  -> ((s: SparkSession, d: String) => Similarity.embeddingNearDupPairs(s, d)),
@@ -434,6 +435,7 @@ object SparkEntry {
     "ir01_bm25_topk" -> graft.operators.Search.bm25OracleSql,
     "ir02_inverted_index" -> graft.operators.Search.invertedIndexOracleSql,
     "ev01_funnel" -> Windows.funnelOracleSql,
+    "ev02_retention" -> Windows.retentionOracleSql,
     "sim01_cosine_topk" -> """
       WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                  FROM embeddings WHERE vec_id < 100),

@@ -94,4 +94,40 @@ object Windows {
              p.purchase_us IS NOT NULL AS converted,
              (p.purchase_us - s.signup_us) // 1000000 AS secs_to_convert
       FROM s LEFT JOIN p USING (user_id) ORDER BY s.user_id"""
+
+  /** Cohort retention (the cohort x day-offset matrix every product
+    * analytics stack computes): users are bucketed by first-activity day;
+    * for each (cohort_day, day_offset) the count of cohort members active
+    * that day. Days are exact integer micros-div-86400e6 — no timezone or
+    * calendar arithmetic, identical in every engine.
+    *
+    * Plan shape for 100 TB: activity reduces to distinct (user, day) pairs
+    * with a map-side-combined aggregate BEFORE anything else (the raw event
+    * stream is touched once); cohorts are a per-user min over those pairs;
+    * the user-keyed join reuses the same shuffle key; the final matrix agg
+    * is over (cohort, offset) cardinality. Nothing downstream of the first
+    * aggregate scales with raw event volume. */
+  def retentionQuery(s: SparkSession, dir: String): DataFrame = {
+    val userDays = Tables.events(s, dir)
+      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+      .distinct()
+    val cohorts = userDays.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    userDays.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** DuckDB SQL replicating [[retentionQuery]] exactly (count(*) == count
+    * distinct users here because the (user, day) pairs are pre-distinct). */
+  val retentionOracleSql: String = """
+      WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+                  FROM events),
+      c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id)
+      SELECT c.cohort_day, ud.day - c.cohort_day AS day_offset,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM ud JOIN c USING (user_id)
+      GROUP BY c.cohort_day, day_offset
+      ORDER BY cohort_day, day_offset"""
 }

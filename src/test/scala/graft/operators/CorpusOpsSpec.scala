@@ -178,6 +178,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows.length > 40 && rows.length < 115, s"${rows.length} sampled")
   }
 
+  test("ev02: offsets nonnegative, day-0 equals cohort size, users conserved") {
+    val rows = Windows.retentionQuery(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(1) >= 0L))
+    // every cohort has a day-0 row and it is its largest count (each member
+    // is by definition active on their first day)
+    val byCohort = rows.groupBy(_.getLong(0))
+    byCohort.foreach { case (c, rs) =>
+      val day0 = rs.find(_.getLong(1) == 0L)
+      assert(day0.isDefined, s"cohort $c missing day-0")
+      assert(rs.forall(_.getLong(2) <= day0.get.getLong(2)), s"cohort $c")
+    }
+    // cohort sizes sum to the distinct-user count
+    val nUsers = graft.core.Tables.events(spark, sf0001)
+      .select(col("user_id")).distinct().count()
+    assert(byCohort.values.map(_.find(_.getLong(1) == 0L).get.getLong(2)).sum == nUsers)
+  }
+
   test("ir01: top-k size, descending rounded scores, positive-tf head") {
     val rows = Search.bm25TopK(spark, sf0001).collect()
     assert(rows.length == Search.TopK)
