@@ -111,6 +111,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("sa03: hash sampling is a pure map filter — only the output sort exchanges") {
+    val plan = planOf(Curation.hashSampleQuery(spark, sf0001))
+    assert(count(plan, "Exchange") == 1, plan) // the harness orderBy only
+    assert(plan.contains("rangepartitioning(doc_id"), plan)
+  }
+
+  test("ev02: retention aggregates raw events before any join; no windows") {
+    val plan = planOf(Windows.retentionQuery(spark, sf0001))
+    assert(!plan.contains("Window ["), plan)
+    // the (user, day) distinct must sit directly on the scan side — the
+    // raw event stream is never joined or re-shuffled unaggregated
+    assert(plan.contains("HashAggregate(keys=[user_id"), plan)
+  }
+
   test("q03: dimension joins are broadcast at dimension scale") {
     val plan = planOf(Relational.revenueByNation(spark, sf0001))
     assert(plan.contains("BroadcastHashJoin"), plan)
