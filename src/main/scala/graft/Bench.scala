@@ -36,6 +36,7 @@ object Bench {
     "w02_session_window",
     "ev01_funnel",
     "ev02_retention",
+    "ev03_transitions",
     "mm01_media_features",
     "mm03_media_embed_topk",
     "dd01_exact_dedup",
@@ -50,6 +51,7 @@ object Bench {
     "ta05_rolling_hash",
     "ta06_curation",
     "ta07_unigram_logprob",
+    "ta12_bigram_logprob",
     "ta08_vocab_encode",
     "ta09_repetition",
     "ta10_chunking",
@@ -57,6 +59,8 @@ object Bench {
     "sa01_stratified_sample",
     "sa02_domain_reweight",
     "sa03_hash_sample",
+    "sa04_mixture_sample",
+    "sa05_shard_assign",
     "ir01_bm25_topk",
     "ir02_inverted_index",
     "sim06_kmeans",

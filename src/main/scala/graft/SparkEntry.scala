@@ -69,6 +69,7 @@ object SparkEntry {
     "ta05_rolling_hash"    -> TextAnalysis.rollingHashQuery _,
     "ta06_curation"        -> graft.operators.Curation.curationQuery _,
     "ta07_unigram_logprob" -> TextAnalysis.unigramLogProbQuery _,
+    "ta12_bigram_logprob"  -> TextAnalysis.bigramLogProbQuery _,
     "ta08_vocab_encode"    -> ((s: SparkSession, d: String) => TextAnalysis.vocabEncodeQuery(s, d)),
     "ta09_repetition"      -> TextAnalysis.repetitionQuery _,
     "ta10_chunking"        -> ((s: SparkSession, d: String) => TextAnalysis.chunkQuery(s, d)),
@@ -76,10 +77,13 @@ object SparkEntry {
     "sa01_stratified_sample" -> ((s: SparkSession, d: String) => Curation.stratifiedSampleQuery(s, d)),
     "sa02_domain_reweight" -> Curation.domainReweightQuery _,
     "sa03_hash_sample"     -> ((s: SparkSession, d: String) => Curation.hashSampleQuery(s, d)),
+    "sa04_mixture_sample"  -> ((s: SparkSession, d: String) => Curation.mixtureSampleQuery(s, d)),
+    "sa05_shard_assign"    -> ((s: SparkSession, d: String) => Curation.shardAssignQuery(s, d)),
     "ir01_bm25_topk"       -> ((s: SparkSession, d: String) => Search.bm25TopK(s, d)),
     "ir02_inverted_index"  -> ((s: SparkSession, d: String) => Search.invertedIndex(s, d)),
     "ev01_funnel"          -> Windows.funnelQuery _,
     "ev02_retention"       -> Windows.retentionQuery _,
+    "ev03_transitions"     -> Windows.transitionsQuery _,
     "sim01_cosine_topk"    -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "sim02_ann_lsh"        -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
     "sim03_embed_neardup"  -> ((s: SparkSession, d: String) => Similarity.embeddingNearDupPairs(s, d)),
@@ -425,6 +429,7 @@ object SparkEntry {
     // rule cascade as the operator — pipeline and oracle cannot drift
     "ta06_curation" -> graft.operators.Curation.curationOracleSql,
     "ta07_unigram_logprob" -> TextAnalysis.unigramLogProbOracleSql,
+    "ta12_bigram_logprob" -> TextAnalysis.bigramLogProbOracleSql,
     "ta08_vocab_encode" -> TextAnalysis.vocabEncodeOracleSql,
     "ta09_repetition" -> TextAnalysis.repetitionOracleSql,
     "ta10_chunking" -> TextAnalysis.chunkOracleSql,
@@ -432,10 +437,13 @@ object SparkEntry {
     "sa01_stratified_sample" -> graft.operators.Curation.stratifiedSampleOracleSql,
     "sa02_domain_reweight" -> graft.operators.Curation.domainReweightOracleSql,
     "sa03_hash_sample" -> graft.operators.Curation.hashSampleOracleSql,
+    "sa04_mixture_sample" -> graft.operators.Curation.mixtureSampleOracleSql,
+    "sa05_shard_assign" -> graft.operators.Curation.shardAssignOracleSql,
     "ir01_bm25_topk" -> graft.operators.Search.bm25OracleSql,
     "ir02_inverted_index" -> graft.operators.Search.invertedIndexOracleSql,
     "ev01_funnel" -> Windows.funnelOracleSql,
     "ev02_retention" -> Windows.retentionOracleSql,
+    "ev03_transitions" -> Windows.transitionsOracleSql,
     "sim01_cosine_topk" -> """
       WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                  FROM embeddings WHERE vec_id < 100),

@@ -156,6 +156,95 @@ object Curation {
              target_share / nat_share AS weight
       FROM x ORDER BY source"""
 
+  /** Mixture sampling — APPLYING the [[domainReweightQuery]] plan (the
+    * DoReMi-style "reweight domains before training" step actually executed):
+    * each domain's documents are kept with probability
+    * min(1, weight x frac), where weight is the sa02 target/natural ratio
+    * and frac scales the whole corpus down. Selection is the same
+    * deterministic md5-threshold cut as [[hashSampleQuery]], so the sample
+    * is reproducible across engines and stable under corpus growth.
+    *
+    * Plan shape for 100 TB: the rate table is one row per domain (20 here),
+    * computed by the sa02 aggregation and broadcast; the corpus pass is a
+    * map-side hash + broadcast-join + filter — no exchange of the corpus at
+    * all. The h < rate * 2^32 comparison runs in DOUBLE on both engines
+    * (h < 2^32 is exact in a double; the rate chain is the same IEEE ops),
+    * so the verdict is bit-identical cross-engine with no rounding. */
+  def mixtureSampleQuery(s: SparkSession, dir: String, frac: Double = 0.5): DataFrame = {
+    val docs = Tables.parallel(Tables.documents(s, dir))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val total = docs.agg(count(lit(1)).as("total"))
+    val rates = counts.crossJoin(broadcast(total))
+      .withColumn("idx", substring(col("source"), 4, 10).cast("long"))
+      .withColumn("nat_share",
+        col("n_docs").cast("double") / col("total").cast("double"))
+      .withColumn("target_share", ((col("idx") % 4 + 1).cast("double") / 50.0))
+      .select(col("source"),
+        least(lit(1.0d), col("target_share") / col("nat_share") * frac).as("rate"))
+    val h32 = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), h32.as("h32"))
+      .join(broadcast(rates), "source")
+      .filter(col("h32") < col("rate") * 4294967296.0d)
+      .select(col("doc_id"), col("source"), col("rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB SQL replicating [[mixtureSampleQuery]] exactly (frac = 0.5). */
+  val mixtureSampleOracleSql: String = """
+      WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                 FROM documents GROUP BY source),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+      r AS (SELECT source,
+              least(1.0,
+                (CAST(CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS DOUBLE) / 50.0)
+                / (CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE)) * 0.5) AS rate
+            FROM c CROSS JOIN t)
+      SELECT doc_id, d.source, rate
+      FROM (SELECT doc_id, source,
+              CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                AS DOUBLE) AS h32
+            FROM documents) d
+      JOIN r ON d.source = r.source
+      WHERE h32 < rate * 4294967296.0
+      ORDER BY doc_id"""
+
+  /** Deterministic training-shard assignment — the "global shuffle + write
+    * N training files" step at the end of every corpus pipeline: each
+    * document gets a pseudo-random shard (md5 prefix mod nShards) and a
+    * stable position within its shard (ordered by the full md5 key), so a
+    * trainer reading shard files in pos order sees a reproducible global
+    * shuffle of the corpus.
+    *
+    * Plan shape for 100 TB: NO global sort — the only exchange is the
+    * shuffle-by-shard, and each shard sorts independently (shards are sized
+    * to training files, thousands of them, so per-task work is bounded).
+    * The classic trap here is orderBy(rand()) — a full-corpus range sort
+    * with a nondeterministic key; the hash key is reproducible and the
+    * per-shard window avoids the global exchange entirely. */
+  def shardAssignQuery(s: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("rk"), col("doc_id"))
+    Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("rk"))
+      .withColumn("shard",
+        pmod(conv(substring(col("rk"), 1, 8), 16, 10).cast("long"), lit(nShards.toLong)))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB SQL replicating [[shardAssignQuery]] exactly (8 shards). */
+  val shardAssignOracleSql: String = """
+      WITH r AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS rk FROM documents),
+      x AS (SELECT doc_id, rk,
+              CAST(concat('0x', substr(rk, 1, 8)) AS BIGINT) % 8 AS shard
+            FROM r)
+      SELECT doc_id, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id) - 1 AS pos
+      FROM x ORDER BY doc_id"""
+
   /** Context-window sequence packing — the "concatenate the corpus and cut
     * it into fixed-length training examples" step (GPT-style pretraining
     * batches): documents are laid end-to-end in doc_id order and the token

@@ -214,6 +214,60 @@ object TextAnalysis {
       FROM toks JOIN cnt USING (word) CROSS JOIN tot
       GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Bigram LM quality score — the conditional-probability refinement of
+    * [[unigramLogProbQuery]] (one step closer to the KenLM perplexity
+    * filters real pipelines run): per document, the mean
+    * ln P(w_i | w_{i-1}) = ln( c(w_{i-1} w_i) / c(w_{i-1} ·) ), with both
+    * counts taken over the corpus's own bigram stream (every observed
+    * bigram has c >= 1, so no smoothing is needed for finiteness).
+    *
+    * Plan shape for 100 TB: bigrams are emitted positionally by the native
+    * [[graft.functions.TokenNgrams]] expression (no token arrays
+    * materialized); two map-side-combined count shuffles build the bigram
+    * and context tables; the scoring pass re-joins the bigram stream to
+    * both — left to AQE, which broadcasts them at test SF and degrades to
+    * sort-merge on the bigram key at web-corpus vocab, the plan you'd want.
+    * The exploded bigram stream is recomputed, never persisted (~20x the
+    * corpus at scale). Mean is rounded 4dp (order-dependent double agg). */
+  def bigramLogProbQuery(s: SparkSession, dir: String): DataFrame = {
+    val bigrams = Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        explode(graft.functions.TokenNgrams.tokenNgrams(
+          Text.normText(col("text")), 2)).as("bg"))
+    val bgCounts = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val ctxCounts = bigrams
+      .select(substring_index(col("bg"), " ", 1).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bigrams
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(bgCounts, "bg")
+      .join(ctxCounts, "w1")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("c2").cast("double") / col("c1").cast("double"))), 4)
+          .as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[bigramLogProbQuery]]: same bigram stream, same
+    * corpus-conditional probabilities, same 4dp-rounded mean. */
+  def bigramLogProbOracleSql: String = """
+      WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                 FROM documents),
+      tok AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
+      bg AS (SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(w), 1)),
+                 i -> array_to_string(w[CAST(i AS INT):CAST(i + 1 AS INT)], ' '))) AS g
+             FROM tok),
+      c2 AS (SELECT g, count(*) AS c2 FROM bg GROUP BY g),
+      c1 AS (SELECT split_part(g, ' ', 1) AS w1, count(*) AS c1 FROM bg GROUP BY 1)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(avg(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))), 4) AS avg_logprob
+      FROM bg JOIN c2 USING (g)
+      JOIN c1 ON split_part(bg.g, ' ', 1) = c1.w1
+      GROUP BY doc_id ORDER BY doc_id"""
+
   /** Gopher-style repetition quality scores (the repetition-removal rules of
     * Rae et al. 2021 §A1.1, adapted to word n-grams since this corpus has no
     * line structure): per document,

@@ -130,4 +130,49 @@ object Windows {
       FROM ud JOIN c USING (user_id)
       GROUP BY c.cohort_day, day_offset
       ORDER BY cohort_day, day_offset"""
+
+  /** Event-type transition matrix (first-order Markov analytics over the
+    * event stream): for every ordered pair of consecutive events of the
+    * same user, the transition count and probability
+    * P(to | from) = n(from, to) / n(from, *).
+    *
+    * Plan shape for 100 TB: ONE shuffle of the event stream, keyed by
+    * user_id (the window's partition key); the lead() pass emits one row
+    * per event, immediately reduced by a map-side-combined count into at
+    * most |types|^2 rows. The probability normalization is a window over
+    * that tiny matrix — nothing downstream of the per-user window scales
+    * with event volume. Times stay in exact integer micros (the
+    * cross-engine resolution — see [[funnelQuery]]). */
+  def transitionsQuery(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_type"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("tus"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        col("n").cast("double") / sum(col("n")).over(wf).cast("double"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** DuckDB SQL replicating [[transitionsQuery]] exactly (the n/total
+    * division is one IEEE op over exact integers — no rounding needed). */
+  val transitionsOracleSql: String = """
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+                 FROM events),
+      p AS (SELECT event_type AS from_type,
+                   lead(event_type, 1) OVER (PARTITION BY user_id
+                     ORDER BY tus, event_id) AS to_type
+            FROM e),
+      c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+            FROM p WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+      SELECT from_type, to_type, n,
+             CAST(n AS DOUBLE) /
+               CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+      FROM c ORDER BY from_type, to_type"""
 }

@@ -196,6 +196,80 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(byCohort.values.map(_.find(_.getLong(1) == 0L).get.getLong(2)).sum == nUsers)
   }
 
+  test("sa04: mixture sample respects per-domain rates and the hash cut") {
+    val rows = Curation.mixtureSampleQuery(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(id: Long): Long = {
+      md.reset()
+      val d = md.digest(id.toString.getBytes("UTF-8"))
+      d.take(4).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+    }
+    // every kept doc's hash is under its domain's cut; rates are min(1, w/2)
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.values.sum.toDouble
+    def rate(src: String): Double = {
+      val target = (src.drop(3).toLong % 4 + 1).toDouble / 50.0
+      math.min(1.0, target / (docs(src) / total) * 0.5)
+    }
+    rows.foreach { r =>
+      val expected = rate(r.getString(1))
+      assert(r.getDouble(2) == expected, s"rate for ${r.getString(1)}")
+      assert(h32(r.getLong(0)).toDouble < expected * 4294967296.0, r.toString)
+    }
+    // a domain with weight >= 2 keeps everything (rate clamps to 1)
+    val full = docs.keys.filter(s => rate(s) >= 1.0)
+    val kept = rows.groupBy(_.getString(1)).map { case (s, rs) => s -> rs.length.toLong }
+    full.foreach(s => assert(kept.getOrElse(s, 0L) == docs(s), s"domain $s"))
+  }
+
+  test("sa05: shards partition the corpus; positions contiguous per shard") {
+    val rows = Curation.shardAssignQuery(spark, sf0001).collect()
+    val nDocs = graft.core.Tables.documents(spark, sf0001).count()
+    assert(rows.length == nDocs)
+    assert(rows.map(_.getLong(0)).distinct.length == nDocs)
+    rows.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(1) < 8))
+    rows.groupBy(_.getLong(1)).foreach { case (sh, rs) =>
+      val ps = rs.map(_.getLong(2)).sorted
+      assert(ps.sameElements(0L until ps.length), s"shard $sh positions")
+    }
+    // md5 is uniform: no shard should be pathologically skewed (>2x mean)
+    val sizes = rows.groupBy(_.getLong(1)).values.map(_.length)
+    assert(sizes.max < 2 * (nDocs / 8).toInt, s"shard sizes: $sizes")
+  }
+
+  test("ev03: transition probabilities normalize; pair count conserved") {
+    val rows = Windows.transitionsQuery(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // per from_type, probabilities sum to 1 (exact sum of n/total)
+    rows.groupBy(_.getString(0)).foreach { case (f, rs) =>
+      val total = rs.map(_.getLong(2)).sum
+      rs.foreach(r => assert(r.getDouble(3) == r.getLong(2).toDouble / total))
+      assert(math.abs(rs.map(_.getDouble(3)).sum - 1.0) < 1e-9, s"from $f")
+    }
+    // total transitions = total events - distinct users (each user's chain
+    // has length n_events - 1)
+    val ev = graft.core.Tables.events(spark, sf0001)
+    val expected = ev.count() - ev.select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(2)).sum == expected)
+  }
+
+  test("ta12: bigram log-probs negative, bounded by zero, count = tokens-1") {
+    val rows = TextAnalysis.bigramLogProbQuery(spark, sf0001).collect()
+    val nDocs = graft.core.Tables.documents(spark, sf0001).count()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getDouble(2) < 0.0) // every context has >1 continuation here
+    }
+    // n_bigrams per doc = token count - 1
+    val toks = TextAnalysis.tokenStatsQuery(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) == toks(r.getLong(0)) - 1, r.toString))
+  }
+
   test("ir01: top-k size, descending rounded scores, positive-tf head") {
     val rows = Search.bm25TopK(spark, sf0001).collect()
     assert(rows.length == Search.TopK)

@@ -125,6 +125,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate(keys=[user_id"), plan)
   }
 
+  test("sa04: mixture sampling broadcasts the rate table; corpus never SMJs") {
+    val plan = planOf(Curation.mixtureSampleQuery(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the corpus probe side must not be exchanged before the rate join —
+    // the only keyed exchange is the tiny per-source count aggregation
+    assert(count(plan, "hashpartitioning\\(source") <= 1, plan)
+  }
+
+  test("sa05: shard assignment shuffles by shard only — no global sort window") {
+    val plan = planOf(Curation.shardAssignQuery(spark, sf0001))
+    assert(plan.contains("hashpartitioning(shard"), plan)
+    // exactly one KEYED exchange (by shard) + the output range sort; the
+    // round-robin widen from Tables.parallel carries no key
+    assert(count(plan, "hashpartitioning") == 1, plan)
+    assert(count(plan, "rangepartitioning") == 1, plan)
+    assert(!plan.contains("SinglePartition, Window"), plan)
+  }
+
+  test("ev03: transitions shuffle the events once, keyed by user") {
+    val plan = planOf(Windows.transitionsQuery(spark, sf0001))
+    assert(plan.contains("hashpartitioning(user_id"), plan)
+    assert(count(plan, "hashpartitioning\\(user_id") == 1, plan)
+  }
+
   test("q03: dimension joins are broadcast at dimension scale") {
     val plan = planOf(Relational.revenueByNation(spark, sf0001))
     assert(plan.contains("BroadcastHashJoin"), plan)
