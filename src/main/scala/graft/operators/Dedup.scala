@@ -405,7 +405,14 @@ object Dedup {
     * probe is a distinct + equi-join on the hash (AQE broadcasts the batch
     * side when small — the common case: a daily batch vs a petabyte store
     * shuffles ONLY the batch); within-batch dedup is one min-per-key
-    * window. Nothing rescans the accepted corpus's text. */
+    * window. Nothing rescans the accepted corpus's text.
+    *
+    * When the batch is too big to broadcast, Catalyst's runtime Bloom
+    * filter (InjectRuntimeFilter) prunes the store scan before the shuffle
+    * — PROVIDED the fingerprint is a materialized scan column, which a real
+    * fingerprint store is. A join key computed inline (md5 over the text,
+    * as this self-contained query does on both sides) is not eligible:
+    * RuntimeFilterSpec pins both facts. */
   def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.parallel(Tables.documents(s, dir))
       .select(col("doc_id"),
