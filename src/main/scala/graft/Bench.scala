@@ -45,6 +45,7 @@ object Bench {
     "dd07_repeated_spans",
     "dd08_decontaminate",
     "dd09_incremental_dedup",
+    "dd10_dup_source_matrix",
     "ta01_langid",
     "ta02_quality",
     "ta03_token_stats",
@@ -52,6 +53,7 @@ object Bench {
     "ta06_curation",
     "ta07_unigram_logprob",
     "ta12_bigram_logprob",
+    "ta13_bpe_pairs",
     "ta08_vocab_encode",
     "ta09_repetition",
     "ta10_chunking",

@@ -62,6 +62,7 @@ object SparkEntry {
     "dd07_repeated_spans"  -> ((s: SparkSession, d: String) => Dedup.repeatedSpans(s, d)),
     "dd08_decontaminate"   -> ((s: SparkSession, d: String) => Dedup.decontaminate(s, d)),
     "dd09_incremental_dedup" -> Dedup.incrementalDedup _,
+    "dd10_dup_source_matrix" -> Dedup.dupSourceMatrix _,
     "ta01_langid"          -> TextAnalysis.langIdQuery _,
     "ta02_quality"         -> TextAnalysis.qualityQuery _,
     "ta03_token_stats"     -> TextAnalysis.tokenStatsQuery _,
@@ -70,6 +71,7 @@ object SparkEntry {
     "ta06_curation"        -> graft.operators.Curation.curationQuery _,
     "ta07_unigram_logprob" -> TextAnalysis.unigramLogProbQuery _,
     "ta12_bigram_logprob"  -> TextAnalysis.bigramLogProbQuery _,
+    "ta13_bpe_pairs"       -> ((s: SparkSession, d: String) => TextAnalysis.bpePairsQuery(s, d)),
     "ta08_vocab_encode"    -> ((s: SparkSession, d: String) => TextAnalysis.vocabEncodeQuery(s, d)),
     "ta09_repetition"      -> TextAnalysis.repetitionQuery _,
     "ta10_chunking"        -> ((s: SparkSession, d: String) => TextAnalysis.chunkQuery(s, d)),
@@ -358,6 +360,14 @@ object SparkEntry {
     "dd07_repeated_spans" -> Dedup.repeatedSpansOracleSql,
     "dd08_decontaminate" -> Dedup.decontaminateOracleSql,
     "dd09_incremental_dedup" -> Dedup.incrementalDedupOracleSql,
+    "dd10_dup_source_matrix" -> s"""
+      WITH pairs AS (${pairsSubquerySql})
+      SELECT least(a.source, b.source) AS source_a,
+             greatest(a.source, b.source) AS source_b,
+             CAST(count(*) AS BIGINT) AS n_dup_pairs
+      FROM pairs p JOIN documents a ON p.doc_a = a.doc_id
+      JOIN documents b ON p.doc_b = b.doc_id
+      GROUP BY 1, 2 ORDER BY source_a, source_b""",
     "dd05_dup_clusters" -> s"""
       WITH RECURSIVE pairs AS (${pairsSubquerySql}),
       edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -430,6 +440,7 @@ object SparkEntry {
     "ta06_curation" -> graft.operators.Curation.curationOracleSql,
     "ta07_unigram_logprob" -> TextAnalysis.unigramLogProbOracleSql,
     "ta12_bigram_logprob" -> TextAnalysis.bigramLogProbOracleSql,
+    "ta13_bpe_pairs" -> TextAnalysis.bpePairsOracleSql,
     "ta08_vocab_encode" -> TextAnalysis.vocabEncodeOracleSql,
     "ta09_repetition" -> TextAnalysis.repetitionOracleSql,
     "ta10_chunking" -> TextAnalysis.chunkOracleSql,

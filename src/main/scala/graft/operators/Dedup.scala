@@ -515,6 +515,30 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Duplication provenance matrix — for every pair of sources, how many
+    * verified near-dup pairs span them (diagnosing WHERE duplication comes
+    * from: mirrored domains, re-crawls, boilerplate farms — the first
+    * question a curator asks after [[minhashLshPairs]] fires).
+    *
+    * Plan shape for 100 TB: the pair set (already tiny relative to the
+    * corpus — it scales with true duplication) is joined to the doc→source
+    * projection twice, then reduced to at most |sources|^2 rows by a
+    * map-side-combined count. Source pairs are canonicalized
+    * (least, greatest) so the matrix is upper-triangular including the
+    * diagonal (within-source duplication). */
+  def dupSourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    val (pairs, _) = minhashLshPairsTracked(s, dir)
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** SimHash fingerprints + near-pairs at hamming distance <= 3 via 15-bit
     * band equi-join. Output: candidate pairs with their hamming distance.
     *

@@ -268,6 +268,40 @@ object TextAnalysis {
       JOIN c1 ON split_part(bg.g, ' ', 1) = c1.w1
       GROUP BY doc_id ORDER BY doc_id"""
 
+  /** BPE first-merge statistics — the corpus pass a tokenizer trainer runs
+    * (Sennrich et al. 2016): occurrence counts of adjacent within-word
+    * character pairs, top-k by frequency (the most frequent pair is BPE's
+    * first merge; iterating this map-reduce IS tokenizer training).
+    *
+    * Plan shape for 100 TB: pairs are emitted by codegen'd substr over a
+    * sequence — one map pass, no arrays of the corpus materialized; the
+    * count is a map-side-combined aggregate whose key space is bounded by
+    * |alphabet|^2, so the exchange carries a few thousand rows per task
+    * regardless of corpus size; top-k is TakeOrderedAndProject. Ties break
+    * on the pair string, making the cut deterministic. */
+  def bpePairsQuery(s: SparkSession, dir: String, topK: Int = 50): DataFrame = {
+    val words = Tables.parallel(Tables.documents(s, dir))
+      .select(explode(split(Text.normText(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+    words
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
+  }
+
+  /** DuckDB oracle for [[bpePairsQuery]] (top 50, same tie-break). */
+  def bpePairsOracleSql: String = """
+      WITH d AS (SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                 FROM documents),
+      w AS (SELECT unnest(string_split(t, ' ')) AS w FROM d),
+      p AS (SELECT unnest(list_transform(range(1, length(w)),
+              i -> substr(w, CAST(i AS INT), 2))) AS pair
+            FROM w WHERE length(w) >= 2)
+      SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY pair
+      ORDER BY n DESC, pair LIMIT 50"""
+
   /** Gopher-style repetition quality scores (the repetition-removal rules of
     * Rae et al. 2021 §A1.1, adapted to word n-grams since this corpus has no
     * line structure): per document,

@@ -49,6 +49,8 @@ object Stress {
       "dd07_repeated_spans", "ta01_langid", "ta02_quality",
       "ta09_repetition", "ta10_chunking", "ta11_pack_windows",
       "ta08_vocab_encode", "ir02_inverted_index", "sa01_stratified_sample",
+      "sa04_mixture_sample", "sa05_shard_assign", "ta12_bigram_logprob",
+      "ta13_bpe_pairs",
       "sim02_ann_lsh", "sim04_ivf_ann", "sim07_pq_ann")
     var failed = false
     queries.foreach { name =>

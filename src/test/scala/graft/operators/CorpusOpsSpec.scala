@@ -270,6 +270,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(1) == toks(r.getLong(0)) - 1, r.toString))
   }
 
+  test("ta13: BPE pair counts descend, pairs are 2 chars, top pair plausible") {
+    val rows = TextAnalysis.bpePairsQuery(spark, sf0001).collect()
+    assert(rows.length == 50)
+    rows.foreach(r => assert(r.getString(0).length == 2, r.toString))
+    val ns = rows.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    // local recomputation of the top pair's count
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select(col("text")).collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { t =>
+      t.toLowerCase.replaceAll("\\s+", " ").trim.split(" ")
+        .filter(_.length >= 2)
+        .foreach(w => w.sliding(2).foreach(p =>
+          counts(p) = counts.getOrElse(p, 0L) + 1))
+    }
+    val top = rows.head
+    assert(counts(top.getString(0)) == top.getLong(1))
+    assert(counts.values.max == top.getLong(1))
+  }
+
+  test("dd10: matrix pair total equals the verified near-dup pair count") {
+    val matrix = Dedup.dupSourceMatrix(spark, sf0001).collect()
+    val nPairs = Dedup.minhashLshPairs(spark, sf0001).count()
+    assert(matrix.map(_.getLong(2)).sum == nPairs)
+    // canonical upper-triangular keys
+    matrix.foreach(r => assert(r.getString(0) <= r.getString(1), r.toString))
+    assert(matrix.nonEmpty)
+  }
+
   test("ir01: top-k size, descending rounded scores, positive-tf head") {
     val rows = Search.bm25TopK(spark, sf0001).collect()
     assert(rows.length == Search.TopK)
