@@ -17,6 +17,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q01_pricing_summary",
     "q03_revenue_by_nation",
+    "q36_tpch_q5",
     "q04_window_rank",
     "q06_running_balance",
     "q09_semi_join",

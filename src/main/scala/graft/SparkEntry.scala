@@ -52,6 +52,7 @@ object SparkEntry {
     "q33_map_funcs"        -> Relational.mapFuncs _,
     "q34_window_dist"      -> Relational.windowDist _,
     "q35_full_outer"       -> Relational.nationPresence _,
+    "q36_tpch_q5"          -> Relational.localSupplierRevenue _,
     // LLM-data-pipeline operators (dedup / text analysis / similarity)
     "dd01_exact_dedup"     -> Dedup.exactDedup _,
     "dd02_ngram_jaccard"   -> Dedup.ngramJaccardPairs _,
@@ -273,6 +274,19 @@ object SparkEntry {
             FROM supplier GROUP BY 1) s
         ON c.nationkey = s.skey
       ORDER BY nationkey""",
+    "q36_tpch_q5" -> """
+      SELECT n_name,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             count(1) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY n_name ORDER BY revenue DESC, n_name""",
     "st01_stateful_balance" -> """
       SELECT user_id, event_id,
              round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id

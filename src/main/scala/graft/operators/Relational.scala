@@ -163,6 +163,35 @@ object Relational {
       .orderBy(col("nationkey"))
   }
 
+  /** TPC-H Q5 analog (the deepest join graph in the suite): local-supplier
+    * revenue — six tables, a cross-table equality (customer and supplier in
+    * the SAME nation), a region cut and an order-date year window.
+    * Exercises what the optimizer must get right on a star-plus-snowflake
+    * at scale: the date filter pushes to the orders scan, the region cut
+    * prunes nation before it ever touches a fact table, every dimension
+    * broadcasts, and the only big-big exchange is lineitem⋈orders on the
+    * order key. */
+  def localSupplierRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01")
+    val c = Tables.customer(s, dir)
+    val su = Tables.supplier(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(c),
+        o("o_custkey") === c("c_custkey") && c("c_nationkey") === su("s_nationkey"))
+      .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** Theta/range join (J3): same-nation supplier↔customer pairs where the
     * customer out-balances the supplier. Equi part (nationkey) drives the
     * join; the inequality is a post-join filter — exactly how Catalyst

@@ -150,6 +150,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(count(plan, "hashpartitioning\\(user_id") == 1, plan)
   }
 
+  test("q36: six-table Q5 pushes the date filter and broadcasts every dim") {
+    val plan = planOf(Relational.localSupplierRevenue(spark, sf0001))
+    // the date window must reach the orders parquet scan
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate")
+      || plan.contains("GreaterThanOrEqual(o_orderdate"), plan)
+    // supplier/customer/nation/region all broadcast (at test SF the
+    // filtered orders side broadcasts too); the only join EVER allowed to
+    // shuffle is lineitem x orders on the order key
+    assert(count(plan, "BroadcastHashJoin") >= 4, plan)
+    assert(count(plan, "SortMergeJoin|ShuffledHashJoin") <= 1, plan)
+  }
+
   test("q03: dimension joins are broadcast at dimension scale") {
     val plan = planOf(Relational.revenueByNation(spark, sf0001))
     assert(plan.contains("BroadcastHashJoin"), plan)
