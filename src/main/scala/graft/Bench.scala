@@ -38,6 +38,7 @@ object Bench {
     "ev01_funnel",
     "ev02_retention",
     "ev03_transitions",
+    "ev04_rolling_zscore",
     "mm01_media_features",
     "mm03_media_embed_topk",
     "dd01_exact_dedup",

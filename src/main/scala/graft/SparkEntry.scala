@@ -87,6 +87,7 @@ object SparkEntry {
     "ev01_funnel"          -> Windows.funnelQuery _,
     "ev02_retention"       -> Windows.retentionQuery _,
     "ev03_transitions"     -> Windows.transitionsQuery _,
+    "ev04_rolling_zscore"  -> Windows.rollingZscoreQuery _,
     "sim01_cosine_topk"    -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "sim02_ann_lsh"        -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
     "sim03_embed_neardup"  -> ((s: SparkSession, d: String) => Similarity.embeddingNearDupPairs(s, d)),
@@ -469,6 +470,7 @@ object SparkEntry {
     "ev01_funnel" -> Windows.funnelOracleSql,
     "ev02_retention" -> Windows.retentionOracleSql,
     "ev03_transitions" -> Windows.transitionsOracleSql,
+    "ev04_rolling_zscore" -> Windows.rollingZscoreOracleSql,
     "sim01_cosine_topk" -> """
       WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                  FROM embeddings WHERE vec_id < 100),

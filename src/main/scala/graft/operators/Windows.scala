@@ -175,4 +175,74 @@ object Windows {
              CAST(n AS DOUBLE) /
                CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
       FROM c ORDER BY from_type, to_type"""
+
+  /** Rolling z-score anomaly flags (streaming-telemetry style): each event's
+    * value against the mean/stddev of the SAME USER's previous 10 events —
+    * the trailing frame deliberately excludes the current row, so the
+    * baseline cannot absorb the anomaly it is judging.
+    *
+    * Plan shape for 100 TB: one exchange keyed by user_id and one in-task
+    * sort; the bounded ROWS frame keeps per-row state at 10 values
+    * regardless of history length (an UNBOUNDED frame would too, but a
+    * trailing window is also what a streaming twin with keyed state would
+    * maintain).
+    *
+    * Determinism: floating-point windowed avg/stddev are summation-order-
+    * dependent (engines use different frame algorithms — a 4dp rounding of
+    * avg() still flipped at a rounding boundary in testing). The values are
+    * 2-decimal quantities, so the moments are computed as EXACT integer
+    * sums of cents (Σc, Σc²) — order-independent under any partitioning —
+    * and converted to mean/stddev by a fixed IEEE op sequence both engines
+    * execute identically. No rounding anywhere. */
+  def rollingZscoreQuery(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      .rowsBetween(-10, -1)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        expr("ts div 1000").as("tus"))
+      .withColumn("c", round(col("value") * 100, 0).cast("long"))
+      .withColumn("n", count(col("c")).over(w))
+      .withColumn("sc", sum(col("c")).over(w))
+      .withColumn("sc2", sum(col("c") * col("c")).over(w))
+      .select(col("user_id"), col("event_id"), col("c"),
+        when(col("n") > 0,
+          (col("sc").cast("double") / col("n").cast("double")) / 100.0).as("mu"),
+        when(col("n") > 1,
+          sqrt((col("n") * col("sc2") - col("sc") * col("sc")).cast("double") /
+            (col("n") * (col("n") - 1)).cast("double")) / 100.0).as("sd"))
+      .withColumn("is_anomaly",
+        when(col("sd") > 0,
+          abs(col("c").cast("double") / 100.0 - col("mu")) > col("sd") * 3.0))
+      .select(col("user_id"), col("event_id"), col("mu"), col("sd"),
+        col("is_anomaly"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** DuckDB SQL replicating [[rollingZscoreQuery]] exactly (same integer
+    * moment sums, same IEEE conversion sequence). */
+  val rollingZscoreOracleSql: String = """
+      WITH e AS (SELECT user_id, event_id,
+                        CAST(round(value * 100, 0) AS BIGINT) AS c,
+                        epoch_us(ts) AS tus
+                 FROM events),
+      m AS (SELECT user_id, event_id, c,
+              count(c) OVER w AS n,
+              CAST(sum(c) OVER w AS BIGINT) AS sc,
+              CAST(sum(c * c) OVER w AS BIGINT) AS sc2
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+                         ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+      r AS (SELECT user_id, event_id, c,
+              CASE WHEN n > 0
+                   THEN (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0 END AS mu,
+              CASE WHEN n > 1
+                   THEN sqrt(CAST(n * sc2 - sc * sc AS DOUBLE) /
+                             CAST(n * (n - 1) AS DOUBLE)) / 100.0 END AS sd
+            FROM m)
+      SELECT user_id, event_id, mu, sd,
+             CASE WHEN sd > 0
+                  THEN abs(CAST(c AS DOUBLE) / 100.0 - mu) > sd * 3.0
+             END AS is_anomaly
+      FROM r ORDER BY user_id, event_id"""
 }

@@ -300,6 +300,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(matrix.nonEmpty)
   }
 
+  test("ev04: z-score baseline matches a local recomputation of the frame") {
+    val rows = Windows.rollingZscoreQuery(spark, sf0001).collect()
+    val nEvents = graft.core.Tables.events(spark, sf0001).count()
+    assert(rows.length == nEvents)
+    // each user's first event has an empty trailing frame => null stats
+    val events = graft.core.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), col("value"), col("ts"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val byUser = events.groupBy(_._1).map { case (u, es) =>
+      u -> es.sortBy(e => (e._4 / 1000, e._2))
+    }
+    val got = rows.map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    byUser.foreach { case (u, es) =>
+      val first = got((u, es.head._2))
+      assert(first.isNullAt(2) && first.isNullAt(3), s"user $u head")
+      // spot-check the 12th event of each user (full 10-element frame)
+      if (es.length > 11) {
+        val frame = es.slice(1, 11).map(e => math.round(e._3 * 100))
+        val e12 = es(11)
+        val n = frame.length.toLong
+        val mu = (frame.sum.toDouble / n.toDouble) / 100.0
+        val r = got((u, e12._2))
+        assert(r.getDouble(2) == mu, s"user $u mu")
+      }
+    }
+  }
+
   test("ir01: top-k size, descending rounded scores, positive-tf head") {
     val rows = Search.bm25TopK(spark, sf0001).collect()
     assert(rows.length == Search.TopK)
