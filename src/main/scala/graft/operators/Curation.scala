@@ -98,12 +98,20 @@ object Curation {
     * rate * 2^32. A pure map-side filter (no exchange at all, pushdown-
     * friendly), reproducible across engines and runs, stable under corpus
     * growth (a document's verdict never changes as neighbors arrive). */
+  /** First 32 bits of md5(doc_id) as an integer — the deterministic,
+    * engine-portable pseudo-random key behind the whole sampling family
+    * (sa03 threshold cut, sa04 per-domain rates, sa05 shard hash). One
+    * definition so a change to the prefix width cannot drift per-operator. */
+  private def prefix32(md5hex: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5hex, 1, 8), 16, 10)
+  private def md5Prefix32(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    prefix32(md5(id.cast("string")))
+
   def hashSampleQuery(s: SparkSession, dir: String, rate: Double = 0.15): DataFrame = {
     val cut = (rate * 4294967296.0).toLong // rate * 2^32
-    val bucket32 = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("long")
     Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), col("source"), bucket32.as("h32"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        md5Prefix32(col("doc_id")).cast("long").as("h32"))
       .filter(col("h32") < cut)
       .orderBy(col("doc_id"))
   }
@@ -130,7 +138,11 @@ object Curation {
     * double is bit-identical cross-engine with NO rounding. Plan shape: one
     * map-side-combined count per source (20 rows) plus a broadcast scalar
     * total — nothing scales with the corpus but the count pass. */
-  def domainReweightQuery(s: SparkSession, dir: String): DataFrame = {
+  /** The sa02 rate derivation (counts, shares, target policy, weight) —
+    * shared by [[domainReweightQuery]] (which reports it) and
+    * [[mixtureSampleQuery]] (which applies it), so the policy cannot drift
+    * between the planner and the sampler. */
+  private def domainWeights(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.parallel(Tables.documents(s, dir))
     val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     val total = docs.agg(count(lit(1)).as("total"))
@@ -140,8 +152,10 @@ object Curation {
         (col("n_docs").cast("double") / col("total").cast("double")).as("nat_share"),
         ((col("idx") % 4 + 1).cast("double") / 50.0).as("target_share"))
       .withColumn("weight", col("target_share") / col("nat_share"))
-      .orderBy(col("source"))
   }
+
+  def domainReweightQuery(s: SparkSession, dir: String): DataFrame =
+    domainWeights(s, dir).orderBy(col("source"))
 
   /** DuckDB SQL replicating [[domainReweightQuery]] exactly. */
   val domainReweightOracleSql: String = """
@@ -171,20 +185,11 @@ object Curation {
     * (h < 2^32 is exact in a double; the rate chain is the same IEEE ops),
     * so the verdict is bit-identical cross-engine with no rounding. */
   def mixtureSampleQuery(s: SparkSession, dir: String, frac: Double = 0.5): DataFrame = {
-    val docs = Tables.parallel(Tables.documents(s, dir))
-    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-    val total = docs.agg(count(lit(1)).as("total"))
-    val rates = counts.crossJoin(broadcast(total))
-      .withColumn("idx", substring(col("source"), 4, 10).cast("long"))
-      .withColumn("nat_share",
-        col("n_docs").cast("double") / col("total").cast("double"))
-      .withColumn("target_share", ((col("idx") % 4 + 1).cast("double") / 50.0))
-      .select(col("source"),
-        least(lit(1.0d), col("target_share") / col("nat_share") * frac).as("rate"))
-    val h32 = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("double")
+    val rates = domainWeights(s, dir)
+      .select(col("source"), least(lit(1.0d), col("weight") * frac).as("rate"))
     Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"), h32.as("h32"))
+      .select(col("doc_id"), col("source"),
+        md5Prefix32(col("doc_id")).cast("double").as("h32"))
       .join(broadcast(rates), "source")
       .filter(col("h32") < col("rate") * 4294967296.0d)
       .select(col("doc_id"), col("source"), col("rate"))
@@ -229,7 +234,7 @@ object Curation {
     Tables.parallel(Tables.documents(s, dir))
       .select(col("doc_id"), md5(col("doc_id").cast("string")).as("rk"))
       .withColumn("shard",
-        pmod(conv(substring(col("rk"), 1, 8), 16, 10).cast("long"), lit(nShards.toLong)))
+        pmod(prefix32(col("rk")).cast("long"), lit(nShards.toLong)))
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))
       .select(col("doc_id"), col("shard"), col("pos"))
       .orderBy(col("doc_id"))

@@ -235,9 +235,12 @@ object TextAnalysis {
         explode(graft.functions.TokenNgrams.tokenNgrams(
           Text.normText(col("text")), 2)).as("bg"))
     val bgCounts = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-    val ctxCounts = bigrams
-      .select(substring_index(col("bg"), " ", 1).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // context counts derive from the bigram counts (c1(w) = Σ c2(w ·)) by
+    // aggregating the |vocab|-scale count table — NOT by a second explode
+    // of the corpus, which would be a whole wasted pass at 100 TB
+    val ctxCounts = bgCounts
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
     bigrams
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .join(bgCounts, "bg")
@@ -261,7 +264,7 @@ object TextAnalysis {
                  i -> array_to_string(w[CAST(i AS INT):CAST(i + 1 AS INT)], ' '))) AS g
              FROM tok),
       c2 AS (SELECT g, count(*) AS c2 FROM bg GROUP BY g),
-      c1 AS (SELECT split_part(g, ' ', 1) AS w1, count(*) AS c1 FROM bg GROUP BY 1)
+      c1 AS (SELECT split_part(g, ' ', 1) AS w1, sum(c2) AS c1 FROM c2 GROUP BY 1)
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
              round(avg(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))), 4) AS avg_logprob
       FROM bg JOIN c2 USING (g)

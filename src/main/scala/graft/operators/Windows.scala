@@ -211,9 +211,14 @@ object Windows {
         when(col("n") > 1,
           sqrt((col("n") * col("sc2") - col("sc") * col("sc")).cast("double") /
             (col("n") * (col("n") - 1)).cast("double")) / 100.0).as("sd"))
+      // a constant baseline (sd == 0) makes ANY deviation an anomaly — the
+      // clearest spike class must not fall through to NULL; NULL only when
+      // the frame is too short to have a deviation at all (n < 2)
       .withColumn("is_anomaly",
-        when(col("sd") > 0,
-          abs(col("c").cast("double") / 100.0 - col("mu")) > col("sd") * 3.0))
+        when(col("sd").isNotNull,
+          when(col("sd") > 0,
+            abs(col("c").cast("double") / 100.0 - col("mu")) > col("sd") * 3.0)
+          .otherwise(col("c").cast("double") / 100.0 =!= col("mu"))))
       .select(col("user_id"), col("event_id"), col("mu"), col("sd"),
         col("is_anomaly"))
       .orderBy(col("user_id"), col("event_id"))
@@ -241,8 +246,10 @@ object Windows {
                              CAST(n * (n - 1) AS DOUBLE)) / 100.0 END AS sd
             FROM m)
       SELECT user_id, event_id, mu, sd,
-             CASE WHEN sd > 0
-                  THEN abs(CAST(c AS DOUBLE) / 100.0 - mu) > sd * 3.0
+             CASE WHEN sd IS NOT NULL THEN
+               CASE WHEN sd > 0
+                    THEN abs(CAST(c AS DOUBLE) / 100.0 - mu) > sd * 3.0
+                    ELSE CAST(c AS DOUBLE) / 100.0 <> mu END
              END AS is_anomaly
       FROM r ORDER BY user_id, event_id"""
 }

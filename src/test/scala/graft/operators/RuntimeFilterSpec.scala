@@ -51,7 +51,8 @@ class RuntimeFilterSpec extends AnyFunSuite {
     // the probe must attach to a scan attribute to prune the big side. The
     // production shape materializes the fingerprint store (that is what a
     // "store" is), making fp a scan column; this test pins that contract.
-    val dir = java.nio.file.Files.createTempDirectory("bloomstore").toString
+    // fixed path under target/: overwritten per run, removed by sbt clean
+    val dir = "target/tmp-bloomstore"
     graft.core.Tables.documents(s, sf0001)
       .select(col("doc_id"),
         substring(col("source"), 4, 10).cast("long").as("src_idx"),
