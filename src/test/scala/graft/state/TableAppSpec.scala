@@ -58,6 +58,72 @@ class TableAppSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming twin: rolling z-score via table state equals the batch window") {
+    // The ev04 batch query is a trailing-10 window; its streaming twin
+    // keeps the last 10 cents values as per-user table state. Bit-equal
+    // output proves the keyed-state facade implements the same semantics a
+    // bounded window frame declares — the state is exactly what a
+    // streaming deployment of ev04 would maintain.
+    import org.apache.spark.sql.functions.col
+    val expected = graft.operators.Windows.rollingZscoreQuery(spark, sf0001)
+      .collect()
+      .map { r =>
+        (r.getLong(0), r.getLong(1)) ->
+          ((if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+            if (r.isNullAt(4)) None else Some(r.getBoolean(4))))
+      }.toMap
+
+    def zscoreFn(txn: TableTransaction)
+        : Iterator[(Long, Long, Option[Double], Option[Double], Option[Boolean])] = {
+      val m = txn.message
+      val c = math.round(m.value.toDouble * 100)
+      val frame: Seq[Long] = txn.readTableEntry()
+        .map(_.split(",").filter(_.nonEmpty).map(_.toLong).toSeq).getOrElse(Nil)
+      val n = frame.length.toLong
+      val mu = if (n > 0) Some((frame.sum.toDouble / n.toDouble) / 100.0) else None
+      val sd = if (n > 1) {
+        val num = (n * frame.map(x => x * x).sum - frame.sum * frame.sum).toDouble
+        Some(math.sqrt(num / (n * (n - 1)).toDouble) / 100.0)
+      } else None
+      val anomaly = sd.map { s =>
+        if (s > 0) math.abs(c.toDouble / 100.0 - mu.get) > s * 3.0
+        else c.toDouble / 100.0 != mu.get
+      }
+      txn.updateTableEntry((frame :+ c).takeRight(10).mkString(","))
+      Iterator.single((m.key.toLong, m.offset, mu, sd, anomaly))
+    }
+
+    // events as messages (offset = event_id; per-user event_id order equals
+    // (ts, event_id) order in this corpus — see BalanceApp), split into two
+    // microbatches on the global order key to prove cross-commit durability
+    val events = graft.core.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val mid = events.map(_._2).sorted.apply(events.length / 2)
+    def msgs(f: ((Long, Long, Double)) => Boolean): Seq[Message] =
+      events.filter(f).map { case (u, e, v) =>
+        msg(u.toString, (u % 3).toInt, e, v.toString)
+      }.toSeq
+
+    val input = MemoryStream[Message](spark)
+    val out = GraftTableApp.transform(input.toDS())(zscoreFn)
+    val q = out.writeStream.format("memory").queryName("zscore_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(msgs(_._2 < mid)); q.processAllAvailable()
+      input.addData(msgs(_._2 >= mid)); q.processAllAvailable()
+      val got = spark.table("zscore_out")
+        .as[(Long, Long, Option[Double], Option[Double], Option[Boolean])]
+        .collect()
+      assert(got.length == expected.size)
+      got.foreach { case (u, e, mu, sd, an) =>
+        assert(expected((u, e)) == ((mu, sd, an)), s"user $u event $e")
+      }
+    } finally q.stop()
+  }
+
   test("delete_table_entry tombstones state (read-your-writes included)") {
     val input = MemoryStream[Message](spark)
     val out = GraftTableApp.transform(input.toDS()) { txn =>
