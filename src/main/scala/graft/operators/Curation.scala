@@ -333,6 +333,33 @@ object Curation {
                   ELSE 0 END AS BIGINT) AS n_windows
       FROM c ORDER BY doc_id"""
 
+  /** Curated-corpus writer — the terminal "publish the cleaned corpus"
+    * step: documents passing the [[curationQuery]] cascade are written as
+    * parquet PARTITIONED BY source, sorted by doc_id within each file.
+    *
+    * Layout rationale at 100 TB: source-partitioned directories give
+    * downstream readers free partition pruning (per-domain training mixes
+    * read only their directories — pinned in the spec); the in-file doc_id
+    * sort gives parquet min/max row-group statistics a monotone column, so
+    * doc_id range scans skip row groups; `maxRecordsPerFile` bounds file
+    * size for trainer sharding without a second repartition pass. The only
+    * exchange is the repartition-by-source that consolidates each
+    * partition's files; everything upstream is the already-audited ta06
+    * plan. */
+  def writeCurated(s: SparkSession, dir: String, out: String,
+      maxRecordsPerFile: Long = 1000000L): Unit = {
+    val kept = curationQuery(s, dir).filter(col("reason") === "ok")
+      .select(col("doc_id"))
+    Tables.documents(s, dir)
+      .join(kept, "doc_id")
+      .repartition(col("source"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite")
+      .partitionBy("source")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(out)
+  }
+
   /** DuckDB oracle composed from the sub-operators' own oracle SQL (nested
     * CTEs), applying the identical rule cascade. */
   def curationOracleSql: String = s"""

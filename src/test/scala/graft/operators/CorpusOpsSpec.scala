@@ -328,6 +328,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("writeCurated: source-partitioned layout, pruned reads, kept set exact") {
+    val out = "target/tmp-curated"
+    Curation.writeCurated(spark, sf0001, out)
+    // one directory per source, hive-style
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("source="))
+    val nSources = graft.core.Tables.documents(spark, sf0001)
+      .select("source").distinct().count()
+    assert(dirs.length.toLong <= nSources && dirs.nonEmpty, dirs.mkString(","))
+    // reading one source prunes all other partitions at planning time
+    val oneSrc = dirs.head.stripPrefix("source=")
+    val pruned = spark.read.parquet(out).filter(col("source") === oneSrc)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains(s"PartitionFilters: [isnotnull(source"), plan)
+    // round trip: exactly the ta06 'ok' set survives
+    val expected = Curation.curationQuery(spark, sf0001)
+      .filter(col("reason") === "ok").count()
+    assert(spark.read.parquet(out).count() == expected)
+  }
+
   test("ir01: top-k size, descending rounded scores, positive-tf head") {
     val rows = Search.bm25TopK(spark, sf0001).collect()
     assert(rows.length == Search.TopK)
