@@ -48,6 +48,7 @@ object Bench {
     "dd08_decontaminate",
     "dd09_incremental_dedup",
     "dd10_dup_source_matrix",
+    "dd11_substring_dedup",
     "ta01_langid",
     "ta02_quality",
     "ta03_token_stats",

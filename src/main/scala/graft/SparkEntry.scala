@@ -64,6 +64,7 @@ object SparkEntry {
     "dd08_decontaminate"   -> ((s: SparkSession, d: String) => Dedup.decontaminate(s, d)),
     "dd09_incremental_dedup" -> Dedup.incrementalDedup _,
     "dd10_dup_source_matrix" -> Dedup.dupSourceMatrix _,
+    "dd11_substring_dedup" -> ((s: SparkSession, d: String) => Dedup.substringDedup(s, d)),
     "ta01_langid"          -> TextAnalysis.langIdQuery _,
     "ta02_quality"         -> TextAnalysis.qualityQuery _,
     "ta03_token_stats"     -> TextAnalysis.tokenStatsQuery _,
@@ -383,6 +384,7 @@ object SparkEntry {
       FROM pairs p JOIN documents a ON p.doc_a = a.doc_id
       JOIN documents b ON p.doc_b = b.doc_id
       GROUP BY 1, 2 ORDER BY source_a, source_b""",
+    "dd11_substring_dedup" -> Dedup.substringDedupOracleSql,
     "dd05_dup_clusters" -> s"""
       WITH RECURSIVE pairs AS (${pairsSubquerySql}),
       edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs

@@ -515,6 +515,112 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact repeated-substring dedup, APPLY form (the Lee et al. 2021
+    * "Deduplicating Training Data Makes Language Models Better" pass, over
+    * token n-grams): token spans whose `n`-grams occur more than once
+    * anywhere in the corpus are merged into MAXIMAL duplicated spans per
+    * document (suffix-array semantics at fixed minimum length n), and each
+    * document is rewritten with those spans removed. Output per document:
+    * span count, tokens removed, and the md5 of the cleaned text (the
+    * full rewritten corpus at scale; the hash keeps the oracle compact).
+    *
+    * Plan shape for 100 TB — every stage is shuffle-on-key, nothing
+    * quadratic: (1) positional n-grams from one native-expression pass;
+    * (2) a map-side-combined count keyed by gram marks duplicated grams;
+    * (3) the gram join back carries only duplicated starts; (4) span
+    * merging is a per-document gaps-and-islands window (one doc-keyed
+    * exchange); (5) removal explodes covered positions (bounded by the
+    * document's own length) and anti-joins the token stream; (6) the
+    * rewrite reassembles positionally, the same pattern as vocab encoding.
+    * The only corpus-volume exchanges are keyed by gram and by doc_id. */
+  def substringDedup(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("gpos"))
+    val docs = Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"), Text.normText(col("text")).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val grams = docs.select(col("doc_id"),
+      posexplode(graft.functions.TokenNgrams.tokenNgrams(col("t"), n))
+        .as(Seq("gpos", "gram")))
+    val dupGrams = grams.groupBy(col("gram")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("gram"))
+    val starts = grams.join(dupGrams, "gram").select(col("doc_id"), col("gpos"))
+
+    // gaps-and-islands: starts within n of each other produce overlapping
+    // or adjacent coverage — merge; a gap > n breaks the island
+    val spans = starts
+      .withColumn("prev", lag(col("gpos"), 1).over(wOrd))
+      .withColumn("brk",
+        when(col("prev").isNull || col("gpos") - col("prev") > n, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        wOrd.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("gpos")).as("s"), (max(col("gpos")) + n - 1).as("e"))
+
+    val covered = spans.select(col("doc_id"),
+      explode(sequence(col("s"), col("e"))).as("pos"))
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("t"), " ")).as(Seq("pos", "w")))
+    val cleaned = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+        e => e.getField("w")), " ").as("cleaned"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("n_tokens_removed"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_tokens_removed"), lit(0L)).as("n_tokens_removed"),
+        md5(coalesce(col("cleaned"), lit(""))).as("cleaned_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB SQL replicating [[substringDedup]] exactly (token 8-grams).
+    * Positions come from a constant range + length filter (the corpus max
+    * is ~280 tokens; 1024 is safe margin at the oracle SF). */
+  val substringDedupOracleSql: String = """
+      WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                 FROM documents),
+      tok AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
+      grams AS (SELECT doc_id, CAST(r.i - 1 AS BIGINT) AS gpos,
+                  array_to_string(w[CAST(r.i AS INT):CAST(r.i + 7 AS INT)], ' ') AS gram
+                FROM tok, range(1, 1024) r(i) WHERE r.i <= len(w) - 7),
+      dup AS (SELECT gram FROM (SELECT gram, count(*) AS c FROM grams GROUP BY gram) z
+              WHERE c > 1),
+      starts AS (SELECT doc_id, gpos FROM grams JOIN dup USING (gram)),
+      isl AS (SELECT doc_id, gpos,
+                CASE WHEN lag(gpos) OVER w IS NULL OR gpos - lag(gpos) OVER w > 8
+                     THEN 1 ELSE 0 END AS brk
+              FROM starts WINDOW w AS (PARTITION BY doc_id ORDER BY gpos)),
+      isl2 AS (SELECT doc_id, gpos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY gpos
+                                ROWS UNBOUNDED PRECEDING) AS island
+               FROM isl),
+      spans AS (SELECT doc_id, min(gpos) AS s, max(gpos) + 7 AS e
+                FROM isl2 GROUP BY doc_id, island),
+      covered AS (SELECT doc_id, s + r.i AS pos
+                  FROM spans, range(0, 1024) r(i) WHERE r.i <= e - s),
+      tokpos AS (SELECT doc_id, CAST(r.i - 1 AS BIGINT) AS pos,
+                        w[CAST(r.i AS INT)] AS tokw
+                 FROM tok, range(1, 1024) r(i) WHERE r.i <= len(w)),
+      cleaned AS (SELECT tp.doc_id,
+                    md5(array_to_string(list(tokw ORDER BY tp.pos), ' ')) AS cm
+                  FROM tokpos tp LEFT JOIN covered c
+                    ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+                  WHERE c.pos IS NULL GROUP BY tp.doc_id),
+      perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                        CAST(sum(e - s + 1) AS BIGINT) AS n_tokens_removed
+                 FROM spans GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(n_spans, 0) AS n_spans,
+             coalesce(n_tokens_removed, 0) AS n_tokens_removed,
+             coalesce(cm, md5('')) AS cleaned_md5
+      FROM d LEFT JOIN perdoc USING (doc_id) LEFT JOIN cleaned USING (doc_id)
+      ORDER BY d.doc_id"""
+
   /** Duplication provenance matrix — for every pair of sources, how many
     * verified near-dup pairs span them (diagnosing WHERE duplication comes
     * from: mirrored domains, re-crawls, boilerplate farms — the first

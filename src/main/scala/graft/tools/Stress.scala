@@ -46,7 +46,7 @@ object Stress {
 
     val queries = Seq(
       "dd01_exact_dedup", "dd03_minhash_lsh", "dd04_simhash",
-      "dd07_repeated_spans", "ta01_langid", "ta02_quality",
+      "dd07_repeated_spans", "dd11_substring_dedup", "ta01_langid", "ta02_quality",
       "ta09_repetition", "ta10_chunking", "ta11_pack_windows",
       "ta08_vocab_encode", "ir02_inverted_index", "sa01_stratified_sample",
       "sa04_mixture_sample", "sa05_shard_assign", "ta12_bigram_logprob",

@@ -348,6 +348,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == expected)
   }
 
+  test("dd11: untouched docs keep their fingerprint; spans bound removals") {
+    val rows = Dedup.substringDedup(spark, sf0001).collect()
+    val nDocs = graft.core.Tables.documents(spark, sf0001).count()
+    assert(rows.length == nDocs)
+    // corpus repeats spans across sources (dd08 proves it), so the pass
+    // must actually rewrite something
+    assert(rows.exists(_.getLong(1) > 0))
+    // every span is at least n=8 tokens after merging
+    rows.filter(_.getLong(1) > 0).foreach { r =>
+      assert(r.getLong(2) >= 8 * r.getLong(1), r.toString)
+    }
+    // a doc with zero spans is untouched: cleaned md5 == ta04 fingerprint
+    val fp = TextAnalysis.fingerprintQuery(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val untouched = rows.filter(_.getLong(1) == 0)
+    assert(untouched.nonEmpty)
+    untouched.foreach(r => assert(r.getString(3) == fp(r.getLong(0)), r.toString))
+    // a doc with spans is NOT untouched
+    rows.filter(_.getLong(1) > 0)
+      .foreach(r => assert(r.getString(3) != fp(r.getLong(0)), r.toString))
+  }
+
   test("ir01: top-k size, descending rounded scores, positive-tf head") {
     val rows = Search.bm25TopK(spark, sf0001).collect()
     assert(rows.length == Search.TopK)
