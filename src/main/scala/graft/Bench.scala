@@ -68,6 +68,7 @@ object Bench {
     "sa05_shard_assign",
     "ir01_bm25_topk",
     "ir02_inverted_index",
+    "ir03_tfidf_terms",
     "sim06_kmeans",
     // sim02 (bucketed ANN) and sim04 (IVF) are the scalable similarity
     // representatives; sim01 broadcasts the whole candidate set — an exact

@@ -85,6 +85,7 @@ object SparkEntry {
     "sa05_shard_assign"    -> ((s: SparkSession, d: String) => Curation.shardAssignQuery(s, d)),
     "ir01_bm25_topk"       -> ((s: SparkSession, d: String) => Search.bm25TopK(s, d)),
     "ir02_inverted_index"  -> ((s: SparkSession, d: String) => Search.invertedIndex(s, d)),
+    "ir03_tfidf_terms"     -> ((s: SparkSession, d: String) => Search.tfIdfTopTerms(s, d)),
     "ev01_funnel"          -> Windows.funnelQuery _,
     "ev02_retention"       -> Windows.retentionQuery _,
     "ev03_transitions"     -> Windows.transitionsQuery _,
@@ -469,6 +470,7 @@ object SparkEntry {
     "sa05_shard_assign" -> graft.operators.Curation.shardAssignOracleSql,
     "ir01_bm25_topk" -> graft.operators.Search.bm25OracleSql,
     "ir02_inverted_index" -> graft.operators.Search.invertedIndexOracleSql,
+    "ir03_tfidf_terms" -> graft.operators.Search.tfIdfOracleSql,
     "ev01_funnel" -> Windows.funnelOracleSql,
     "ev02_retention" -> Windows.retentionOracleSql,
     "ev03_transitions" -> Windows.transitionsOracleSql,

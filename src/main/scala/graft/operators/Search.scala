@@ -93,6 +93,52 @@ object Search {
              array_to_string(list_sort(list(doc_id))[1:8], ',') AS postings_head
       FROM tfs GROUP BY term HAVING count(*) >= 25 ORDER BY term"""
 
+  /** Per-document tf-idf top terms (the document-vector twin of the
+    * query-side [[bm25TopK]]): each document's `k` most characteristic
+    * terms by tf x ln(N/df), the keyword-extraction primitive behind
+    * topic labeling and sparse retrieval indexes.
+    *
+    * Plan shape for 100 TB: two map-side-combined shuffles keyed by
+    * (doc_id, term) and term build the tf and df tables; N is one
+    * broadcast row; ranking is a per-doc window that Catalyst's
+    * InferWindowGroupLimit cuts to k rows per map task BEFORE the
+    * doc-keyed exchange. Scores are rounded 6dp BEFORE ranking so the
+    * rank itself is engine-portable (ties break on the term string). */
+  def tfIdfTopTerms(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    val toks = Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(split(Text.normText(col("text")), " ")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf").cast("double") *
+        log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("score"), col("rnk"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  /** DuckDB SQL replicating [[tfIdfTopTerms]] exactly (k = 5). */
+  val tfIdfOracleSql: String = """
+      WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                 FROM documents),
+      toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM d),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             FROM toks GROUP BY doc_id, term),
+      dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      sc AS (SELECT doc_id, term,
+               round(CAST(tf AS DOUBLE) *
+                 ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS score
+             FROM tf JOIN dfx USING (term) CROSS JOIN n)
+      SELECT doc_id, term, score, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY score DESC, term) AS rnk FROM sc) z
+      WHERE rnk <= 5 ORDER BY doc_id, rnk"""
+
   /** DuckDB SQL replicating [[bm25TopK]]: same tokenization (doubled-space
     * occurrence counting), same one-row corpus stats, same association
     * order in the score arithmetic. */

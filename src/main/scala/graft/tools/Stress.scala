@@ -48,7 +48,8 @@ object Stress {
       "dd01_exact_dedup", "dd03_minhash_lsh", "dd04_simhash",
       "dd07_repeated_spans", "dd11_substring_dedup", "ta01_langid", "ta02_quality",
       "ta09_repetition", "ta10_chunking", "ta11_pack_windows",
-      "ta08_vocab_encode", "ir02_inverted_index", "sa01_stratified_sample",
+      "ta08_vocab_encode", "ir02_inverted_index", "ir03_tfidf_terms",
+      "sa01_stratified_sample",
       "sa04_mixture_sample", "sa05_shard_assign", "ta12_bigram_logprob",
       "ta13_bpe_pairs",
       "sim02_ann_lsh", "sim04_ivf_ann", "sim07_pq_ann")

@@ -370,6 +370,19 @@ class CorpusOpsSpec extends AnyFunSuite {
       .foreach(r => assert(r.getString(3) != fp(r.getLong(0)), r.toString))
   }
 
+  test("ir03: exactly k terms per doc, descending scores, tf-consistent") {
+    val rows = Search.tfIdfTopTerms(spark, sf0001).collect()
+    val nDocs = graft.core.Tables.documents(spark, sf0001).count()
+    assert(rows.length == 5 * nDocs)
+    rows.groupBy(_.getLong(0)).foreach { case (d, rs) =>
+      assert(rs.map(_.getLong(3)).sorted.sameElements(1L to 5L), s"doc $d")
+      val byRank = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b }, s"doc $d")
+    }
+    // every score is nonnegative (df <= N => ln(N/df) >= 0)
+    assert(rows.forall(_.getDouble(2) >= 0.0))
+  }
+
   test("ir01: top-k size, descending rounded scores, positive-tf head") {
     val rows = Search.bm25TopK(spark, sf0001).collect()
     assert(rows.length == Search.TopK)

@@ -161,6 +161,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(count(plan, "SortMergeJoin|ShuffledHashJoin") <= 1, plan)
   }
 
+  test("ir03: tf-idf top-k plans a WindowGroupLimit; stats row broadcasts") {
+    val plan = planOf(Search.tfIdfTopTerms(spark, sf0001))
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q03: dimension joins are broadcast at dimension scale") {
     val plan = planOf(Relational.revenueByNation(spark, sf0001))
     assert(plan.contains("BroadcastHashJoin"), plan)
