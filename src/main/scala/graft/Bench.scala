@@ -69,6 +69,8 @@ object Bench {
     "ir01_bm25_topk",
     "ir02_inverted_index",
     "ir03_tfidf_terms",
+    "dq01_profile",
+    "dq02_constraints",
     "sim06_kmeans",
     // sim02 (bucketed ANN) and sim04 (IVF) are the scalable similarity
     // representatives; sim01 broadcasts the whole candidate set — an exact

@@ -86,6 +86,8 @@ object SparkEntry {
     "ir01_bm25_topk"       -> ((s: SparkSession, d: String) => Search.bm25TopK(s, d)),
     "ir02_inverted_index"  -> ((s: SparkSession, d: String) => Search.invertedIndex(s, d)),
     "ir03_tfidf_terms"     -> ((s: SparkSession, d: String) => Search.tfIdfTopTerms(s, d)),
+    "dq01_profile"         -> graft.operators.DataQuality.profileOrders _,
+    "dq02_constraints"     -> graft.operators.DataQuality.constraintChecks _,
     "ev01_funnel"          -> Windows.funnelQuery _,
     "ev02_retention"       -> Windows.retentionQuery _,
     "ev03_transitions"     -> Windows.transitionsQuery _,
@@ -471,6 +473,8 @@ object SparkEntry {
     "ir01_bm25_topk" -> graft.operators.Search.bm25OracleSql,
     "ir02_inverted_index" -> graft.operators.Search.invertedIndexOracleSql,
     "ir03_tfidf_terms" -> graft.operators.Search.tfIdfOracleSql,
+    "dq01_profile" -> graft.operators.DataQuality.profileOracleSql,
+    "dq02_constraints" -> graft.operators.DataQuality.constraintsOracleSql,
     "ev01_funnel" -> Windows.funnelOracleSql,
     "ev02_retention" -> Windows.retentionOracleSql,
     "ev03_transitions" -> Windows.transitionsOracleSql,

@@ -383,6 +383,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows.forall(_.getDouble(2) >= 0.0))
   }
 
+  test("dq01/dq02: profile totals consistent; clean warehouse passes checks") {
+    val prof = DataQuality.profileOrders(spark, sf0001).collect()
+    assert(prof.length == 6)
+    val nOrders = graft.core.Tables.orders(spark, sf0001).count()
+    prof.foreach { r =>
+      assert(r.getLong(1) == nOrders, r.toString)         // n_rows
+      assert(r.getLong(2) + r.getLong(3) >= 0)            // nulls + distinct sane
+      assert(r.getLong(3) <= nOrders - r.getLong(2), r.toString) // distinct <= non-null
+    }
+    val keyRow = prof.find(_.getString(0) == "o_orderkey").get
+    assert(keyRow.getLong(2) == 0 && keyRow.getLong(3) == nOrders) // PK: no nulls, all distinct
+    val checks = DataQuality.constraintChecks(spark, sf0001).collect()
+    assert(checks.length == 6)
+    // the synthetic warehouse is referentially intact and in-domain
+    checks.foreach(r => assert(r.getBoolean(2), r.toString))
+  }
+
   test("ir01: top-k size, descending rounded scores, positive-tf head") {
     val rows = Search.bm25TopK(spark, sf0001).collect()
     assert(rows.length == Search.TopK)
