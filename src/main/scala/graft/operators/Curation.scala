@@ -352,8 +352,11 @@ object Curation {
       .select(col("doc_id"))
     Tables.documents(s, dir)
       .join(kept, "doc_id")
+      // the sort must LEAD with the writer's partition column: the writer
+      // requires ordering by source and would otherwise insert its own
+      // sort above ours, leaving the doc_id order to sort-stability luck
       .repartition(col("source"))
-      .sortWithinPartitions(col("doc_id"))
+      .sortWithinPartitions(col("source"), col("doc_id"))
       .write.mode("overwrite")
       .partitionBy("source")
       .option("maxRecordsPerFile", maxRecordsPerFile)

@@ -79,7 +79,6 @@ object DataQuality {
     * key column — the canonical "orphan detection" plan, shuffle keyed by
     * the FK with AQE free to broadcast the smaller distinct key set. */
   def constraintChecks(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val o = Tables.parallel(Tables.orders(s, dir))
     val li = Tables.parallel(Tables.lineitem(s, dir))
     // bound checks sharing one scan per table
@@ -130,12 +129,16 @@ object DataQuality {
                CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT)
         FROM lineitem
         UNION ALL
+        -- NOT EXISTS, not NOT IN: a NULL key must COUNT as an orphan (the
+        -- anti-join keeps it), while NOT IN would yield NULL and drop it
         SELECT 'orders_custkey_fk',
                CAST(count(*) AS BIGINT)
-        FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        FROM orders o WHERE NOT EXISTS
+          (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
         UNION ALL
         SELECT 'lineitem_orderkey_fk',
                CAST(count(*) AS BIGINT)
-        FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        FROM lineitem l WHERE NOT EXISTS
+          (SELECT 1 FROM orders o2 WHERE o2.o_orderkey = l.l_orderkey)
       ) z ORDER BY check_name"""
 }

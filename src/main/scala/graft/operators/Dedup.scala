@@ -580,15 +580,19 @@ object Dedup {
   }
 
   /** DuckDB SQL replicating [[substringDedup]] exactly (token 8-grams).
-    * Positions come from a constant range + length filter (the corpus max
-    * is ~280 tokens; 1024 is safe margin at the oracle SF). */
+    * Positions come from a constant range + length filter; a guard CTE
+    * raises a loud error() if any document exceeds the cap, so a grown
+    * corpus can never silently truncate the oracle's answer. */
   val substringDedupOracleSql: String = """
       WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
                  FROM documents),
       tok AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
+      guard AS (SELECT CASE WHEN max(len(w)) >= 8192
+                       THEN error('substringDedup oracle: document exceeds 8191-token cap')
+                       ELSE 1 END AS ok FROM tok),
       grams AS (SELECT doc_id, CAST(r.i - 1 AS BIGINT) AS gpos,
                   array_to_string(w[CAST(r.i AS INT):CAST(r.i + 7 AS INT)], ' ') AS gram
-                FROM tok, range(1, 1024) r(i) WHERE r.i <= len(w) - 7),
+                FROM tok, range(1, 8192) r(i) WHERE r.i <= len(w) - 7),
       dup AS (SELECT gram FROM (SELECT gram, count(*) AS c FROM grams GROUP BY gram) z
               WHERE c > 1),
       starts AS (SELECT doc_id, gpos FROM grams JOIN dup USING (gram)),
@@ -603,10 +607,10 @@ object Dedup {
       spans AS (SELECT doc_id, min(gpos) AS s, max(gpos) + 7 AS e
                 FROM isl2 GROUP BY doc_id, island),
       covered AS (SELECT doc_id, s + r.i AS pos
-                  FROM spans, range(0, 1024) r(i) WHERE r.i <= e - s),
+                  FROM spans, range(0, 8192) r(i) WHERE r.i <= e - s),
       tokpos AS (SELECT doc_id, CAST(r.i - 1 AS BIGINT) AS pos,
                         w[CAST(r.i AS INT)] AS tokw
-                 FROM tok, range(1, 1024) r(i) WHERE r.i <= len(w)),
+                 FROM tok, range(1, 8192) r(i) WHERE r.i <= len(w)),
       cleaned AS (SELECT tp.doc_id,
                     md5(array_to_string(list(tokw ORDER BY tp.pos), ' ')) AS cm
                   FROM tokpos tp LEFT JOIN covered c
@@ -619,6 +623,7 @@ object Dedup {
              coalesce(n_tokens_removed, 0) AS n_tokens_removed,
              coalesce(cm, md5('')) AS cleaned_md5
       FROM d LEFT JOIN perdoc USING (doc_id) LEFT JOIN cleaned USING (doc_id)
+      CROSS JOIN guard WHERE guard.ok = 1
       ORDER BY d.doc_id"""
 
   /** Duplication provenance matrix — for every pair of sources, how many

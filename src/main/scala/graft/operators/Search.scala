@@ -67,10 +67,16 @@ object Search {
     * unbounded list ever crosses the wire — the classic "build the postings
     * table" job. Downstream lookups are then broadcast/shuffle joins
     * against this artifact. */
-  def invertedIndex(s: SparkSession, dir: String, minDf: Long = 25,
-      cap: Int = 8): DataFrame = {
+  /** The shared tokenization contract of the index-building operators
+    * (ir02/ir03): normText + single-space split, one exploded row per
+    * token occurrence. */
+  private def tokens(s: SparkSession, dir: String): DataFrame =
     Tables.parallel(Tables.documents(s, dir))
       .select(col("doc_id"), explode(split(Text.normText(col("text")), " ")).as("term"))
+
+  def invertedIndex(s: SparkSession, dir: String, minDf: Long = 25,
+      cap: Int = 8): DataFrame = {
+    tokens(s, dir)
       .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
       .groupBy(col("term"))
       .agg(
@@ -107,9 +113,8 @@ object Search {
   def tfIdfTopTerms(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
-    val toks = Tables.parallel(Tables.documents(s, dir))
-      .select(col("doc_id"), explode(split(Text.normText(col("text")), " ")).as("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = tokens(s, dir)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
     tf.join(df, "term").crossJoin(broadcast(n))

@@ -389,7 +389,7 @@ class CorpusOpsSpec extends AnyFunSuite {
     val nOrders = graft.core.Tables.orders(spark, sf0001).count()
     prof.foreach { r =>
       assert(r.getLong(1) == nOrders, r.toString)         // n_rows
-      assert(r.getLong(2) + r.getLong(3) >= 0)            // nulls + distinct sane
+      assert(r.getLong(2) <= nOrders, r.toString)         // nulls bounded by rows
       assert(r.getLong(3) <= nOrders - r.getLong(2), r.toString) // distinct <= non-null
     }
     val keyRow = prof.find(_.getString(0) == "o_orderkey").get
