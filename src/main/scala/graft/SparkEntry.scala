@@ -467,8 +467,8 @@ object SparkEntry {
     "ta11_pack_windows" -> graft.operators.Curation.packWindowsOracleSql,
     "sa01_stratified_sample" -> graft.operators.Curation.stratifiedSampleOracleSql,
     "sa02_domain_reweight" -> graft.operators.Curation.domainReweightOracleSql,
-    "sa03_hash_sample" -> graft.operators.Curation.hashSampleOracleSql,
-    "sa04_mixture_sample" -> graft.operators.Curation.mixtureSampleOracleSql,
+    "sa03_hash_sample" -> graft.operators.Curation.hashSampleOracleSql(),
+    "sa04_mixture_sample" -> graft.operators.Curation.mixtureSampleOracleSql(),
     "sa05_shard_assign" -> graft.operators.Curation.shardAssignOracleSql,
     "ir01_bm25_topk" -> graft.operators.Search.bm25OracleSql,
     "ir02_inverted_index" -> graft.operators.Search.invertedIndexOracleSql,

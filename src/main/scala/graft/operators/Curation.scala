@@ -117,14 +117,19 @@ object Curation {
   }
 
   /** DuckDB SQL replicating [[hashSampleQuery]] exactly (same md5-prefix
-    * threshold). */
-  val hashSampleOracleSql: String = """
+    * threshold) — a def interpolating the SAME cut literal the Scala side
+    * derives from `rate`, so a non-default rate cannot silently diverge
+    * from the declared oracle. */
+  def hashSampleOracleSql(rate: Double = 0.15): String = {
+    val cut = (rate * 4294967296.0).toLong
+    s"""
       SELECT doc_id, lang, source,
              CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h32
       FROM documents
       WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-            < 644245094
+            < $cut
       ORDER BY doc_id"""
+  }
 
   /** Domain mixture reweighting (the corpus-mixing planner): per source
     * domain, the natural share of the corpus, a declared target share, and
@@ -196,15 +201,20 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
-  /** DuckDB SQL replicating [[mixtureSampleQuery]] exactly (frac = 0.5). */
-  val mixtureSampleOracleSql: String = """
+  /** DuckDB SQL replicating [[mixtureSampleQuery]] exactly — a def
+    * interpolating the same `frac` the Scala side applies, so a non-default
+    * frac cannot silently diverge from the declared oracle. The literal is
+    * rendered with enough digits to round-trip the double exactly. */
+  def mixtureSampleOracleSql(frac: Double = 0.5): String = {
+    val f = java.lang.Double.toString(frac)
+    s"""
       WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
                  FROM documents GROUP BY source),
       t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
       r AS (SELECT source,
               least(1.0,
                 (CAST(CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS DOUBLE) / 50.0)
-                / (CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE)) * 0.5) AS rate
+                / (CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE)) * $f) AS rate
             FROM c CROSS JOIN t)
       SELECT doc_id, d.source, rate
       FROM (SELECT doc_id, source,
@@ -214,6 +224,7 @@ object Curation {
       JOIN r ON d.source = r.source
       WHERE h32 < rate * 4294967296.0
       ORDER BY doc_id"""
+  }
 
   /** Deterministic training-shard assignment — the "global shuffle + write
     * N training files" step at the end of every corpus pipeline: each

@@ -279,14 +279,19 @@ object Similarity {
     * shuffle of the corpus beyond the per-query top-k. Recall vs brute
     * force is pinned in SimilaritySpec. */
   def pqTopK(s: SparkSession, dir: String, topK: Int = 5, m: Int = 8,
-      k: Int = 16, nQueries: Int = 100): DataFrame = {
+      k: Int = 16, nQueries: Int = 100, dim: Int = 64): DataFrame = {
     val emb = Tables.parallel(Tables.embeddings(s, dir))
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // one-row probe for the vector dimensionality (not in the parquet
-    // schema) — a single bounded driver job against the persisted scan,
-    // same class of audited action as Dedup's hot-bucket count
-    val subDim = emb.select(size(col("v"))).first().getInt(0) / m
+    // dim <= 0 => probe it with a one-row driver job (generic-caller path);
+    // the default matches the testdata layout so the sim07 plan submits no
+    // job before the main PQ scan
+    val theDim =
+      if (dim > 0) dim else emb.select(size(col("v"))).first().getInt(0)
+    require(theDim % m == 0,
+      s"PQ requires dim divisible by m: dim=$theDim, m=$m — the trailing " +
+        s"${theDim % m} dimensions would be silently dropped from codebooks/LUTs")
+    val subDim = theDim / m
 
     // codebook: (m, code, cv) — m*k rows, broadcast everywhere below
     val cb = emb.filter(col("vec_id") < k)

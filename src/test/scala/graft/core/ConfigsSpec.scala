@@ -110,4 +110,81 @@ class ConfigsSpec extends AnyFunSuite {
     assert(cons.sessionTimeoutMs == 120000)    // untouched default survives
     java.nio.file.Files.delete(f)
   }
+
+  test("oauth refresher: fetch once, reuse until expiry, refresh at expiry (fake clock/transport)") {
+    val cfg = AuthKafkaConfig(username = Some("cid"), password = Some("sec"),
+      oauthUrl = Some("https://idp/token"), oauthScope = Some("kafka"))
+    var now = 1000.0
+    var posts = List.empty[(String, Map[String, String], (String, String))]
+    var nextToken = "t1"
+    val r = new OauthRefresher(cfg,
+      transport = (url, payload, basic) => {
+        posts :+= ((url, payload, basic))
+        s"""{"access_token":"$nextToken","expires_in":300}"""
+      },
+      clock = () => now)
+
+    assert(r.expiry.isEmpty)
+    assert(r.token() == "t1")             // first call fetches
+    assert(posts.size == 1)
+    // the POST carries the reference's payload + basic auth (config.py:28-35)
+    assert(posts.head == (("https://idp/token",
+      Map("grant_type" -> "client_credentials", "scope" -> "kafka"), ("cid", "sec"))))
+    assert(r.expiry.contains(1300.0))     // now + expires_in (config.py:37)
+
+    now = 1299.0
+    nextToken = "t2"
+    assert(r.token() == "t1")             // still valid: no re-fetch
+    assert(posts.size == 1)
+
+    now = 1300.0                          // exactly at expiry: refresh
+    assert(r.token() == "t2")
+    assert(posts.size == 2)
+    assert(r.expiry.contains(1600.0))
+
+    // client dict re-derives with the CURRENT token (oauth_cb analog)
+    now = 1700.0
+    nextToken = "t3"
+    val d = r.asClientDict()
+    assert(posts.size == 3)
+    assert(d("sasl.oauthbearer.token") == "t3")
+    assert(d("sasl.mechanisms") == "OAUTHBEARER")
+    assert(d("security.protocol") == "SASL_SSL")
+
+    // margin: refresh early when within marginSeconds of expiry
+    now = 1950.0                          // expiry 2000, margin 60 => refresh
+    nextToken = "t4"
+    assert(r.token(marginSeconds = 60.0) == "t4")
+    assert(posts.size == 4)
+
+    // PLAIN config (no oauth_url) cannot build a refresher
+    intercept[IllegalArgumentException] {
+      new OauthRefresher(AuthKafkaConfig(username = Some("u")),
+        (_, _, _) => "{}", () => 0.0)
+    }
+  }
+
+  test("logging parity: level resolution, pinned line format, no propagation (logging_utils.py)") {
+    assert(Logging.loglevel(Map.empty) == "INFO")
+    assert(Logging.loglevel(Map("FLUVII_LOGLEVEL" -> "DEBUG")) == "DEBUG")
+    assert(Logging.toJul("WARNING") == java.util.logging.Level.WARNING)
+    assert(Logging.toJul("CRITICAL") == java.util.logging.Level.SEVERE)
+    assert(Logging.pyLevelName(java.util.logging.Level.FINE) == "DEBUG")
+    assert(Logging.pyLevelName(java.util.logging.Level.SEVERE) == "ERROR")
+
+    val logger = Logging.initLogger("graft.spec", Some("DEBUG"))
+    assert(!logger.getUseParentHandlers)           // propagate = False
+    assert(logger.getLevel == java.util.logging.Level.FINE)
+    assert(logger.getHandlers.length == 1)
+    Logging.initLogger("graft.spec", Some("DEBUG")) // re-init does not stack
+    assert(java.util.logging.Logger.getLogger("graft.spec").getHandlers.length == 1)
+
+    val rec = new java.util.logging.LogRecord(java.util.logging.Level.INFO, "hello {0}")
+    rec.setLoggerName("graft.spec")
+    rec.setParameters(Array[AnyRef]("world"))
+    val line = new Logging.LineFormatter().format(rec)
+    // "PID {process} - {asctime} - {name} - {levelname}: {message}"
+    assert(line.matches(
+      raw"PID \d+ - \d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2},\d{3} - graft\.spec - INFO: hello world\n"))
+  }
 }

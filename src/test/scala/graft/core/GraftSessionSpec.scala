@@ -46,12 +46,19 @@ class GraftSessionSpec extends AnyFunSuite {
             org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
             Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
               org.apache.spark.sql.catalyst.expressions.Expression)): Unit =
-        reg.createOrReplaceTempFunction(f._1.funcName, f._3, "scala_udf")
+        reg.registerFunction(f._1, f._2, f._3) // real registration: info + builder
     })
     val row = s2.sql(
       "SELECT graft_cosine(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS c, " +
         "graft_sq_dist(array(0.0d), array(2.0d)) AS d").collect()(0)
     assert(row.getDouble(0) == 1.0 && row.getDouble(1) == 4.0)
+    // DESCRIBE FUNCTION metadata is intact (name is the function name, not
+    // the usage text; usage is the declared one; class points at the expr)
+    val info = reg.lookupFunction(
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine")).get
+    assert(info.getName == "graft_cosine")
+    assert(info.getUsage.contains("cosine similarity"))
+    assert(info.getClassName == classOf[graft.functions.CosineSim].getName)
   }
 
   test("SQL and Scala-API expressions agree") {
