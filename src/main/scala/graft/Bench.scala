@@ -49,6 +49,7 @@ object Bench {
     "dd09_incremental_dedup",
     "dd10_dup_source_matrix",
     "dd11_substring_dedup",
+    "dd12_streaming_neardup",
     "ta01_langid",
     "ta02_quality",
     "ta03_token_stats",

@@ -65,6 +65,7 @@ object SparkEntry {
     "dd09_incremental_dedup" -> Dedup.incrementalDedup _,
     "dd10_dup_source_matrix" -> Dedup.dupSourceMatrix _,
     "dd11_substring_dedup" -> ((s: SparkSession, d: String) => Dedup.substringDedup(s, d)),
+    "dd12_streaming_neardup" -> graft.state.NearDupStream.streamingNearDup _,
     "ta01_langid"          -> TextAnalysis.langIdQuery _,
     "ta02_quality"         -> TextAnalysis.qualityQuery _,
     "ta03_token_stats"     -> TextAnalysis.tokenStatsQuery _,
@@ -379,6 +380,10 @@ object SparkEntry {
     "dd07_repeated_spans" -> Dedup.repeatedSpansOracleSql,
     "dd08_decontaminate" -> Dedup.decontaminateOracleSql,
     "dd09_incremental_dedup" -> Dedup.incrementalDedupOracleSql,
+    // continuous near-dup dedup: the batch-mode run of the stateful LSH
+    // store; ground truth = brute-force prefix-ordered near-dup (same
+    // recall argument as dd03's oracle)
+    "dd12_streaming_neardup" -> graft.state.NearDupStream.oracleSql,
     "dd10_dup_source_matrix" -> s"""
       WITH pairs AS (${pairsSubquerySql})
       SELECT least(a.source, b.source) AS source_a,

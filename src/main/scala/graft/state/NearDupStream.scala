@@ -1,0 +1,233 @@
+package graft.state
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+import graft.core.Tables
+import graft.functions.Text
+import graft.operators.Dedup
+
+/** Continuous (streaming) MinHash near-dup dedup — the composition of the
+  * engine's two halves: the keyed-state pattern of the reference's table
+  * apps (reference: fluvii/apps/transactions/transaction.py:180-192, the
+  * read-state/update-state-per-message loop) carrying the LSH fingerprint
+  * store of [[graft.operators.Dedup.incrementalDedup]] as a
+  * `transformWithState` stream, so near-dup filtering runs continuously as
+  * documents arrive instead of per batch rebuild.
+  *
+  * MIGRATION.md pins `dropDuplicatesWithinWatermark` as the EXACT-dedup
+  * streaming twin; this operator is the NEAR-dup analog. Same parameters
+  * and same three-stage shape as the batch [[Dedup.minhashLshPairs]] plan,
+  * lifted onto keyed state:
+  *
+  *   1. signature pass: text -> MinHash signature -> 32 band hashes
+  *      (one columnar pass, no shuffle);
+  *   2. candidate generation: keyed state PER LSH BUCKET (band, bandhash)
+  *      holds the (doc_id, signature) list of that bucket's earlier
+  *      arrivals; each new arrival emits candidate pairs against stored
+  *      members passing the [[Dedup.SigPrefilter]] signature-agreement
+  *      prefilter, then joins the store itself. This is the band equi-join
+  *      turned inside out: the shuffle key is the bucket, state size is the
+  *      bucket population, and work per arrival scales with true
+  *      collisions — never corpus^2;
+  *   3. verification: candidates (tiny) join the corpus for shingles, exact
+  *      Jaccard >= [[Dedup.JaccardThreshold]] — cost scales with survivors,
+  *      exactly like the batch path.
+  *
+  * Drop semantics: a document is a duplicate iff some EARLIER document
+  * (smaller doc_id = earlier arrival) is a verified near-dup; every
+  * arrival enters the store regardless of its own verdict (the standard
+  * streaming-LSH-store discipline: state insertion must not depend on a
+  * verdict that other buckets are still computing). With the dd03
+  * parameters (recall 1 - 5e-8 at the 0.8 threshold) the kept set equals
+  * brute force over the prefix order, which is how the oracle checks it.
+  *
+  * Hot-bucket guard (the stateful form of [[Dedup.HotBucketCap]]'s star
+  * contract): once a bucket's store reaches `cap` members, later arrivals
+  * compare against the bucket's FIRST member only and are not stored —
+  * state per key is bounded, and the boilerplate-bucket case still marks
+  * every later member as a candidate duplicate of the first. At 100 TB the
+  * production deployment would add a TTL ([[TTLConfig]]) to age buckets
+  * out with the retention window; the spec pins the cap behavior.
+  */
+object NearDupStream {
+
+  /** One document's membership in one LSH bucket, the processor's input:
+    * key = (band, bh), payload = (doc_id, signature). */
+  case class BandedDoc(band: Int, bh: Long, doc_id: Long, sig: Array[Long])
+
+  /** A bucket store entry — what the keyed state holds per earlier doc. */
+  case class SeenDoc(doc_id: Long, sig: Array[Long])
+
+  /** Candidate near-dup pair, doc_a earlier (smaller id) than doc_b. */
+  case class CandidatePair(doc_a: Long, doc_b: Long)
+
+  /** Fraction of equal signature entries — the plain-Scala twin of
+    * [[graft.functions.SigOverlap]] for in-processor prefiltering. */
+  private[state] def sigOverlap(a: Array[Long], b: Array[Long]): Double = {
+    val n = math.min(a.length, b.length)
+    var eq = 0
+    var i = 0
+    while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
+    if (n == 0) 0.0 else eq.toDouble / n
+  }
+
+  /** Documents -> banded signature rows (stage 1). Pure columnar pass:
+    * MinHashFromText + band hashes + explode, no exchange. */
+  def bandedDocs(docs: DataFrame): Dataset[BandedDoc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id"),
+        graft.functions.MinHashFromText.minhashFromText(
+          col("text"), Dedup.ShingleSize, Dedup.SigK).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        explode(Text.lshBands(col("sig"), Dedup.SigK, Dedup.Bands)).as("b"))
+      .select(col("b.band").as("band"), col("b.bh").as("bh"),
+        col("doc_id"), col("sig"))
+      .as[BandedDoc]
+  }
+
+  /** The store-update step both backends share: fold one batch of arrivals
+    * (already sorted by doc_id) into a bucket whose earlier members are
+    * `seen0`, returning (emitted candidates, entries to append). Having ONE
+    * definition is what makes the batch/stream equality structural rather
+    * than coincidental — the spec then proves it empirically too. */
+  private[state] def processBucket(seen0: Vector[SeenDoc],
+      arrivals: Seq[BandedDoc], cap: Int, prefilter: Double)
+      : (Vector[CandidatePair], Vector[SeenDoc]) = {
+    var seen = seen0
+    val appended = Vector.newBuilder[SeenDoc]
+    val out = Vector.newBuilder[CandidatePair]
+    arrivals.foreach { d =>
+      // full-store compare below the cap; star compare (first member only)
+      // above it — state stops growing, the group stays connected
+      val against = if (seen.size >= cap) seen.take(1) else seen
+      against.foreach { e =>
+        if (e.doc_id != d.doc_id && sigOverlap(e.sig, d.sig) >= prefilter)
+          out += CandidatePair(e.doc_id, d.doc_id)
+      }
+      if (seen.size < cap) {
+        seen = seen :+ SeenDoc(d.doc_id, d.sig)
+        appended += SeenDoc(d.doc_id, d.sig)
+      }
+    }
+    (out.result(), appended.result())
+  }
+
+  /** Stage 2, batch backend (the CORRECTNESS form): each bucket's whole
+    * history is one group, so the fold runs with an empty initial store and
+    * plain flatMapGroups carries it — no state store machinery needed. The
+    * shuffle key is the bucket, identical to the streaming plan. */
+  def candidates(banded: Dataset[BandedDoc],
+      cap: Int = Dedup.HotBucketCap): Dataset[CandidatePair] = {
+    import banded.sparkSession.implicits._
+    banded
+      .groupByKey(d => (d.band, d.bh))
+      .flatMapGroups { (_: (Int, Long), rows: Iterator[BandedDoc]) =>
+        processBucket(Vector.empty, rows.toSeq.sortBy(_.doc_id),
+          cap, Dedup.SigPrefilter)._1.iterator
+      }
+  }
+
+  /** Stage 2, streaming backend: the same fold as a transformWithState
+    * stream over the durable per-bucket ListState — near-dup filtering as a
+    * continuously-running service. Arrival order across microbatches is the
+    * replay order (ascending doc_id); within a microbatch the processor
+    * sorts. NearDupSpec proves output equality with [[candidates]] on the
+    * same increments. */
+  def candidatesStream(banded: Dataset[BandedDoc],
+      cap: Int = Dedup.HotBucketCap): Dataset[CandidatePair] = {
+    import banded.sparkSession.implicits._
+    banded
+      .groupByKey(d => (d.band, d.bh))
+      .transformWithState(new NearDupBucketProcessor(cap, Dedup.SigPrefilter),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Stage 3: exact verification + per-doc verdict, batch relational ops
+    * (in the streaming deployment this is the downstream job over the
+    * emitted candidate topic — candidates are tiny, so either form works).
+    * Shingles are computed only for docs named by a candidate. Output:
+    * (doc_id, keep, dup_of) for every document, dup_of = earliest verified
+    * near-dup ancestor, ordered by doc_id. */
+  def verdict(s: SparkSession, dir: String, cands: DataFrame): DataFrame = {
+    val candSet = cands.select(col("doc_a"), col("doc_b")).distinct()
+    val neededIds = candSet
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val sh = Tables.documents(s, dir)
+      .join(broadcast(neededIds), "doc_id")
+      .select(col("doc_id"),
+        graft.functions.CharShingles.charShingles(col("text"), Dedup.ShingleSize).as("sh"))
+      .withColumn("n", size(col("sh")))
+    val dropped = candSet
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("n_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("n_b")), "doc_b")
+      .filter(Text.jaccardWithSizes(col("sh_a"), col("sh_b"), col("n_a"), col("n_b"))
+        >= Dedup.JaccardThreshold)
+      .groupBy(col("doc_b"))
+      .agg(min(col("doc_a")).as("dup_of"))
+      .withColumnRenamed("doc_b", "doc_id")
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNull.as("keep"), col("dup_of"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** dd12 — the full operator in batch mode (the CORRECTNESS form): same
+    * processor, same state discipline, state starting empty, every bucket's
+    * history replayed in one group call. The streaming twin (NearDupSpec)
+    * replays the same corpus in increments through the same processor and
+    * must produce the identical kept set. */
+  def streamingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val cands = candidates(bandedDocs(Tables.parallel(Tables.documents(s, dir))))
+    verdict(s, dir, cands.toDF())
+  }
+
+  /** DuckDB SQL replicating [[streamingNearDup]] exactly: brute-force
+    * prefix-ordered near-dup (keep a doc iff no earlier doc has exact
+    * 5-gram Jaccard >= 0.8) — valid as ground truth for the LSH-store path
+    * by the same recall argument that lets dd03 use the brute-force pair
+    * oracle, plus the insert-regardless-of-verdict store semantics
+    * documented above. */
+  val oracleSql: String = """
+      WITH sh AS (SELECT doc_id,
+                         list_distinct(list_transform(range(1, greatest(length(text)-3, 2)),
+                                       i -> substr(text, CAST(i AS INT), 5))) AS s
+                  FROM documents),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sh a JOIN sh b
+            ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+      dr AS (SELECT doc_b AS doc_id, min(doc_a) AS dup_of FROM p GROUP BY doc_b)
+      SELECT d.doc_id, dr.dup_of IS NULL AS keep, dr.dup_of
+      FROM documents d LEFT JOIN dr ON d.doc_id = dr.doc_id
+      ORDER BY d.doc_id"""
+}
+
+/** The per-bucket fingerprint store as a [[StatefulProcessor]]: ListState
+  * of (doc_id, signature), append-ordered (ascending doc_id given ordered
+  * replay), bounded by `cap` with first-member star fallback — the
+  * stateful twin of [[graft.operators.Dedup.HotBucketCap]]'s contract. */
+private[state] final class NearDupBucketProcessor(cap: Int, prefilter: Double)
+    extends StatefulProcessor[(Int, Long), NearDupStream.BandedDoc, NearDupStream.CandidatePair] {
+  import NearDupStream.{BandedDoc, CandidatePair, SeenDoc, sigOverlap}
+
+  @transient private var store: ListState[SeenDoc] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    store = getHandle.getListState[SeenDoc]("bucket_docs",
+      Encoders.product[SeenDoc], TTLConfig.NONE)
+
+  override def handleInputRows(key: (Int, Long), rows: Iterator[BandedDoc],
+      timers: TimerValues): Iterator[CandidatePair] = {
+    // arrival order within a batch = doc_id order (the stream contract);
+    // across batches the store is already ascending by construction
+    val seen0: Vector[SeenDoc] =
+      if (store.exists()) store.get().toVector else Vector.empty
+    val (out, appended) = NearDupStream.processBucket(
+      seen0, rows.toSeq.sortBy(_.doc_id), cap, prefilter)
+    appended.foreach(store.appendValue)
+    out.iterator
+  }
+}

@@ -1,0 +1,95 @@
+package graft.state
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession.{sf0001, spark}
+import graft.operators.Dedup
+
+/** dd12 — continuous near-dup dedup: semantics vs in-JVM brute force,
+  * batch/stream equality on the same increments, and the hot-bucket cap. */
+class NearDupSpec extends AnyFunSuite {
+
+  import NearDupStream._
+
+  test("batch verdict equals brute-force prefix-ordered near-dup") {
+    // ground truth from the exact quadratic pair set (dd02's operator):
+    // a doc is dropped iff some earlier doc has Jaccard >= 0.8
+    val pairs = Dedup.ngramJaccardPairs(spark, sf0001)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expectDupOf = pairs.groupBy(_._2).map { case (b, ps) => b -> ps.map(_._1).min }
+    val got = streamingNearDup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(got.nonEmpty)
+    got.foreach { case (id, keep, dupOf) =>
+      assert(dupOf == expectDupOf.get(id), s"doc $id: dup_of $dupOf vs ${expectDupOf.get(id)}")
+      assert(keep == dupOf.isEmpty)
+    }
+    assert(got.count(!_._2) == expectDupOf.size) // some docs actually dropped
+    assert(expectDupOf.nonEmpty)
+  }
+
+  test("streaming replay over increments equals the batch run (transformWithState)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      val docs = graft.core.Tables.documents(spark, sf0001)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .collect().sortBy(_._1)
+      // three replay increments in arrival (= doc_id) order
+      val inc = docs.grouped(math.max(docs.length / 3 + 1, 1)).toSeq
+      val input = MemoryStream[(Long, String)](spark)
+      val banded = bandedDocs(input.toDS().toDF("doc_id", "text"))
+      val q = candidatesStream(banded).toDF()
+        .writeStream.format("memory").queryName("dd12_cands")
+        .outputMode(OutputMode.Append).start()
+      try {
+        inc.foreach { batch => input.addData(batch.toSeq); q.processAllAvailable() }
+        val streamedCands = spark.table("dd12_cands")
+        val streamed = verdict(spark, sf0001, streamedCands).collect().map(_.toSeq)
+        val batchRun = streamingNearDup(spark, sf0001).collect().map(_.toSeq)
+        assert(streamed.length == batchRun.length)
+        assert(streamed.sameElements(batchRun))
+        // the stateful store produced the same candidate SET as the batch
+        // fold (order/multiplicity may differ across microbatch boundaries)
+        val sc = streamedCands.select("doc_a", "doc_b").distinct().collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val bc = candidates(bandedDocs(graft.core.Tables.documents(spark, sf0001)))
+          .toDF().select("doc_a", "doc_b").distinct().collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(sc == bc)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("hot-bucket cap: star candidates only, state stops growing") {
+    val sig = Array(1L, 2L, 3L, 4L)
+    val arrivals = (0L until 6L).map(i => BandedDoc(0, 0L, i, sig))
+    val (out, appended) = processBucket(Vector.empty, arrivals, cap = 2, prefilter = 0.5)
+    // docs 0,1 stored (full compare); docs 2..5 compare vs first member only
+    assert(appended.map(_.doc_id) == Vector(0L, 1L))
+    assert(out.toSet == Set(
+      CandidatePair(0L, 1L),
+      CandidatePair(0L, 2L), CandidatePair(0L, 3L),
+      CandidatePair(0L, 4L), CandidatePair(0L, 5L)))
+    // resuming from the capped store: still star-only, nothing appended
+    val (out2, appended2) =
+      processBucket(appended, Seq(BandedDoc(0, 0L, 9L, sig)), cap = 2, prefilter = 0.5)
+    assert(appended2.isEmpty)
+    assert(out2 == Vector(CandidatePair(0L, 9L)))
+    // prefilter gate: disjoint signature emits nothing but still stores
+    val (out3, appended3) = processBucket(Vector(SeenDoc(0L, sig)),
+      Seq(BandedDoc(0, 0L, 1L, Array(9L, 9L, 9L, 9L))), cap = 10, prefilter = 0.5)
+    assert(out3.isEmpty && appended3.map(_.doc_id) == Vector(1L))
+  }
+}
