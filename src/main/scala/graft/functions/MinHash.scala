@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
@@ -20,15 +20,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * corpus size, which is what matters at 100 TB.
   */
 case class MinHashSig(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   private val P = 2147483647L // 2^31 - 1
   private val SeedXx = 42L    // functions.xxhash64's fixed seed
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val mins = Array.fill[Long](k)(Long.MaxValue)
     var i = 0
@@ -56,6 +55,13 @@ case class MinHashSig(child: Expression, k: Int)
     new GenericArrayData(mins)
   }
 
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSig", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
 }
@@ -78,15 +84,14 @@ object MinHashSig {
   * allocation-free, where a substring-per-window formulation is O(len^2)
   * char scans plus a UTF8String allocation per window. */
 case class MinHashFromText(child: Expression, n: Int, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   private val P = 2147483647L
   private val SeedXx = 42L
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+  def compute(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
     val base = text.getBaseObject
     val off = text.getBaseOffset
     val numBytes = text.numBytes
@@ -112,6 +117,14 @@ case class MinHashFromText(child: Expression, n: Int, k: Int)
       i += 1
     }
     new GenericArrayData(mins)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashFromText", this, classOf[MinHashFromText].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashFromText =
@@ -151,18 +164,26 @@ object MinHashFromText {
   * it discards the huge mass of ~0.2-background candidates for 128 long
   * comparisons instead of an 800-element array intersection. */
 case class SigOverlap(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData].toLongArray()
-    val b = r.asInstanceOf[ArrayData].toLongArray()
+  def compute(a0: ArrayData, b0: ArrayData): Double = {
+    val a = a0.toLongArray()
+    val b = b0.toLongArray()
     val n = math.min(a.length, b.length)
     var eq = 0
     var i = 0
     while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
-    java.lang.Double.valueOf(if (n == 0) 0.0 else eq.toDouble / n)
+    if (n == 0) 0.0 else eq.toDouble / n
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Double.valueOf(compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sigOverlap", this, classOf[SigOverlap].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SigOverlap =
@@ -180,13 +201,12 @@ object SigOverlap {
   * lambda evaluation. Windows are byte slices over one precomputed offset
   * table (O(len), not O(len^2) char scans). */
 case class CharShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+  def compute(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
     val bytes = text.getBytes // one copy; windows slice it without rescans
     val offs = Utf8Windows.charOffsets(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length)
     val nChars = offs.length - 1
@@ -204,6 +224,14 @@ case class CharShingles(child: Expression, n: Int)
     var j = 0
     while (it.hasNext) { out(j) = it.next(); j += 1 }
     new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charShingles", this, classOf[CharShingles].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): CharShingles =

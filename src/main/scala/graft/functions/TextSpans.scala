@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 
 /** All consecutive token n-grams of a single-space-normalized text, one
@@ -19,14 +19,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
   * per-window array materialization. A text with fewer than n tokens yields
   * an empty array. */
 case class TokenNgrams(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1, s"n-gram size must be >= 1, got $n")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+  def compute(input: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val s = input.toString
     // token start offsets (tokens are single-space separated after normText)
     val starts = new scala.collection.mutable.ArrayBuffer[Int](64)
     starts += 0
@@ -47,6 +47,14 @@ case class TokenNgrams(child: Expression, n: Int)
       }
       new GenericArrayData(out)
     }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenNgrams", this, classOf[TokenNgrams].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): TokenNgrams =

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
@@ -15,15 +15,21 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   * exact) — but a single primitive loop per pair instead of three
   * interpreted aggregate() lambdas, which is what makes brute-force and
   * LSH-bucketed similarity paths CPU-bound instead of boxing-bound.
+  *
+  * Real codegen (not CodegenFallback): the generated code calls the typed
+  * [[compute]] through a plan reference — no InternalRow materialization
+  * and no boxing per row, and the surrounding WholeStageCodegen pipeline
+  * stays fused. The same pattern is applied to every expression below and
+  * pinned compiled-vs-interpreted in ExpressionParitySpec.
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData].toDoubleArray()
-    val b = r.asInstanceOf[ArrayData].toDoubleArray()
+  def compute(a0: ArrayData, b0: ArrayData): Double = {
+    val a = a0.toDoubleArray()
+    val b = b0.toDoubleArray()
     val n = math.min(a.length, b.length)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -37,7 +43,15 @@ case class CosineSim(left: Expression, right: Expression)
     // NaN-largest ordering, making a degenerate all-zero vector everyone's
     // "nearest neighbor"; similarity to a zero vector is defined as 0.
     val denom = math.sqrt(na) * math.sqrt(nb)
-    java.lang.Double.valueOf(if (denom == 0.0) 0.0 else dot / denom)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Double.valueOf(compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cosineSim", this, classOf[CosineSim].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
@@ -67,7 +81,7 @@ object CosineSim {
   * what keeps the ANN bucketing pass CPU-bound at corpus scale.
   */
 case class SignLshBucket(child: Expression, planes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -96,8 +110,8 @@ case class SignLshBucket(child: Expression, planes: Int)
     arr
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData].toDoubleArray()
+  def compute(input: ArrayData): Long = {
+    val v = input.toDoubleArray()
     val dim = v.length
     val sg = signsFor(dim)
     var bucket = 0L
@@ -110,7 +124,17 @@ case class SignLshBucket(child: Expression, planes: Int)
       if (proj >= 0) bucket += (1L << p)
       p += 1
     }
-    java.lang.Long.valueOf(bucket)
+    bucket
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // reference to THIS instance: generated code reuses the per-instance
+    // sign-table cache across rows
+    val ref = ctx.addReferenceObj("signLsh", this, classOf[SignLshBucket].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SignLshBucket =
@@ -129,18 +153,26 @@ object SignLshBucket {
   * times per corpus, so it gets the same primitive-loop treatment as
   * [[CosineSim]]). */
 case class SqDist(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData].toDoubleArray()
-    val b = r.asInstanceOf[ArrayData].toDoubleArray()
+  def compute(a0: ArrayData, b0: ArrayData): Double = {
+    val a = a0.toDoubleArray()
+    val b = b0.toDoubleArray()
     val n = math.min(a.length, b.length)
     var acc = 0.0
     var i = 0
     while (i < n) { val d = a(i) - b(i); acc += d * d; i += 1 }
-    java.lang.Double.valueOf(acc)
+    acc
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Double.valueOf(compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sqDist", this, classOf[SqDist].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SqDist =
@@ -161,18 +193,26 @@ object SqDist {
   * FLOP-bound. Native expression for the same reason as [[CosineSim]]: this
   * evaluates once per (query, candidate) pair in the scan. */
 case class PqAdc(left: Expression, right: Expression, k: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
-  override def nullSafeEval(codesAny: Any, lutAny: Any): Any = {
-    val codes = codesAny.asInstanceOf[ArrayData]
-    val lut = lutAny.asInstanceOf[ArrayData].toDoubleArray()
+  def compute(codes: ArrayData, lutAny: ArrayData): Double = {
+    val lut = lutAny.toDoubleArray()
     var acc = 0.0
     var m = 0
     val nM = codes.numElements()
     while (m < nM) { acc += lut(m * k + codes.getInt(m)); m += 1 }
-    java.lang.Double.valueOf(acc)
+    acc
+  }
+
+  override def nullSafeEval(codesAny: Any, lutAny: Any): Any =
+    java.lang.Double.valueOf(
+      compute(codesAny.asInstanceOf[ArrayData], lutAny.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdc", this, classOf[PqAdc].getName)
+    nullSafeCodeGen(ctx, ev, (c, l) => s"${ev.value} = $ref.compute($c, $l);")
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqAdc =
