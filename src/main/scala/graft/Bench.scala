@@ -85,6 +85,23 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    // AMBIENT load, sampled before this JVM does any work: the bench itself
+    // spikes loadavg, so only a pre-run sample distinguishes "machine was
+    // busy" from "bench was running". Above cpus/8 the run is flagged
+    // contended in the artifact and each query gets an extra timed attempt
+    // (min over attempts — contention only ever adds time).
+    def loadavg1: Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val ambientLoad = loadavg1
+    val contended = ambientLoad > cpus.toDouble / 8.0
+    if (contended)
+      System.err.println(f"[bench] WARNING: ambient loadavg $ambientLoad%.2f > " +
+        f"${cpus.toDouble / 8.0}%.1f (cpus/8) - machine is contended; timings " +
+        "will be inflated. Flagging \"contended\":true and using min-of-3.")
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -117,13 +134,15 @@ object Bench {
       catch { case _: Throwable => "" }
     val loadBefore = loadavg
 
-    // two timed runs per query, report the min — damps GC/JIT noise so the
-    // number reflects the plan, not the weather in this JVM. The cache is
-    // cleared before every attempt so intra-query persist() stages are
-    // honestly recomputed each time; a query failing ANY attempt reports
-    // -1 (a flaky query must not be certified with its lucky run's time).
+    // two timed runs per query (three when contended), report the min —
+    // damps GC/JIT noise so the number reflects the plan, not the weather
+    // in this JVM. The cache is cleared before every attempt so intra-query
+    // persist() stages are honestly recomputed each time; a query failing
+    // ANY attempt reports -1 (a flaky query must not be certified with its
+    // lucky run's time).
+    val attempts = if (contended) 3 else 2
     val results = headline.map { name =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to attempts).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val ok = try { force(name); true } catch { case _: Throwable => false }
@@ -139,7 +158,7 @@ object Bench {
     val runs = results.map { case (k, _, ts) => "\"" + k + "\":[" + ts.mkString(",") + "]" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"loadavg_start":"$loadBefore","loadavg_end":"$loadavg","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"contended":$contended,"loadavg_ambient":$ambientLoad,"loadavg_start":"$loadBefore","loadavg_end":"$loadavg","sf":"$sfDir"}""")
     spark.stop()
   }
 }
