@@ -412,15 +412,22 @@ object SparkEntry {
     // the stub "decode" is strided octet pooling — plain byte arithmetic,
     // so the whole multimodal plumbing is oracle-checked (corpus is ASCII:
     // ord(char) == octet, verified for every sf; n_bytes uses the blob)
+    // mm01 runs a REAL PNG decode (javax.imageio) over fixtures whose pixel
+    // i = text byte (i mod len); the oracle re-derives the decoded-raster
+    // pooling straight from that pixel function (ASCII corpus: char ord ==
+    // UTF-8 byte, which mm01's old byte-pooling oracle already relied on)
     "mm01_media_features" -> """
-      SELECT doc_id AS media_id, 'text' AS kind,
-             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-             CAST(coalesce(list_sum(list_transform(range(1, length(text)+1, 8),
-               i -> ord(substr(text, CAST(i AS INT), 1)))), 0) AS BIGINT) AS f0,
-             CAST(coalesce(list_sum(list_transform(range(2, length(text)+1, 8),
-               i -> ord(substr(text, CAST(i AS INT), 1)))), 0) AS BIGINT) AS f1,
-             CAST(coalesce(list_sum(list_transform(range(3, length(text)+1, 8),
-               i -> ord(substr(text, CAST(i AS INT), 1)))), 0) AS BIGINT) AS f2
+      SELECT doc_id AS media_id, 'image' AS kind,
+             CAST(256 AS BIGINT) AS n_px,
+             CAST(coalesce(list_sum(list_transform(range(0, 256, 8),
+               i -> CASE WHEN length(text) = 0 THEN 0
+                         ELSE ord(substr(text, CAST((i % length(text)) + 1 AS INT), 1)) END)), 0) AS BIGINT) AS f0,
+             CAST(coalesce(list_sum(list_transform(range(1, 256, 8),
+               i -> CASE WHEN length(text) = 0 THEN 0
+                         ELSE ord(substr(text, CAST((i % length(text)) + 1 AS INT), 1)) END)), 0) AS BIGINT) AS f1,
+             CAST(coalesce(list_sum(list_transform(range(2, 256, 8),
+               i -> CASE WHEN length(text) = 0 THEN 0
+                         ELSE ord(substr(text, CAST((i % length(text)) + 1 AS INT), 1)) END)), 0) AS BIGINT) AS f2
       FROM documents ORDER BY media_id""",
     "mm02_frame_sample" -> """
       WITH d AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n FROM documents)

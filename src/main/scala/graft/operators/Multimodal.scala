@@ -11,12 +11,16 @@ import graft.core.Tables
   * scans prune to metadata columns unless features are actually computed,
   * and decode/feature-extract runs batched per partition.
   *
-  * The actual image/audio decode is STUBBED (no codec libraries in this
-  * environment): [[FakeDecoder]] produces deterministic pseudo-features
-  * from the bytes. Everything AROUND the stub — schema, batching,
-  * partition-parallel execution, feature vector shape — is real and
-  * tested; swapping FakeDecoder for a JNI/javacv decoder changes one
-  * function.
+  * The IMAGE path (mm01) is a real codec round-trip: deterministic
+  * grayscale PNG fixtures are encoded and then honestly decoded through
+  * the JDK's javax.imageio (PNG support ships with the JDK — no external
+  * codec dependency), with features pooled from the DECODED raster. The
+  * fixtures' pixels are a known function of the source text, which is what
+  * keeps the decoded features SQL-derivable for the DuckDB oracle. The
+  * video/audio-shaped paths (mm02 frame plumbing, mm03 embedding) stay
+  * payload-agnostic over opaque bytes, with [[FakeDecoder]] standing in
+  * for heavyweight neural encoders (none exist in this environment);
+  * swapping it for a JNI/javacv decoder changes one function.
   */
 object Multimodal {
 
@@ -50,9 +54,96 @@ object Multimodal {
     }
   }
 
+  /** Deterministic grayscale PNG fixtures: pixel i (row-major) carries
+    * payload byte (i mod payload length) — a known pixel function, so
+    * anything pooled from the DECODED image is re-derivable in SQL from the
+    * source text. Encoding goes through the real javax.imageio PNG writer;
+    * PNG is lossless, so the decode side recovers exactly these samples. */
+  object ImageFixtures {
+    def grayPng(payload: Array[Byte], w: Int = 16, h: Int = 16): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var i = 0
+      while (i < w * h) {
+        val v = if (payload.length == 0) 0 else payload(i % payload.length) & 0xff
+        raster.setSample(i % w, i / w, 0, v)
+        i += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** REAL image decode + feature extraction via the JDK codec: parse the
+    * compressed payload with ImageIO, then pool the decoded raster's
+    * samples — feature j sums every pixel at row-major index ≡ j (mod dim),
+    * the same channel-pooling shape a neural extractor performs. Fails fast
+    * on undecodable bytes (a corrupt payload must not silently become a
+    * zero vector). */
+  object ImageDecoder {
+    def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null)
+        throw new IllegalArgumentException(
+          s"undecodable image payload (${bytes.length} bytes)")
+      img
+    }
+    /** (pixel count, pooled features) from the decoded raster. */
+    def features(bytes: Array[Byte], dim: Int = FeatureDim): (Long, Array[Long]) = {
+      val img = decode(bytes)
+      val raster = img.getRaster
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Long](dim)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          out((y * w + x) % dim) += raster.getSample(x, y, 0).toLong
+          x += 1
+        }
+        y += 1
+      }
+      (w.toLong * h, out)
+    }
+  }
+
+  /** Image-media table: one PNG fixture per document. The encode cost is
+    * the fixture synthesis this sandbox needs; a production pipeline reads
+    * already-encoded payloads from parquet binary columns. */
+  def imageMediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        MediaRecord(id, "image", ImageFixtures.grayPng(text.getBytes("UTF-8")), 16, 16)
+      }
+  }
+
+  case class ImageFeatures(media_id: Long, kind: String, n_px: Long,
+      features: Array[Long])
+
+  /** Batched per-partition DECODE + pool over the image table — same
+    * mapPartitions plumbing as [[extractFeatures]], but through the real
+    * codec; n_px comes from the decoded image, not trusted metadata. */
+  def extractImageFeatures(media: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition setup happens HERE (once): ImageIO scans its reader
+      // registry lazily on first use
+      it.map { m =>
+        val (nPx, fs) = ImageDecoder.features(m.bytes)
+        ImageFeatures(m.media_id, m.kind, nPx, fs)
+      }
+    }
+  }
+
   /** Synthesize a media table from the documents corpus (UTF-8 bytes as the
-    * opaque payload) — the environment ships no binary fixtures, and the
-    * plumbing is payload-agnostic by design. */
+    * opaque payload) — the payload-agnostic plumbing used by the frame and
+    * embedding paths. */
   def mediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaRecord] = {
     import s.implicits._
     Tables.documents(s, dir)
@@ -98,14 +189,18 @@ object Multimodal {
         col("frame_bytes_len").cast("long").as("frame_len"))
       .orderBy(col("media_id"), col("frame_idx"))
 
-  /** Query mm01: feature extraction over the corpus. Features are exploded
-    * to scalar columns for a stable parquet schema. */
+  /** Query mm01: the honest decode path — PNG fixtures through the real
+    * javax.imageio decoder, features pooled from the decoded raster.
+    * Features are exploded to scalar columns for a stable parquet schema;
+    * n_px is reported from the decoded image (256 for the 16x16 fixtures),
+    * and the oracle re-derives the pooled sums from the known pixel
+    * function of the text. */
   def mediaFeaturesQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    extractFeatures(mediaFromDocuments(s, dir))
+    extractImageFeatures(imageMediaFromDocuments(s, dir))
       .toDF()
       .select(
-        col("media_id"), col("kind"), col("n_bytes"),
+        col("media_id"), col("kind"), col("n_px"),
         element_at(col("features"), 1).as("f0"),
         element_at(col("features"), 2).as("f1"),
         element_at(col("features"), 3).as("f2"))

@@ -5,6 +5,52 @@ import graft.SparkTestSession.{spark, sf0001}
 
 class MultimodalSpec extends AnyFunSuite {
 
+  test("image path decodes a real PNG through javax.imageio") {
+    // known 2x2 checkerboard, hand-built, encoded and decoded for real
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setSample(0, 0, 0, 255)
+    img.getRaster.setSample(1, 0, 0, 0)
+    img.getRaster.setSample(0, 1, 0, 0)
+    img.getRaster.setSample(1, 1, 0, 255)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    // it really is a PNG container (magic bytes), not a raw buffer
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val decoded = Multimodal.ImageDecoder.decode(png)
+    assert(decoded.getWidth == 2 && decoded.getHeight == 2)
+    assert(decoded.getRaster.getSample(0, 0, 0) == 255)
+    assert(decoded.getRaster.getSample(1, 0, 0) == 0)
+    // pooled features: dim 8 > 4 px, so each pixel lands in its own slot
+    val (nPx, fs) = Multimodal.ImageDecoder.features(png)
+    assert(nPx == 4L)
+    assert(fs.toSeq == Seq(255L, 0L, 0L, 255L, 0L, 0L, 0L, 0L))
+    // corrupt payloads fail fast instead of decoding to garbage
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageDecoder.decode("not an image at all".getBytes)
+    }
+  }
+
+  test("PNG fixtures round-trip: decoded features equal the pixel function") {
+    val media = Multimodal.imageMediaFromDocuments(spark, sf0001)
+    val texts = graft.core.Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val feats = Multimodal.extractImageFeatures(media).collect()
+    assert(feats.length == texts.size)
+    feats.foreach { f =>
+      assert(f.n_px == 256L) // from the DECODED image, not metadata
+      val payload = texts(f.media_id).getBytes("UTF-8")
+      val expect = new Array[Long](Multimodal.FeatureDim)
+      (0 until 256).foreach { i =>
+        val v = if (payload.isEmpty) 0L else (payload(i % payload.length) & 0xff).toLong
+        expect(i % Multimodal.FeatureDim) += v
+      }
+      assert(f.features.toSeq == expect.toSeq, s"media ${f.media_id}")
+    }
+  }
+
   test("feature extraction: full coverage, fixed dim, deterministic") {
     val media = Multimodal.mediaFromDocuments(spark, sf0001)
     val feats = Multimodal.extractFeatures(media).collect()
