@@ -52,19 +52,46 @@ final class TableTransaction private[state] (
   */
 object GraftTableApp {
 
+  /** Per-key per-microbatch row bound for the ordering sort. The
+    * (partition, offset) total order requires buffering ONE key's batch
+    * (bounded by batch size x key skew, never a whole partition); this cap
+    * turns a pathological hot key — which would otherwise buffer unbounded
+    * heap inside the state operator — into an actionable error naming the
+    * key. At the default trigger cadence a key exceeding a million updates
+    * per microbatch is a modeling bug (salt the key or pre-aggregate);
+    * callers with legitimate hotter keys pass a higher bound. */
+  val MaxKeyBatchRows: Int = 1 << 20
+
+  /** Buffer + sort one key's microbatch by (partition, offset), failing
+    * fast past `max` rows instead of buffering unbounded. */
+  private[state] def sortedBounded(key: String, msgs: Iterator[Message],
+      max: Int): Seq[Message] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Message]
+    while (msgs.hasNext) {
+      buf += msgs.next()
+      if (buf.length > max)
+        throw new IllegalStateException(
+          s"key '$key' has more than $max rows in one microbatch; the " +
+            "(partition, offset) ordering sort would buffer them all. " +
+            "Salt the key, pre-aggregate upstream, or raise maxKeyBatch.")
+    }
+    buf.sortInPlaceBy(m => (m.partition, m.offset)).toSeq
+  }
+
   /** Run `appFn` over every message, keyed by message key, threading JSON
     * state through [[TableTransaction]]. Emits whatever the function
     * produces, exactly like the reference's app_function
     * (reference: fluvii/apps/fluvii_app.py:41-43). */
-  def transform[OUT: Encoder](input: Dataset[Message])(
+  def transform[OUT: Encoder](input: Dataset[Message],
+      maxKeyBatch: Int = MaxKeyBatchRows)(
       appFn: TableTransaction => IterableOnce[OUT]): Dataset[OUT] = {
     import input.sparkSession.implicits._
     input
       .groupByKey(_.key)
       .flatMapGroupsWithState[String, OUT](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, msgs: Iterator[Message], state: GroupState[String]) =>
-          val sorted = msgs.toSeq.sortBy(m => (m.partition, m.offset))
+        (key: String, msgs: Iterator[Message], state: GroupState[String]) =>
+          val sorted = sortedBounded(key, msgs, maxKeyBatch)
           var cur: Option[String] = state.getOption
           val out = Seq.newBuilder[OUT]
           sorted.foreach { m =>
@@ -87,12 +114,13 @@ object GraftTableApp {
     * identical to [[transform]] (same ordering contract, same
     * read-your-writes [[TableTransaction]]); TableAppSpec asserts
     * output-equality between the two backends. */
-  def transformModern[OUT: Encoder](input: Dataset[Message])(
+  def transformModern[OUT: Encoder](input: Dataset[Message],
+      maxKeyBatch: Int = MaxKeyBatchRows)(
       appFn: TableTransaction => IterableOnce[OUT]): Dataset[OUT] = {
     import input.sparkSession.implicits._
     input
       .groupByKey(_.key)
-      .transformWithState(new TableProcessor[OUT](appFn),
+      .transformWithState(new TableProcessor[OUT](appFn, maxKeyBatch),
         TimeMode.None(), OutputMode.Append())
   }
 
@@ -120,7 +148,8 @@ object GraftTableApp {
   * ValueState slot ("table") holding the JSON document, no TTL — the same
   * per-key contract as the GroupState path, expressed in the state-v2 API. */
 private[state] final class TableProcessor[OUT](
-    appFn: TableTransaction => IterableOnce[OUT])
+    appFn: TableTransaction => IterableOnce[OUT],
+    maxKeyBatch: Int = GraftTableApp.MaxKeyBatchRows)
     extends StatefulProcessor[String, Message, OUT] {
 
   @transient private var store: ValueState[String] = _
@@ -130,7 +159,7 @@ private[state] final class TableProcessor[OUT](
 
   override def handleInputRows(key: String, rows: Iterator[Message],
       timers: TimerValues): Iterator[OUT] = {
-    val sorted = rows.toSeq.sortBy(m => (m.partition, m.offset))
+    val sorted = GraftTableApp.sortedBounded(key, rows, maxKeyBatch)
     var cur: Option[String] = if (store.exists()) Some(store.get()) else None
     val out = Seq.newBuilder[OUT]
     sorted.foreach { m =>

@@ -231,4 +231,28 @@ class TableAppSpec extends AnyFunSuite {
     val offsets = out.toSeq.flatMap(_._2)
     assert(offsets == offsets.sorted)          // (partition, offset) order
   }
+
+  test("hot-key bound: a pathological single-key batch fails fast under the cap") {
+    import spark.implicits._
+    // 5001 updates to ONE key in one batch, cap 5000: the ordering sort
+    // must refuse to buffer past the bound (actionable error naming the
+    // key), never accumulate unbounded heap inside the state operator
+    val msgs = spark.range(5001).map { i =>
+      Message("hot_key", s"v$i", Map.empty, "t", 0, i,
+        new Timestamp(1700000000000L + i))
+    }
+    def countEm(maxKeyBatch: Int): Long =
+      GraftTableApp.transform(msgs, maxKeyBatch) { txn =>
+        txn.updateTableEntry(txn.message.value)
+        Iterator.single(1)
+      }.count()
+    val ex = intercept[Throwable] { countEm(5000) }
+    val cause = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .find(_.isInstanceOf[IllegalStateException])
+    assert(cause.isDefined, s"expected IllegalStateException in cause chain of $ex")
+    assert(cause.get.getMessage.contains("hot_key"))
+    assert(cause.get.getMessage.contains("5000"))
+    // the same data under a sufficient bound processes completely
+    assert(countEm(6000) == 5001L)
+  }
 }
