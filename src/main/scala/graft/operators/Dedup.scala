@@ -150,6 +150,14 @@ object Dedup {
   def minhashLshPairs(s: SparkSession, dir: String): DataFrame =
     minhashLshPairsTracked(s, dir)._1
 
+  /** [[minhashLshPairs]] with an explicit hot-bucket cap — the entry the
+    * scale rehearsal (tools/Stress) uses to force the star fallback on a
+    * corpus whose duplication actually overflows buckets, and the one a
+    * production caller tunes when its boilerplate density differs from the
+    * default contract. */
+  def minhashLshPairsCapped(s: SparkSession, dir: String, hotBucketCap: Int): DataFrame =
+    minhashLshPairsTracked(s, dir, hotBucketCap)._1
+
   /** [[minhashLshPairs]] plus the list of frames it persisted, so a caller
     * that materializes a derivative (see [[dupClusters]], [[dedupApply]])
     * can release the intermediate cache blocks instead of accumulating them

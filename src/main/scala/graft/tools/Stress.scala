@@ -52,18 +52,44 @@ object Stress {
       "sa01_stratified_sample",
       "sa04_mixture_sample", "sa05_shard_assign", "ta12_bigram_logprob",
       "ta13_bpe_pairs",
-      "sim02_ann_lsh", "sim04_ivf_ann", "sim07_pq_ann")
+      "sim02_ann_lsh", "sim04_ivf_ann", "sim07_pq_ann",
+      "dd12_streaming_neardup")
     var failed = false
     queries.foreach { name =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try {
-        val n = graft.SparkEntry.queries(name)(spark, out).count()
-        println(f"[stress] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
+        // TIME the noop write (forces every column, same as Bench) — a bare
+        // count() lets Catalyst eliminate prunable subtrees (e.g. dd12's
+        // grouped-left-join verdict) and would time a skeleton plan
+        val df = graft.SparkEntry.queries(name)(spark, out)
+        df.write.format("noop").mode("overwrite").save()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val n = df.count() // untimed; row-count sanity only
+        println(f"[stress] $name: $secs%.2f s, $n rows")
       } catch { case t: Throwable =>
         failed = true
         println(s"[stress] $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
       }
+    }
+    // hot-bucket guard rehearsal: with the cap set BELOW the per-bucket
+    // population this corpus's duplication creates (every doc has copies-1
+    // true near-dups, so LSH buckets hold ~copies members), the star
+    // fallback must engage — the WARN line is the evidence — and the pair
+    // pass must stay linear per bucket while still connecting every copy
+    // group (dedupApply/dupClusters semantics survive the approximation).
+    val cap = math.max(copies / 2, 2)
+    spark.catalog.clearCache()
+    val t0g = System.nanoTime()
+    try {
+      val pairs = graft.operators.Dedup.minhashLshPairsCapped(spark, out, cap)
+      pairs.write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0g) / 1e9
+      val nPairs = pairs.count()
+      println(f"[stress] hot_bucket_guard cap=$cap: $secs%.2f s, $nPairs verified pairs via star fallback")
+    } catch { case t: Throwable =>
+      failed = true
+      println(s"[stress] hot_bucket_guard FAILED: ${t.getClass.getName}: ${t.getMessage}")
     }
     spark.stop()
     if (failed) sys.exit(1)
