@@ -99,7 +99,9 @@ object SparkEntry {
     "sim04_ivf_ann"        -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "sim05_embed_neardup_lsh" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDupPairsBucketed(s, d)),
     "sim06_kmeans"         -> ((s: SparkSession, d: String) => Similarity.kmeansAssign(s, d)),
-    "sim07_pq_ann"         -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
+    // dim declared to match pqOracleSql's literal — skips the probe job;
+    // generic callers omit it and pqTopK probes the data instead
+    "sim07_pq_ann"         -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d, dim = 64)),
     // stateful dataflow (the reference's core surface) — batch-mode run of
     // the flatMapGroupsWithState facade, oracle-checked against SQL
     "st01_stateful_balance" -> graft.streaming.BalanceApp.runningBalanceQuery _,

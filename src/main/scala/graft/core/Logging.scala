@@ -22,20 +22,34 @@ object Logging {
   def loglevel(e: Map[String, String] = Configs.effectiveEnv()): String =
     e.getOrElse("FLUVII_LOGLEVEL", "INFO")
 
+  /** Python's CRITICAL as a distinct JUL level (above SEVERE): mapping it
+    * onto SEVERE would render critical lines as "ERROR", breaking
+    * format-identity with the reference for level-keyed alerting. */
+  object Critical extends Level("CRITICAL", Level.SEVERE.intValue + 100)
+
   private[core] def toJul(py: String): Level = py.toUpperCase match {
     case "DEBUG"            => Level.FINE
     case "INFO"             => Level.INFO
     case "WARNING" | "WARN" => Level.WARNING
     case "ERROR"            => Level.SEVERE
-    case "CRITICAL"         => Level.SEVERE
+    case "CRITICAL"         => Critical
     case other              => Level.parse(other)
   }
 
   private[core] def pyLevelName(l: Level): String =
-    if (l.intValue >= Level.SEVERE.intValue) "ERROR"
+    if (l.intValue >= Critical.intValue) "CRITICAL"
+    else if (l.intValue >= Level.SEVERE.intValue) "ERROR"
     else if (l.intValue >= Level.WARNING.intValue) "WARNING"
     else if (l.intValue >= Level.INFO.intValue) "INFO"
     else "DEBUG"
+
+  // java.util.logging's LogManager holds loggers WEAKLY: if the caller
+  // drops the returned reference, the configured level/handler would be
+  // GC'd and a later getLogger() would silently revert to root-handler
+  // formatting. Python's logging (the parity reference) retains loggers
+  // forever; this registry matches that.
+  private val retained =
+    new java.util.concurrent.ConcurrentHashMap[String, Logger]()
 
   /** "PID {process} - {asctime} - {name} - {levelname}: {message}" with
     * Python's default asctime rendering (comma millis). */
@@ -66,6 +80,7 @@ object Logging {
     }
     h.setLevel(lvl)
     logger.addHandler(h)
+    retained.put(name, logger)
     logger
   }
 }

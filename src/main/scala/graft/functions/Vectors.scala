@@ -20,7 +20,7 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   * [[compute]] through a plan reference — no InternalRow materialization
   * and no boxing per row, and the surrounding WholeStageCodegen pipeline
   * stays fused. The same pattern is applied to every expression below and
-  * pinned compiled-vs-interpreted in ExpressionParitySpec.
+  * pinned compiled-vs-interpreted in CodegenParitySpec.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {

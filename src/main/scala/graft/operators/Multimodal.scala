@@ -60,6 +60,9 @@ object Multimodal {
     * source text. Encoding goes through the real javax.imageio PNG writer;
     * PNG is lossless, so the decode side recovers exactly these samples. */
   object ImageFixtures {
+    // in-memory payloads: ImageIO's default disk cache would create and
+    // delete a temp file per encode/decode in the hot path
+    javax.imageio.ImageIO.setUseCache(false)
     def grayPng(payload: Array[Byte], w: Int = 16, h: Int = 16): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -83,6 +86,7 @@ object Multimodal {
     * on undecodable bytes (a corrupt payload must not silently become a
     * zero vector). */
   object ImageDecoder {
+    javax.imageio.ImageIO.setUseCache(false) // see ImageFixtures
     def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null)

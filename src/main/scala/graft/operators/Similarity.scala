@@ -279,13 +279,16 @@ object Similarity {
     * shuffle of the corpus beyond the per-query top-k. Recall vs brute
     * force is pinned in SimilaritySpec. */
   def pqTopK(s: SparkSession, dir: String, topK: Int = 5, m: Int = 8,
-      k: Int = 16, nQueries: Int = 100, dim: Int = 64): DataFrame = {
+      k: Int = 16, nQueries: Int = 100, dim: Int = -1): DataFrame = {
     val emb = Tables.parallel(Tables.embeddings(s, dir))
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // dim <= 0 => probe it with a one-row driver job (generic-caller path);
-    // the default matches the testdata layout so the sim07 plan submits no
-    // job before the main PQ scan
+    // DEFAULT: probe the true dimensionality with a one-row driver job — a
+    // wrong assumed dim would silently truncate every codebook/LUT, and the
+    // dim-assuming oracle would agree with the identically-wrong result.
+    // Callers that DECLARE the dim (sim07 passes the same literal its
+    // oracle interpolates) skip the probe, so no job precedes the main PQ
+    // scan in the declared path.
     val theDim =
       if (dim > 0) dim else emb.select(size(col("v"))).first().getInt(0)
     require(theDim % m == 0,

@@ -87,18 +87,35 @@ object NearDupStream {
       .as[BandedDoc]
   }
 
-  /** The store-update step both backends share: fold one batch of arrivals
-    * (already sorted by doc_id) into a bucket whose earlier members are
-    * `seen0`, returning (emitted candidates, entries to append). Having ONE
-    * definition is what makes the batch/stream equality structural rather
-    * than coincidental — the spec then proves it empirically too. */
+  /** Rows buffered (for the doc_id ordering sort) per bucket per batch.
+    * Beyond this bound arrivals stream UNSORTED: the bound is clamped to
+    * >= cap, so by the time the sorted prefix is consumed the store is at
+    * capacity and ordering can no longer affect state — only the (order-
+    * independent) per-arrival star comparisons remain. One pathological
+    * bucket therefore costs bounded heap (~sortBound x row size), never a
+    * whole bucket materialized — the same hazard Table.sortedBounded
+    * bounds for the table paths, resolved here by graceful degradation
+    * instead of an error because hot buckets are EXPECTED input
+    * (boilerplate floods), not a modeling bug. */
+  val SortBound: Int = 1 << 16
+
+  /** The store-update step both backends share: fold one batch of a
+    * bucket's arrivals into the store `seen0`, returning (emitted
+    * candidates, entries to append). Sorts by doc_id within the bounded
+    * buffer (see [[SortBound]]). Having ONE definition is what makes the
+    * batch/stream equality structural rather than coincidental — the spec
+    * then proves it empirically too. */
   private[state] def processBucket(seen0: Vector[SeenDoc],
-      arrivals: Seq[BandedDoc], cap: Int, prefilter: Double)
-      : (Vector[CandidatePair], Vector[SeenDoc]) = {
+      rows: Iterator[BandedDoc], cap: Int, prefilter: Double,
+      sortBound: Int = SortBound): (Vector[CandidatePair], Vector[SeenDoc]) = {
+    val bound = math.max(sortBound, cap)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[BandedDoc]
+    while (rows.hasNext && buf.length < bound) buf += rows.next()
+    buf.sortInPlaceBy(_.doc_id)
     var seen = seen0
     val appended = Vector.newBuilder[SeenDoc]
     val out = Vector.newBuilder[CandidatePair]
-    arrivals.foreach { d =>
+    def step(d: BandedDoc): Unit = {
       // full-store compare below the cap; star compare (first member only)
       // above it — state stops growing, the group stays connected
       val against = if (seen.size >= cap) seen.take(1) else seen
@@ -111,6 +128,8 @@ object NearDupStream {
         appended += SeenDoc(d.doc_id, d.sig)
       }
     }
+    buf.foreach(step)
+    rows.foreach(step) // tail past the sort bound: store is at cap by now
     (out.result(), appended.result())
   }
 
@@ -124,8 +143,7 @@ object NearDupStream {
     banded
       .groupByKey(d => (d.band, d.bh))
       .flatMapGroups { (_: (Int, Long), rows: Iterator[BandedDoc]) =>
-        processBucket(Vector.empty, rows.toSeq.sortBy(_.doc_id),
-          cap, Dedup.SigPrefilter)._1.iterator
+        processBucket(Vector.empty, rows, cap, Dedup.SigPrefilter)._1.iterator
       }
   }
 
@@ -221,12 +239,13 @@ private[state] final class NearDupBucketProcessor(cap: Int, prefilter: Double)
 
   override def handleInputRows(key: (Int, Long), rows: Iterator[BandedDoc],
       timers: TimerValues): Iterator[CandidatePair] = {
-    // arrival order within a batch = doc_id order (the stream contract);
-    // across batches the store is already ascending by construction
+    // arrival order within a batch = doc_id order (the stream contract;
+    // sorted inside processBucket's bounded buffer); across batches the
+    // store is already ascending by construction
     val seen0: Vector[SeenDoc] =
       if (store.exists()) store.get().toVector else Vector.empty
     val (out, appended) = NearDupStream.processBucket(
-      seen0, rows.toSeq.sortBy(_.doc_id), cap, prefilter)
+      seen0, rows, cap, prefilter)
     appended.foreach(store.appendValue)
     out.iterator
   }

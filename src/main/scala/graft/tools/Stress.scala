@@ -61,11 +61,14 @@ object Stress {
       try {
         // TIME the noop write (forces every column, same as Bench) — a bare
         // count() lets Catalyst eliminate prunable subtrees (e.g. dd12's
-        // grouped-left-join verdict) and would time a skeleton plan
+        // grouped-left-join verdict) and would time a skeleton plan. The
+        // row count rides the SAME job as an Observation, not a second run.
         val df = graft.SparkEntry.queries(name)(spark, out)
-        df.write.format("noop").mode("overwrite").save()
+        val obs = org.apache.spark.sql.Observation(s"stress_$name")
+        df.observe(obs, count(lit(1)).as("n"))
+          .write.format("noop").mode("overwrite").save()
         val secs = (System.nanoTime() - t0) / 1e9
-        val n = df.count() // untimed; row-count sanity only
+        val n = obs.get("n")
         println(f"[stress] $name: $secs%.2f s, $n rows")
       } catch { case t: Throwable =>
         failed = true
@@ -83,10 +86,11 @@ object Stress {
     val t0g = System.nanoTime()
     try {
       val pairs = graft.operators.Dedup.minhashLshPairsCapped(spark, out, cap)
-      pairs.write.format("noop").mode("overwrite").save()
+      val obs = org.apache.spark.sql.Observation("stress_hot_bucket_guard")
+      pairs.observe(obs, count(lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
       val secs = (System.nanoTime() - t0g) / 1e9
-      val nPairs = pairs.count()
-      println(f"[stress] hot_bucket_guard cap=$cap: $secs%.2f s, $nPairs verified pairs via star fallback")
+      println(f"[stress] hot_bucket_guard cap=$cap: $secs%.2f s, ${obs.get("n")} verified pairs via star fallback")
     } catch { case t: Throwable =>
       failed = true
       println(s"[stress] hot_bucket_guard FAILED: ${t.getClass.getName}: ${t.getMessage}")

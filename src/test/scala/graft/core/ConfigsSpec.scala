@@ -168,9 +168,13 @@ class ConfigsSpec extends AnyFunSuite {
     assert(Logging.loglevel(Map.empty) == "INFO")
     assert(Logging.loglevel(Map("FLUVII_LOGLEVEL" -> "DEBUG")) == "DEBUG")
     assert(Logging.toJul("WARNING") == java.util.logging.Level.WARNING)
-    assert(Logging.toJul("CRITICAL") == java.util.logging.Level.SEVERE)
     assert(Logging.pyLevelName(java.util.logging.Level.FINE) == "DEBUG")
     assert(Logging.pyLevelName(java.util.logging.Level.SEVERE) == "ERROR")
+    // CRITICAL stays a distinct level (not collapsed into ERROR): the
+    // rendered token must match the reference's logger.critical lines
+    assert(Logging.toJul("CRITICAL") == Logging.Critical)
+    assert(Logging.toJul("CRITICAL").intValue > java.util.logging.Level.SEVERE.intValue)
+    assert(Logging.pyLevelName(Logging.Critical) == "CRITICAL")
 
     val logger = Logging.initLogger("graft.spec", Some("DEBUG"))
     assert(!logger.getUseParentHandlers)           // propagate = False

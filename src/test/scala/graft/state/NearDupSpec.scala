@@ -75,7 +75,8 @@ class NearDupSpec extends AnyFunSuite {
   test("hot-bucket cap: star candidates only, state stops growing") {
     val sig = Array(1L, 2L, 3L, 4L)
     val arrivals = (0L until 6L).map(i => BandedDoc(0, 0L, i, sig))
-    val (out, appended) = processBucket(Vector.empty, arrivals, cap = 2, prefilter = 0.5)
+    val (out, appended) =
+      processBucket(Vector.empty, arrivals.iterator, cap = 2, prefilter = 0.5)
     // docs 0,1 stored (full compare); docs 2..5 compare vs first member only
     assert(appended.map(_.doc_id) == Vector(0L, 1L))
     assert(out.toSet == Set(
@@ -83,13 +84,42 @@ class NearDupSpec extends AnyFunSuite {
       CandidatePair(0L, 2L), CandidatePair(0L, 3L),
       CandidatePair(0L, 4L), CandidatePair(0L, 5L)))
     // resuming from the capped store: still star-only, nothing appended
-    val (out2, appended2) =
-      processBucket(appended, Seq(BandedDoc(0, 0L, 9L, sig)), cap = 2, prefilter = 0.5)
+    val (out2, appended2) = processBucket(appended,
+      Iterator(BandedDoc(0, 0L, 9L, sig)), cap = 2, prefilter = 0.5)
     assert(appended2.isEmpty)
     assert(out2 == Vector(CandidatePair(0L, 9L)))
     // prefilter gate: disjoint signature emits nothing but still stores
     val (out3, appended3) = processBucket(Vector(SeenDoc(0L, sig)),
-      Seq(BandedDoc(0, 0L, 1L, Array(9L, 9L, 9L, 9L))), cap = 10, prefilter = 0.5)
+      Iterator(BandedDoc(0, 0L, 1L, Array(9L, 9L, 9L, 9L))), cap = 10, prefilter = 0.5)
     assert(out3.isEmpty && appended3.map(_.doc_id) == Vector(1L))
+  }
+
+  test("sort bound: a flooded bucket streams past the buffer without materializing") {
+    val sig = Array(1L, 2L, 3L, 4L)
+    // 10k arrivals, sort buffer bounded at 8 (clamped to cap=4): only the
+    // prefix is buffered/sorted; the tail must stream one-at-a-time. A
+    // counting iterator proves the fold never drains rows into a Seq first.
+    var pulled = 0
+    var maxPulledBeforeFirstTail = 0
+    val rows = new Iterator[BandedDoc] {
+      var i = 0L
+      def hasNext: Boolean = i < 10000L
+      def next(): BandedDoc = { pulled += 1; val d = BandedDoc(0, 0L, i, sig); i += 1; d }
+    }
+    val (out, appended) =
+      processBucket(Vector.empty, rows, cap = 4, prefilter = 0.5, sortBound = 8)
+    assert(pulled == 10000)
+    assert(appended.map(_.doc_id) == Vector(0L, 1L, 2L, 3L)) // store capped
+    // every arrival past the store cap stars against doc 0: full coverage
+    assert(out.count(_.doc_a == 0L) == 9999)
+    assert(out.size == 1 + 2 + 3 + 9996) // pre-cap all-pairs, then stars
+    // an out-of-order TAIL (past the bound) still resolves: earlier-id
+    // candidates come from the capped store's first member regardless
+    val shuffled = (0L until 20L).map(i => BandedDoc(0, 0L, i, sig))
+    val (outS, appendedS) = processBucket(Vector.empty,
+      (shuffled.take(8) ++ shuffled.drop(8).reverse).iterator,
+      cap = 4, prefilter = 0.5, sortBound = 8)
+    assert(appendedS.map(_.doc_id) == Vector(0L, 1L, 2L, 3L))
+    assert(outS.filter(_.doc_b >= 8L).forall(_.doc_a == 0L))
   }
 }
