@@ -171,4 +171,21 @@ class PlanAuditSpec extends AnyFunSuite {
     val plan = planOf(Relational.revenueByNation(spark, sf0001))
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("dd12: candidate stage shuffles once on the bucket key; verdict joins broadcast") {
+    import graft.state.NearDupStream
+    val cands = NearDupStream.candidates(
+      NearDupStream.bandedDocs(graft.core.Tables.documents(spark, sf0001)))
+    val cPlan = planOf(cands.toDF())
+    // exactly ONE keyed exchange: the groupByKey on (band, bh) feeding the
+    // stateful fold — the corpus is never shuffled a second time and never
+    // self-joined
+    assert(count(cPlan, "hashpartitioning") == 1, cPlan)
+    assert(!cPlan.contains("SortMergeJoin") && !cPlan.contains("Cartesian"), cPlan)
+    // verdict: the candidate-id set broadcasts into the shingle probe and
+    // the per-doc verdict joins — the corpus-sized side never SMJs
+    val vPlan = planOf(NearDupStream.streamingNearDup(spark, sf0001))
+    assert(vPlan.contains("BroadcastHashJoin"), vPlan)
+    assert(!vPlan.contains("CartesianProduct"), vPlan)
+  }
 }
