@@ -41,6 +41,7 @@ object Bench {
     "ev04_rolling_zscore",
     "mm01_media_features",
     "mm03_media_embed_topk",
+    "mm04_image_neardup",
     "dd01_exact_dedup",
     "dd03_minhash_lsh",
     "dd04_simhash",
@@ -62,6 +63,7 @@ object Bench {
     "ta09_repetition",
     "ta10_chunking",
     "ta11_pack_windows",
+    "ta14_source_overlap",
     "sa01_stratified_sample",
     "sa02_domain_reweight",
     "sa03_hash_sample",
@@ -73,6 +75,9 @@ object Bench {
     "dq01_profile",
     "dq02_constraints",
     "sim06_kmeans",
+    // dd13 composes sim06's trainer with the within-cluster verify pass;
+    // its pairwise work is cluster-confined (see semDedup's plan notes)
+    "dd13_semdedup",
     // sim02 (bucketed ANN) and sim04 (IVF) are the scalable similarity
     // representatives; sim01 broadcasts the whole candidate set — an exact
     // oracle baseline like dd02/sim03, excluded here for the same reason

@@ -66,6 +66,7 @@ object SparkEntry {
     "dd10_dup_source_matrix" -> Dedup.dupSourceMatrix _,
     "dd11_substring_dedup" -> ((s: SparkSession, d: String) => Dedup.substringDedup(s, d)),
     "dd12_streaming_neardup" -> graft.state.NearDupStream.streamingNearDup _,
+    "dd13_semdedup"        -> ((s: SparkSession, d: String) => Similarity.semDedup(s, d)),
     "ta01_langid"          -> TextAnalysis.langIdQuery _,
     "ta02_quality"         -> TextAnalysis.qualityQuery _,
     "ta03_token_stats"     -> TextAnalysis.tokenStatsQuery _,
@@ -79,6 +80,7 @@ object SparkEntry {
     "ta09_repetition"      -> TextAnalysis.repetitionQuery _,
     "ta10_chunking"        -> ((s: SparkSession, d: String) => TextAnalysis.chunkQuery(s, d)),
     "ta11_pack_windows"    -> ((s: SparkSession, d: String) => Curation.packWindowsQuery(s, d)),
+    "ta14_source_overlap"  -> TextAnalysis.sourceOverlapQuery _,
     "sa01_stratified_sample" -> ((s: SparkSession, d: String) => Curation.stratifiedSampleQuery(s, d)),
     "sa02_domain_reweight" -> Curation.domainReweightQuery _,
     "sa03_hash_sample"     -> ((s: SparkSession, d: String) => Curation.hashSampleQuery(s, d)),
@@ -113,6 +115,7 @@ object SparkEntry {
     "mm01_media_features"  -> Multimodal.mediaFeaturesQuery _,
     "mm02_frame_sample"    -> Multimodal.frameSampleQuery _,
     "mm03_media_embed_topk" -> ((s: SparkSession, d: String) => Multimodal.mediaEmbedTopK(s, d)),
+    "mm04_image_neardup"   -> ((s: SparkSession, d: String) => Multimodal.imageNearDupQuery(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables, same column
@@ -439,6 +442,10 @@ object SparkEntry {
       WHERE i.i*64 < n AND i.i % 4 = 0
       ORDER BY media_id, frame_idx""",
     "mm03_media_embed_topk" -> Multimodal.mediaEmbedTopKOracleSql(),
+    // mm04: the oracle re-derives the aHash bits from the fixtures' known
+    // pixel function and brute-forces hamming over all pairs — lossless vs
+    // the banded Spark plan at maxHamming <= 3 (4-band pigeonhole)
+    "mm04_image_neardup" -> Multimodal.imageNearDupOracleSql(),
     "ta01_langid" -> TextAnalysis.langIdOracleSql,
     "ta02_quality" -> """
       WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
@@ -475,6 +482,7 @@ object SparkEntry {
     "ta07_unigram_logprob" -> TextAnalysis.unigramLogProbOracleSql,
     "ta12_bigram_logprob" -> TextAnalysis.bigramLogProbOracleSql,
     "ta13_bpe_pairs" -> TextAnalysis.bpePairsOracleSql,
+    "ta14_source_overlap" -> TextAnalysis.sourceOverlapOracleSql,
     "ta08_vocab_encode" -> TextAnalysis.vocabEncodeOracleSql,
     "ta09_repetition" -> TextAnalysis.repetitionOracleSql,
     "ta10_chunking" -> TextAnalysis.chunkOracleSql,
@@ -538,6 +546,9 @@ object SparkEntry {
         FROM e a JOIN e b ON a.vec_id < b.vec_id) t
       WHERE cos >= 0.45 ORDER BY vec_a, vec_b""",
     "sim06_kmeans" -> graft.operators.Similarity.kmeansOracleSql(),
+    // dd13: SemDeDup = the sim06 Lloyd CTE chain + within-cluster cosine
+    // threshold + min-id keep policy, one shared SQL generator
+    "dd13_semdedup" -> graft.operators.Similarity.semDedupOracleSql(),
     // sim02/sim05: the hyperplane signs are md5-derived (engine-portable),
     // so even the "probabilistic" LSH structure is fully deterministic and
     // re-derived in SQL — buckets, probe sets, verification and ranking

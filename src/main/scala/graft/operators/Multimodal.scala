@@ -94,6 +94,43 @@ object Multimodal {
           s"undecodable image payload (${bytes.length} bytes)")
       img
     }
+    /** 64-bit average hash (aHash) of the decoded image: downsample to an
+      * 8x8 grid of block sums, bit b set iff block b's mean exceeds the
+      * global pixel mean. All-integer — `blockSum * 64 > totalSum` is the
+      * mean comparison cleared of denominators (each block holds exactly
+      * 1/64th of the pixels), so the hash is bit-portable to the SQL oracle
+      * with no floating point anywhere. Bit order: row-major over the grid,
+      * bit = by*8+bx. */
+    def aHash64(img: java.awt.image.BufferedImage): Long = {
+      val w = img.getWidth
+      val h = img.getHeight
+      require(w % 8 == 0 && h % 8 == 0,
+        s"aHash64 needs dimensions divisible by 8, got ${w}x$h")
+      val raster = img.getRaster
+      val bw = w / 8
+      val bh = h / 8
+      val blocks = new Array[Long](64)
+      var total = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = raster.getSample(x, y, 0).toLong
+          blocks((y / bh) * 8 + x / bw) += v
+          total += v
+          x += 1
+        }
+        y += 1
+      }
+      var bits = 0L
+      var b = 0
+      while (b < 64) {
+        if (blocks(b) * 64 > total) bits |= 1L << b
+        b += 1
+      }
+      bits
+    }
+
     /** (pixel count, pooled features) from the decoded raster. */
     def features(bytes: Array[Byte], dim: Int = FeatureDim): (Long, Array[Long]) = {
       val img = decode(bytes)
@@ -266,5 +303,80 @@ object Multimodal {
                     ORDER BY cos DESC, cand_id) AS rnk
         FROM scored) t
       WHERE rnk <= $k ORDER BY query_id, rnk"""
+  }
+
+  /** Query mm04 — perceptual near-duplicate image pairs: the image-corpus
+    * dedup stage, composing the honest decode path (mm01) with the banded
+    * fingerprint join of dd04. Each image is decoded through javax.imageio
+    * and reduced to a 64-bit average hash ([[ImageDecoder.aHash64]]); pairs
+    * at hamming distance <= `maxHamming` are near-duplicates.
+    *
+    * Candidates come from a 4 x 16-bit band equi-join, NOT all pairs — and
+    * at the default `maxHamming` = 3 the banding is recall-LOSSLESS by
+    * pigeonhole (3 differing bits cannot touch all 4 bands), so the oracle
+    * is pure brute-force hamming with no banding caveat. Plan shape for
+    * 100 TB: one decode pass (mapPartitions, codec init amortized
+    * per partition), hashes persisted (tiny: 8 bytes/image), band-keyed
+    * shuffle join, hamming cut codegen'd (bit_count over xor) BEFORE the
+    * distinct so the shuffle carries survivors only. A boilerplate-heavy
+    * image corpus (solid-color frames) would hot-bucket exactly like text
+    * simhash — [[Dedup.simhashPairs]]'s star-candidate guard is the
+    * drop-in pattern there. */
+  def imageNearDupQuery(s: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    import s.implicits._
+    require(maxHamming < 4,
+      s"maxHamming=$maxHamming loses the 4-band pigeonhole recall guarantee")
+    val hashes = imageMediaFromDocuments(s, dir)
+      .mapPartitions { it =>
+        it.map(m => (m.media_id, ImageDecoder.aHash64(ImageDecoder.decode(m.bytes))))
+      }
+      .toDF("media_id", "ahash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = hashes.select(col("media_id"), col("ahash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("ahash"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bandval")
+    banded.alias("x")
+      .join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.bandval") === col("y.bandval") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
+        bit_count(col("x.ahash").bitwiseXOR(col("y.ahash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  /** DuckDB SQL replicating [[imageNearDupQuery]] from first principles:
+    * re-derives each image's pixels from the fixture's known pixel function
+    * (pixel i = text byte i mod len — same contract the mm01 oracle leans
+    * on), folds them into the 64 block sums (block b covers the 2x2 patch
+    * at (2*(b/8), 2*(b%8)) of the 16x16 fixture, so its four pixels sit at
+    * base, base+1, base+16, base+17), thresholds `blockSum*64 > total`
+    * into bits, and counts differing bits per pair — brute force, no
+    * banding (lossless at maxHamming <= 3, see the query doc). */
+  def imageNearDupOracleSql(maxHamming: Int = 3): String = {
+    val px = (0 to 3).map { t =>
+      val off = Seq(0, 1, 16, 17)(t)
+      s"ord(substr(text, CAST(((2*(t.b//8))*16 + 2*(t.b%8) + $off) % n + 1 AS INT), 1))"
+    }.mkString(" + ")
+    s"""
+      WITH d AS (SELECT doc_id AS media_id, text, length(text) AS n
+                 FROM documents),
+      blocks AS (SELECT media_id, CAST(t.b AS INT) AS b, ($px) AS bsum
+                 FROM d CROSS JOIN range(0, 64) t(b)),
+      tot AS (SELECT media_id, sum(bsum) AS total FROM blocks GROUP BY media_id),
+      bits AS (SELECT k.media_id, k.b,
+                      CASE WHEN k.bsum * 64 > t.total THEN 1 ELSE 0 END AS bit
+               FROM blocks k JOIN tot t USING (media_id))
+      SELECT media_a, media_b, hamming FROM (
+        SELECT a.media_id AS media_a, b.media_id AS media_b,
+               CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        FROM bits a JOIN bits b ON a.b = b.b AND a.media_id < b.media_id
+        GROUP BY 1, 2) z
+      WHERE hamming <= $maxHamming
+      ORDER BY media_a, media_b"""
   }
 }

@@ -440,6 +440,16 @@ object Similarity {
     * two engines' different partial-sum orders cannot drift. */
   def kmeansAssign(s: SparkSession, dir: String, k: Int = 8,
       iters: Int = 2): DataFrame = {
+    val (asg, _) = kmeansFit(s, dir, k, iters)
+    asg.select(col("vec_id"), col("cid").as("cluster"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The Lloyd loop behind [[kmeansAssign]] and [[semDedup]]: returns the
+    * final (vec_id, cid) assignment plus the persisted (vec_id, v) embedding
+    * frame so callers can join vectors back without a second scan. */
+  private[operators] def kmeansFit(s: SparkSession, dir: String, k: Int,
+      iters: Int): (DataFrame, DataFrame) = {
     val emb = Tables.parallel(Tables.embeddings(s, dir))
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -460,8 +470,47 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
           e => e.getField("cx")).as("cv"))
     }
-    assign(cent)
-      .select(col("vec_id"), col("cid").as("cluster"))
+    (assign(cent), emb)
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup that
+    * composes the [[kmeansFit]] trainer with the within-cluster form of
+    * [[embeddingNearDupPairs]]'s verify step — cluster the embeddings, then
+    * drop any vector whose cosine to a SMALLER-id vector in the SAME cluster
+    * reaches `eps` (min-id representative, the same keep policy as the
+    * MinHash dedup chain). Output: every vector with its cluster and keep
+    * verdict.
+    *
+    * Plan shape for 100 TB: centroids stay broadcast (k x dim); the
+    * pairwise pass is confined to within-cluster partitions — in production
+    * k scales with the corpus (SemDeDup runs ~100k clusters on LAION) so
+    * cluster populations stay bounded and nothing is globally quadratic.
+    * The self-join is SALTED on hash(vec_b) so its parallelism is
+    * k x `pairSalts` tasks, not k — with few clusters (this oracle-checked
+    * setting, or any skewed clustering) a bare cluster-keyed join would
+    * idle all but k cores; salting replicates only the probe side, changes
+    * no semantics, and spreads each cluster's pair block evenly. The drop
+    * set is a small broadcast anti-side, like dd06. Cosine is rounded to
+    * 6 dp before the threshold test (engine-portable, same rule as sim03). */
+  def semDedup(s: SparkSession, dir: String, k: Int = 8, iters: Int = 2,
+      eps: Double = 0.45, pairSalts: Int = 8): DataFrame = {
+    val (asg, emb) = kmeansFit(s, dir, k, iters)
+    val m = asg.join(emb, "vec_id")
+      .select(col("vec_id"), col("cid").as("cluster"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val drops = m.select(col("vec_id").as("vec_a"), col("cluster").as("ca"),
+        col("v").as("va"))
+      .withColumn("sa", explode(array((0 until pairSalts).map(lit): _*)))
+      .join(m.select(col("vec_id").as("vec_b"), col("cluster").as("cb"),
+          col("v").as("vb"))
+          .withColumn("sb", pmod(hash(col("vec_b")), lit(pairSalts))),
+        col("ca") === col("cb") && col("sa") === col("sb") &&
+          col("vec_a") < col("vec_b"))
+      .filter(round(cosine(col("va"), col("vb")), 6) >= eps)
+      .select(col("vec_b").as("vec_id"))
+      .distinct()
+    m.join(broadcast(drops.withColumn("dropped", lit(true))), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dropped").isNull.as("is_kept"))
       .orderBy(col("vec_id"))
   }
 
@@ -470,7 +519,16 @@ object Similarity {
     * the operator and its oracle cannot drift. Assignment argmax is a
     * row_number window (ccos DESC, cid ASC — same tie-break); centroid
     * means are rounded 6 dp like the Spark side. */
-  def kmeansOracleSql(k: Int = 8, iters: Int = 2): String = {
+  def kmeansOracleSql(k: Int = 8, iters: Int = 2): String =
+    s"""
+      ${kmeansOracleCtes(k, iters)}
+      SELECT vec_id, cid AS cluster FROM af ORDER BY vec_id"""
+
+  /** The shared WITH-chain of the k-means oracles: unrolled Lloyd iterations
+    * ending in `af` (the final assignment) over `e` (the cast embeddings).
+    * [[kmeansOracleSql]] and [[semDedupOracleSql]] both append to it, so the
+    * trainer and its compositions cannot drift. */
+  private def kmeansOracleCtes(k: Int, iters: Int): String = {
     def assignCte(name: String, cent: String) = s"""
       $name AS (SELECT vec_id, cid FROM (
         SELECT e.vec_id, c.cid,
@@ -494,7 +552,27 @@ object Similarity {
         SELECT e.vec_id, c.cid,
                row_number() OVER (PARTITION BY e.vec_id
                  ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
-        FROM e CROSS JOIN c$iters c) z WHERE rn = 1)
-      SELECT vec_id, cid AS cluster FROM af ORDER BY vec_id"""
+        FROM e CROSS JOIN c$iters c) z WHERE rn = 1)"""
+  }
+
+  /** DuckDB SQL replicating [[semDedup]]: the [[kmeansOracleCtes]] chain,
+    * then within-cluster pairs through the SAME sequential-fold cosine the
+    * sim01/sim03 oracles use (bit-identical to CosineSim — the assignment
+    * CTEs only need cosine for ORDERING, the threshold test needs the exact
+    * value), rounded 6 dp against `eps`, min-id keep policy. */
+  def semDedupOracleSql(k: Int = 8, iters: Int = 2, eps: Double = 0.45): String = {
+    def fold(a: String, b: String): String =
+      s"""(list_sum(list_transform(range(1, len($a)+1), i -> $a[CAST(i AS INT)]*$b[CAST(i AS INT)])) /
+         (sqrt(list_sum(list_transform(range(1, len($a)+1), i -> $a[CAST(i AS INT)]*$a[CAST(i AS INT)]))) *
+          sqrt(list_sum(list_transform(range(1, len($b)+1), i -> $b[CAST(i AS INT)]*$b[CAST(i AS INT)])))))"""
+    s"""
+      ${kmeansOracleCtes(k, iters)},
+      m AS (SELECT a.vec_id, a.cid AS cluster, e.v FROM af a JOIN e USING (vec_id)),
+      drops AS (SELECT DISTINCT b.vec_id
+                FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                WHERE round(${fold("a.v", "b.v")}, 6) >= $eps)
+      SELECT m.vec_id, m.cluster, (d.vec_id IS NULL) AS is_kept
+      FROM m LEFT JOIN drops d ON m.vec_id = d.vec_id
+      ORDER BY m.vec_id"""
   }
 }

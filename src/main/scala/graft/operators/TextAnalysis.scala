@@ -510,4 +510,117 @@ object TextAnalysis {
                list_sort(list([k.pos, k.token_id]))[1:16], x -> x[2]), ',') AS ids_head
       FROM (SELECT t.doc_id, t.pos, v.token_id FROM toks t JOIN vocab v USING (word)) k
       GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Cross-source corpus similarity matrix — the mixture-design diagnostic
+    * run before weighting sources ([[graft.operators.Curation]]'s sa02/sa04
+    * decide HOW MUCH of each source; this measures how much sources overlap
+    * at all): for every source pair, (a) Jaccard over the distinct bigram
+    * sets (unigram vocab saturates on any sizable corpus — bigrams
+    * discriminate) and (b) cosine over the unigram term-frequency vectors.
+    *
+    * Plan shape for 100 TB: ONE corpus scan — each document emits its words
+    * tagged 'w' and its bigrams tagged 'g' into a single exploded stream
+    * that is immediately count-aggregated by (source, tag, value), map-side
+    * combined, so the one corpus-wide shuffle carries vocabulary-scale
+    * partial counts, not tokens. Everything downstream (distinct-set sizes,
+    * intersections, tf dot products, norms) reads that persisted
+    * vocabulary-scale table; the intersect joins shuffle on the gram/word
+    * key (well-spread), the per-source sizes and norms are a #sources-row
+    * broadcast, and the output is #sources^2/2 rows. All counts are exact
+    * integers; the two divisions round 6 dp at the very end
+    * (engine-portable). */
+  def sourceOverlapQuery(s: SparkSession, dir: String): DataFrame = {
+    val tagged = taggedSourceCounts(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val bg = tagged.filter(col("k") === "g").select(col("source"), col("v").as("g"))
+    val bgSizes = bg.groupBy(col("source")).agg(count(lit(1)).as("nset"))
+    val bgInter = bg.select(col("source").as("src_a"), col("g"))
+      .join(bg.select(col("source").as("src_b"), col("g")),
+        Seq("g"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("inter"))
+
+    val tf = tagged.filter(col("k") === "w")
+      .select(col("source"), col("v").as("w"), col("c"))
+    val norms = tf.groupBy(col("source")).agg(sum(col("c") * col("c")).as("n2"))
+    val dots = tf.select(col("source").as("src_a"), col("w"), col("c").as("ca"))
+      .join(tf.select(col("source").as("src_b"), col("w"), col("c").as("cb")),
+        Seq("w"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("ca") * col("cb")).as("dot"))
+
+    bgInter
+      .join(broadcast(bgSizes.select(col("source").as("src_a"), col("nset").as("na"))), "src_a")
+      .join(broadcast(bgSizes.select(col("source").as("src_b"), col("nset").as("nb"))), "src_b")
+      .join(dots, Seq("src_a", "src_b"))
+      .join(broadcast(norms.select(col("source").as("src_a"), col("n2").as("n2a"))), "src_a")
+      .join(broadcast(norms.select(col("source").as("src_b"), col("n2").as("n2b"))), "src_b")
+      .select(col("src_a"), col("src_b"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 6)
+          .as("bigram_jaccard"),
+        round(col("dot").cast("double") /
+          (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))), 6)
+          .as("tf_cosine"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** The one-corpus-pass stage of [[sourceOverlapQuery]]: every document
+    * emits words (tag 'w') and bigrams (tag 'g') into one exploded stream,
+    * reduced by a single map-side-combined count over (source, tag, value).
+    * Split out so PlanAuditSpec can pin "one scan, one exchange" directly. */
+  private[operators] def taggedSourceCounts(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallel(Tables.documents(s, dir))
+    val t = Text.normText(col("text"))
+    docs.select(col("source"),
+      explode(concat(
+        transform(split(t, " "),
+          w => struct(lit("w").as("k"), w.as("v"))),
+        transform(graft.functions.TokenNgrams.tokenNgrams(t, 2),
+          g => struct(lit("g").as("k"), g.as("v"))))).as("e"))
+      .groupBy(col("source"), col("e.k").as("k"), col("e.v").as("v"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** DuckDB SQL replicating [[sourceOverlapQuery]]: same bigram stream as
+    * the ta12 oracle, same distinct/intersect/union Jaccard, same exact-
+    * integer dot and norms with one 6dp-rounded division each.
+    *
+    * Inner-join note, both engines: a source pair with an empty bigram
+    * intersection would drop from the Jaccard join — the test corpus has
+    * every pair overlapping (asserted in ScalaTest), and the semantics of
+    * emitting only overlapping pairs match. */
+  def sourceOverlapOracleSql: String = """
+      WITH d AS (SELECT source, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                 FROM documents),
+      tok AS (SELECT source, string_split(t, ' ') AS w FROM d),
+      bg AS (SELECT DISTINCT source,
+               unnest(list_transform(range(1, greatest(len(w), 1)),
+                 i -> array_to_string(w[CAST(i AS INT):CAST(i + 1 AS INT)], ' '))) AS g
+             FROM tok),
+      bsz AS (SELECT source, count(*) AS nset FROM bg GROUP BY source),
+      bint AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+               FROM bg a JOIN bg b ON a.g = b.g AND a.source < b.source
+               GROUP BY 1, 2),
+      tf AS (SELECT source, unnest(w) AS word FROM tok),
+      tfc AS (SELECT source, word, count(*) AS c FROM tf GROUP BY 1, 2),
+      nrm AS (SELECT source, sum(c * c) AS n2 FROM tfc GROUP BY source),
+      dt AS (SELECT a.source AS src_a, b.source AS src_b, sum(a.c * b.c) AS dot
+             FROM tfc a JOIN tfc b ON a.word = b.word AND a.source < b.source
+             GROUP BY 1, 2)
+      SELECT i.src_a, i.src_b,
+             round(CAST(i.inter AS DOUBLE) /
+               CAST(sa.nset + sb.nset - i.inter AS DOUBLE), 6) AS bigram_jaccard,
+             round(CAST(d2.dot AS DOUBLE) /
+               (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS tf_cosine
+      FROM bint i
+      JOIN bsz sa ON i.src_a = sa.source
+      JOIN bsz sb ON i.src_b = sb.source
+      JOIN dt d2 ON i.src_a = d2.src_a AND i.src_b = d2.src_b
+      JOIN nrm na ON i.src_a = na.source
+      JOIN nrm nb ON i.src_b = nb.source
+      ORDER BY i.src_a, i.src_b"""
 }

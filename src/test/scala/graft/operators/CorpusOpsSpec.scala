@@ -409,4 +409,39 @@ class CorpusOpsSpec extends AnyFunSuite {
     val head = rows.head
     assert((1 to 3).map(head.getLong).sum > 0 && head.getDouble(4) > 0.0)
   }
+
+  test("ta14: overlap matrix matches a local bigram/tf recomputation") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .selectExpr("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).toLowerCase.trim.replaceAll("\\s+", " ")))
+    val bySrc = docs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val bigrams = bySrc.map { case (s, texts) =>
+      s -> texts.flatMap { t =>
+        val w = t.split(" "); w.zip(w.tail).map { case (a, b) => s"$a $b" }
+      }.toSet
+    }
+    val tf = bySrc.map { case (s, texts) =>
+      s -> texts.flatMap(_.split(" ").toSeq).groupBy(identity)
+        .map { case (w, ws) => w -> ws.size.toLong }
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    val srcs = bySrc.keys.toSeq.sorted
+    val want = for {
+      a <- srcs; b <- srcs if a < b
+      inter = (bigrams(a) & bigrams(b)).size
+    } yield {
+      val jac = inter.toDouble / (bigrams(a).size + bigrams(b).size - inter)
+      val dot = tf(a).map { case (w, c) => c * tf(b).getOrElse(w, 0L) }.sum.toDouble
+      def n2(m: Map[String, Long]) = math.sqrt(m.values.map(c => (c * c).toDouble).sum)
+      (a, b, r6(jac), r6(dot / (n2(tf(a)) * n2(tf(b)))))
+    }
+    val got = TextAnalysis.sourceOverlapQuery(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == want)
+    // every source pair overlaps (the inner intersect joins drop nothing),
+    // and neither signal is saturated or empty
+    assert(want.size == srcs.size * (srcs.size - 1) / 2)
+    assert(want.forall { case (_, _, j, c) => j > 0.0 && j < 1.0 && c > 0.0 && c <= 1.0 })
+  }
 }

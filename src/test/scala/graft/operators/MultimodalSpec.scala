@@ -107,4 +107,49 @@ class MultimodalSpec extends AnyFunSuite {
       .map(m => m.media_id -> m.features.toSeq).toMap
     assert(f(0L) == f(1L) && f(0L) != f(2L))
   }
+
+  test("aHash64: bits follow the block-vs-global mean rule; odd dims fail") {
+    // left half black, right half bright: exactly the right-half blocks
+    // (bx >= 4) exceed the global mean
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.getRaster.setSample(x, y, 0, if (x < 8) 0 else 200)
+    val h = Multimodal.ImageDecoder.aHash64(img)
+    val expect = (0 until 64).foldLeft(0L) { (acc, b) =>
+      if (b % 8 >= 4) acc | (1L << b) else acc
+    }
+    assert(h == expect)
+    // a flat image has no block above the mean — hash 0
+    val flat = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 16) flat.getRaster.setSample(x, y, 0, 77)
+    assert(Multimodal.ImageDecoder.aHash64(flat) == 0L)
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageDecoder.aHash64(new java.awt.image.BufferedImage(
+        10, 10, java.awt.image.BufferedImage.TYPE_BYTE_GRAY))
+    }
+  }
+
+  test("mm04: banded candidates equal brute-force hamming (lossless at <=3)") {
+    val got = Multimodal.imageNearDupQuery(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute force over the same decoded hashes — no banding
+    val hashes = Multimodal.imageMediaFromDocuments(spark, sf0001).collect()
+      .map(m => m.media_id ->
+        Multimodal.ImageDecoder.aHash64(Multimodal.ImageDecoder.decode(m.bytes)))
+      .toMap
+    val ids = hashes.keys.toSeq.sorted
+    val want = for {
+      a <- ids; b <- ids if a < b
+      d = java.lang.Long.bitCount(hashes(a) ^ hashes(b)).toLong
+      if d <= 3
+    } yield (a, b, d)
+    assert(got.toSeq == want)
+    assert(got.nonEmpty) // the fixture corpus has near-dup images
+    // above 3 differing bits the 4-band pigeonhole guarantee is gone
+    intercept[IllegalArgumentException] {
+      Multimodal.imageNearDupQuery(spark, sf0001, maxHamming = 4)
+    }
+  }
 }

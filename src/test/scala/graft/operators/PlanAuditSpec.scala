@@ -188,4 +188,44 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(vPlan.contains("BroadcastHashJoin"), vPlan)
     assert(!vPlan.contains("CartesianProduct"), vPlan)
   }
+
+  test("ta14: the fused tagged stream is one corpus scan, one keyed exchange") {
+    // the builder's own plan — the full query reads it through a cache, so
+    // string-counting scans there would double-count the cached subtree.
+    // An earlier suite may have left that cache entry behind (same logical
+    // plan → CacheManager substitution, whose executed-AQE printout repeats
+    // the exchange in Initial/Final sections) — drop it first
+    TextAnalysis.taggedSourceCounts(spark, sf0001).unpersist(blocking = true)
+    val plan = planOf(TextAnalysis.taggedSourceCounts(spark, sf0001))
+    // the tagged-union explode feeds one aggregation — a second documents
+    // scan would mean the words/bigrams fusion regressed to two passes
+    assert(count(plan, "documents\\.parquet") == 1, plan)
+    assert(count(plan, "hashpartitioning") == 1, plan)
+    val full = planOf(TextAnalysis.sourceOverlapQuery(spark, sf0001))
+    assert(!full.contains("CartesianProduct"), full)
+  }
+
+  test("dd13: pair join is salted hash equi; verdict join broadcasts") {
+    val plan = planOf(Similarity.semDedup(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the within-cluster pair pass must be a HASH equi-join keyed by
+    // (cluster, salt) — the kmeans assign stage inside legitimately uses a
+    // BroadcastNestedLoopJoin (every vector x k broadcast centroids), so
+    // the pin targets the pair join's keys, not join types globally
+    assert("Join \\[ca#\\d+L?, sa#\\d+".r.findFirstIn(plan).isDefined, plan)
+    // the drop set joins back as a broadcast anti-side, like dd06
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("mm04: hamming cut sits under the pair distinct's exchange") {
+    val plan = planOf(Multimodal.imageNearDupQuery(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // filter-before-distinct: the distinct's hashpartitioning exchange must
+    // see only hamming-surviving pairs, so bit_count appears BELOW the
+    // first keyed exchange over (media_a, media_b)
+    val iFilter = plan.indexOf("bit_count")
+    val iDistinct = plan.indexOf("hashpartitioning(media_a")
+    assert(iFilter >= 0 && iDistinct >= 0 && iFilter > iDistinct,
+      s"hamming cut not below the distinct exchange:\n$plan")
+  }
 }

@@ -119,4 +119,32 @@ class SimilaritySpec extends AnyFunSuite {
     val approx = row.getLong(1).toDouble
     assert(math.abs(approx - exact) / exact < 0.15)
   }
+
+  test("dd13 semdedup: clusters match kmeans, verdicts match local recompute") {
+    val out = Similarity.semDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val km = Similarity.kmeansAssign(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.length == km.size) // full coverage, one verdict per vector
+    assert(out.forall { case (id, c, _) => km(id) == c })
+    // local recomputation of the min-id keep policy under that assignment
+    val vecs = graft.core.Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos6(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    }
+    val ids = km.keys.toSeq.sorted
+    val dropped = (for {
+      a <- ids; b <- ids
+      if a < b && km(a) == km(b) && cos6(vecs(a), vecs(b)) >= 0.45
+    } yield b).toSet
+    out.foreach { case (id, _, kept) =>
+      assert(kept == !dropped(id), s"vec $id")
+    }
+    assert(dropped.nonEmpty && dropped.size < ids.size) // nontrivial corpus
+  }
 }
