@@ -522,42 +522,45 @@ object TextAnalysis {
     * tagged 'w' and its bigrams tagged 'g' into a single exploded stream
     * that is immediately count-aggregated by (source, tag, value), map-side
     * combined, so the one corpus-wide shuffle carries vocabulary-scale
-    * partial counts, not tokens. Everything downstream (distinct-set sizes,
-    * intersections, tf dot products, norms) reads that persisted
-    * vocabulary-scale table; the intersect joins shuffle on the gram/word
-    * key (well-spread), the per-source sizes and norms are a #sources-row
-    * broadcast, and the output is #sources^2/2 rows. All counts are exact
-    * integers; the two divisions round 6 dp at the very end
+    * partial counts, not tokens. Everything downstream reads that persisted
+    * vocabulary-scale table exactly three times: ONE self-join keyed on
+    * (tag, value) — the tag in the key keeps words meeting words and grams
+    * meeting grams — feeds ONE pair aggregation computing both the bigram
+    * intersection count and the tf dot product; ONE per-source stats pass
+    * computes set sizes and norms together and broadcasts (#sources rows)
+    * onto the #sources^2/2 pair rows. A join (streamed) rather than a
+    * per-key pair-array HOF is deliberate: a gram present in s sources
+    * contributes s^2 pair rows either way, but the join streams them while
+    * an array materializes them in one row buffer — with many sources
+    * that's the difference between a shuffle and an OOM. All counts are
+    * exact integers; the two divisions round 6 dp at the very end
     * (engine-portable). */
   def sourceOverlapQuery(s: SparkSession, dir: String): DataFrame = {
     val tagged = taggedSourceCounts(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val bg = tagged.filter(col("k") === "g").select(col("source"), col("v").as("g"))
-    val bgSizes = bg.groupBy(col("source")).agg(count(lit(1)).as("nset"))
-    val bgInter = bg.select(col("source").as("src_a"), col("g"))
-      .join(bg.select(col("source").as("src_b"), col("g")),
-        Seq("g"))
+    val pairs = tagged
+      .select(col("k"), col("v"), col("source").as("src_a"), col("c").as("ca"))
+      .join(tagged.select(col("k"), col("v"), col("source").as("src_b"),
+        col("c").as("cb")), Seq("k", "v"))
       .filter(col("src_a") < col("src_b"))
       .groupBy(col("src_a"), col("src_b"))
-      .agg(count(lit(1)).as("inter"))
+      .agg(count(when(col("k") === "g", 1)).as("inter"),
+        sum(when(col("k") === "w", col("ca") * col("cb"))).as("dot"))
+      // the split-join form inner-joined each pair table separately, so a
+      // pair sharing only words (or only grams) dropped entirely — keep
+      // that contract (the oracle's inner joins encode it)
+      .filter(col("inter") > 0 && col("dot").isNotNull)
 
-    val tf = tagged.filter(col("k") === "w")
-      .select(col("source"), col("v").as("w"), col("c"))
-    val norms = tf.groupBy(col("source")).agg(sum(col("c") * col("c")).as("n2"))
-    val dots = tf.select(col("source").as("src_a"), col("w"), col("c").as("ca"))
-      .join(tf.select(col("source").as("src_b"), col("w"), col("c").as("cb")),
-        Seq("w"))
-      .filter(col("src_a") < col("src_b"))
-      .groupBy(col("src_a"), col("src_b"))
-      .agg(sum(col("ca") * col("cb")).as("dot"))
+    val stats = tagged.groupBy(col("source"))
+      .agg(count(when(col("k") === "g", 1)).as("nset"),
+        sum(when(col("k") === "w", col("c") * col("c"))).as("n2"))
 
-    bgInter
-      .join(broadcast(bgSizes.select(col("source").as("src_a"), col("nset").as("na"))), "src_a")
-      .join(broadcast(bgSizes.select(col("source").as("src_b"), col("nset").as("nb"))), "src_b")
-      .join(dots, Seq("src_a", "src_b"))
-      .join(broadcast(norms.select(col("source").as("src_a"), col("n2").as("n2a"))), "src_a")
-      .join(broadcast(norms.select(col("source").as("src_b"), col("n2").as("n2b"))), "src_b")
+    pairs
+      .join(broadcast(stats.select(col("source").as("src_a"),
+        col("nset").as("na"), col("n2").as("n2a"))), "src_a")
+      .join(broadcast(stats.select(col("source").as("src_b"),
+        col("nset").as("nb"), col("n2").as("n2b"))), "src_b")
       .select(col("src_a"), col("src_b"),
         round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double"), 6)
