@@ -64,11 +64,13 @@ object Bench {
     "ta10_chunking",
     "ta11_pack_windows",
     "ta14_source_overlap",
+    "ta15_pii",
     "sa01_stratified_sample",
     "sa02_domain_reweight",
     "sa03_hash_sample",
     "sa04_mixture_sample",
     "sa05_shard_assign",
+    "sa06_dsir_weight",
     "ir01_bm25_topk",
     "ir02_inverted_index",
     "ir03_tfidf_terms",

@@ -81,11 +81,13 @@ object SparkEntry {
     "ta10_chunking"        -> ((s: SparkSession, d: String) => TextAnalysis.chunkQuery(s, d)),
     "ta11_pack_windows"    -> ((s: SparkSession, d: String) => Curation.packWindowsQuery(s, d)),
     "ta14_source_overlap"  -> TextAnalysis.sourceOverlapQuery _,
+    "ta15_pii"             -> TextAnalysis.piiQuery _,
     "sa01_stratified_sample" -> ((s: SparkSession, d: String) => Curation.stratifiedSampleQuery(s, d)),
     "sa02_domain_reweight" -> Curation.domainReweightQuery _,
     "sa03_hash_sample"     -> ((s: SparkSession, d: String) => Curation.hashSampleQuery(s, d)),
     "sa04_mixture_sample"  -> ((s: SparkSession, d: String) => Curation.mixtureSampleQuery(s, d)),
     "sa05_shard_assign"    -> ((s: SparkSession, d: String) => Curation.shardAssignQuery(s, d)),
+    "sa06_dsir_weight"     -> ((s: SparkSession, d: String) => Curation.dsirWeightQuery(s, d)),
     "ir01_bm25_topk"       -> ((s: SparkSession, d: String) => Search.bm25TopK(s, d)),
     "ir02_inverted_index"  -> ((s: SparkSession, d: String) => Search.invertedIndex(s, d)),
     "ir03_tfidf_terms"     -> ((s: SparkSession, d: String) => Search.tfIdfTopTerms(s, d)),
@@ -483,6 +485,9 @@ object SparkEntry {
     "ta12_bigram_logprob" -> TextAnalysis.bigramLogProbOracleSql,
     "ta13_bpe_pairs" -> TextAnalysis.bpePairsOracleSql,
     "ta14_source_overlap" -> TextAnalysis.sourceOverlapOracleSql,
+    // ta15: the oracle re-implements Luhn from its definition (DuckDB has
+    // no luhn_check); fixture arithmetic and redaction order are shared
+    "ta15_pii" -> TextAnalysis.piiOracleSql,
     "ta08_vocab_encode" -> TextAnalysis.vocabEncodeOracleSql,
     "ta09_repetition" -> TextAnalysis.repetitionOracleSql,
     "ta10_chunking" -> TextAnalysis.chunkOracleSql,
@@ -492,6 +497,9 @@ object SparkEntry {
     "sa03_hash_sample" -> graft.operators.Curation.hashSampleOracleSql(),
     "sa04_mixture_sample" -> graft.operators.Curation.mixtureSampleOracleSql(),
     "sa05_shard_assign" -> graft.operators.Curation.shardAssignOracleSql,
+    // sa06: parameterized def — the oracle interpolates the same target
+    // source literal the Scala default uses (ADVICE r4 rule)
+    "sa06_dsir_weight" -> graft.operators.Curation.dsirWeightOracleSql(),
     "ir01_bm25_topk" -> graft.operators.Search.bm25OracleSql,
     "ir02_inverted_index" -> graft.operators.Search.invertedIndexOracleSql,
     "ir03_tfidf_terms" -> graft.operators.Search.tfIdfOracleSql,

@@ -397,4 +397,88 @@ object Curation {
              ELSE 'ok' END AS reason
       FROM fpx f JOIN li USING (doc_id) JOIN qx USING (doc_id) JOIN spx USING (doc_id)
       ORDER BY f.doc_id"""
+
+  // ---------------------------------------------------------------- sa06
+
+  /** DSIR-style importance weighting (Xie et al. 2023, arXiv:2302.03169):
+    * score each document by how much more likely its tokens are under a
+    * TARGET distribution than under the raw-corpus distribution —
+    * sum over tokens of ln p_target(w) - ln p_raw(w), with add-one
+    * smoothing over the shared vocabulary. The target here is the `src0`
+    * slice (the same stand-in corpus dd08 uses as its benchmark);
+    * positive-scoring documents are the ones importance resampling keeps.
+    *
+    * Plan shape for 100 TB: the raw and target word counts come from ONE
+    * map-side-combined groupBy(word) carrying a conditional count (no
+    * second corpus scan for the target slice), PERSISTED — the vocabulary
+    * is the thing worth caching (it grows sublinearly with the corpus)
+    * while the token stream is the thing worth recomputing (~1x the corpus,
+    * same recompute-don't-persist call as ta12's bigrams). The scalar
+    * totals read the cache, so the corpus is tokenized exactly twice: once
+    * into word stats, once into per-doc term counts (doc-local partial
+    * aggs whose shuffle carries (doc, word) rows, not tokens). The scoring
+    * join is word-keyed (vocabulary x doc-vocab, AQE picks broadcast at
+    * small SF and sort-merge at web scale); the three scalar totals ride a
+    * one-row broadcast. The log-ratio sum is the one order-dependent double
+    * agg, rounded 4 dp like ta07; the keep flag tests the ROUNDED score so
+    * both engines flag identically. */
+  def dsirWeightQuery(s: SparkSession, dir: String, target: String = "src0"): DataFrame = {
+    val toks = dsirTokens(s, dir)
+    val wordStats = dsirWordStats(s, dir, target)
+    val totals = wordStats.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"),
+      count(lit(1)).as("v"))
+    val docWords = toks.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    docWords
+      .join(wordStats, "word")
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        round(sum(col("cnt").cast("double") *
+          (log((col("ct") + 1).cast("double") / (col("nt") + col("v")).cast("double")) -
+           log((col("cr") + 1).cast("double") / (col("nr") + col("v")).cast("double")))), 4)
+          .as("dsir_logratio"))
+      .withColumn("keep", col("dsir_logratio") >= 0.0d)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The corpus token stream behind [[dsirWeightQuery]] — recomputed, never
+    * persisted (token-scale). */
+  private def dsirTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"), col("source"),
+        explode(split(Text.normText(col("text")), " ")).as("word"))
+
+  /** The persisted vocab-scale (word, raw count, target count) table behind
+    * [[dsirWeightQuery]]. Split out so PlanAuditSpec can drop its cache
+    * entry before pinning the builder's own plan. */
+  private[operators] def dsirWordStats(s: SparkSession, dir: String,
+      target: String = "src0"): DataFrame =
+    dsirTokens(s, dir).groupBy(col("word"))
+      .agg(count(lit(1)).as("cr"),
+        count(when(col("source") === target, 1)).as("ct"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** DuckDB oracle for [[dsirWeightQuery]]: same tokenization, same
+    * conditional word counts, same smoothed log-ratio rounded 4 dp, keep
+    * flag from the rounded score. */
+  def dsirWeightOracleSql(target: String = "src0"): String = s"""
+      WITH d AS (SELECT doc_id, source,
+                        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                 FROM documents),
+      toks AS (SELECT doc_id, source, unnest(string_split(t, ' ')) AS word FROM d),
+      ws AS (SELECT word, count(*) AS cr,
+                    count(*) FILTER (WHERE source = '$target') AS ct
+             FROM toks GROUP BY word),
+      tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt, count(*) AS v FROM ws),
+      dw AS (SELECT doc_id, word, count(*) AS cnt FROM toks GROUP BY 1, 2),
+      sc AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                    round(sum(CAST(cnt AS DOUBLE) *
+                      (ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE)) -
+                       ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + v AS DOUBLE)))), 4)
+                      AS dsir_logratio
+             FROM dw JOIN ws USING (word) CROSS JOIN tot
+             GROUP BY doc_id)
+      SELECT doc_id, n_tokens, dsir_logratio, dsir_logratio >= 0.0 AS keep
+      FROM sc ORDER BY doc_id"""
 }

@@ -626,4 +626,108 @@ object TextAnalysis {
       JOIN nrm na ON i.src_a = na.source
       JOIN nrm nb ON i.src_b = nb.source
       ORDER BY i.src_a, i.src_b"""
+
+  // ---------------------------------------------------------------- ta15
+
+  /** PII patterns shared by detector and redactor (and mirrored verbatim in
+    * the oracle — RE2 and java.util.regex agree on this subset: character
+    * classes, bounded repetition, no lookaround). */
+  private val EmailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+  private val PhoneRe = "555-[0-9]{4}"
+  private val Ipv4Re  = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  private val CardRe  = "4[0-9]{15}"
+
+  /** The synthetic corpus carries no natural PII, so the fixture layer
+    * deterministically plants some — emails / NANP-style phones / IPv4s /
+    * 16-digit card-shaped numbers appended per doc_id residue class (same
+    * md5-free arithmetic in the oracle, so both engines scrub the identical
+    * string). The card digits are pseudo-random, so ~1 in 10 passes Luhn —
+    * validation has real positives AND real negatives to separate. */
+  private def piiEnriched(did: Column, text: Column): Column = concat(
+    text,
+    when(did % 3 === 0,
+      concat(lit(" contact user"), did.cast("string"), lit("@example.com")))
+      .otherwise(lit("")),
+    when(did % 4 === 0,
+      concat(lit(" call 555-"), lpad((did % 10000).cast("string"), 4, "0")))
+      .otherwise(lit("")),
+    when(did % 5 === 0,
+      concat(lit(" from "), (did % 223 + 1).cast("string"), lit("."),
+        ((did * 3) % 256).cast("string"), lit("."),
+        ((did * 7) % 256).cast("string"), lit("."),
+        ((did * 11) % 254 + 1).cast("string"))).otherwise(lit("")),
+    when(did % 6 === 0,
+      concat(lit(" card 4"),
+        lpad(((did * 2654435761L) % 1000000000000000L).cast("string"), 15, "0")))
+      .otherwise(lit("")))
+
+  /** PII detection + redaction — the scrubbing pass every training-data
+    * pipeline runs before anything else ships: count emails, NANP-style
+    * phone numbers, IPv4 addresses and card-shaped numbers per document
+    * (cards additionally Luhn-validated via Spark's codegen'd `luhn_check`,
+    * so a random 16-digit string is NOT reported as a live card), and emit
+    * the md5 of the fully redacted text so the scrub itself — not just the
+    * counts — is oracle-checked byte-for-byte.
+    *
+    * Plan shape for 100 TB: pure columnar map over the corpus — regex
+    * extraction, Luhn filter, four chained regexp_replace, md5 — with ZERO
+    * exchanges before the presentation orderBy; the same
+    * embarrassingly-parallel shape as ta01/ta02 (pinned in PlanAuditSpec).
+    * Redaction order (email, phone, ip, card) is part of the contract and
+    * identical in the oracle. */
+  def piiQuery(s: SparkSession, dir: String): DataFrame = {
+    val t = piiEnriched(col("doc_id"), col("text"))
+    // Column API throughout — expr() would route the patterns through a
+    // Spark SQL string literal, whose backslash escaping corrupts \. and
+    // silently desynchronizes the regexes from the oracle's
+    def hits(re: String): Column = regexp_extract_all(col("t"), lit(re), lit(0))
+    Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"), t.as("t"))
+      .select(col("doc_id"),
+        size(hits(EmailRe)).cast("long").as("n_emails"),
+        size(hits(PhoneRe)).cast("long").as("n_phones"),
+        size(hits(Ipv4Re)).cast("long").as("n_ips"),
+        size(hits(CardRe)).cast("long").as("n_cards"),
+        size(filter(hits(CardRe), c => call_function("luhn_check", c)))
+          .cast("long").as("n_cards_valid"),
+        md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          col("t"), EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]"),
+          Ipv4Re, "[IP]"), CardRe, "[CARD]")).as("redacted_md5"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_phones") + col("n_ips") + col("n_cards") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[piiQuery]]: same fixture arithmetic, same four
+    * patterns in the same redaction order, and Luhn re-implemented from its
+    * definition (right-to-left alternating doubling, subtract 9 above 9,
+    * total divisible by 10) since DuckDB has no built-in. */
+  def piiOracleSql: String = {
+    val luhn = """list_sum(list_transform(range(1, 17), i ->
+           CASE WHEN i % 2 = 1
+                THEN 2*(ascii(c[CAST(i AS INT):CAST(i AS INT)])-48)
+                     - CASE WHEN ascii(c[CAST(i AS INT):CAST(i AS INT)])-48 >= 5 THEN 9 ELSE 0 END
+                ELSE ascii(c[CAST(i AS INT):CAST(i AS INT)])-48 END)) % 10 = 0"""
+    s"""
+      WITH d AS (SELECT doc_id, text ||
+        CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+        CASE WHEN doc_id % 4 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        CASE WHEN doc_id % 5 = 0 THEN ' from ' || (doc_id % 223 + 1) || '.' || ((doc_id*3) % 256) || '.' ||
+             ((doc_id*7) % 256) || '.' || ((doc_id*11) % 254 + 1) ELSE '' END ||
+        CASE WHEN doc_id % 6 = 0 THEN ' card 4' || lpad(CAST((doc_id * 2654435761) % 1000000000000000 AS VARCHAR), 15, '0') ELSE '' END
+        AS t FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phones,
+        CAST(len(regexp_extract_all(t, '$Ipv4Re')) AS BIGINT) AS n_ips,
+        CAST(len(regexp_extract_all(t, '$CardRe')) AS BIGINT) AS n_cards,
+        CAST(len(list_filter(regexp_extract_all(t, '$CardRe'), c ->
+          $luhn)) AS BIGINT) AS n_cards_valid,
+        md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          t, '$EmailRe', '[EMAIL]', 'g'), '$PhoneRe', '[PHONE]', 'g'),
+          '$Ipv4Re', '[IP]', 'g'), '$CardRe', '[CARD]', 'g')) AS redacted_md5,
+        (len(regexp_extract_all(t, '$EmailRe')) + len(regexp_extract_all(t, '$PhoneRe')) +
+         len(regexp_extract_all(t, '$Ipv4Re')) + len(regexp_extract_all(t, '$CardRe'))) > 0 AS has_pii
+      FROM d ORDER BY doc_id"""
+  }
 }

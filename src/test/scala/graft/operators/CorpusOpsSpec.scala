@@ -444,4 +444,58 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(want.size == srcs.size * (srcs.size - 1) / 2)
     assert(want.forall { case (_, _, j, c) => j > 0.0 && j < 1.0 && c > 0.0 && c <= 1.0 })
   }
+
+  test("ta15: planted PII is found, Luhn separates, redaction is total") {
+    val rows = TextAnalysis.piiQuery(spark, sf0001).collect()
+    val nDocs = graft.core.Tables.documents(spark, sf0001).count()
+    assert(rows.length == nDocs)
+    def cnt(i: Int) = rows.map(_.getLong(i))
+    // counts follow the fixture residue classes exactly
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == (if (id % 3 == 0) 1 else 0), s"emails doc $id")
+      assert(r.getLong(2) == (if (id % 4 == 0) 1 else 0), s"phones doc $id")
+      assert(r.getLong(3) == (if (id % 5 == 0) 1 else 0), s"ips doc $id")
+      assert(r.getLong(4) == (if (id % 6 == 0) 1 else 0), s"cards doc $id")
+      assert(r.getLong(5) <= r.getLong(4), s"valid>seen doc $id")
+      assert(r.getBoolean(7) == (r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4) > 0))
+    }
+    // Luhn validation must have real positives AND real negatives —
+    // otherwise the check is vacuous
+    assert(cnt(5).sum > 0 && cnt(5).sum < cnt(4).sum,
+      s"luhn: ${cnt(5).sum} valid of ${cnt(4).sum} cards")
+    // a doc with every class planted (id divisible by 60) exists at sf0.001
+    assert(rows.exists(r => r.getLong(0) % 60 == 0))
+  }
+
+  test("sa06: DSIR log-ratios favor the target slice and match a local recompute") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).toLowerCase.trim.replaceAll("\\s+", " ").split(" ").toSeq))
+    val cr = docs.flatMap(_._3).groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val ct = docs.filter(_._2 == "src0").flatMap(_._3).groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+    val (nr, nt, v) = (cr.values.sum, ct.values.sum, cr.size.toLong)
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    val want = docs.map { case (id, _, ws) =>
+      val score = ws.groupBy(identity).map { case (w, g) =>
+        g.size * (math.log((ct.getOrElse(w, 0L) + 1).toDouble / (nt + v)) -
+          math.log((cr(w) + 1).toDouble / (nr + v)))
+      }.sum
+      (id, ws.size.toLong, r4(score))
+    }.sortBy(_._1)
+    val got = Curation.dsirWeightQuery(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq == want.toSeq)
+    assert(got.forall(t => t._4 == (t._3 >= 0.0)))
+    // the importance weights must actually separate: target docs skew
+    // positive vs the rest (that's the whole point of DSIR)
+    val bySrc = docs.map(d => d._1 -> d._2).toMap
+    val (tgt, rest) = got.partition(t => bySrc(t._1) == "src0")
+    def mean(xs: Array[Double]) = xs.sum / xs.length
+    assert(mean(tgt.map(_._3)) > mean(rest.map(_._3)))
+    assert(got.exists(_._4) && got.exists(!_._4))
+  }
 }

@@ -217,6 +217,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("ta15: the PII scrub is a zero-exchange columnar pass") {
+    val plan = planOf(TextAnalysis.piiQuery(spark, sf0001).limit(1))
+    // like ta01/ta02: regex extraction, Luhn filter, redaction and md5 are
+    // all per-row — any keyed exchange means the scrub stopped being an
+    // embarrassingly parallel map
+    assert(!plan.contains("hashpartitioning"), s"unexpected keyed exchange:\n$plan")
+  }
+
+  test("sa06: scoring join is word-keyed, totals broadcast, no cartesian blowup") {
+    // drop any word-stats cache entry an earlier suite left (same
+    // executed-AQE printout problem as ta14's tagged stream)
+    Curation.dsirWordStats(spark, sf0001).unpersist(blocking = true)
+    val plan = planOf(Curation.dsirWeightQuery(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the one-row totals frame must ride a broadcast, never a shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    // exactly one corpus scan feeds both count tables and the doc-word side
+    assert(count(plan, "documents\\.parquet") <= 3, plan)
+  }
+
   test("mm04: hamming cut sits under the pair distinct's exchange") {
     val plan = planOf(Multimodal.imageNearDupQuery(spark, sf0001))
     assert(!plan.contains("CartesianProduct"), plan)
