@@ -71,6 +71,7 @@ object Bench {
     "sa04_mixture_sample",
     "sa05_shard_assign",
     "sa06_dsir_weight",
+    "pl01_pipeline",
     "ir01_bm25_topk",
     "ir02_inverted_index",
     "ir03_tfidf_terms",

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Curation, Dedup, Multimodal, Relational, Search, Similarity, TextAnalysis, Windows}
+import graft.operators.{Curation, Dedup, Multimodal, Pipeline, Relational, Search, Similarity, TextAnalysis, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -88,6 +88,8 @@ object SparkEntry {
     "sa04_mixture_sample"  -> ((s: SparkSession, d: String) => Curation.mixtureSampleQuery(s, d)),
     "sa05_shard_assign"    -> ((s: SparkSession, d: String) => Curation.shardAssignQuery(s, d)),
     "sa06_dsir_weight"     -> ((s: SparkSession, d: String) => Curation.dsirWeightQuery(s, d)),
+    "pl01_pipeline"        -> ((s: SparkSession, d: String) => Pipeline.pipelineQuery(s, d)),
+    "pl02_funnel"          -> Pipeline.funnelQuery _,
     "ir01_bm25_topk"       -> ((s: SparkSession, d: String) => Search.bm25TopK(s, d)),
     "ir02_inverted_index"  -> ((s: SparkSession, d: String) => Search.invertedIndex(s, d)),
     "ir03_tfidf_terms"     -> ((s: SparkSession, d: String) => Search.tfIdfTopTerms(s, d)),
@@ -500,6 +502,10 @@ object SparkEntry {
     // sa06: parameterized def — the oracle interpolates the same target
     // source literal the Scala default uses (ADVICE r4 rule)
     "sa06_dsir_weight" -> graft.operators.Curation.dsirWeightOracleSql(),
+    // pl01/pl02: composed from the sub-operators' own oracle SQL as CTEs;
+    // parameterized defs interpolating the same cut/shard literals (r4 rule)
+    "pl01_pipeline" -> graft.operators.Pipeline.pipelineOracleSql(),
+    "pl02_funnel" -> graft.operators.Pipeline.funnelOracleSql,
     "ir01_bm25_topk" -> graft.operators.Search.bm25OracleSql,
     "ir02_inverted_index" -> graft.operators.Search.invertedIndexOracleSql,
     "ir03_tfidf_terms" -> graft.operators.Search.tfIdfOracleSql,

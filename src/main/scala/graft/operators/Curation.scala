@@ -102,9 +102,9 @@ object Curation {
     * engine-portable pseudo-random key behind the whole sampling family
     * (sa03 threshold cut, sa04 per-domain rates, sa05 shard hash). One
     * definition so a change to the prefix width cannot drift per-operator. */
-  private def prefix32(md5hex: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[operators] def prefix32(md5hex: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5hex, 1, 8), 16, 10)
-  private def md5Prefix32(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[operators] def md5Prefix32(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     prefix32(md5(id.cast("string")))
 
   def hashSampleQuery(s: SparkSession, dir: String, rate: Double = 0.15): DataFrame = {

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Text
+
+/** The composed end-to-end corpus pipeline — the full funnel a training
+  * run actually executes, chaining the engine's already-audited stages in
+  * production order: benchmark carve-out, curation verdict
+  * ([[Curation.curationQuery]]), eval-set decontamination
+  * ([[Dedup.decontaminate]]), deterministic hash downsampling
+  * ([[Curation.hashSampleQuery]] semantics) and shard assignment
+  * ([[Curation.shardAssignQuery]] semantics) over the survivors. One row
+  * per document with its FINAL disposition — the first stage that dropped
+  * it, or `kept` with its training shard and in-shard position — so the
+  * whole funnel is auditable from a single manifest.
+  *
+  * Plan shape for 100 TB: every stage keeps its own audited scalable
+  * formulation (columnar verdict passes, broadcast benchmark spans,
+  * map-only hash sampling, per-shard windows); the composition itself only
+  * ever joins doc-keyed MANIFEST rows (doc_id + a few scalars, never
+  * text), and the staged disposition is persisted at manifest scale so the
+  * kept-side shard window and the final join share one computation. The
+  * shard/pos window runs ONLY over kept rows partitioned by shard —
+  * dropped docs never enter a window partition (the naive
+  * `when(kept, row_number)` over the full manifest would pile every
+  * dropped doc into one skewed partition).
+  */
+object Pipeline {
+
+  val SampleRate = 0.5
+
+  /** Per-document funnel manifest: (doc_id, stage, shard, pos, n_tokens)
+    * where stage ∈ benchmark | exact_dup | lang_mismatch | too_short |
+    * span_dup | contaminated | sampled_out | kept, and shard/pos are -1
+    * unless kept. */
+  def pipelineQuery(s: SparkSession, dir: String, benchSource: String = "src0",
+      rate: Double = SampleRate, nShards: Int = 8): DataFrame = {
+    val staged = stagedDisposition(s, dir, benchSource, rate)
+    val w = Window.partitionBy(col("shard")).orderBy(col("rk"), col("doc_id"))
+    val kept = staged.filter(col("stage") === "kept")
+      .withColumn("shard",
+        pmod(Curation.prefix32(col("rk")).cast("long"), lit(nShards.toLong)))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+    staged
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("stage"),
+        coalesce(col("shard"), lit(-1L)).as("shard"),
+        coalesce(col("pos"), lit(-1L)).as("pos"),
+        col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Funnel observability: documents and tokens entering each stage bucket
+    * — the "where did my corpus go" report every pipeline owner reads
+    * first. */
+  def funnelQuery(s: SparkSession, dir: String): DataFrame =
+    pipelineQuery(s, dir)
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("stage"))
+
+  /** The manifest-scale (doc_id, stage, rk, n_tokens) disposition behind
+    * [[pipelineQuery]] — persisted (it is doc-keyed scalars, never text)
+    * because the kept-side window and the final join both read it. Split
+    * out so PlanAuditSpec can drop its cache entry. */
+  private[operators] def stagedDisposition(s: SparkSession, dir: String,
+      benchSource: String = "src0", rate: Double = SampleRate): DataFrame = {
+    val cut = (rate * 4294967296.0).toLong // rate * 2^32, sa03's cut
+    val base = Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"), col("source"),
+        Text.tokenCount(Text.normText(col("text"))).as("n_tokens"),
+        Curation.md5Prefix32(col("doc_id")).cast("long").as("h32"),
+        md5(col("doc_id").cast("string")).as("rk"))
+    val cur = Curation.curationQuery(s, dir).select(col("doc_id"), col("reason"))
+    val dec = Dedup.decontaminate(s, dir, benchSource)
+      .select(col("doc_id"), col("contaminated"))
+    base
+      .join(cur, "doc_id")
+      .join(dec, Seq("doc_id"), "left") // benchmark docs have no dec row
+      .select(col("doc_id"), col("n_tokens"), col("rk"),
+        when(col("source") === benchSource, lit("benchmark"))
+          .when(col("reason") =!= "ok", col("reason"))
+          .when(col("contaminated"), lit("contaminated"))
+          .when(col("h32") >= cut, lit("sampled_out"))
+          .otherwise(lit("kept")).as("stage"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** DuckDB oracle for [[pipelineQuery]]: the sub-operators' own oracle SQL
+    * as CTEs, the identical stage cascade, and sa05's shard/pos formula
+    * over the kept set — a def interpolating the SAME sampling cut the
+    * Scala side derives from `rate`. */
+  def pipelineOracleSql(benchSource: String = "src0",
+      rate: Double = SampleRate, nShards: Int = 8): String = {
+    val cut = (rate * 4294967296.0).toLong
+    s"""
+      WITH cur AS (${Curation.curationOracleSql}),
+      dec AS (${Dedup.decontaminateOracleSql}),
+      base AS (SELECT doc_id, source,
+          CASE WHEN length(t) = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(length(t) - length(regexp_replace(t, ' ', '', 'g')) + 1 AS BIGINT)
+          END AS n_tokens,
+          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h32,
+          md5(CAST(doc_id AS VARCHAR)) AS rk
+        FROM (SELECT doc_id, source,
+                trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+              FROM documents) z),
+      staged AS (SELECT b.doc_id, b.n_tokens, b.rk,
+          CASE WHEN b.source = '$benchSource' THEN 'benchmark'
+               WHEN cur.reason <> 'ok' THEN cur.reason
+               WHEN dec.contaminated THEN 'contaminated'
+               WHEN b.h32 >= $cut THEN 'sampled_out'
+               ELSE 'kept' END AS stage
+        FROM base b JOIN cur USING (doc_id) LEFT JOIN dec USING (doc_id)),
+      kp AS (SELECT doc_id,
+          CAST(concat('0x', substr(rk, 1, 8)) AS BIGINT) % $nShards AS shard,
+          row_number() OVER (PARTITION BY
+            CAST(concat('0x', substr(rk, 1, 8)) AS BIGINT) % $nShards
+            ORDER BY rk, doc_id) - 1 AS pos
+        FROM staged WHERE stage = 'kept')
+      SELECT s.doc_id, s.stage, coalesce(kp.shard, -1) AS shard,
+             coalesce(kp.pos, -1) AS pos, s.n_tokens
+      FROM staged s LEFT JOIN kp USING (doc_id)
+      ORDER BY s.doc_id"""
+  }
+
+  /** DuckDB oracle for [[funnelQuery]] — the pl01 oracle re-aggregated, so
+    * the report cannot drift from the manifest it reports on. */
+  def funnelOracleSql: String = s"""
+      WITH pl AS (${pipelineOracleSql()})
+      SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      FROM pl GROUP BY stage ORDER BY stage"""
+}

@@ -237,6 +237,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(count(plan, "documents\\.parquet") <= 3, plan)
   }
 
+  test("pl01: manifest joins only, bench spans broadcast, shard window partitioned") {
+    Pipeline.stagedDisposition(spark, sf0001).unpersist(blocking = true)
+    val plan = planOf(Pipeline.pipelineQuery(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // dd08's benchmark span set must still ride a broadcast inside the
+    // composition, not degrade to a corpus-span shuffle
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the kept-side shard/pos window is partitioned by shard — a global
+    // (unpartitioned) window over the manifest would serialize the corpus
+    assert(!plan.matches("(?s).*Window .*SinglePartition.*"), plan)
+  }
+
   test("mm04: hamming cut sits under the pair distinct's exchange") {
     val plan = planOf(Multimodal.imageNearDupQuery(spark, sf0001))
     assert(!plan.contains("CartesianProduct"), plan)
