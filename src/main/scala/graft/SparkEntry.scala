@@ -387,7 +387,7 @@ object SparkEntry {
     // C4-style repeated-span stats over token 8-grams; span construction,
     // the distinct-doc cut and the ratio are all re-derived in SQL
     "dd07_repeated_spans" -> Dedup.repeatedSpansOracleSql,
-    "dd08_decontaminate" -> Dedup.decontaminateOracleSql,
+    "dd08_decontaminate" -> Dedup.decontaminateOracleSql(),
     "dd09_incremental_dedup" -> Dedup.incrementalDedupOracleSql,
     // continuous near-dup dedup: the batch-mode run of the stateful LSH
     // store; ground truth = brute-force prefix-ordered near-dup (same

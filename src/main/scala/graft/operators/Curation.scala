@@ -107,8 +107,13 @@ object Curation {
   private[operators] def md5Prefix32(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     prefix32(md5(id.cast("string")))
 
+  /** The sa03 sampling threshold — rate * 2^32, compared against the 32-bit
+    * md5 prefix. ONE definition shared by the sampler, its oracle and the
+    * pl01 pipeline so the cut derivation cannot drift per-operator. */
+  private[operators] def hashCut(rate: Double): Long = (rate * 4294967296.0).toLong
+
   def hashSampleQuery(s: SparkSession, dir: String, rate: Double = 0.15): DataFrame = {
-    val cut = (rate * 4294967296.0).toLong // rate * 2^32
+    val cut = hashCut(rate)
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("source"),
         md5Prefix32(col("doc_id")).cast("long").as("h32"))
@@ -121,7 +126,7 @@ object Curation {
     * derives from `rate`, so a non-default rate cannot silently diverge
     * from the declared oracle. */
   def hashSampleOracleSql(rate: Double = 0.15): String = {
-    val cut = (rate * 4294967296.0).toLong
+    val cut = hashCut(rate)
     s"""
       SELECT doc_id, lang, source,
              CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h32

@@ -379,27 +379,29 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** DuckDB SQL replicating [[decontaminate]] exactly (token 8-grams,
-    * benchmark = source 'src0'). */
-  val decontaminateOracleSql: String = """
+  /** DuckDB SQL replicating [[decontaminate]] exactly (token 8-grams) — a
+    * def interpolating the SAME benchmark-source literal the Scala default
+    * uses, so a non-default `benchSource` cannot silently diverge from the
+    * declared oracle. */
+  def decontaminateOracleSql(benchSource: String = "src0"): String = s"""
       WITH d AS (SELECT doc_id, source,
-                        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
                  FROM documents),
       tok AS (SELECT doc_id, source, string_split(t, ' ') AS w FROM d),
       spans AS (SELECT doc_id, source,
                   unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
                     i -> array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' '))) AS span
                 FROM tok),
-      bench AS (SELECT DISTINCT span FROM spans WHERE source = 'src0'),
+      bench AS (SELECT DISTINCT span FROM spans WHERE source = '$benchSource'),
       perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
                         CAST(sum(CASE WHEN span IN (SELECT span FROM bench)
                                       THEN 1 ELSE 0 END) AS BIGINT) AS n_contam_spans
-                 FROM spans WHERE source <> 'src0' GROUP BY doc_id)
+                 FROM spans WHERE source <> '$benchSource' GROUP BY doc_id)
       SELECT d.doc_id, coalesce(n_spans, 0) AS n_spans,
              coalesce(n_contam_spans, 0) AS n_contam_spans,
              coalesce(n_contam_spans, 0) > 0 AS contaminated
       FROM d LEFT JOIN perdoc USING (doc_id)
-      WHERE d.source <> 'src0' ORDER BY d.doc_id"""
+      WHERE d.source <> '$benchSource' ORDER BY d.doc_id"""
 
   /** Incremental ingestion dedup (the steady-state form of [[exactDedup]]:
     * every real pipeline deduplicates each NEW batch against the corpus it

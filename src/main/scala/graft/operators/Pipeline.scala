@@ -56,9 +56,12 @@ object Pipeline {
 
   /** Funnel observability: documents and tokens entering each stage bucket
     * — the "where did my corpus go" report every pipeline owner reads
-    * first. */
+    * first. Aggregates the staged manifest directly (shard/pos would be
+    * dropped by the groupBy anyway, so the kept-side window and final join
+    * are skipped); the ORACLE still re-aggregates the full pl01 result,
+    * which is where drift-proofing matters. */
   def funnelQuery(s: SparkSession, dir: String): DataFrame =
-    pipelineQuery(s, dir)
+    stagedDisposition(s, dir)
       .groupBy(col("stage"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"))
@@ -70,7 +73,7 @@ object Pipeline {
     * out so PlanAuditSpec can drop its cache entry. */
   private[operators] def stagedDisposition(s: SparkSession, dir: String,
       benchSource: String = "src0", rate: Double = SampleRate): DataFrame = {
-    val cut = (rate * 4294967296.0).toLong // rate * 2^32, sa03's cut
+    val cut = Curation.hashCut(rate) // sa03's threshold, one shared definition
     val base = Tables.parallel(Tables.documents(s, dir))
       .select(col("doc_id"), col("source"),
         Text.tokenCount(Text.normText(col("text"))).as("n_tokens"),
@@ -97,10 +100,10 @@ object Pipeline {
     * Scala side derives from `rate`. */
   def pipelineOracleSql(benchSource: String = "src0",
       rate: Double = SampleRate, nShards: Int = 8): String = {
-    val cut = (rate * 4294967296.0).toLong
+    val cut = Curation.hashCut(rate)
     s"""
       WITH cur AS (${Curation.curationOracleSql}),
-      dec AS (${Dedup.decontaminateOracleSql}),
+      dec AS (${Dedup.decontaminateOracleSql(benchSource)}),
       base AS (SELECT doc_id, source,
           CASE WHEN length(t) = 0 THEN CAST(0 AS BIGINT)
                ELSE CAST(length(t) - length(regexp_replace(t, ' ', '', 'g')) + 1 AS BIGINT)

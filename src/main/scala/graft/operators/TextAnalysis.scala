@@ -656,9 +656,14 @@ object TextAnalysis {
         ((did * 3) % 256).cast("string"), lit("."),
         ((did * 7) % 256).cast("string"), lit("."),
         ((did * 11) % 254 + 1).cast("string"))).otherwise(lit("")),
+    // did is bounded mod 1e9 BEFORE the Knuth multiply: the raw product
+    // overflows Long past doc_id ~3.4e9, which ANSI mode (Spark 4 default)
+    // turns into a query-killing ARITHMETIC_OVERFLOW at corpus scale —
+    // same bound in the oracle, so both engines plant identical digits
     when(did % 6 === 0,
       concat(lit(" card 4"),
-        lpad(((did * 2654435761L) % 1000000000000000L).cast("string"), 15, "0")))
+        lpad(((did % 1000000000L) * 2654435761L % 1000000000000000L)
+          .cast("string"), 15, "0")))
       .otherwise(lit("")))
 
   /** PII detection + redaction — the scrubbing pass every training-data
@@ -714,7 +719,7 @@ object TextAnalysis {
         CASE WHEN doc_id % 4 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
         CASE WHEN doc_id % 5 = 0 THEN ' from ' || (doc_id % 223 + 1) || '.' || ((doc_id*3) % 256) || '.' ||
              ((doc_id*7) % 256) || '.' || ((doc_id*11) % 254 + 1) ELSE '' END ||
-        CASE WHEN doc_id % 6 = 0 THEN ' card 4' || lpad(CAST((doc_id * 2654435761) % 1000000000000000 AS VARCHAR), 15, '0') ELSE '' END
+        CASE WHEN doc_id % 6 = 0 THEN ' card 4' || lpad(CAST((doc_id % 1000000000) * 2654435761 % 1000000000000000 AS VARCHAR), 15, '0') ELSE '' END
         AS t FROM documents)
       SELECT doc_id,
         CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_emails,

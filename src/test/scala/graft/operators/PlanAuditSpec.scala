@@ -233,7 +233,10 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     // the one-row totals frame must ride a broadcast, never a shuffle
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
-    // exactly one corpus scan feeds both count tables and the doc-word side
+    // the uncached plan tokenizes the corpus at most three times (word
+    // stats, totals, doc-word side); in production the persisted word-stats
+    // cache collapses the first two — the pin guards against any FURTHER
+    // re-scan creeping in (e.g. a per-total or per-join corpus pass)
     assert(count(plan, "documents\\.parquet") <= 3, plan)
   }
 
