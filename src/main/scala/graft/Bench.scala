@@ -72,6 +72,7 @@ object Bench {
     "sa05_shard_assign",
     "sa06_dsir_weight",
     "pl01_pipeline",
+    "cl01_quality_classifier",
     "ir01_bm25_topk",
     "ir02_inverted_index",
     "ir03_tfidf_terms",

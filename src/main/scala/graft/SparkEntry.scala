@@ -90,6 +90,9 @@ object SparkEntry {
     "sa06_dsir_weight"     -> ((s: SparkSession, d: String) => Curation.dsirWeightQuery(s, d)),
     "pl01_pipeline"        -> ((s: SparkSession, d: String) => Pipeline.pipelineQuery(s, d)),
     "pl02_funnel"          -> Pipeline.funnelQuery _,
+    // model-based quality filtering: full-batch logistic GD (lr=1.0,
+    // 6dp-rounded gradients — engine-portable by the kmeans recipe)
+    "cl01_quality_classifier" -> ((s: SparkSession, d: String) => graft.operators.Classifier.qualityClassifierQuery(s, d)),
     "ir01_bm25_topk"       -> ((s: SparkSession, d: String) => Search.bm25TopK(s, d)),
     "ir02_inverted_index"  -> ((s: SparkSession, d: String) => Search.invertedIndex(s, d)),
     "ir03_tfidf_terms"     -> ((s: SparkSession, d: String) => Search.tfIdfTopTerms(s, d)),
@@ -506,6 +509,9 @@ object SparkEntry {
     // parameterized defs interpolating the same cut/shard literals (r4 rule)
     "pl01_pipeline" -> graft.operators.Pipeline.pipelineOracleSql(),
     "pl02_funnel" -> graft.operators.Pipeline.funnelOracleSql,
+    // cl01: the GD loop unrolled into generated CTE blocks from the same
+    // iters spec (kmeans oracle pattern — operator and oracle cannot drift)
+    "cl01_quality_classifier" -> graft.operators.Classifier.qualityClassifierOracleSql(),
     "ir01_bm25_topk" -> graft.operators.Search.bm25OracleSql,
     "ir02_inverted_index" -> graft.operators.Search.invertedIndexOracleSql,
     "ir03_tfidf_terms" -> graft.operators.Search.tfIdfOracleSql,

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Text
+
+/** Model-based quality filtering — the fasttext/logistic-regression corpus
+  * classifier every large LLM pipeline trains (GPT-3's WebText-vs-crawl LR
+  * filter, LLaMA's Wikipedia-reference classifier, CCNet): learn a linear
+  * model separating a trusted slice of the corpus from the rest, then score
+  * every document. Here the trusted label is `source = 'src0'` (a stand-in
+  * for "curated corpus" — the label column is the only pluggable part).
+  *
+  * Training is full-batch logistic-regression gradient descent: exactly the
+  * topology of Spark MLlib's `GradientDescent` — per-iteration the corpus
+  * computes a partially-aggregated gradient (map-side combine down to 5
+  * doubles), the DRIVER holds the weight vector (O(#features), bounded by
+  * construction), and the next iteration's expressions embed the weights as
+  * literals (a broadcast of size 5). The corpus never leaves the executors
+  * and never shuffles: every iteration is one scan of the persisted feature
+  * frame + one 5-double aggregate. At 100 TB that is `iters` cached-read
+  * passes — the same cost profile as MLlib on the same data.
+  *
+  * Engine-portable determinism (the [[Similarity.kmeansFit]] recipe):
+  * each gradient component is `round(avg(...), 6)` so the two engines'
+  * different partial-sum orders cannot drift, and the learning rate is
+  * fixed at 1.0 so the weight update `w - g` is a single IEEE subtraction
+  * of two 6-dp values — bit-identical everywhere, no re-rounding step
+  * whose tie behavior could differ. The oracle unrolls the same loop into
+  * generated CTE blocks from the same `iters` spec, so operator and oracle
+  * cannot drift.
+  */
+object Classifier {
+
+  /** Per-document feature frame: label y (source == trusted) and four
+    * scale-normalized quality signals, every one a ratio of exact integer
+    * counts (token count, distinct-token count, character count, stopword
+    * count) so both engines derive bit-identical doubles. */
+  private[operators] def features(s: SparkSession, dir: String,
+      trusted: String): DataFrame = {
+    val tok = col("n_tok")
+    Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"), col("source"), Text.normText(col("text")).as("t"))
+      .select(col("doc_id"), col("source"), col("t"),
+        Text.tokenCount(col("t")).as("n_tok"),
+        Text.doubledSpaces(col("t")).as("dd"))
+      .select(
+        col("doc_id"),
+        when(col("source") === trusted, 1.0).otherwise(0.0).as("y"),
+        (tok.cast("double") / 100.0).as("x1"),
+        when(tok > 0, size(array_distinct(split(col("t"), " "))).cast("long")
+          .cast("double") / tok).otherwise(0.0).as("x2"),
+        when(tok > 0, (length(col("t")) - tok + 1).cast("double") / tok / 10.0)
+          .otherwise(0.0).as("x3"),
+        when(tok > 0,
+          (Text.wordOccurrencesInDoubled(col("dd"), "the") +
+            Text.wordOccurrencesInDoubled(col("dd"), "a")).cast("double") / tok)
+          .otherwise(0.0).as("x4"))
+  }
+
+  private def z(w: Array[Double]): Column =
+    lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+      lit(w(3)) * col("x3") + lit(w(4)) * col("x4")
+
+  private def sigmoid(zc: Column): Column = lit(1.0) / (lit(1.0) + exp(-zc))
+
+  /** Train the classifier (`iters` full-batch GD steps, lr = 1.0) and score
+    * every document: (doc_id, label, score, predicted). */
+  def qualityClassifierQuery(s: SparkSession, dir: String, iters: Int = 8,
+      trusted: String = "src0"): DataFrame = {
+    val f = features(s, dir, trusted)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Array.fill(5)(0.0)
+    for (_ <- 1 to iters) {
+      val e = sigmoid(z(w)) - col("y")
+      val g = f.agg(
+        round(avg(e), 6), round(avg(e * col("x1")), 6),
+        round(avg(e * col("x2")), 6), round(avg(e * col("x3")), 6),
+        round(avg(e * col("x4")), 6)).head()
+      for (j <- 0 until 5) w(j) -= g.getDouble(j)
+    }
+    f.select(col("doc_id"), col("y").cast("long").as("label"),
+        round(sigmoid(z(w)), 6).as("score"))
+      .withColumn("predicted", col("score") >= 0.5)
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB SQL replicating [[qualityClassifierQuery]] exactly — the GD loop
+    * unrolled into generated CTE blocks from the SAME `iters` spec
+    * (the [[Similarity.kmeansOracleSql]] pattern). */
+  def qualityClassifierOracleSql(iters: Int = 8,
+      trusted: String = "src0"): String = {
+    def zSql(wt: String) = s"($wt.b + $wt.w1*x1 + $wt.w2*x2 + $wt.w3*x3 + $wt.w4*x4)"
+    val blocks = (1 to iters).map { i =>
+      val pw = s"w${i - 1}"
+      s"""
+      g$i AS (SELECT round(avg(e), 6) AS g0, round(avg(e*x1), 6) AS g1,
+                     round(avg(e*x2), 6) AS g2, round(avg(e*x3), 6) AS g3,
+                     round(avg(e*x4), 6) AS g4
+              FROM (SELECT 1/(1+exp(-${zSql(pw)})) - y AS e, x1, x2, x3, x4
+                    FROM f CROSS JOIN $pw) ze),
+      w$i AS (SELECT b - g0 AS b, w1 - g1 AS w1, w2 - g2 AS w2,
+                     w3 - g3 AS w3, w4 - g4 AS w4
+              FROM w${i - 1} CROSS JOIN g$i)"""
+    }.mkString(",")
+    s"""
+      WITH d AS (SELECT doc_id, source,
+                        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                 FROM documents),
+      c AS (SELECT doc_id, source, t,
+                   CASE WHEN length(t) = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(length(t) - length(regexp_replace(t, ' ', '', 'g')) + 1 AS BIGINT)
+                   END AS n_tok,
+                   replace(' ' || t || ' ', ' ', '  ') AS dd
+            FROM d),
+      f AS (SELECT doc_id,
+                   CASE WHEN source = '$trusted' THEN 1.0 ELSE 0.0 END AS y,
+                   CAST(n_tok AS DOUBLE)/100.0 AS x1,
+                   CASE WHEN n_tok = 0 THEN 0.0
+                        ELSE CAST(CAST(len(list_distinct(string_split(t, ' '))) AS BIGINT) AS DOUBLE)/n_tok
+                   END AS x2,
+                   CASE WHEN n_tok = 0 THEN 0.0
+                        ELSE CAST(length(t) - n_tok + 1 AS DOUBLE)/n_tok/10.0
+                   END AS x3,
+                   CASE WHEN n_tok = 0 THEN 0.0
+                        ELSE CAST(CAST((length(dd) - length(regexp_replace(dd, ' \\Qthe\\E ', '', 'g')))/5 AS BIGINT)
+                                + CAST((length(dd) - length(regexp_replace(dd, ' \\Qa\\E ', '', 'g')))/3 AS BIGINT) AS DOUBLE)/n_tok
+                   END AS x4
+            FROM c),
+      w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4),
+      $blocks,
+      scored AS (SELECT doc_id, CAST(y AS BIGINT) AS label,
+                        round(1/(1+exp(-${zSql(s"w$iters")})), 6) AS score
+                 FROM f CROSS JOIN w$iters)
+      SELECT doc_id, label, score, score >= 0.5 AS predicted
+      FROM scored ORDER BY doc_id"""
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession.{spark, sf0001}
+
+/** cl01 model-based quality filtering: the distributed GD loop must agree
+  * with a plain-Scala recompute of the same math on the collected feature
+  * frame, and the scoring pass must stay a cache-read with no keyed
+  * exchange. */
+class ClassifierSpec extends AnyFunSuite {
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("cl01: distributed GD equals the local recompute on collected features") {
+    val f = Classifier.features(spark, sf0001, "src0")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        Array(1.0, r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+    val w = Array.fill(5)(0.0)
+    for (_ <- 1 to 8) {
+      val g = Array.fill(5)(0.0)
+      for ((_, y, x) <- f) {
+        val z = (0 until 5).map(j => w(j) * x(j)).sum
+        val e = 1.0 / (1.0 + math.exp(-z)) - y
+        for (j <- 0 until 5) g(j) += e * x(j)
+      }
+      for (j <- 0 until 5) w(j) -= round6(g(j) / f.length)
+    }
+    val expected = f.map { case (id, y, x) =>
+      val z = (0 until 5).map(j => w(j) * x(j)).sum
+      (id, y.toLong, round6(1.0 / (1.0 + math.exp(-z))))
+    }.sortBy(_._1)
+    val got = Classifier.qualityClassifierQuery(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length === expected.length)
+    // summation order differs (local fold vs partial aggs), so compare at
+    // the rounding granularity the operator itself guarantees
+    for (((gi, gy, gs), (ei, ey, es)) <- got.zip(expected)) {
+      assert(gi === ei)
+      assert(gy === ey)
+      assert(math.abs(gs - es) < 2e-6, s"doc $gi: got $gs expected $es")
+    }
+  }
+
+  test("cl01: scores are probabilities, labels match the trusted source, " +
+    "predicted is the 0.5 cut") {
+    val rows = Classifier.qualityClassifierQuery(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val score = r.getDouble(2)
+      assert(score > 0.0 && score < 1.0)
+      assert(r.getBoolean(3) === (score >= 0.5))
+    }
+    // base-rate sanity: with near-uninformative features the learned bias
+    // pulls scores toward the trusted-source prevalence, far from 0.5
+    val mean = rows.map(_.getDouble(2)).sum / rows.length
+    assert(mean > 0.0 && mean < 0.6, s"mean score $mean")
+  }
+}

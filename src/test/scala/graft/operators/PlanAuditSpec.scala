@@ -263,4 +263,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(iFilter >= 0 && iDistinct >= 0 && iFilter > iDistinct,
       s"hamming cut not below the distinct exchange:\n$plan")
   }
+
+  test("cl01: scoring reads the cached feature frame with no keyed exchange") {
+    val plan = planOf(Classifier.qualityClassifierQuery(spark, sf0001))
+    // training persisted the features; scoring must be a cache read with
+    // embedded weight literals — zero shuffles except the harness orderBy
+    assert(plan.contains("InMemoryTableScan"), plan)
+    assert(!plan.contains("hashpartitioning"), plan)
+  }
 }
