@@ -95,20 +95,37 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
-    // AMBIENT load, sampled before this JVM does any work: the bench itself
-    // spikes loadavg, so only a pre-run sample distinguishes "machine was
-    // busy" from "bench was running". Above cpus/8 the run is flagged
-    // contended in the artifact and each query gets an extra timed attempt
-    // (min over attempts — contention only ever adds time).
+    // Contention self-report, round-5 lesson: ONE ambient loadavg sample
+    // missed load that arrived during the 15-minute run (loadavg_start was
+    // 12.13 on a contended run that still printed contended:false). Plain
+    // in-run loadavg thresholds can't fix that — the bench's OWN 32-thread
+    // work pushes loadavg past any cpus/8 bar on an idle machine, so the
+    // flag would always fire and mean nothing. Instead the timed window
+    // measures FOREIGN cpu directly: (system busy jiffies from /proc/stat)
+    // minus (this JVM's cpu time) over the wall window. Foreign load is
+    // exactly the thing that inflates timings, measured with the bench's
+    // own work subtracted out.
     def loadavg1: Double =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    /** Non-idle jiffies across all cpus (USER_HZ=100/s units). */
+    def sysBusyJiffies: Long =
+      try {
+        val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
+          .trim.split("\\s+").drop(1).map(_.toLong)
+        f.zipWithIndex.collect { case (v, i) if i != 3 && i != 4 => v }.sum
+      } catch { case _: Throwable => -1L }
+    def procCpuNanos: Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+        case _ => -1L
+      }
+    val loadThreshold = cpus.toDouble / 8.0
     val ambientLoad = loadavg1
-    val contended = ambientLoad > cpus.toDouble / 8.0
-    if (contended)
+    if (ambientLoad > loadThreshold)
       System.err.println(f"[bench] WARNING: ambient loadavg $ambientLoad%.2f > " +
-        f"${cpus.toDouble / 8.0}%.1f (cpus/8) - machine is contended; timings " +
+        f"$loadThreshold%.1f (cpus/8) - machine is contended; timings " +
         "will be inflated. Flagging \"contended\":true and using min-of-3.")
 
     val spark = SparkSession.builder()
@@ -138,18 +155,18 @@ object Bench {
       }
     }
 
-    def loadavg: String =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(",")
-      catch { case _: Throwable => "" }
-    val loadBefore = loadavg
+    val loadAfterWarmup = loadavg1
 
-    // two timed runs per query (three when contended), report the min —
-    // damps GC/JIT noise so the number reflects the plan, not the weather
-    // in this JVM. The cache is cleared before every attempt so intra-query
-    // persist() stages are honestly recomputed each time; a query failing
-    // ANY attempt reports -1 (a flaky query must not be certified with its
-    // lucky run's time).
-    val attempts = if (contended) 3 else 2
+    // two timed runs per query (three when the pre-JVM ambient sample flags
+    // contention), report the min — damps GC/JIT noise so the number
+    // reflects the plan, not the weather in this JVM. The cache is cleared
+    // before every attempt so intra-query persist() stages are honestly
+    // recomputed each time; a query failing ANY attempt reports -1 (a flaky
+    // query must not be certified with its lucky run's time).
+    val attempts = if (ambientLoad > loadThreshold) 3 else 2
+    val sysJ0 = sysBusyJiffies
+    val procNs0 = procCpuNanos
+    val wall0 = System.nanoTime()
     val results = headline.map { name =>
       val times = (1 to attempts).map { _ =>
         spark.catalog.clearCache()
@@ -159,15 +176,59 @@ object Bench {
       }
       (name, if (times.forall(_ >= 0)) times.min else -1.0, times)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // per-run spread + machine load: a contended sandbox shows up as a wide
-    // run1/run2 gap and a high loadavg, so an inflated total is auditable
-    // from the artifact itself instead of needing an idle-machine rerun
-    val runs = results.map { case (k, _, ts) => "\"" + k + "\":[" + ts.mkString(",") + "]" }
-      .mkString("{", ",", "}")
+    // average foreign cores busy during the timed window: system busy time
+    // minus this JVM's cpu time, per wall second. >cpus/8 foreign cores in
+    // hand means other processes were competing for the machine.
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    val foreignCores = {
+      val sysJ1 = sysBusyJiffies; val procNs1 = procCpuNanos
+      if (sysJ0 < 0 || sysJ1 < 0 || procNs0 < 0 || procNs1 < 0 || wallSec <= 0) -1.0
+      else math.max(0.0,
+        ((sysJ1 - sysJ0) / 100.0 - (procNs1 - procNs0) / 1e9) / wallSec)
+    }
+    val loadAtEnd = loadavg1
+    val samples = Seq(ambientLoad, loadAfterWarmup, loadAtEnd)
+    val contended = ambientLoad > loadThreshold || foreignCores > loadThreshold
+    if (foreignCores > loadThreshold)
+      System.err.println(f"[bench] WARNING: $foreignCores%.2f foreign cores " +
+        f"busy during the timed window (> $loadThreshold%.1f) - flagging " +
+        "contended:true; timings are inflated by outside load.")
+
+    def r3(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"contended":$contended,"loadavg_ambient":$ambientLoad,"loadavg_start":"$loadBefore","loadavg_end":"$loadavg","sf":"$sfDir"}""")
+
+    // FULL artifact (full query names, every attempt, load samples) goes to
+    // a file + stderr: the driver's stdout capture is truncated (~2k chars;
+    // BENCH_r05's "parsed":null), so the machine-read line must stay small.
+    val runs = results.map { case (k, _, ts) =>
+      "\"" + k + "\":[" + ts.map(r3).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val qsFull = results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsFull,"runs":$runs,"attempts":$attempts,"contended":$contended,"foreign_cores":${r3(foreignCores)},"loadavg":[${samples.map(r3).mkString(",")}],"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(p, fullJson + "\n")
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${t.getMessage}")
+    }
+    System.err.println(s"[bench] full artifact: $fullJson")
+
     spark.stop()
+
+    // ONE compact JSON line on stdout, printed LAST (after spark.stop(), so
+    // no shutdown logging can land beyond it in a combined capture). Keys
+    // are each query's family code (the unique prefix before the first '_',
+    // e.g. dd03_minhash_lsh -> dd03) and values are 3-decimal seconds —
+    // this keeps the whole line ~1.3 KB, inside the driver's capture
+    // window. Full names live in the file artifact above.
+    val qsShort = results.map { case (k, v, _) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"attempts":$attempts,"contended":$contended,"foreign_cores":${r3(foreignCores)},"loadavg":[${samples.map(r3).mkString(",")}],"sf":"$sfDir"}""")
   }
 }

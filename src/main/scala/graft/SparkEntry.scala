@@ -262,8 +262,8 @@ object SparkEntry {
       ORDER BY o_orderkey""",
     "q32_range_frame" -> """
       SELECT user_id, event_id,
-             round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)
-                    RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW), 2) AS hour_sum
+             round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2) AS hour_sum
       FROM events ORDER BY user_id, event_id""",
     "q33_map_funcs" -> """
       SELECT event_id,

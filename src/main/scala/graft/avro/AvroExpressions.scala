@@ -6,7 +6,7 @@ import org.apache.avro.util.Utf8
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -94,19 +94,34 @@ object AvroSchemaConverter {
 }
 
 /** decode_confluent_avro(value: binary) with a fixed reader schema.
-  * Set framed=false for raw (unframed) Avro binary. */
+  * Set framed=false for raw (unframed) Avro binary.
+  *
+  * Codegen: like the vector/hash expressions, the generated code calls
+  * [[compute]] on a plan-time reference to this instance — the expression
+  * participates in whole-stage codegen (no CodegenFallback interpreted
+  * row path), and the per-row work is one virtual call into the same
+  * decoder the interpreted path uses (CodegenParitySpec pins equality). */
 case class AvroDecode(child: Expression, schemaJson: String, framed: Boolean = true)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   @transient private lazy val schema: Schema = SchemaRegistryClient.parse(schemaJson)
   @transient private lazy val sqlType: DataType = AvroSchemaConverter.toSqlType(schema)
 
   override def dataType: DataType = sqlType
 
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[Array[Byte]]
+  def compute(bytes: Array[Byte]): Any = {
     val payload = if (framed) ConfluentAvro.unframe(bytes).payload else bytes
     AvroSchemaConverter.toCatalyst(ConfluentAvro.decode(payload, schema), schema)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("avroDecode", this, classOf[AvroDecode].getName)
+    val tpe = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+      .boxedType(dataType)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = ($tpe) $ref.compute($v);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): AvroDecode =
@@ -127,7 +142,7 @@ object AvroDecode {
   * topic→serializer map, producer.py:136-140). */
 case class AvroEncode(child: Expression, schemaJson: String, schemaId: Int,
     framed: Boolean = true)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   @transient private lazy val schema: Schema = SchemaRegistryClient.parse(schemaJson)
 
@@ -182,11 +197,18 @@ case class AvroEncode(child: Expression, schemaJson: String, schemaId: Int,
 
   override def dataType: DataType = org.apache.spark.sql.types.BinaryType
 
-  override def nullSafeEval(input: Any): Any = {
+  def compute(input: Any): Array[Byte] = {
     require(validated)
     val datum = fromCatalyst(input, schema)
     val payload = ConfluentAvro.encode(datum, schema)
     if (framed) ConfluentAvro.frame(schemaId, payload) else payload
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("avroEncode", this, classOf[AvroEncode].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
   }
 
   private def fromCatalyst(v: Any, rawSchema: Schema): AnyRef = {

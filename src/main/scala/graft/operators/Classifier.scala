@@ -71,19 +71,29 @@ object Classifier {
       trusted: String = "src0"): DataFrame = {
     val f = features(s, dir, trusted)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val w = Array.fill(5)(0.0)
-    for (_ <- 1 to iters) {
-      val e = sigmoid(z(w)) - col("y")
-      val g = f.agg(
-        round(avg(e), 6), round(avg(e * col("x1")), 6),
-        round(avg(e * col("x2")), 6), round(avg(e * col("x3")), 6),
-        round(avg(e * col("x4")), 6)).head()
-      for (j <- 0 until 5) w(j) -= g.getDouble(j)
+    try {
+      val w = Array.fill(5)(0.0)
+      for (_ <- 1 to iters) {
+        val e = sigmoid(z(w)) - col("y")
+        val g = f.agg(
+          round(avg(e), 6), round(avg(e * col("x1")), 6),
+          round(avg(e * col("x2")), 6), round(avg(e * col("x3")), 6),
+          round(avg(e * col("x4")), 6)).head()
+        for (j <- 0 until 5) w(j) -= g.getDouble(j)
+      }
+      // trained weights re-embedded as literals; the returned scoring pass
+      // recomputes the (columnar, exchange-free) feature scan from source
+      f.select(col("doc_id"), col("y").cast("long").as("label"),
+          round(sigmoid(z(w)), 6).as("score"))
+        .withColumn("predicted", col("score") >= 0.5)
+        .orderBy(col("doc_id"))
+    } finally {
+      // the cache exists FOR the `iters` training actions above, which have
+      // all run by now; dropping it here means no RDD blocks outlive the
+      // call (round-5 review: at 100 TB a leaked cache evicts working
+      // state). Cost: the one scoring pass recomputes the feature scan.
+      f.unpersist(blocking = false)
     }
-    f.select(col("doc_id"), col("y").cast("long").as("label"),
-        round(sigmoid(z(w)), 6).as("score"))
-      .withColumn("predicted", col("score") >= 0.5)
-      .orderBy(col("doc_id"))
   }
 
   /** DuckDB SQL replicating [[qualityClassifierQuery]] exactly — the GD loop

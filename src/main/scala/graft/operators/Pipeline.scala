@@ -21,12 +21,14 @@ import graft.functions.Text
   * formulation (columnar verdict passes, broadcast benchmark spans,
   * map-only hash sampling, per-shard windows); the composition itself only
   * ever joins doc-keyed MANIFEST rows (doc_id + a few scalars, never
-  * text), and the staged disposition is persisted at manifest scale so the
-  * kept-side shard window and the final join share one computation. The
-  * shard/pos window runs ONLY over kept rows partitioned by shard —
-  * dropped docs never enter a window partition (the naive
-  * `when(kept, row_number)` over the full manifest would pile every
-  * dropped doc into one skewed partition).
+  * text). The shard/pos assignment is ONE window pass over the staged
+  * manifest: kept rows partition by their shard; dropped rows are spread
+  * across disjoint synthetic partitions whose row_numbers are discarded —
+  * so no single skewed "dropped" partition forms (the naive
+  * `when(kept, row_number)` over a two-valued partition key would pile
+  * every dropped doc into one partition), and the manifest is computed
+  * exactly once with nothing persisted (round-5 review: a leaked cache
+  * entry at 100 TB evicts working state).
   */
 object Pipeline {
 
@@ -39,17 +41,22 @@ object Pipeline {
   def pipelineQuery(s: SparkSession, dir: String, benchSource: String = "src0",
       rate: Double = SampleRate, nShards: Int = 8): DataFrame = {
     val staged = stagedDisposition(s, dir, benchSource, rate)
-    val w = Window.partitionBy(col("shard")).orderBy(col("rk"), col("doc_id"))
-    val kept = staged.filter(col("stage") === "kept")
-      .withColumn("shard",
+    val isKept = col("stage") === "kept"
+    // One window pass assigns (shard, pos) to kept rows. Dropped rows need
+    // no position, but they must not collapse into one skew partition — so
+    // they ride DISJOINT synthetic keys (negative, spread by doc_id) whose
+    // tiny per-partition row_numbers are computed and discarded. No
+    // self-join, no persisted manifest.
+    val partKey = when(isKept,
         pmod(Curation.prefix32(col("rk")).cast("long"), lit(nShards.toLong)))
-      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
-      .select(col("doc_id"), col("shard"), col("pos"))
+      .otherwise(lit(-1L) - pmod(col("doc_id"), lit(1024L)))
+    val w = Window.partitionBy(col("pk")).orderBy(col("rk"), col("doc_id"))
     staged
-      .join(kept, Seq("doc_id"), "left")
+      .withColumn("pk", partKey)
+      .withColumn("rn", row_number().over(w))
       .select(col("doc_id"), col("stage"),
-        coalesce(col("shard"), lit(-1L)).as("shard"),
-        coalesce(col("pos"), lit(-1L)).as("pos"),
+        when(isKept, col("pk")).otherwise(lit(-1L)).as("shard"),
+        when(isKept, (col("rn") - 1).cast("long")).otherwise(lit(-1L)).as("pos"),
         col("n_tokens"))
       .orderBy(col("doc_id"))
   }
@@ -68,9 +75,9 @@ object Pipeline {
       .orderBy(col("stage"))
 
   /** The manifest-scale (doc_id, stage, rk, n_tokens) disposition behind
-    * [[pipelineQuery]] — persisted (it is doc-keyed scalars, never text)
-    * because the kept-side window and the final join both read it. Split
-    * out so PlanAuditSpec can drop its cache entry. */
+    * [[pipelineQuery]] — read exactly once by each consumer (the window
+    * formulation above removed the second read), so nothing is persisted
+    * and no cache entry outlives the query. */
   private[operators] def stagedDisposition(s: SparkSession, dir: String,
       benchSource: String = "src0", rate: Double = SampleRate): DataFrame = {
     val cut = Curation.hashCut(rate) // sa03's threshold, one shared definition
@@ -91,7 +98,6 @@ object Pipeline {
           .when(col("contaminated"), lit("contaminated"))
           .when(col("h32") >= cut, lit("sampled_out"))
           .otherwise(lit("kept")).as("stage"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** DuckDB oracle for [[pipelineQuery]]: the sub-operators' own oracle SQL

@@ -359,13 +359,14 @@ object Relational {
 
   /** Event-time RANGE frame (W2): per-user sliding one-hour sum keyed by
     * VALUE distance on the sort key, not row count — peers at equal ts all
-    * enter the frame. ts is epoch nanos (long), so the bound is numeric
-    * (3600e9) on both engines. */
+    * enter the frame. The frame runs over `ts_us` (epoch micros, long —
+    * see Tables.events) so the bound is the same exact integer (3600e6) on
+    * both engines, with no timestamp-interval arithmetic in the frame. */
   def rangeFrame(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-      .rangeBetween(-3600L * 1000000000L, Window.currentRow)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-3600L * 1000000L, Window.currentRow)
     Tables.events(s, dir)
-      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
       .withColumn("hour_sum", round(sum(col("value")).over(w), 2))
       .select(col("user_id"), col("event_id"), col("hour_sum"))
       .orderBy(col("user_id"), col("event_id"))

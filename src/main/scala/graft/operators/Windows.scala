@@ -15,7 +15,7 @@ import graft.core.Tables
   */
 object Windows {
 
-  private def eventTime = Tables.nanosToTimestamp(col("ts"))
+  private def eventTime = col("ts") // TimestampType, normalized by Tables.events
 
   /** Tumbling 1-hour windows per event type. */
   def tumblingQuery(s: SparkSession, dir: String): DataFrame =
@@ -53,21 +53,18 @@ object Windows {
   /** Conversion funnel (ordered-sequence analytics): per user, the first
     * 'signup' and the first 'purchase' at-or-after it, whether the user
     * converted, and the integer seconds in between. Times stay in epoch
-    * nanos (the raw sort key) so the comparison and the difference are
-    * exact integer arithmetic on both engines.
+    * micros (the canonical `ts_us` key) so the comparison and the difference
+    * are exact integer arithmetic on both engines.
     *
     * Plan shape for 100 TB: two event-type-filtered scans each reduced by a
     * map-side-combined min per user, then user-keyed joins — the exchanges
     * carry one row per user, never the raw event stream; no window over the
     * full event sequence is ever materialized. */
   def funnelQuery(s: SparkSession, dir: String): DataFrame = {
-    // epoch MICROS both sides: DuckDB truncates TIMESTAMP(NANOS) parquet to
-    // micros on read, so micros (= ns div 1000, truncation) is the exact
-    // cross-engine timestamp resolution; comparisons use micros too so both
-    // engines apply identical at-or-after semantics
+    // epoch MICROS both sides (ts_us == DuckDB's epoch_us(ts) exactly — see
+    // Tables.events) so both engines apply identical at-or-after semantics
     val ev = Tables.events(s, dir)
-      .select(col("user_id"), col("event_type"),
-        expr("ts div 1000").as("tus"))
+      .select(col("user_id"), col("event_type"), col("ts_us").as("tus"))
     val signup = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("tus")).as("signup_us"))
     val purchase = ev.filter(col("event_type") === "purchase")
@@ -109,7 +106,7 @@ object Windows {
     * aggregate scales with raw event volume. */
   def retentionQuery(s: SparkSession, dir: String): DataFrame = {
     val userDays = Tables.events(s, dir)
-      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
       .distinct()
     val cohorts = userDays.groupBy(col("user_id"))
       .agg(min(col("day")).as("cohort_day"))
@@ -150,7 +147,7 @@ object Windows {
       .partitionBy(col("from_type"))
     Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
-        expr("ts div 1000").as("tus"))
+        col("ts_us").as("tus"))
       .withColumn("to_type", lead(col("event_type"), 1).over(w))
       .filter(col("to_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("to_type"))
@@ -200,7 +197,7 @@ object Windows {
       .rowsBetween(-10, -1)
     Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), col("value"),
-        expr("ts div 1000").as("tus"))
+        col("ts_us").as("tus"))
       .withColumn("c", round(col("value") * 100, 0).cast("long"))
       .withColumn("n", count(col("c")).over(w))
       .withColumn("sc", sum(col("c")).over(w))

@@ -46,9 +46,11 @@ import graft.operators.Dedup
   * contract): once a bucket's store reaches `cap` members, later arrivals
   * compare against the bucket's FIRST member only and are not stored —
   * state per key is bounded, and the boilerplate-bucket case still marks
-  * every later member as a candidate duplicate of the first. At 100 TB the
-  * production deployment would add a TTL ([[TTLConfig]]) to age buckets
-  * out with the retention window; the spec pins the cap behavior.
+  * every later member as a candidate duplicate of the first. The time axis
+  * is bounded too: a retention TTL ([[TTLConfig]], wired through
+  * [[candidatesStream]]'s `ttl` parameter) ages bucket members out, so a
+  * long-running 100 TB deployment holds only the retention window's
+  * fingerprints. The spec pins both the cap and the TTL eviction.
   */
 object NearDupStream {
 
@@ -152,14 +154,26 @@ object NearDupStream {
     * continuously-running service. Arrival order across microbatches is the
     * replay order (ascending doc_id); within a microbatch the processor
     * sorts. NearDupSpec proves output equality with [[candidates]] on the
-    * same increments. */
+    * same increments.
+    *
+    * `ttl` bounds the store's GROWTH IN TIME, the axis the cap alone does
+    * not: at 100 TB a long-running deployment ages bucket members out with
+    * the retention window (documents older than the window can no longer be
+    * named `dup_of`, matching how batch re-runs would only scan the
+    * window). TTL requires processing-time semantics, so the stream runs in
+    * TimeMode.ProcessingTime when a retention is set; NearDupSpec proves
+    * aged-out members stop matching. */
   def candidatesStream(banded: Dataset[BandedDoc],
-      cap: Int = Dedup.HotBucketCap): Dataset[CandidatePair] = {
+      cap: Int = Dedup.HotBucketCap,
+      ttl: Option[java.time.Duration] = None): Dataset[CandidatePair] = {
     import banded.sparkSession.implicits._
+    val ttlConfig = ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
+    val timeMode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
     banded
       .groupByKey(d => (d.band, d.bh))
-      .transformWithState(new NearDupBucketProcessor(cap, Dedup.SigPrefilter),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(
+        new NearDupBucketProcessor(cap, Dedup.SigPrefilter, ttlConfig),
+        timeMode, OutputMode.Append())
   }
 
   /** Stage 3: exact verification + per-doc verdict, batch relational ops
@@ -226,8 +240,12 @@ object NearDupStream {
 /** The per-bucket fingerprint store as a [[StatefulProcessor]]: ListState
   * of (doc_id, signature), append-ordered (ascending doc_id given ordered
   * replay), bounded by `cap` with first-member star fallback — the
-  * stateful twin of [[graft.operators.Dedup.HotBucketCap]]'s contract. */
-private[state] final class NearDupBucketProcessor(cap: Int, prefilter: Double)
+  * stateful twin of [[graft.operators.Dedup.HotBucketCap]]'s contract.
+  * `ttl` (TTLConfig) ages members out of the store after the retention
+  * window — the state store filters expired entries on read, so an aged
+  * bucket behaves exactly like an empty one. */
+private[state] final class NearDupBucketProcessor(cap: Int, prefilter: Double,
+    ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[(Int, Long), NearDupStream.BandedDoc, NearDupStream.CandidatePair] {
   import NearDupStream.{BandedDoc, CandidatePair, SeenDoc, sigOverlap}
 
@@ -235,7 +253,7 @@ private[state] final class NearDupBucketProcessor(cap: Int, prefilter: Double)
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     store = getHandle.getListState[SeenDoc]("bucket_docs",
-      Encoders.product[SeenDoc], TTLConfig.NONE)
+      Encoders.product[SeenDoc], ttl)
 
   override def handleInputRows(key: (Int, Long), rows: Iterator[BandedDoc],
       timers: TimerValues): Iterator[CandidatePair] = {

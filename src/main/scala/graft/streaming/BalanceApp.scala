@@ -55,7 +55,7 @@ object BalanceApp {
         lit("events").as("topic"),
         lit(0).as("partition"),
         col("event_id").as("offset"),
-        graft.core.Tables.nanosToTimestamp(col("ts")).as("timestamp"))
+        col("ts").as("timestamp")) // TimestampType, normalized by Tables.events
       .as[Message]
       .map(m => m.copy(partition = Murmur3.partition(m.key, partitions)))
   }

@@ -19,9 +19,15 @@ class CodegenParitySpec extends AnyFunSuite {
   private def run(expr: Expression, rows: Seq[InternalRow]): Unit = {
     val compiled = GenerateMutableProjection.generate(Seq(expr))
     val toScala = CatalystTypeConverters.createToScalaConverter(expr.dataType)
+    // Array[Byte] (BinaryType) compares by reference under ==; normalize to
+    // a Seq so binary-valued expressions get VALUE equality like the rest
+    def norm(v: Any): Any = v match {
+      case b: Array[Byte] => b.toSeq
+      case other          => other
+    }
     rows.foreach { row =>
-      val c = toScala(compiled(row).get(0, expr.dataType))
-      val i = toScala(expr.eval(row))
+      val c = norm(toScala(compiled(row).get(0, expr.dataType)))
+      val i = norm(toScala(expr.eval(row)))
       assert(c == i, s"compiled $c != interpreted $i for input $row")
     }
   }
@@ -98,5 +104,32 @@ class CodegenParitySpec extends AnyFunSuite {
       row(sarr()), row(null))
     run(SimHash64(toks), rows)
     run(Md5SimHash60(toks), rows)
+  }
+
+  test("AvroEncode / AvroDecode compiled == interpreted (framed + raw)") {
+    import graft.avro.{AvroDecode, AvroEncode}
+    val schemaJson =
+      """{"name":"AccountBalanceChangeRequest","type":"record","fields":[
+        {"name":"account_id","type":"string","default":""},
+        {"name":"timestamp","type":"float","default":0},
+        {"name":"amount","type":"int","default":0}]}"""
+    val structType = StructType(Seq(
+      StructField("account_id", StringType),
+      StructField("timestamp", FloatType),
+      StructField("amount", IntegerType)))
+    val in = BoundReference(0, structType, nullable = true)
+    val record = new GenericInternalRow(
+      Array[Any](UTF8String.fromString("A7"), 1.5f, -2500))
+    val encRows = Seq(row(record), row(null))
+    run(AvroEncode(in, schemaJson, schemaId = 42), encRows)
+    run(AvroEncode(in, schemaJson, schemaId = 42, framed = false), encRows)
+    // decode parity over the bytes the encoder just produced
+    val framedBytes = AvroEncode(in, schemaJson, 42).eval(row(record))
+      .asInstanceOf[Array[Byte]]
+    val rawBytes = AvroEncode(in, schemaJson, 42, framed = false)
+      .eval(row(record)).asInstanceOf[Array[Byte]]
+    val binIn = BoundReference(0, BinaryType, nullable = true)
+    run(AvroDecode(binIn, schemaJson), Seq(row(framedBytes), row(null)))
+    run(AvroDecode(binIn, schemaJson, framed = false), Seq(row(rawBytes), row(null)))
   }
 }

@@ -306,11 +306,11 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows.length == nEvents)
     // each user's first event has an empty trailing frame => null stats
     val events = graft.core.Tables.events(spark, sf0001)
-      .select(col("user_id"), col("event_id"), col("value"), col("ts"))
+      .select(col("user_id"), col("event_id"), col("value"), col("ts_us"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
     val byUser = events.groupBy(_._1).map { case (u, es) =>
-      u -> es.sortBy(e => (e._4 / 1000, e._2))
+      u -> es.sortBy(e => (e._4, e._2))
     }
     val got = rows.map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
     byUser.foreach { case (u, es) =>

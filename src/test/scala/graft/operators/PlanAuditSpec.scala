@@ -241,15 +241,19 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("pl01: manifest joins only, bench spans broadcast, shard window partitioned") {
-    Pipeline.stagedDisposition(spark, sf0001).unpersist(blocking = true)
     val plan = planOf(Pipeline.pipelineQuery(spark, sf0001))
     assert(!plan.contains("CartesianProduct"), plan)
     // dd08's benchmark span set must still ride a broadcast inside the
     // composition, not degrade to a corpus-span shuffle
     assert(plan.contains("BroadcastHashJoin"), plan)
-    // the kept-side shard/pos window is partitioned by shard — a global
-    // (unpartitioned) window over the manifest would serialize the corpus
-    assert(!plan.matches("(?s).*Window .*SinglePartition.*"), plan)
+    // the shard/pos window is partitioned on the synthetic pk (kept rows by
+    // shard, dropped rows by spread keys) — a global (unpartitioned) window
+    // over the manifest would serialize the corpus
+    assert(plan.matches("(?s).*Window \\[row_number\\(\\) windowspecdefinition\\(pk#.*"), plan)
+    // the staged manifest is computed exactly ONCE in-plan (the r5 shape
+    // computed it twice behind a persist whose cache entry outlived the
+    // query): the stage-cascade CASE appears in one Project only
+    assert(count(plan, "ELSE kept END AS stage#") == 1, plan)
   }
 
   test("mm04: hamming cut sits under the pair distinct's exchange") {
@@ -264,11 +268,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"hamming cut not below the distinct exchange:\n$plan")
   }
 
-  test("cl01: scoring reads the cached feature frame with no keyed exchange") {
-    val plan = planOf(Classifier.qualityClassifierQuery(spark, sf0001))
-    // training persisted the features; scoring must be a cache read with
-    // embedded weight literals — zero shuffles except the harness orderBy
-    assert(plan.contains("InMemoryTableScan"), plan)
+  test("cl01: no keyed exchange in scoring; training cache does not leak") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = Classifier.qualityClassifierQuery(spark, sf0001)
+    // the training cache must be dropped by the time the query returns —
+    // no RDD blocks outlive the call (r5 review item)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
+    val plan = planOf(df)
+    // scoring is a recomputed columnar scan with embedded weight literals —
+    // no cache read, zero shuffles except the harness orderBy
+    assert(!plan.contains("InMemoryTableScan"), plan)
     assert(!plan.contains("hashpartitioning"), plan)
   }
 }

@@ -72,6 +72,79 @@ class NearDupSpec extends AnyFunSuite {
     }
   }
 
+  test("TTL: aged-out bucket members stop matching (store bounded in time)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val ckKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    val prev = spark.conf.getOption(key)
+    val prevCk = spark.conf.getOption(ckKey)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // TTL state adds secondary-index column families whose per-commit file
+    // fan-out deadlocks the checksum manager's fixed await pool in local
+    // mode (tasks park in ChecksumCheckpointFileManager.awaitResult and the
+    // first microbatch never finishes) — corruption checksums are
+    // orthogonal to what this test pins, so switch them off here
+    spark.conf.set(ckKey, "false")
+    // In ProcessingTime mode the engine runs continuous cleanup batches
+    // (the TTL makes every batch schedule another), so the stream is never
+    // idle and processAllAvailable would block forever. Progress is
+    // observed through a listener counting processed input rows instead.
+    val seen = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.name == "dd12_ttl") seen.addAndGet(e.progress.numInputRows)
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    def waitUntil(cond: => Boolean, what: String): Unit = {
+      val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
+      while (!cond && System.nanoTime < deadline) Thread.sleep(50)
+      assert(cond, s"timed out waiting for $what")
+    }
+    spark.streams.addListener(listener)
+    try {
+      import spark.implicits._
+      // two identical docs (guaranteed near-dups, same buckets) arriving in
+      // separate microbatches; with a 4 s retention and a 6 s gap, doc 1's
+      // fingerprints age out before doc 2 arrives -> NO candidate pair.
+      val text = "the quick brown fox jumps over the lazy dog " * 8
+      val input = MemoryStream[(Long, String)](spark)
+      val banded = bandedDocs(input.toDS().toDF("doc_id", "text"))
+      val q = candidatesStream(banded,
+          ttl = Some(java.time.Duration.ofSeconds(4))).toDF()
+        .writeStream.format("memory").queryName("dd12_ttl")
+        .outputMode(OutputMode.Append).start()
+      try {
+        input.addData((1L, text))
+        waitUntil(seen.get >= 1, "doc 1 processed")
+        Thread.sleep(6000) // > TTL: doc 1's bucket state expires
+        input.addData((2L, text))
+        waitUntil(seen.get >= 2, "doc 2 processed")
+        val expired = spark.table("dd12_ttl").count()
+        assert(expired == 0L, s"aged-out member still matched: $expired pairs")
+        // negative control: doc 3 arrives INSIDE doc 2's retention window
+        // and must still match it — TTL evicts by age, not wholesale
+        input.addData((3L, text))
+        waitUntil(seen.get >= 3, "doc 3 processed")
+        waitUntil(spark.table("dd12_ttl").count() > 0, "pair (2,3) emitted")
+        val pairs = spark.table("dd12_ttl").select("doc_a", "doc_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(pairs == Set((2L, 3L)), s"expected (2,3) only, got $pairs")
+      } finally q.stop()
+    } finally {
+      spark.streams.removeListener(listener)
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+      prevCk match {
+        case Some(v) => spark.conf.set(ckKey, v)
+        case None    => spark.conf.unset(ckKey)
+      }
+    }
+  }
+
   test("hot-bucket cap: star candidates only, state stops growing") {
     val sig = Array(1L, 2L, 3L, 4L)
     val arrivals = (0L until 6L).map(i => BandedDoc(0, 0L, i, sig))
