@@ -89,6 +89,16 @@ object Bench {
     "sim04_ivf_ann",
     "sim05_embed_neardup_lsh",
     "sim07_pq_ann",
+    // round-6 additions (dd14/dd15 re-run the full LSH+clustering pipeline
+    // dd05 already benches, so only the cheaper consumer, dd15, is listed)
+    "ev05_sessionize",
+    "dd15_soft_dedup",
+    "dq03_drift_psi",
+    "sa07_temperature_mix",
+    "ir04_boolean_retrieval",
+    "ta16_lexical_stats",
+    "mm05_scene_cut",
+    "pl03_training_weights",
   )
 
   def main(args: Array[String]): Unit = {

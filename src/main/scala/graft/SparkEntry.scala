@@ -123,6 +123,18 @@ object SparkEntry {
     "mm02_frame_sample"    -> Multimodal.frameSampleQuery _,
     "mm03_media_embed_topk" -> ((s: SparkSession, d: String) => Multimodal.mediaEmbedTopK(s, d)),
     "mm04_image_neardup"   -> ((s: SparkSession, d: String) => Multimodal.imageNearDupQuery(s, d)),
+    "mm05_scene_cut"       -> ((s: SparkSession, d: String) => Multimodal.sceneCutQuery(s, d)),
+    // round-6 additions: session analytics, quality-policy dedup,
+    // duplicate-aware reweighting, drift monitoring, mixture planning,
+    // boolean retrieval, lexical diversity
+    "ev05_sessionize"      -> ((s: SparkSession, d: String) => Windows.sessionizeQuery(s, d)),
+    "dd14_canonical_select" -> Dedup.canonicalSelect _,
+    "dd15_soft_dedup"      -> Dedup.softDedup _,
+    "dq03_drift_psi"       -> graft.operators.DataQuality.driftPsiQuery _,
+    "sa07_temperature_mix" -> Curation.temperatureMixQuery _,
+    "ir04_boolean_retrieval" -> ((s: SparkSession, d: String) => Search.booleanRetrieval(s, d)),
+    "ta16_lexical_stats"   -> TextAnalysis.lexicalStatsQuery _,
+    "pl03_training_weights" -> Pipeline.trainingWeightsQuery _,
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables, same column
@@ -579,6 +591,55 @@ object SparkEntry {
     // ordered ADC folds) — like sim04, the full ANN structure is re-derived
     // in SQL and hash-compared
     "sim07_pq_ann" -> graft.operators.Similarity.pqOracleSql(),
+    // round-6 additions
+    "ev05_sessionize" -> Windows.sessionizeOracleSql,
+    "dq03_drift_psi" -> graft.operators.DataQuality.driftPsiOracleSql,
+    "sa07_temperature_mix" -> Curation.temperatureMixOracleSql,
+    "ir04_boolean_retrieval" -> Search.booleanRetrievalOracleSql,
+    "ta16_lexical_stats" -> TextAnalysis.lexicalStatsOracleSql,
+    "mm05_scene_cut" -> Multimodal.sceneCutOracleSql(),
+    "pl03_training_weights" ->
+      graft.operators.Pipeline.trainingWeightsOracleSql(pairsSubquerySql),
+    // dd14/dd15 consume the SAME cluster labels as dd05 — their oracles
+    // extend dd05's recursive-component SQL with the selection / weighting
+    "dd14_canonical_select" -> s"""
+      WITH RECURSIVE pairs AS (${pairsSubquerySql}),
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach(n, m) AS (
+        SELECT a, a FROM (SELECT a FROM edges UNION SELECT b FROM edges) t(a)
+        UNION
+        SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n
+      ),
+      cl AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+      j AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars
+            FROM cl JOIN documents d USING (doc_id)),
+      r AS (SELECT cluster_id, doc_id, n_chars,
+              row_number() OVER (PARTITION BY cluster_id
+                ORDER BY n_chars DESC, doc_id) AS rnk,
+              CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+            FROM j)
+      SELECT cluster_id, doc_id AS kept_doc_id, n_chars AS kept_n_chars,
+             n_members
+      FROM r WHERE rnk = 1 ORDER BY cluster_id""",
+    "dd15_soft_dedup" -> s"""
+      WITH RECURSIVE pairs AS (${pairsSubquerySql}),
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach(n, m) AS (
+        SELECT a, a FROM (SELECT a FROM edges UNION SELECT b FROM edges) t(a)
+        UNION
+        SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n
+      ),
+      cl AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+      sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize
+             FROM cl GROUP BY cluster_id),
+      pd AS (SELECT cl.doc_id, cl.cluster_id, sz.csize
+             FROM cl JOIN sz USING (cluster_id))
+      SELECT d.doc_id, pd.cluster_id,
+             CAST(1 AS DOUBLE) / CAST(coalesce(pd.csize, 1) AS DOUBLE) AS weight
+      FROM documents d LEFT JOIN pd USING (doc_id)
+      ORDER BY d.doc_id""",
   )
 
   /** DuckDB sequential-fold cosine of two DOUBLE[] columns — bit-identical

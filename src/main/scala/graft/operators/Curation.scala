@@ -24,7 +24,13 @@ object Curation {
   val MinTokens = 10
   val MaxDupRatio = 0.5
 
-  def curationQuery(s: SparkSession, dir: String): DataFrame = {
+  def curationQuery(s: SparkSession, dir: String): DataFrame =
+    curationVerdicts(s, dir).orderBy(col("doc_id"))
+
+  /** The unsorted per-doc verdicts — shared by [[curationQuery]] (which
+    * reports them) and [[Pipeline.trainingWeightsQuery]] (which joins
+    * them without paying the report's range exchange). */
+  private[operators] def curationVerdicts(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
     // ONE columnar pass computes every per-row signal (fingerprint,
     // language scores, token count — the exact formulas of the standalone
@@ -53,7 +59,6 @@ object Curation {
           .when(col("n_tokens") < MinTokens, "too_short")
           .when(col("dup_ratio") >= MaxDupRatio, "span_dup")
           .otherwise("ok").as("reason"))
-      .orderBy(col("doc_id"))
   }
 
   /** Deterministic stratified sampling: per stratum (language), keep the
@@ -230,6 +235,58 @@ object Curation {
       WHERE h32 < rate * 4294967296.0
       ORDER BY doc_id"""
   }
+
+  /** Temperature-scaled source mixture (the Gopher/PaLM "alpha-sampling"
+    * planner): each source's sampling share is its natural share raised to
+    * alpha and renormalized — flattening the source distribution so small
+    * high-quality domains are not drowned by bulk web text. Alpha is fixed
+    * at 0.5, which makes the power a `sqrt` — correctly-rounded IEEE in
+    * both engines (a general `pow` is NOT, which is why the exponent is a
+    * contract here, not a parameter). The per-source weight is rounded to
+    * 8dp before the 20-term normalizer sum so the sum's last-ulp
+    * order-dependence is gone, and the emitted shares round at 6dp.
+    * `boost` = temp_share / nat_share is the epochs multiplier a sampler
+    * downstream of this planner applies (cf. [[mixtureSampleQuery]]).
+    *
+    * Plan shape for 100 TB: one map-side-combined count per source plus a
+    * broadcast scalar total — the corpus is scanned once, source-projected;
+    * everything after the count is arithmetic over |sources| rows. */
+  def temperatureMixQuery(s: SparkSession, dir: String): DataFrame = {
+    // the corpus total and the normalizer are single-partition windows over
+    // the |sources|-row count table — NOT a self-joined re-aggregation,
+    // which would scan the corpus twice (once per branch)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    Tables.parallel(Tables.documents(s, dir))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("nat_share",
+        col("n_docs").cast("double") / sum(col("n_docs")).over(all).cast("double"))
+      .withColumn("w", round(sqrt(col("nat_share")), 8))
+      .withColumn("z", round(sum(col("w")).over(all), 8))
+      .select(col("source"), col("n_docs"), col("nat_share"),
+        round(col("w") / col("z"), 6).as("temp_share"),
+        round(col("w") / col("z") / col("nat_share"), 6).as("boost"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB SQL replicating [[temperatureMixQuery]] exactly (same sqrt
+    * power, same 8dp-before-sum normalizer, same association order). */
+  val temperatureMixOracleSql: String = """
+      WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                 FROM documents GROUP BY source),
+      b AS (SELECT source, n_docs,
+              CAST(n_docs AS DOUBLE) /
+                CAST(sum(n_docs) OVER () AS DOUBLE) AS nat_share
+            FROM c),
+      b2 AS (SELECT source, n_docs, nat_share,
+               round(sqrt(nat_share), 8) AS w
+             FROM b),
+      b3 AS (SELECT source, n_docs, nat_share, w,
+               round(sum(w) OVER (), 8) AS z
+             FROM b2)
+      SELECT source, n_docs, nat_share,
+             round(w / z, 6) AS temp_share,
+             round(w / z / nat_share, 6) AS boost
+      FROM b3 ORDER BY source"""
 
   /** Deterministic training-shard assignment — the "global shuffle + write
     * N training files" step at the end of every corpus pipeline: each

@@ -141,4 +141,73 @@ object DataQuality {
         FROM lineitem l WHERE NOT EXISTS
           (SELECT 1 FROM orders o2 WHERE o2.o_orderkey = l.l_orderkey)
       ) z ORDER BY check_name"""
+
+  /** Distribution-drift report (PSI) between two corpus snapshots — the
+    * check a production pipeline runs before admitting a new crawl batch:
+    * for each monitored feature (document-length bucket, language, source)
+    * and each observed bucket, the reference/current counts and the
+    * bucket's Population-Stability-Index contribution
+    * (p - q) * ln(p / q), with add-one smoothing over the feature's
+    * observed bucket set so an empty side never divides by zero. Snapshots
+    * here are the deterministic doc_id-parity split (a caller with real
+    * snapshot columns passes those instead). Per-bucket terms are emitted
+    * (the headline PSI is their sum) so the output has NO cross-row float
+    * summation — every value is exact-integer arithmetic plus a fixed IEEE
+    * op sequence, rounded 6dp only where ln's last ulp could wobble.
+    *
+    * Plan shape for 100 TB: ONE corpus scan (narrow: three columns) fans
+    * into the long form via stack(), reduced by a map-side-combined count
+    * keyed by (feature, bucket); the smoothing totals ride a window over
+    * the SAME feature-keyed data — bucket-scale rows only, the corpus never
+    * shuffles. */
+  def driftPsiQuery(s: SparkSession, dir: String): DataFrame = {
+    val wf = org.apache.spark.sql.expressions.Window.partitionBy(col("feature"))
+    val long = Tables.parallel(Tables.documents(s, dir))
+      .select((col("doc_id") % 2 === 1).as("is_cur"),
+        expr("stack(3, 'len', CAST(n_chars div 100 AS STRING), " +
+          "'lang', lang, 'source', source) AS (feature, bucket)"))
+    long
+      .groupBy(col("feature"), col("bucket"))
+      .agg(
+        sum(when(!col("is_cur"), 1L).otherwise(0L)).as("ref_n"),
+        sum(when(col("is_cur"), 1L).otherwise(0L)).as("cur_n"))
+      .withColumn("ref_tot", sum(col("ref_n")).over(wf))
+      .withColumn("cur_tot", sum(col("cur_n")).over(wf))
+      .withColumn("n_buckets", count(lit(1)).over(wf))
+      .withColumn("p", (col("ref_n") + 1L).cast("double") /
+        (col("ref_tot") + col("n_buckets")).cast("double"))
+      .withColumn("q", (col("cur_n") + 1L).cast("double") /
+        (col("cur_tot") + col("n_buckets")).cast("double"))
+      .select(col("feature"), col("bucket"), col("ref_n"), col("cur_n"),
+        round((col("p") - col("q")) * log(col("p") / col("q")), 6)
+          .as("psi_term"))
+      .orderBy(col("feature"), col("bucket"))
+  }
+
+  /** DuckDB SQL replicating [[driftPsiQuery]] exactly (same parity split,
+    * same smoothing, same association order in the PSI arithmetic). */
+  val driftPsiOracleSql: String = """
+      WITH long AS (
+        SELECT doc_id % 2 = 1 AS is_cur, 'len' AS feature,
+               CAST(n_chars // 100 AS VARCHAR) AS bucket FROM documents
+        UNION ALL
+        SELECT doc_id % 2 = 1, 'lang', lang FROM documents
+        UNION ALL
+        SELECT doc_id % 2 = 1, 'source', source FROM documents),
+      c AS (SELECT feature, bucket,
+              CAST(sum(CASE WHEN NOT is_cur THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+              CAST(sum(CASE WHEN is_cur THEN 1 ELSE 0 END) AS BIGINT) AS cur_n
+            FROM long GROUP BY feature, bucket),
+      w AS (SELECT feature, bucket, ref_n, cur_n,
+              CAST(sum(ref_n) OVER f AS BIGINT) AS ref_tot,
+              CAST(sum(cur_n) OVER f AS BIGINT) AS cur_tot,
+              CAST(count(*) OVER f AS BIGINT) AS n_buckets
+            FROM c WINDOW f AS (PARTITION BY feature)),
+      pq AS (SELECT feature, bucket, ref_n, cur_n,
+               CAST(ref_n + 1 AS DOUBLE) / CAST(ref_tot + n_buckets AS DOUBLE) AS p,
+               CAST(cur_n + 1 AS DOUBLE) / CAST(cur_tot + n_buckets AS DOUBLE) AS q
+             FROM w)
+      SELECT feature, bucket, ref_n, cur_n,
+             round((p - q) * ln(p / q), 6) AS psi_term
+      FROM pq ORDER BY feature, bucket"""
 }

@@ -458,21 +458,87 @@ object Dedup {
       FROM batch b LEFT JOIN store s USING (fp)
       ORDER BY b.doc_id"""
 
-  /** Transitive duplicate clusters from the LSH pair set, by iterative
-    * min-label propagation (the scalable connected-components pattern:
-    * each round is one shuffle join; rounds ~ cluster diameter, which for
-    * near-dup graphs is tiny). Output: (doc_id, cluster_id=min id of the
-    * component) for every doc that appears in at least one pair. */
-  def dupClusters(s: SparkSession, dir: String): DataFrame = {
+  /** Transitive duplicate clusters from the LSH pair set — exact connected
+    * components over the verified near-dup graph (execution is a
+    * size-guarded hybrid, see [[clusterLabels]]). Output: (doc_id,
+    * cluster_id=min id of the component) for every doc that appears in at
+    * least one pair. */
+  def dupClusters(s: SparkSession, dir: String): DataFrame =
+    clusterLabels(s, dir)
+      .orderBy(col("doc_id"))
+
+  /** Pair-count bound under which connected components run as a driver
+    * union-find instead of the distributed loop. The pair set is
+    * collision-bounded (the LSH banding + verification admit TRUE
+    * near-dup relations only — see SCALE.md's 10× rehearsal, where 50k
+    * docs with 9 planted near-dups each produced 250k pairs), so at this
+    * bound the collected edges are ≤ ~64 MB of longs: bounded by
+    * construction, not by corpus size. A 100 TB corpus whose verified
+    * pair set still exceeds this (billions of true duplicate relations)
+    * takes the distributed min-label path below. */
+  val DriverCcMaxPairs: Long = 4L * 1000 * 1000
+
+  /** The unsorted (doc_id, cluster_id) component labels — shared by
+    * [[dupClusters]] (which reports them) and the cluster-consuming
+    * operators ([[canonicalSelect]], [[softDedup]]), which would otherwise
+    * pay a pointless global range-exchange before their own shuffles.
+    *
+    * Hybrid execution: exact connected components either way, chosen by
+    * the VERIFIED pair count. Under [[DriverCcMaxPairs]] the edge list
+    * collects to a driver union-find (path-halving; O(E α)) — one job
+    * instead of ~3 jobs × diameter rounds, and the labels return as a
+    * LocalTableScan that downstream joins broadcast. Above it, the
+    * distributed min-label propagation runs (each round one shuffle join;
+    * rounds ~ component diameter). This is the standard production shape:
+    * the pair GRAPH is orders smaller than the corpus, so the driver path
+    * almost always wins, while the distributed path keeps the operator
+    * total even when it doesn't. */
+  private[operators] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
     val (rawPairs, lshCaches) = minhashLshPairsTracked(s, dir)
     val pairs = rawPairs.select(col("doc_a"), col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = pairs.count()
+    lshCaches.foreach(_.unpersist(blocking = false))
+    val labels =
+      if (nPairs <= DriverCcMaxPairs) localLabels(s, pairs)
+      else distributedLabels(pairs)
+    pairs.unpersist(blocking = false)
+    labels
+  }
+
+  /** Driver union-find over the bounded pair set (see [[clusterLabels]]):
+    * path-halving find + link-to-min union, then every vertex labeled with
+    * the minimum doc_id of its component — the same output contract as the
+    * distributed path, verified equal in DedupSpec. */
+  private[operators] def localLabels(s: SparkSession, pairs: DataFrame): DataFrame = {
+    import s.implicits._
+    val es = pairs.select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // link larger root under smaller: roots stay component minima, so no
+      // second "resolve min" pass is needed
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val rows = parent.keysIterator.map(v => (v, find(v))).toSeq
+    s.createDataFrame(rows).toDF("doc_id", "cluster_id")
+  }
+
+  /** Distributed min-label propagation (the > [[DriverCcMaxPairs]] path). */
+  private[operators] def distributedLabels(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize the (tiny) edge set once, then release the LSH pipeline's
-    // intermediate caches — label propagation only ever re-reads `edges`
+    // materialize the (tiny) edge set once — label propagation only ever
+    // re-reads `edges`
     edges.count()
-    lshCaches.foreach(_.unpersist(blocking = false))
 
     var labels = edges.select(col("doc_a").as("id")).distinct()
       .withColumn("cluster", col("id"))
@@ -506,7 +572,60 @@ object Dedup {
       s"dupClusters did not converge after $iter rounds (component diameter > $iter?)")
     edges.unpersist(blocking = false) // result depends only on final labels
     labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
-      .orderBy(col("doc_id"))
+  }
+
+  /** Canonical-document selection (dedup with a QUALITY policy instead of
+    * keep-first): within every transitive near-dup cluster, keep the member
+    * with the most content (max n_chars; ties break on min doc_id), and
+    * report the cluster's size alongside — "which copy survives" is the
+    * question every production dedup answers after clustering, and
+    * keep-longest is the standard heuristic (e.g. CCNet keeps the longer
+    * paragraph). Exact-integer ordering → fully deterministic cross-engine.
+    *
+    * Plan shape for 100 TB: the cluster labels are a tiny projection of the
+    * near-dup graph (pairs only, never the corpus); the doc join carries
+    * (doc_id, n_chars) — never text; the pick is one window over the
+    * cluster-keyed shuffle, and the member count rides the SAME window
+    * partition (one exchange serves both). */
+  def canonicalSelect(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    clusterLabels(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")), "doc_id")
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(cw))
+      .filter(col("rnk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("kept_doc_id"),
+        col("n_chars").as("kept_n_chars"), col("n_members"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** Soft dedup (duplicate-aware REWEIGHTING instead of dropping): every
+    * document gets training weight 1/|its near-dup cluster| (1.0 for
+    * singletons), so duplicated content contributes once in expectation
+    * while no document is discarded — the "count-based down-weighting"
+    * alternative to hard dedup studied for LM training data. The weight is
+    * ONE IEEE division of exact integers: bit-identical cross-engine.
+    *
+    * Plan shape for 100 TB: cluster sizes reduce the label set (pairs-scale,
+    * not corpus-scale) with a map-side-combined count; the corpus pass is a
+    * doc_id-keyed LEFT join against that tiny table (AQE broadcasts it) —
+    * the text column is never touched. */
+  def softDedup(s: SparkSession, dir: String): DataFrame =
+    softWeights(s, dir).orderBy(col("doc_id"))
+
+  /** The unsorted per-doc weights — shared by [[softDedup]] (which reports
+    * them) and [[Pipeline.trainingWeightsQuery]] (which joins them). */
+  private[operators] def softWeights(s: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(s, dir)
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("csize"))
+    val perDoc = labels.join(sizes, "cluster_id")
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        (lit(1.0) / coalesce(col("csize"), lit(1L)).cast("double")).as("weight"))
   }
 
   /** Applied dedup (greedy keep-first): the retained corpus after dropping

@@ -379,4 +379,63 @@ object Multimodal {
       WHERE hamming <= $maxHamming
       ORDER BY media_a, media_b"""
   }
+
+  /** Query mm05 — scene-cut detection over the frame stream: the
+    * shot-boundary primitive of video curation (sample frames, reduce each
+    * to a cheap signal, flag frames whose signal jumps from the previous
+    * one). Frames are CONSECUTIVE `chunkSize`-byte chunks of the payload
+    * (the stride-1 twin of [[sampleFrames]]); the per-frame signal is the
+    * dim-1 pooling of [[FakeDecoder]] (total octet sum — a real
+    * implementation pools decoded-luma exactly like this, one function
+    * swap); a cut is |signal - prev| > `threshold`. The first frame of
+    * every media has no predecessor: `delta`/`is_cut` are NULL there, in
+    * both engines. All arithmetic is exact integers.
+    *
+    * Plan shape for 100 TB: the chunk+pool pass is narrow per-partition
+    * work on the scan (payload bytes never shuffle — each frame leaves the
+    * map side as 24 bytes of ids+signal); the lag() rides ONE exchange
+    * keyed by media_id. Frame counts per media are payload/chunkSize, so
+    * per-key state in the window sort is bounded by the largest single
+    * payload, not the corpus. */
+  def sceneCutQuery(s: SparkSession, dir: String, chunkSize: Int = 64,
+      threshold: Long = 400): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    mediaFromDocuments(s, dir)
+      .flatMap { m =>
+        m.bytes.grouped(chunkSize).zipWithIndex.map { case (chunk, idx) =>
+          var f = 0L
+          var j = 0
+          while (j < chunk.length) { f += (chunk(j) & 0xff).toLong; j += 1 }
+          (m.media_id, idx.toLong, f)
+        }
+      }
+      .toDF("media_id", "frame_idx", "f")
+      .withColumn("delta", abs(col("f") - lag(col("f"), 1).over(w)))
+      .withColumn("is_cut", col("delta") > threshold)
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  /** DuckDB SQL replicating [[sceneCutQuery]] exactly: frames re-derived
+    * as 64-char substrings (the corpus is ASCII — char ord == UTF-8 octet,
+    * the same contract the mm01 oracle leans on), same octet-sum signal,
+    * same lag/threshold (NULL delta/is_cut on each media's first frame). */
+  def sceneCutOracleSql(chunkSize: Int = 64, threshold: Long = 400): String = s"""
+      WITH d AS (SELECT doc_id, text AS t FROM documents),
+      fr AS (SELECT doc_id, t,
+               unnest(range(0, CAST((length(t) + ${chunkSize - 1}) // $chunkSize AS BIGINT)))
+                 AS frame_idx
+             FROM d),
+      fs AS (SELECT doc_id AS media_id, frame_idx,
+               CAST(coalesce(list_sum(list_transform(range(0, $chunkSize),
+                 j -> CASE WHEN frame_idx * $chunkSize + j + 1 <= length(t)
+                           THEN ord(substr(t, CAST(frame_idx * $chunkSize + j + 1 AS INT), 1))
+                           ELSE 0 END)), 0) AS BIGINT) AS f
+             FROM fr)
+      SELECT media_id, frame_idx, f,
+             abs(f - lag(f, 1) OVER w) AS delta,
+             abs(f - lag(f, 1) OVER w) > $threshold AS is_cut
+      FROM fs WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)
+      ORDER BY media_id, frame_idx"""
 }

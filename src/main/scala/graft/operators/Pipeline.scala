@@ -86,7 +86,7 @@ object Pipeline {
         Text.tokenCount(Text.normText(col("text"))).as("n_tokens"),
         Curation.md5Prefix32(col("doc_id")).cast("long").as("h32"),
         md5(col("doc_id").cast("string")).as("rk"))
-    val cur = Curation.curationQuery(s, dir).select(col("doc_id"), col("reason"))
+    val cur = Curation.curationVerdicts(s, dir).select(col("doc_id"), col("reason"))
     val dec = Dedup.decontaminate(s, dir, benchSource)
       .select(col("doc_id"), col("contaminated"))
     base
@@ -145,4 +145,68 @@ object Pipeline {
       SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(n_tokens) AS BIGINT) AS total_tokens
       FROM pl GROUP BY stage ORDER BY stage"""
+
+  /** The FINAL per-document training weight — the number a weighted data
+    * loader actually consumes, composing three audited policies
+    * multiplicatively: the curation verdict as a hard gate (weight 0 for
+    * any non-`ok` reason), soft dedup's duplicate down-weighting
+    * ([[Dedup.softDedup]], 1/cluster-size) and the temperature mixture
+    * boost of the document's source ([[Curation.temperatureMixQuery]]).
+    * `train_weight = [reason = ok] * dup_weight * boost` — one IEEE
+    * multiply of two already-deterministic doubles, so the composition
+    * adds no rounding of its own.
+    *
+    * Plan shape for 100 TB: like pl01, the composition only ever joins
+    * doc-keyed MANIFEST rows (doc_id + a few scalars — the sub-operators'
+    * text passes stay inside their own audited plans); the 20-row boost
+    * table is broadcast. Each sub-operator is read once, nothing is
+    * persisted by the composition itself. */
+  def trainingWeightsQuery(s: SparkSession, dir: String): DataFrame = {
+    val verdicts = Curation.curationVerdicts(s, dir)
+      .select(col("doc_id"), col("reason"))
+    val dupW = Dedup.softWeights(s, dir)
+      .select(col("doc_id"), col("weight").as("dup_weight"))
+    val boosts = Curation.temperatureMixQuery(s, dir)
+      .select(col("source"), col("boost"))
+    Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(verdicts, "doc_id")
+      .join(dupW, "doc_id")
+      .join(broadcast(boosts), "source")
+      .select(col("doc_id"), col("source"), col("reason"), col("dup_weight"),
+        col("boost"),
+        when(col("reason") === "ok", col("dup_weight") * col("boost"))
+          .otherwise(lit(0.0)).as("train_weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[trainingWeightsQuery]]: the sub-operators' oracle
+    * SQL as CTEs (`pairsSql` is the caller's shared near-dup pair
+    * subquery — the same string the dd05/dd15 oracles interpolate), the
+    * identical gate-and-multiply composition. */
+  def trainingWeightsOracleSql(pairsSql: String): String = s"""
+      WITH cv AS (${Curation.curationOracleSql}),
+      dw AS (WITH RECURSIVE pairs AS ($pairsSql),
+             edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                       UNION ALL SELECT doc_b, doc_a FROM pairs),
+             reach(n, m) AS (
+               SELECT a, a FROM (SELECT a FROM edges UNION SELECT b FROM edges) t(a)
+               UNION
+               SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n
+             ),
+             cl AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+             sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize
+                    FROM cl GROUP BY cluster_id),
+             pd AS (SELECT cl.doc_id, sz.csize
+                    FROM cl JOIN sz USING (cluster_id))
+             SELECT d.doc_id,
+                    CAST(1 AS DOUBLE) / CAST(coalesce(pd.csize, 1) AS DOUBLE)
+                      AS dup_weight
+             FROM documents d LEFT JOIN pd USING (doc_id)),
+      tb AS (SELECT source, boost FROM (${Curation.temperatureMixOracleSql}) z)
+      SELECT d.doc_id, d.source, cv.reason, dw.dup_weight, tb.boost,
+             CASE WHEN cv.reason = 'ok' THEN dw.dup_weight * tb.boost
+                  ELSE CAST(0 AS DOUBLE) END AS train_weight
+      FROM documents d JOIN cv USING (doc_id) JOIN dw USING (doc_id)
+      JOIN tb ON d.source = tb.source
+      ORDER BY d.doc_id"""
 }

@@ -144,6 +144,54 @@ object Search {
           ORDER BY score DESC, term) AS rnk FROM sc) z
       WHERE rnk <= 5 ORDER BY doc_id, rnk"""
 
+  /** Boolean conjunctive retrieval (the AND-query primitive under every
+    * corpus-slicing tool): documents containing ALL query terms, ranked by
+    * total matched-term frequency (desc, doc_id asc). Scoring is EXACT
+    * integer arithmetic end-to-end — unlike [[bm25TopK]] there is no float
+    * anywhere, so the ranking is bit-deterministic by construction.
+    *
+    * Plan shape for 100 TB: identical to bm25's — per-term TFs are columnar
+    * count-occurrence expressions over ONE narrow corpus scan (no explode,
+    * no index, no join), the conjunctive filter prunes before the top-k,
+    * and the k-row TakeOrderedAndProject never globally sorts the corpus.
+    * With a pre-built [[invertedIndex]] this becomes a postings
+    * intersection; the scan form here is the index-free baseline that works
+    * on any corpus snapshot. */
+  def booleanRetrieval(s: SparkSession, dir: String,
+      terms: Seq[String] = QueryTerms, k: Int = TopK): DataFrame = {
+    val perDoc = Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"), Text.normText(col("text")).as("t"))
+      .select(col("doc_id"), Text.doubledSpaces(col("t")).as("dd"))
+      .select(Seq(col("doc_id")) ++ terms.map(t =>
+        Text.wordOccurrencesInDoubled(col("dd"), t).as(s"tf_$t")): _*)
+    perDoc
+      .filter(terms.map(t => col(s"tf_$t") > 0).reduce(_ && _))
+      .withColumn("total_tf", terms.map(t => col(s"tf_$t")).reduce(_ + _))
+      .orderBy(col("total_tf").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB SQL replicating [[booleanRetrieval]] exactly (same
+    * doubled-space occurrence counting, same integer ranking). */
+  def booleanRetrievalOracleSql: String = {
+    def occ(w: String): String =
+      s"CAST((length(dd) - length(regexp_replace(dd, ' \\Q$w\\E ', '', 'g'))) / ${w.length + 2} AS BIGINT)"
+    val tfCols = QueryTerms.map(t => s"${occ(t)} AS tf_$t").mkString(",\n               ")
+    val andPred = QueryTerms.map(t => s"tf_$t > 0").mkString(" AND ")
+    val totalTf = QueryTerms.map(t => s"tf_$t").mkString(" + ")
+    val tfOut = QueryTerms.map(t => s"tf_$t").mkString(", ")
+    s"""
+      WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                 FROM documents),
+      d2 AS (SELECT doc_id, replace(' ' || t || ' ', ' ', '  ') AS dd FROM d),
+      perdoc AS (SELECT doc_id,
+               $tfCols
+             FROM d2)
+      SELECT doc_id, $tfOut, $totalTf AS total_tf
+      FROM perdoc WHERE $andPred
+      ORDER BY total_tf DESC, doc_id LIMIT $TopK"""
+  }
+
   /** DuckDB SQL replicating [[bm25TopK]]: same tokenization (doubled-space
     * occurrence counting), same one-row corpus stats, same association
     * order in the score arithmetic. */

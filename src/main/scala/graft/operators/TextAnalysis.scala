@@ -735,4 +735,52 @@ object TextAnalysis {
          len(regexp_extract_all(t, '$Ipv4Re')) + len(regexp_extract_all(t, '$CardRe'))) > 0 AS has_pii
       FROM d ORDER BY doc_id"""
   }
+
+  /** Per-source lexical-diversity profile (the vocabulary-health panel of a
+    * corpus report): token volume, vocabulary size (types), type-token
+    * ratio, hapax legomena (types occurring once WITHIN the source) and the
+    * hapax share of the vocabulary — a collapsing TTR/hapax share is the
+    * classic symptom of template/boilerplate-dominated or synthetically
+    * repetitive sources. All counts are exact integers; the two ratios are
+    * single IEEE divisions — bit-identical cross-engine, no rounding.
+    *
+    * Plan shape for 100 TB: explode tokens -> ONE map-side-combined shuffle
+    * keyed by (source, word) -> per-source reduction of the (source, word)
+    * counts (a second, vocabulary-scale shuffle). The token stream itself
+    * never crosses the wire un-reduced, and nothing is collected: both
+    * exchanges carry count rows, not text. */
+  def lexicalStatsQuery(s: SparkSession, dir: String): DataFrame = {
+    val wordCounts = Tables.parallel(Tables.documents(s, dir))
+      .select(col("source"),
+        explode(split(Text.normText(col("text")), " ")).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+    wordCounts
+      .groupBy(col("source"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("ttr"),
+        (col("n_hapax").cast("double") / col("n_types").cast("double"))
+          .as("hapax_share"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB SQL replicating [[lexicalStatsQuery]] exactly. */
+  val lexicalStatsOracleSql: String = """
+      WITH d AS (SELECT source, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                 FROM documents),
+      toks AS (SELECT source, unnest(string_split(t, ' ')) AS word FROM d),
+      wc AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c
+             FROM toks GROUP BY source, word)
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+             CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS ttr,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+               CAST(count(*) AS DOUBLE) AS hapax_share
+      FROM wc GROUP BY source ORDER BY source"""
 }

@@ -249,4 +249,71 @@ object Windows {
                     ELSE CAST(c AS DOUBLE) / 100.0 <> mu END
              END AS is_anomaly
       FROM r ORDER BY user_id, event_id"""
+
+  /** Gap-based sessionization, the BATCH form (the replayable twin of the
+    * streaming `session_window` in [[sessionQuery]]): per user, events are
+    * segmented into sessions wherever the gap to the previous event exceeds
+    * `gapSecs`, and each session reduces to its span, event count and
+    * distinct-type count. Unlike [[sessionQuery]] (which keys sessions by
+    * their merged window start), this emits the per-user ordinal session
+    * index — the form downstream user-journey joins consume.
+    *
+    * Times stay in exact integer epoch micros (`ts_us`) so the gap
+    * comparison, the span and the duration are identical integer arithmetic
+    * in both engines; `(tus, event_id)` ordering is unique, so the running
+    * session index is fully deterministic.
+    *
+    * Plan shape for 100 TB: ONE exchange keyed by user_id and one in-task
+    * sort serve both the lag() and the running-sum window (same
+    * partition+order key); the session aggregate groups by
+    * (user_id, session_idx) with map-side partial aggregation, so the
+    * second exchange carries one row per session, not per event. Nothing
+    * global: no window spans more than one user's slice. */
+  def sessionizeQuery(s: SparkSession, dir: String, gapSecs: Long = 1800): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val run = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val gapUs = gapSecs * 1000000L
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_us").as("tus"))
+      .withColumn("prev", lag(col("tus"), 1).over(w))
+      .withColumn("boundary",
+        when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("boundary")).over(run))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("tus")).as("start_us"),
+        max(col("tus")).as("end_us"),
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"))
+      .withColumn("duration_secs", expr("(end_us - start_us) div 1000000"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  /** DuckDB SQL replicating [[sessionizeQuery]] exactly (gap = 1800 s; same
+    * ROWS running frame, same integer micros arithmetic). */
+  val sessionizeOracleSql: String = """
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+                 FROM events),
+      b AS (SELECT user_id, event_id, event_type, tus,
+              CASE WHEN lag(tus, 1) OVER w IS NULL
+                     OR tus - lag(tus, 1) OVER w > 1800000000
+                   THEN 1 ELSE 0 END AS boundary
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      sx AS (SELECT user_id, event_type, tus,
+               CAST(sum(boundary) OVER (PARTITION BY user_id
+                 ORDER BY tus, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS session_idx
+             FROM b)
+      SELECT user_id, session_idx,
+             min(tus) AS start_us, max(tus) AS end_us,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+             (max(tus) - min(tus)) // 1000000 AS duration_secs
+      FROM sx GROUP BY user_id, session_idx
+      ORDER BY user_id, session_idx"""
 }

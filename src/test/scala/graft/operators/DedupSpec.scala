@@ -126,4 +126,16 @@ class DedupSpec extends AnyFunSuite {
     val docs = graft.core.Tables.documents(spark, sf0001).count()
     assert(total == docs)
   }
+
+  test("clusterLabels hybrid: driver union-find == distributed propagation") {
+    val pairs = Dedup.minhashLshPairsTracked(spark, sf0001)._1
+      .select(col("doc_a"), col("doc_b")).persist()
+    assert(pairs.count() > 0)
+    val local = Dedup.localLabels(spark, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dist = Dedup.distributedLabels(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(local == dist, "both CC paths produce identical labels")
+    pairs.unpersist()
+  }
 }

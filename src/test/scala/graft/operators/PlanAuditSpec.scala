@@ -281,4 +281,74 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("InMemoryTableScan"), plan)
     assert(!plan.contains("hashpartitioning"), plan)
   }
+
+  test("ev05: ONE user-keyed exchange serves lag, running sum and the session agg") {
+    val plan = planOf(Windows.sessionizeQuery(spark, sf0001))
+    assert(plan.contains("hashpartitioning(user_id"), plan)
+    // the (user_id, session_idx) aggregate must REUSE the window's user_id
+    // partitioning (subset-key clustering) — a second keyed exchange would
+    // re-shuffle every event
+    assert(count(plan, "hashpartitioning") == 1, plan)
+  }
+
+  test("ir04: boolean retrieval is a zero-shuffle scan + TakeOrderedAndProject") {
+    val plan = planOf(Search.booleanRetrieval(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("hashpartitioning"), plan)
+    assert(!plan.contains("Join"), plan) // no index, no stats join — one pass
+  }
+
+  test("dq03: corpus never shuffles — only bucket-scale keyed exchanges") {
+    val plan = planOf(DataQuality.driftPsiQuery(spark, sf0001))
+    // (feature, bucket) count + feature window: exactly two keyed exchanges,
+    // both over bucket-scale rows (the stack() long form collapses map-side)
+    assert(count(plan, "hashpartitioning") == 2, plan)
+    assert(plan.contains("hashpartitioning(feature"), plan)
+  }
+
+  test("sa07: ONE corpus scan; normalizers are windows over the count table") {
+    val plan = planOf(Curation.temperatureMixQuery(spark, sf0001))
+    // no join at all — totals ride single-partition windows over 20 rows
+    assert(!plan.contains("Join"), plan)
+    assert(count(plan, "FileScan") == 1, plan)
+    // one keyed exchange: the per-source count
+    assert(count(plan, "hashpartitioning") == 1, plan)
+  }
+
+  test("ta16: token stream reduces map-side; two vocabulary-scale exchanges only") {
+    val plan = planOf(TextAnalysis.lexicalStatsQuery(spark, sf0001))
+    assert(count(plan, "hashpartitioning") == 2, plan)
+    assert(plan.contains("hashpartitioning(source, word") ||
+      plan.contains("hashpartitioning(source#"), plan)
+  }
+
+  test("mm05: frame signals shuffle once, keyed by media; payload never exchanges") {
+    val plan = planOf(Multimodal.sceneCutQuery(spark, sf0001))
+    assert(count(plan, "hashpartitioning\\(media_id") == 1, plan)
+    assert(count(plan, "hashpartitioning") == 1, plan)
+    // the lag window reads (media_id, frame_idx, f) — raw bytes stay map-side
+    assert(!plan.contains("frame_bytes"), plan)
+  }
+
+  test("dd14/dd15: cluster consumers read a text-pruned corpus scan") {
+    // (the cached LSH lineage legitimately reads text — the claim here is
+    // that the CONSUMER-side corpus scan is pruned to ids + n_chars)
+    val p14 = planOf(Dedup.canonicalSelect(spark, sf0001))
+    // both window functions (row_number + member count) share ONE
+    // cluster-keyed exchange
+    assert(count(p14, "hashpartitioning\\(cluster_id") == 1, p14)
+    assert(p14.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"), p14)
+    val p15 = planOf(Dedup.softDedup(spark, sf0001))
+    assert(p15.contains("ReadSchema: struct<doc_id:bigint>"), p15)
+  }
+
+  test("pl03: composition joins manifests only; boost table broadcasts") {
+    val plan = planOf(Pipeline.trainingWeightsQuery(spark, sf0001))
+    // the tiny per-source boost table joins by broadcast, never SMJ
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin [source"), plan)
+    // the composition's own corpus read is pruned to (doc_id, source) —
+    // text is only read inside the sub-operators' audited passes
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,source:string>"), plan)
+  }
 }
