@@ -99,6 +99,15 @@ object Bench {
     "ta16_lexical_stats",
     "mm05_scene_cut",
     "pl03_training_weights",
+    // round-6 second batch
+    "ev06_attribution",
+    "dq04_volume_anomaly",
+    "ta17_ppl_buckets",
+    "ir05_phrase_search",
+    "sa08_epoch_plan",
+    "mm06_audio_frames",
+    "cl02_naive_bayes_langid",
+    "gr01_dup_hub_rank",
   )
 
   def main(args: Array[String]): Unit = {

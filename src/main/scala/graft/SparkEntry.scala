@@ -135,6 +135,16 @@ object SparkEntry {
     "ir04_boolean_retrieval" -> ((s: SparkSession, d: String) => Search.booleanRetrieval(s, d)),
     "ta16_lexical_stats"   -> TextAnalysis.lexicalStatsQuery _,
     "pl03_training_weights" -> Pipeline.trainingWeightsQuery _,
+    // round-6 second batch: attribution, volume anomaly, perplexity
+    // buckets, phrase search, epoch planning, audio framing, naive Bayes
+    "ev06_attribution"     -> ((s: SparkSession, d: String) => Windows.attributionQuery(s, d)),
+    "dq04_volume_anomaly"  -> graft.operators.DataQuality.volumeAnomalyQuery _,
+    "ta17_ppl_buckets"     -> TextAnalysis.pplBucketsQuery _,
+    "ir05_phrase_search"   -> ((s: SparkSession, d: String) => Search.phraseSearch(s, d)),
+    "sa08_epoch_plan"      -> ((s: SparkSession, d: String) => Curation.epochPlanQuery(s, d)),
+    "mm06_audio_frames"    -> ((s: SparkSession, d: String) => Multimodal.audioFramesQuery(s, d)),
+    "cl02_naive_bayes_langid" -> ((s: SparkSession, d: String) => graft.operators.Classifier.naiveBayesLangQuery(s, d)),
+    "gr01_dup_hub_rank"    -> ((s: SparkSession, d: String) => graft.operators.Graph.dupHubRankQuery(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables, same column
@@ -640,6 +650,17 @@ object SparkEntry {
              CAST(1 AS DOUBLE) / CAST(coalesce(pd.csize, 1) AS DOUBLE) AS weight
       FROM documents d LEFT JOIN pd USING (doc_id)
       ORDER BY d.doc_id""",
+    // round-6 second batch
+    "ev06_attribution" -> Windows.attributionOracleSql(),
+    "dq04_volume_anomaly" -> graft.operators.DataQuality.volumeAnomalyOracleSql,
+    "ta17_ppl_buckets" -> TextAnalysis.pplBucketsOracleSql,
+    "ir05_phrase_search" -> Search.phraseSearchOracleSql(),
+    "sa08_epoch_plan" -> Curation.epochPlanOracleSql(),
+    "mm06_audio_frames" -> Multimodal.audioFramesOracleSql(),
+    "cl02_naive_bayes_langid" ->
+      graft.operators.Classifier.naiveBayesLangOracleSql(),
+    "gr01_dup_hub_rank" ->
+      graft.operators.Graph.dupHubRankOracleSql(pairsSubquerySql),
   )
 
   /** DuckDB sequential-fold cosine of two DOUBLE[] columns — bit-identical

@@ -146,4 +146,122 @@ object Classifier {
       SELECT doc_id, label, score, score >= 0.5 AS predicted
       FROM scored ORDER BY doc_id"""
   }
+
+  /** The closed language set of the synthetic corpus (a production caller
+    * passes its own label set; the list is a parameter of both the query
+    * and the oracle so they cannot drift). */
+  val Langs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
+  /** Multinomial naive-Bayes language classifier (the compact supervised
+    * twin of ta01's heuristic language ID — the model fasttext-style lang-ID
+    * reduces to for unigram features): train per-language word likelihoods
+    * with add-one smoothing on the corpus's own labels, then score every
+    * document against every language,
+    * score(d, l) = ln P(l) + Σ_w cnt(d,w) · ln((c(w,l)+1)/(t(l)+V)),
+    * and predict the top-ranked language. Emitted long-form — one row per
+    * (document, candidate language) with the rounded score and the
+    * predicted flag — so the whole decision surface is oracle-checked, not
+    * just the argmax.
+    *
+    * Determinism: counts, totals and V are exact integers; the per-doc
+    * likelihood sum is an order-dependent double agg → rounded 4dp (the
+    * ta07 policy); the argmax runs on the ROUNDED scores via
+    * row_number ordered (score desc, lang), so the ranking is a total order
+    * both engines compute identically.
+    *
+    * Plan shape for 100 TB: two vocabulary-scale map-side-combined shuffles
+    * build the per-(word, lang) count grid and the per-(doc, word) counts;
+    * the grid is densified to |langs| rows per word (stack — so smoothing
+    * needs no outer-join NULL path) and joined to the doc-word stream —
+    * AQE broadcasts it at test SF and degrades to a sort-merge join on the
+    * word key at web-corpus vocab; language totals/priors are a
+    * |langs|-row broadcast. The scoring exchange carries (doc, lang, sum)
+    * rows — |langs| x corpus-count, never text. */
+  def naiveBayesLangQuery(s: SparkSession, dir: String,
+      langs: Seq[String] = Langs): DataFrame = {
+    val docs = Tables.parallel(Tables.documents(s, dir))
+    val toks = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(Text.normText(col("text")), " ")).as("word"))
+    // dense per-(word, lang) counts: conditional sums, stacked long
+    val wide = toks.groupBy(col("word"))
+      .agg(langs.head match { case h =>
+        sum(when(col("lang") === h, 1L).otherwise(0L)).as(s"c_$h") },
+        langs.tail.map(l =>
+          sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"c_$l")): _*)
+    val stackArgs = langs.map(l => s"'$l', c_$l").mkString(", ")
+    val grid = wide.select(col("word"),
+      expr(s"stack(${langs.length}, $stackArgs) AS (cand_lang, c)"))
+    // per-language stats: token totals, doc priors; corpus vocab size
+    val langStats = toks.groupBy(col("lang").as("cand_lang"))
+      .agg(count(lit(1)).as("t"))
+      .join(docs.groupBy(col("lang").as("cand_lang")).agg(count(lit(1)).as("nd")),
+        "cand_lang")
+    val totals = wide.agg(count(lit(1)).as("v"))
+      .crossJoin(docs.agg(count(lit(1)).as("nd_tot")))
+    val dw = toks.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+    val rnk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("cand_lang"))
+    dw.join(grid, "word")
+      .join(broadcast(langStats), "cand_lang")
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"), col("cand_lang"))
+      .agg(sum(col("cnt").cast("double") *
+        log((col("c") + 1L).cast("double") / (col("t") + col("v")).cast("double")))
+        .as("lik"),
+        first(col("nd")).as("nd"), first(col("nd_tot")).as("nd_tot"))
+      .withColumn("score",
+        round(log(col("nd").cast("double") / col("nd_tot").cast("double")) +
+          col("lik"), 4))
+      .withColumn("predicted", row_number().over(rnk) === 1)
+      .join(docs.select(col("doc_id"), col("lang").as("true_lang")), "doc_id")
+      .select(col("doc_id"), col("true_lang"), col("cand_lang"), col("score"),
+        col("predicted"))
+      .orderBy(col("doc_id"), col("cand_lang"))
+  }
+
+  /** DuckDB SQL replicating [[naiveBayesLangQuery]] exactly (same dense
+    * grid, same smoothing, same 4dp round before the rank). */
+  def naiveBayesLangOracleSql(langs: Seq[String] = Langs): String = {
+    val condCounts = langs.map(l =>
+      s"CAST(count(*) FILTER (WHERE lang = '$l') AS BIGINT) AS c_$l")
+      .mkString(",\n               ")
+    val gridSel = langs.map(l => s"SELECT word, '$l' AS cand_lang, c_$l AS c FROM wide")
+      .mkString("\n        UNION ALL ")
+    s"""
+      WITH d AS (SELECT doc_id, lang,
+                        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                 FROM documents),
+      toks AS (SELECT doc_id, lang, unnest(string_split(t, ' ')) AS word FROM d),
+      wide AS (SELECT word,
+               $condCounts
+               FROM toks GROUP BY word),
+      grid AS ($gridSel),
+      ls AS (SELECT lang AS cand_lang, CAST(count(*) AS BIGINT) AS t
+             FROM toks GROUP BY lang),
+      nd AS (SELECT lang AS cand_lang, CAST(count(*) AS BIGINT) AS nd
+             FROM documents GROUP BY lang),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS v FROM wide),
+      ndt AS (SELECT CAST(count(*) AS BIGINT) AS nd_tot FROM documents),
+      dw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt
+             FROM toks GROUP BY doc_id, word),
+      lik AS (SELECT doc_id, cand_lang,
+                sum(CAST(cnt AS DOUBLE) *
+                    ln(CAST(c + 1 AS DOUBLE) / CAST(t + v AS DOUBLE))) AS lik,
+                any_value(nd) AS nd, any_value(nd_tot) AS nd_tot
+              FROM dw JOIN grid USING (word) JOIN ls USING (cand_lang)
+                JOIN nd USING (cand_lang) CROSS JOIN tot CROSS JOIN ndt
+              GROUP BY doc_id, cand_lang),
+      sc AS (SELECT doc_id, cand_lang,
+               round(ln(CAST(nd AS DOUBLE) / CAST(nd_tot AS DOUBLE)) + lik, 4)
+                 AS score
+             FROM lik),
+      rk AS (SELECT doc_id, cand_lang, score,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, cand_lang) = 1 AS predicted
+             FROM sc)
+      SELECT doc_id, documents.lang AS true_lang, cand_lang, score, predicted
+      FROM rk JOIN documents USING (doc_id)
+      ORDER BY doc_id, cand_lang"""
+  }
 }

@@ -543,4 +543,88 @@ object Curation {
              GROUP BY doc_id)
       SELECT doc_id, n_tokens, dsir_logratio, dsir_logratio >= 0.0 AS keep
       FROM sc ORDER BY doc_id"""
+
+  /** Epoch/repeat planner — the step that turns a mixture policy into an
+    * executable training plan (the "how many epochs of each source fit the
+    * token budget" table from the LLaMA/Gopher data cards): per source, the
+    * exact token count, its temperature-scaled target share (the sa07
+    * alpha=0.5 policy — same sqrt power, same 8dp-before-sum normalizer),
+    * the raw epochs the budget implies (budget x share / tokens), and the
+    * epochs actually planned, capped at `maxEpochs` (repeating data much
+    * past ~4 epochs stops helping — Muennighoff et al. 2023). The budget is
+    * `budgetMultiple` x the corpus's total token count, kept exact: total
+    * tokens are an integer sum and the x2 multiple is an exact double op.
+    *
+    * Determinism: every float is derived from exact integer sums by a fixed
+    * IEEE op sequence; the share normalizer uses the sa07 8dp-before-sum
+    * recipe, and emitted floats round at 6dp.
+    *
+    * Plan shape for 100 TB: ONE corpus scan reduced by a map-side-combined
+    * (source → Σ tokenCount) aggregate — the token counting is a columnar
+    * expression, no explode; everything after is arithmetic over |sources|
+    * rows via single-partition windows (the [[temperatureMixQuery]]
+    * pattern). Nothing scales with the corpus but the count pass. */
+  def epochPlanQuery(s: SparkSession, dir: String,
+      budgetMultiple: Double = 2.0, maxEpochs: Double = 4.0): DataFrame = {
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    Tables.parallel(Tables.documents(s, dir))
+      .select(col("source"),
+        graft.functions.Text.tokenCount(
+          graft.functions.Text.normText(col("text"))).as("tc"))
+      .groupBy(col("source")).agg(sum(col("tc")).as("n_tokens"))
+      .withColumn("total", sum(col("n_tokens")).over(all))
+      .withColumn("nat_share",
+        col("n_tokens").cast("double") / col("total").cast("double"))
+      .withColumn("w", round(sqrt(col("nat_share")), 8))
+      .withColumn("z", round(sum(col("w")).over(all), 8))
+      .withColumn("share", col("w") / col("z"))
+      .withColumn("raw_epochs",
+        lit(budgetMultiple) * col("total").cast("double") * col("share") /
+          col("n_tokens").cast("double"))
+      .select(col("source"), col("n_tokens"),
+        round(col("share"), 6).as("temp_share"),
+        round(col("raw_epochs"), 6).as("raw_epochs"),
+        round(least(lit(maxEpochs), col("raw_epochs")), 6).as("epochs"),
+        round(round(least(lit(maxEpochs), col("raw_epochs")), 6) *
+          col("n_tokens").cast("double"), 2).as("planned_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB SQL replicating [[epochPlanQuery]] exactly (same token count
+    * derivation as the bm25 oracle's dl, same sa07 share recipe, same cap
+    * and rounding sequence). */
+  def epochPlanOracleSql(budgetMultiple: Double = 2.0,
+      maxEpochs: Double = 4.0): String = {
+    val bm = java.lang.Double.toString(budgetMultiple)
+    val me = java.lang.Double.toString(maxEpochs)
+    s"""
+      WITH d AS (SELECT source,
+                        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                 FROM documents),
+      tc AS (SELECT source,
+               CASE WHEN length(t) = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(length(t) - length(regexp_replace(t, ' ', '', 'g')) + 1 AS BIGINT)
+               END AS tc
+             FROM d),
+      c AS (SELECT source, CAST(sum(tc) AS BIGINT) AS n_tokens
+            FROM tc GROUP BY source),
+      b AS (SELECT source, n_tokens,
+              CAST(sum(n_tokens) OVER () AS BIGINT) AS total
+            FROM c),
+      b2 AS (SELECT *, round(sqrt(CAST(n_tokens AS DOUBLE) /
+                                  CAST(total AS DOUBLE)), 8) AS w
+             FROM b),
+      b3 AS (SELECT *, round(sum(w) OVER (), 8) AS z FROM b2),
+      b4 AS (SELECT source, n_tokens, w / z AS share,
+               $bm * CAST(total AS DOUBLE) * (w / z) /
+                 CAST(n_tokens AS DOUBLE) AS raw_epochs
+             FROM b3)
+      SELECT source, n_tokens,
+             round(share, 6) AS temp_share,
+             round(raw_epochs, 6) AS raw_epochs,
+             round(least($me, raw_epochs), 6) AS epochs,
+             round(round(least($me, raw_epochs), 6) *
+               CAST(n_tokens AS DOUBLE), 2) AS planned_tokens
+      FROM b4 ORDER BY source"""
+  }
 }

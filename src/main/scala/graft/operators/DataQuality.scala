@@ -210,4 +210,64 @@ object DataQuality {
       SELECT feature, bucket, ref_n, cur_n,
              round((p - q) * ln(p / q), 6) AS psi_term
       FROM pq ORDER BY feature, bucket"""
+
+  /** Ingest-volume anomaly detection (the ops check every event pipeline
+    * pages on): daily event counts per event type, each day z-scored
+    * against THAT TYPE's own distribution across all observed days, with
+    * |z| > 2 flagged. Days are exact integer micros-div-86400e6 (no
+    * calendar arithmetic); the moments come from exact integer sums
+    * (Σc, Σc², n over the per-type day counts) converted by a fixed IEEE op
+    * sequence — the [[Windows.rollingZscoreQuery]] determinism recipe, so no
+    * rounding is needed anywhere.
+    *
+    * Plan shape for 100 TB: the raw event stream collapses to the
+    * (type, day) count matrix via ONE map-side-combined aggregate — at most
+    * |types| x |days| rows regardless of event volume; the per-type moment
+    * sums ride a window over that tiny matrix. Nothing downstream of the
+    * first aggregate scales with the input. */
+  def volumeAnomalyQuery(s: SparkSession, dir: String): DataFrame = {
+    val wf = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    Tables.events(s, dir)
+      .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n", count(lit(1)).over(wf))
+      .withColumn("sc", sum(col("c")).over(wf))
+      .withColumn("sc2", sum(col("c") * col("c")).over(wf))
+      .withColumn("mu", col("sc").cast("double") / col("n").cast("double"))
+      .withColumn("sd",
+        when(col("n") > 1,
+          sqrt((col("n") * col("sc2") - col("sc") * col("sc")).cast("double") /
+            (col("n") * (col("n") - 1)).cast("double"))))
+      .withColumn("z",
+        when(col("sd") > 0,
+          (col("c").cast("double") - col("mu")) / col("sd")))
+      .select(col("event_type"), col("day"), col("c").as("n_events"),
+        col("mu"), col("z"),
+        (col("z").isNotNull && abs(col("z")) > 2.0).as("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** DuckDB SQL replicating [[volumeAnomalyQuery]] exactly (same integer
+    * moment sums, same IEEE conversion sequence — no rounding). */
+  val volumeAnomalyOracleSql: String = """
+      WITH c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                        CAST(count(*) AS BIGINT) AS c
+                 FROM events GROUP BY event_type, day),
+      m AS (SELECT event_type, day, c,
+              CAST(count(*) OVER f AS BIGINT) AS n,
+              CAST(sum(c) OVER f AS BIGINT) AS sc,
+              CAST(sum(c * c) OVER f AS BIGINT) AS sc2
+            FROM c WINDOW f AS (PARTITION BY event_type)),
+      r AS (SELECT event_type, day, c,
+              CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+              CASE WHEN n > 1
+                   THEN sqrt(CAST(n * sc2 - sc * sc AS DOUBLE) /
+                             CAST(n * (n - 1) AS DOUBLE)) END AS sd
+            FROM m)
+      SELECT event_type, day, c AS n_events, mu,
+             CASE WHEN sd > 0 THEN (CAST(c AS DOUBLE) - mu) / sd END AS z,
+             CASE WHEN sd > 0 THEN abs((CAST(c AS DOUBLE) - mu) / sd) > 2.0
+                  ELSE FALSE END AS is_anomaly
+      FROM r ORDER BY event_type, day"""
 }

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the verified near-dup graph — the corpus-hygiene
+  * view a large pipeline wants AFTER dedup clustering: PageRank centrality
+  * over the duplication graph ranks the template/boilerplate HUBS (a page
+  * whose near-dups span many other pages scores high), which is the
+  * priority order for manual review and for template-strip rules.
+  *
+  * Same graph discipline as [[Dedup.dupClusters]]: the node/edge set is the
+  * collision-bounded VERIFIED pair set (never the corpus), and execution is
+  * the same size-guarded hybrid — a driver fold returning a local relation
+  * under [[Dedup.DriverCcMaxPairs]], the distributed join loop above it.
+  */
+object Graph {
+
+  val Damping = 0.85
+  val DefaultIters = 3
+
+  /** gr01 — PageRank over the undirected near-dup graph, fixed `iters`
+    * power-method steps: r₀ = 1; rₖ₊₁(v) = 0.15 + 0.85 · Σ_{u~v} rₖ(u)/deg(u).
+    * Output: (doc_id, degree, pr) for every document in at least one
+    * verified pair, ordered by doc_id.
+    *
+    * Determinism: degrees are exact integers; each iteration's rank is an
+    * order-dependent float sum → rounded 8dp per iteration (the
+    * [[Similarity.kmeansFit]] iterative-rounding recipe: both engines and
+    * the driver fold re-round to the same fixed point each step), final
+    * ranks rounded 6dp.
+    *
+    * Plan shape for 100 TB (distributed path): the edge list is built once
+    * from the verified pairs and persisted (collision-bounded — the dd03
+    * contract); each iteration is ONE src-keyed join of edges against the
+    * node-scale rank table and ONE dst-keyed reduce, both map-side-combined;
+    * rank tables are materialized per iteration and superseded caches
+    * dropped (the [[Dedup.distributedLabels]] pattern). The corpus never
+    * participates — only ids. */
+  def dupHubRankQuery(s: SparkSession, dir: String,
+      iters: Int = DefaultIters): DataFrame = {
+    val (rawPairs, lshCaches) = Dedup.minhashLshPairsTracked(s, dir)
+    val pairs = rawPairs.select(col("doc_a"), col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = pairs.count()
+    lshCaches.foreach(_.unpersist(blocking = false))
+    val out =
+      if (nPairs <= Dedup.DriverCcMaxPairs) {
+        val local = localRanks(s, pairs, iters)
+        pairs.unpersist(blocking = false)
+        local
+      } else distributedRanks(pairs, iters)
+    out.orderBy(col("doc_id"))
+  }
+
+  /** Spark's round(col, n) semantics for a driver-side double: HALF_UP at
+    * the given scale — the fold must round exactly like the engines. */
+  private def r(x: Double, scale: Int): Double =
+    BigDecimal.valueOf(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+      .doubleValue
+
+  /** Driver fold over the bounded pair set (see [[Dedup.DriverCcMaxPairs]]
+    * for the bound argument): adjacency in memory, same per-iteration
+    * rounding, neighbors summed in ascending-id order (a fixed order — the
+    * 8dp round absorbs the remaining cross-backend summation difference,
+    * GraphSpec pins local == distributed on the test corpus). */
+  private[operators] def localRanks(s: SparkSession, pairs: DataFrame,
+      iters: Int): DataFrame = {
+    import s.implicits._
+    val es = pairs.select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect()
+    val nbrs = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    es.foreach { case (a, b) =>
+      nbrs.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+      nbrs.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+    }
+    val adj = nbrs.view.mapValues(_.sorted.toArray).toMap
+    val deg = adj.view.mapValues(_.length.toLong).toMap
+    var rank = deg.map { case (v, _) => v -> 1.0 }
+    for (_ <- 1 to iters) {
+      rank = adj.map { case (v, ns) =>
+        var acc = 0.0
+        ns.foreach(u => acc += rank(u) / deg(u).toDouble)
+        v -> r(0.15 + 0.85 * acc, 8)
+      }
+    }
+    val rows = deg.keys.toSeq.sorted.map(v => (v, deg(v), r(rank(v), 6)))
+    s.createDataFrame(rows).toDF("doc_id", "degree", "pr")
+  }
+
+  /** Distributed power-method loop (the > [[Dedup.DriverCcMaxPairs]] path). */
+  private[operators] def distributedRanks(pairs: DataFrame,
+      iters: Int): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    deg.count()
+    var ranks = deg.select(col("src").as("doc_id"), lit(1.0).as("pr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ranks.count()
+    for (_ <- 1 to iters) {
+      val next = edges.join(deg, "src")
+        .join(ranks, col("src") === col("doc_id"))
+        .groupBy(col("dst"))
+        .agg(round(lit(0.15) + lit(Damping) *
+          sum(col("pr") / col("deg").cast("double")), 8).as("npr"))
+        .select(col("dst").as("doc_id"), col("npr").as("pr"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      ranks.unpersist(blocking = false)
+      ranks = next
+    }
+    val out = deg.select(col("src").as("doc_id"), col("deg").as("degree"))
+      .join(ranks, "doc_id")
+      .select(col("doc_id"), col("degree"), round(col("pr"), 6).as("pr"))
+    edges.unpersist(blocking = false) // result reads only deg + final ranks
+    out
+  }
+
+  /** DuckDB SQL replicating [[dupHubRankQuery]] exactly: the iteration
+    * unrolled into generated CTE blocks from the same `iters` spec (the
+    * kmeans/cl01 oracle pattern), over the shared verified-pair subquery. */
+  def dupHubRankOracleSql(pairsSql: String,
+      iters: Int = DefaultIters): String = {
+    val blocks = (1 to iters).map { i =>
+      s"""
+      r$i AS (SELECT e.dst AS doc_id,
+                round(0.15 + $Damping * sum(r.pr / CAST(d.deg AS DOUBLE)), 8) AS pr
+              FROM edges e JOIN deg d ON d.src = e.src
+                JOIN r${i - 1} r ON r.doc_id = e.src
+              GROUP BY e.dst)"""
+    }.mkString(",")
+    s"""
+      WITH pairs AS ($pairsSql),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+      deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+              FROM edges GROUP BY src),
+      r0 AS (SELECT src AS doc_id, 1.0 AS pr FROM deg),
+      $blocks
+      SELECT d.src AS doc_id, d.deg AS degree, round(r.pr, 6) AS pr
+      FROM deg d JOIN r$iters r ON r.doc_id = d.src
+      ORDER BY doc_id"""
+  }
+}

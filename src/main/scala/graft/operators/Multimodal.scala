@@ -438,4 +438,90 @@ object Multimodal {
              abs(f - lag(f, 1) OVER w) > $threshold AS is_cut
       FROM fs WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)
       ORDER BY media_id, frame_idx"""
+
+  /** STUB audio decoder: stands in for codec decode to PCM. Deterministic
+    * in (bytes, position) — the position term makes the synthetic signal
+    * oscillate in sign, so downstream zero-crossing analysis exercises the
+    * real code path (a pure byte map of ASCII text never changes sign).
+    * Replace with a real codec (libsndfile/javax.sound) at the same
+    * signature: bytes in, centered PCM samples out. */
+  object FakeAudioDecoder {
+    def pcm(bytes: Array[Byte]): Array[Int] = {
+      val out = new Array[Int](bytes.length)
+      var i = 0
+      while (i < bytes.length) {
+        // ??? real decode goes here — a position-salted byte map stands in
+        out(i) = ((bytes(i) & 0xff) * 131 + (i + 1) * 31) % 257 - 128
+        i += 1
+      }
+      out
+    }
+  }
+
+  case class AudioFrame(media_id: Long, frame_idx: Long, n_samples: Long,
+      energy: Long, zc: Long)
+
+  /** Query mm06 — audio frame analysis (the VAD/silence-trim primitive of
+    * speech-corpus curation): decode the payload to PCM ([[FakeAudioDecoder]]
+    * standing in for the codec), cut the sample stream into
+    * `frameLen`-sample frames (tail frame kept partial, as real framers
+    * do), and per frame compute the energy (Σ amp² — exact integer), the
+    * zero-crossing count (adjacent sign flips — the classic
+    * voiced/unvoiced discriminator) and the activity verdict
+    * energy > n_samples x `thresholdMs` (a mean-square gate cleared of
+    * division). All integer arithmetic: bit-exact by construction.
+    *
+    * Plan shape for 100 TB: decode + framing + per-frame reduction all run
+    * inside ONE flatMap on the scan — each frame leaves the map side as
+    * five integers, the payload never shuffles, and there is no window or
+    * exchange at all (per-frame stats need no neighbor state; contrast
+    * [[sceneCutQuery]]'s lag). The final orderBy exists for the oracle
+    * comparison, not the operator. */
+  def audioFramesQuery(s: SparkSession, dir: String, frameLen: Int = 64,
+      thresholdMs: Long = 5500): DataFrame = {
+    import s.implicits._
+    mediaFromDocuments(s, dir)
+      .flatMap { m =>
+        val samples = FakeAudioDecoder.pcm(m.bytes)
+        (0 until (samples.length + frameLen - 1) / frameLen).map { fi =>
+          val from = fi * frameLen
+          val until = math.min(from + frameLen, samples.length)
+          var energy = 0L
+          var zc = 0L
+          var j = from
+          while (j < until) {
+            val a = samples(j)
+            energy += a.toLong * a
+            if (j > from && samples(j - 1) * a < 0) zc += 1
+            j += 1
+          }
+          AudioFrame(m.media_id, fi.toLong, (until - from).toLong, energy, zc)
+        }
+      }
+      .toDF()
+      .withColumn("active", col("energy") > col("n_samples") * thresholdMs)
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  /** DuckDB SQL replicating [[audioFramesQuery]] exactly: PCM re-derived
+    * positionally from the text (ASCII — char ord == UTF-8 octet, the mm01
+    * oracle contract), same framing, same integer energy/zc/gate. */
+  def audioFramesOracleSql(frameLen: Int = 64, thresholdMs: Long = 5500): String = s"""
+      WITH d AS (SELECT doc_id, text AS t FROM documents),
+      pos AS (SELECT doc_id, t, unnest(range(1, length(t)+1)) AS i FROM d),
+      amp AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+                     CAST((i - 1) // $frameLen AS BIGINT) AS frame_idx,
+                     ((ord(substr(t, CAST(i AS INT), 1)) * 131 + i * 31) % 257) - 128 AS a
+              FROM pos),
+      lagged AS (SELECT doc_id, frame_idx, a,
+                   lag(a) OVER (PARTITION BY doc_id, frame_idx ORDER BY i) AS pa
+                 FROM amp)
+      SELECT doc_id AS media_id, frame_idx,
+             CAST(count(*) AS BIGINT) AS n_samples,
+             CAST(sum(a * a) AS BIGINT) AS energy,
+             CAST(sum(CASE WHEN pa IS NOT NULL AND pa * a < 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS zc,
+             CAST(sum(a * a) AS BIGINT) > count(*) * $thresholdMs AS active
+      FROM lagged GROUP BY doc_id, frame_idx
+      ORDER BY media_id, frame_idx"""
 }

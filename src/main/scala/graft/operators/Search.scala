@@ -227,4 +227,63 @@ object Search {
       FROM perdoc CROSS JOIN stats
       ORDER BY bm25 DESC, doc_id LIMIT $TopK"""
   }
+
+  /** The oracle-checked phrase for [[phraseSearch]] (both words in the
+    * synthetic vocabulary, frequently adjacent). */
+  val Phrase: Seq[String] = Seq("table", "scan")
+
+  /** Exact phrase search over a positional index (the capability a plain
+    * term index cannot express — "table scan" as CONSECUTIVE tokens, not
+    * co-occurrence): per document, the number of positions where the full
+    * phrase matches. Implemented the way a positional inverted index
+    * resolves phrases: per-term posting lists of (doc, position), aligned by
+    * shifting term i's positions back by i and intersecting — a chain of
+    * equi-joins on (doc_id, aligned_position). All-integer: bit-exact by
+    * construction.
+    *
+    * Plan shape for 100 TB: the positional explode is filtered to the
+    * phrase's terms BEFORE anything shuffles (for a 2-word phrase that is a
+    * tiny fraction of the token stream), then each join is keyed on
+    * (doc_id, pos) — AQE broadcasts the smaller posting list at typical
+    * selectivities and falls back to a co-partitioned shuffle join when both
+    * terms are frequent; every join in the chain reuses the same key, so
+    * the chain adds no extra exchanges. The corpus text never shuffles. */
+  def phraseSearch(s: SparkSession, dir: String,
+      phrase: Seq[String] = Phrase): DataFrame = {
+    require(phrase.length >= 2, "phrase search needs at least two terms")
+    val pos = Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        posexplode(split(Text.normText(col("text")), " ")).as(Seq("pos", "w")))
+      .filter(col("w").isin(phrase.distinct: _*))
+    def positionsOf(w: String, shift: Int): DataFrame =
+      pos.filter(col("w") === w)
+        .select(col("doc_id"), (col("pos") - shift).as("p"))
+    phrase.zipWithIndex.tail
+      .foldLeft(positionsOf(phrase.head, 0)) { case (acc, (w, i)) =>
+        acc.join(positionsOf(w, i), Seq("doc_id", "p"))
+      }
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB SQL replicating [[phraseSearch]] exactly: the same posting
+    * lists derived positionally (1-based; adjacency is shift-invariant),
+    * the same shifted-intersection join chain. */
+  def phraseSearchOracleSql(phrase: Seq[String] = Phrase): String = {
+    val joins = phrase.zipWithIndex.tail.map { case (w, i) =>
+      s"JOIN pw t$i ON t$i.doc_id = t0.doc_id AND t$i.i = t0.i + $i AND t$i.w = '$w'"
+    }.mkString("\n        ")
+    s"""
+      WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                 FROM documents),
+      ws AS (SELECT doc_id, string_split(t, ' ') AS ws FROM d),
+      pos AS (SELECT doc_id, unnest(range(1, len(ws)+1)) AS i, ws FROM ws),
+      pw AS (SELECT doc_id, CAST(i AS BIGINT) AS i, ws[CAST(i AS INT)] AS w FROM pos)
+      SELECT t0.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM pw t0
+        $joins
+      WHERE t0.w = '${phrase.head}'
+      GROUP BY t0.doc_id ORDER BY t0.doc_id"""
+  }
 }

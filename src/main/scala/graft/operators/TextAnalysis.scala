@@ -783,4 +783,68 @@ object TextAnalysis {
              CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
                CAST(count(*) AS DOUBLE) AS hapax_share
       FROM wc GROUP BY source ORDER BY source"""
+
+  /** CCNet-style perplexity bucketing: each document's LM quality score
+    * (the [[unigramLogProbQuery]] mean unigram log-probability, this
+    * pipeline's KenLM stand-in) is ranked WITHIN ITS LANGUAGE and split into
+    * equal thirds — head / middle / tail, CCNet's published partition
+    * (Wenzek et al. 2020), which downstream recipes use to keep head+middle
+    * and drop (or re-weight) the tail. Ranking is per-language because
+    * absolute LM scores are not comparable across languages.
+    *
+    * Determinism: the score is rounded 4dp (order-dependent double agg, the
+    * [[unigramLogProbQuery]] policy) and the ntile order carries a doc_id
+    * tiebreak, so the bucket assignment is a total order both engines
+    * compute identically.
+    *
+    * Plan shape for 100 TB: the scoring pass is [[unigramLogProbQuery]]'s
+    * (two count shuffles + an AQE-planned vocab join); the bucketing adds
+    * one language-keyed window over (doc_id, score) rows — ~30 language
+    * partitions of corpus-count rows, no text. A true 100 TB run would swap
+    * ntile for percentile thresholds from a sample to avoid the giant
+    * per-language sort; the per-language window IS the semantic spec. */
+  def pplBucketsQuery(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(split(Text.normText(col("text")), " ")).as("word"))
+    val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("t"))
+    val scored = toks
+      .join(vocab, "word")
+      .crossJoin(total)
+      .groupBy(col("doc_id"))
+      .agg(round(avg(log(col("c").cast("double") / col("t").cast("double"))), 4)
+        .as("avg_logprob"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("avg_logprob").desc, col("doc_id"))
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      .join(scored, "doc_id")
+      .withColumn("tile", ntile(3).over(w).cast("long"))
+      .select(col("doc_id"), col("lang"), col("avg_logprob"),
+        when(col("tile") === 1L, "head").when(col("tile") === 2L, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB SQL replicating [[pplBucketsQuery]] exactly (same 4dp-rounded
+    * score, same per-language ntile with doc_id tiebreak). */
+  val pplBucketsOracleSql: String = """
+      WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                 FROM documents),
+      toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS word FROM d),
+      cnt AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
+      tot AS (SELECT count(*) AS t FROM toks),
+      scored AS (SELECT doc_id,
+                   round(avg(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))), 4)
+                     AS avg_logprob
+                 FROM toks JOIN cnt USING (word) CROSS JOIN tot
+                 GROUP BY doc_id),
+      tiled AS (SELECT doc_id, lang, avg_logprob,
+                  ntile(3) OVER (PARTITION BY lang
+                    ORDER BY avg_logprob DESC, doc_id) AS tile
+                FROM documents JOIN scored USING (doc_id))
+      SELECT doc_id, lang, avg_logprob,
+             CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket
+      FROM tiled ORDER BY doc_id"""
 }

@@ -316,4 +316,76 @@ object Windows {
              (max(tus) - min(tus)) // 1000000 AS duration_secs
       FROM sx GROUP BY user_id, session_idx
       ORDER BY user_id, session_idx"""
+
+  /** Last-touch attribution (the marketing-analytics join every event
+    * pipeline ends up writing): each conversion ('purchase') is attributed
+    * to the SAME USER's most recent preceding touch ('click' or 'view'),
+    * provided the touch happened within `lookbackSecs`; conversions with no
+    * in-window touch stay unattributed (NULL touch columns).
+    *
+    * The "most recent preceding touch" is a running `max` over a
+    * `(tus, event_id, event_type)` struct — lexicographic struct ordering
+    * makes latest-timestamp-wins with an event_id tiebreak a SINGLE window
+    * aggregate instead of a lag-scan, and the identical struct-max exists in
+    * the SQL oracle, so the tie rules are structural, not re-implemented.
+    * The frame ends at `-1 PRECEDING`: a touch at the exact conversion
+    * timestamp does not attribute itself.
+    *
+    * Plan shape for 100 TB: ONE exchange keyed by user_id and one in-task
+    * sort serve the running struct-max; the event stream is pre-projected to
+    * four columns (never the props payload) and pre-filtered to the three
+    * participating types, so the exchange carries only touch/conversion
+    * rows. Nothing global, no join — the attribution is resolved inside the
+    * per-user window. Times are exact integer epoch micros throughout. */
+  def attributionQuery(s: SparkSession, dir: String,
+      lookbackSecs: Long = 259200): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val lookbackUs = lookbackSecs * 1000000L
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_us").as("tus"))
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .withColumn("touch",
+        max(when(col("event_type") =!= "purchase",
+          struct(col("tus").as("t"), col("event_id").as("id"),
+            col("event_type").as("ty")))).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("in_window",
+        col("touch").isNotNull && col("tus") - col("touch.t") <= lookbackUs)
+      .select(
+        col("event_id").as("purchase_id"), col("user_id"),
+        col("tus").as("purchase_us"),
+        when(col("in_window"), col("touch.id")).as("touch_id"),
+        when(col("in_window"), col("touch.ty")).as("touch_type"),
+        when(col("in_window"),
+          expr("(tus - touch.t) div 1000000")).as("gap_secs"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** DuckDB SQL replicating [[attributionQuery]] exactly (same struct-max
+    * frame, same 3-day lookback, same integer micros arithmetic). */
+  def attributionOracleSql(lookbackSecs: Long = 259200): String = s"""
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+                 FROM events
+                 WHERE event_type IN ('purchase', 'click', 'view')),
+      t AS (SELECT user_id, event_id, event_type, tus,
+              max(CASE WHEN event_type <> 'purchase'
+                       THEN struct_pack(t := tus, id := event_id,
+                                        ty := event_type) END)
+                OVER (PARTITION BY user_id ORDER BY tus, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS touch
+            FROM e),
+      p AS (SELECT *,
+              touch IS NOT NULL AND
+                tus - touch.t <= ${lookbackSecs}000000 AS in_window
+            FROM t WHERE event_type = 'purchase')
+      SELECT event_id AS purchase_id, user_id, tus AS purchase_us,
+             CASE WHEN in_window THEN touch.id END AS touch_id,
+             CASE WHEN in_window THEN touch.ty END AS touch_type,
+             CASE WHEN in_window THEN (tus - touch.t) // 1000000 END
+               AS gap_secs
+      FROM p ORDER BY purchase_id"""
 }

@@ -351,4 +351,54 @@ class PlanAuditSpec extends AnyFunSuite {
     // text is only read inside the sub-operators' audited passes
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,source:string>"), plan)
   }
+
+  test("ev06: ONE user-keyed exchange, no join; type filter reaches the scan") {
+    val plan = planOf(Windows.attributionQuery(spark, sf0001))
+    assert(count(plan, "hashpartitioning") == 1, plan)
+    assert(plan.contains("hashpartitioning(user_id"), plan)
+    assert(!plan.contains("Join"), plan)
+    // the 3-type IN filter pushes to the parquet scan — at 100 TB the
+    // non-participating event types never leave the reader
+    assert(plan.contains("PushedFilters: [In(event_type"), plan)
+  }
+
+  test("dq04: event stream collapses to the (type, day) matrix before any window") {
+    val plan = planOf(DataQuality.volumeAnomalyQuery(spark, sf0001))
+    // count shuffle keyed (event_type, day) + moment window keyed
+    // event_type — both over matrix-scale rows, map-side partials first
+    assert(count(plan, "hashpartitioning") == 2, plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("ir05: posting lists filter before the join; corpus scan is two columns") {
+    val plan = planOf(Search.phraseSearch(spark, sf0001))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the phrase-term filter sits under the Generate's consumer side —
+    // the join never sees the full token stream
+    assert(plan.contains("w#") || plan.contains("IN (table,scan)") ||
+      plan.contains("w IN"), plan)
+  }
+
+  test("sa08: ONE corpus scan, ONE keyed exchange; planner math is windows") {
+    val plan = planOf(Curation.epochPlanQuery(spark, sf0001))
+    assert(!plan.contains("Join"), plan)
+    assert(count(plan, "FileScan") == 1, plan)
+    assert(count(plan, "hashpartitioning") == 1, plan)
+  }
+
+  test("mm06: zero exchanges — decode, framing and stats all map-side") {
+    val plan = planOf(Multimodal.audioFramesQuery(spark, sf0001))
+    assert(!plan.contains("hashpartitioning"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("cl02: lang stats broadcast; no text in any exchange") {
+    val plan = planOf(Classifier.naiveBayesLangQuery(spark, sf0001))
+    // the |langs|-row stats and totals join by broadcast, never SMJ
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin [cand_lang"), plan)
+    // exchanges carry token/count rows, never the document text
+    assert(!plan.contains("hashpartitioning(text"), plan)
+  }
 }
