@@ -108,6 +108,9 @@ object Bench {
     "mm06_audio_frames",
     "cl02_naive_bayes_langid",
     "gr01_dup_hub_rank",
+    "sim08_mips_topk",
+    "ev07_heavy_hitters",
+    "ta18_zipf_fit",
   )
 
   def main(args: Array[String]): Unit = {

@@ -145,6 +145,9 @@ object SparkEntry {
     "mm06_audio_frames"    -> ((s: SparkSession, d: String) => Multimodal.audioFramesQuery(s, d)),
     "cl02_naive_bayes_langid" -> ((s: SparkSession, d: String) => graft.operators.Classifier.naiveBayesLangQuery(s, d)),
     "gr01_dup_hub_rank"    -> ((s: SparkSession, d: String) => graft.operators.Graph.dupHubRankQuery(s, d)),
+    "sim08_mips_topk"      -> ((s: SparkSession, d: String) => Similarity.mipsTopK(s, d)),
+    "ev07_heavy_hitters"   -> ((s: SparkSession, d: String) => Windows.heavyHittersQuery(s, d)),
+    "ta18_zipf_fit"        -> ((s: SparkSession, d: String) => TextAnalysis.zipfFitQuery(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables, same column
@@ -661,6 +664,9 @@ object SparkEntry {
       graft.operators.Classifier.naiveBayesLangOracleSql(),
     "gr01_dup_hub_rank" ->
       graft.operators.Graph.dupHubRankOracleSql(pairsSubquerySql),
+    "sim08_mips_topk" -> Similarity.mipsTopKOracleSql(),
+    "ev07_heavy_hitters" -> Windows.heavyHittersOracleSql,
+    "ta18_zipf_fit" -> TextAnalysis.zipfFitOracleSql,
   )
 
   /** DuckDB sequential-fold cosine of two DOUBLE[] columns — bit-identical

@@ -224,3 +224,42 @@ object PqAdc {
   def pqAdc(codes: Column, lut: Column, k: Int): Column =
     GraftBridge.toColumn(PqAdc(GraftBridge.toExpression(codes), GraftBridge.toExpression(lut), k))
 }
+
+/** Inner product of two double arrays as a native Catalyst expression —
+  * the scoring kernel of maximum-inner-product search (sim08), where the
+  * UN-normalized dot IS the metric (recommender/retrieval scores), so
+  * [[CosineSim]]'s normalization must not run. Left-to-right summation,
+  * same fold order as DuckDB's list_sum; same primitive-loop/codegen
+  * treatment as the other kernels, pinned in CodegenParitySpec. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  def compute(a0: ArrayData, b0: ArrayData): Double = {
+    val a = a0.toDoubleArray()
+    val b = b0.toDoubleArray()
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Double.valueOf(compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dotProduct", this, classOf[DotProduct].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** dot_product(a: array<double>, b: array<double>): double */
+  def dotProduct(a: Column, b: Column): Column =
+    GraftBridge.toColumn(DotProduct(GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
+}

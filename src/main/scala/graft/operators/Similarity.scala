@@ -575,4 +575,54 @@ object Similarity {
       FROM m LEFT JOIN drops d ON m.vec_id = d.vec_id
       ORDER BY m.vec_id"""
   }
+
+  /** sim08 — maximum-inner-product search (MIPS): top-k candidates per
+    * query by the UN-normalized dot product — the retrieval metric when
+    * vector magnitude carries signal (recommender scores, learned
+    * retrieval embeddings), where cosine (sim01) would be wrong. Scored by
+    * the native codegen'd [[graft.functions.DotProduct]] kernel.
+    *
+    * Plan shape for 100 TB: identical to [[bruteForceTopK]]'s — broadcast
+    * query set over ONE pass of the candidate stream, per-query
+    * WindowGroupLimit top-k. The sublinear scale path is the asymmetric
+    * transform (Shrivastava & Li 2014): augment candidates with
+    * sqrt(M² − ‖x‖²) and queries with 0, which makes augmented-space
+    * cosine order = dot order, so the WHOLE sign-LSH machinery of sim02
+    * applies unchanged — SimilaritySpec proves the transform's
+    * rank-equivalence on this corpus, making the reduction a tested fact
+    * rather than a cited one. */
+  def mipsTopK(s: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 100): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = Tables.parallel(emb.filter(col("vec_id") < nQueries))
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
+    val c = emb
+      .select(col("vec_id").as("cand_id"), asDouble(col("embedding")).as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("ip").desc, col("cand_id"))
+    q.join(broadcast(c), col("query_id") =!= col("cand_id"))
+      .withColumn("ip",
+        round(graft.functions.DotProduct.dotProduct(col("qv"), col("cv")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("ip"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** DuckDB SQL replicating [[mipsTopK]] exactly (the sequential-fold dot
+    * product — bit-identical to [[graft.functions.DotProduct]] — same
+    * 6dp round before the rank, same tiebreaks). */
+  def mipsTopKOracleSql(k: Int = 5, nQueries: Int = 100): String = s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   round(list_sum(list_transform(range(1, len(q.v)+1),
+                     i -> q.v[CAST(i AS INT)] * c.v[CAST(i AS INT)])), 6) AS ip
+                 FROM e q JOIN e c ON c.vec_id <> q.vec_id
+                 WHERE q.vec_id < $nQueries)
+      SELECT query_id, cand_id, ip, rnk FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY ip DESC, cand_id) AS BIGINT) AS rnk
+        FROM scored) z
+      WHERE rnk <= $k ORDER BY query_id, rnk"""
 }

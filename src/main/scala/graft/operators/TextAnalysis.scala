@@ -847,4 +847,74 @@ object TextAnalysis {
              CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                   ELSE 'tail' END AS ppl_bucket
       FROM tiled ORDER BY doc_id"""
+
+  /** Zipf-law fit per source (the corpus-naturalness diagnostic: natural
+    * language shows rank-frequency slope ≈ −1; machine-generated or
+    * template text bends the curve): least-squares line through
+    * (ln rank, ln count) over each source's top-`topN` words,
+    * alpha = −slope. A collapsing or inflating alpha is the distribution-
+    * level symptom the per-document filters (ta02/ta09) cannot see.
+    *
+    * Determinism: ranks are exact (count desc, word tiebreak); the four
+    * regression sums are order-dependent float aggs → each rounded 6dp (the
+    * ta07 policy), then slope/intercept are a fixed IEEE op sequence over
+    * the rounded sums, emitted at 4dp.
+    *
+    * Plan shape for 100 TB: ONE vocabulary-scale count shuffle keyed
+    * (source, word); the per-source rank window is cut to `topN` rows per
+    * map task by InferWindowGroupLimit BEFORE the source-keyed exchange
+    * (pinned in PlanAuditSpec); the regression reduces |sources| x topN
+    * rows to |sources| rows. The token stream itself never crosses the
+    * wire un-reduced. */
+  def zipfFitQuery(s: SparkSession, dir: String, topN: Int = 100): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("c").desc, col("word"))
+    Tables.parallel(Tables.documents(s, dir))
+      .select(col("source"),
+        explode(split(Text.normText(col("text")), " ")).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topN)
+      .select(col("source"),
+        log(col("rnk").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("x")), 6).as("sx"), round(sum(col("y")), 6).as("sy"),
+        round(sum(col("x") * col("y")), 6).as("sxy"),
+        round(sum(col("x") * col("x")), 6).as("sxx"))
+      .select(col("source"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * -1.0, 4).as("alpha"),
+        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+          col("n"), 4).as("intercept"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB SQL replicating [[zipfFitQuery]] exactly (topN = 100; same
+    * 6dp-rounded sums, same slope/intercept op sequence). */
+  val zipfFitOracleSql: String = """
+      WITH d AS (SELECT source, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                 FROM documents),
+      toks AS (SELECT source, unnest(string_split(t, ' ')) AS word FROM d),
+      wc AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c
+             FROM toks GROUP BY source, word),
+      rk AS (SELECT source, c,
+               CAST(row_number() OVER (PARTITION BY source
+                 ORDER BY c DESC, word) AS BIGINT) AS rnk
+             FROM wc),
+      xy AS (SELECT source, ln(CAST(rnk AS DOUBLE)) AS x,
+                    ln(CAST(c AS DOUBLE)) AS y
+             FROM rk WHERE rnk <= 100),
+      sums AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                 round(sum(x), 6) AS sx, round(sum(y), 6) AS sy,
+                 round(sum(x * y), 6) AS sxy, round(sum(x * x), 6) AS sxx
+               FROM xy GROUP BY source)
+      SELECT source, n,
+             round((n * sxy - sx * sy) / (n * sxx - sx * sx) * -1.0, 4)
+               AS alpha,
+             round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+               AS intercept
+      FROM sums ORDER BY source"""
 }

@@ -388,4 +388,38 @@ object Windows {
              CASE WHEN in_window THEN (tus - touch.t) // 1000000 END
                AS gap_secs
       FROM p ORDER BY purchase_id"""
+
+  /** Daily heavy hitters (the "trending entities" query of every event
+    * pipeline): per day, the `k` most active users with their event counts
+    * and ranks. Exact integer counts, rank ties on user_id — fully
+    * deterministic cross-engine.
+    *
+    * Plan shape for 100 TB: the event stream collapses to (day, user)
+    * counts via ONE map-side-combined aggregate; the per-day top-k is a
+    * window that Catalyst's InferWindowGroupLimit cuts to k rows per map
+    * task BEFORE the day-keyed exchange (pinned in PlanAuditSpec) — the
+    * exact-count analog of what a space-saving sketch would stream. Days
+    * are exact integer micros-div-86400e6. */
+  def heavyHittersQuery(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("day")).orderBy(col("n_events").desc, col("user_id"))
+    Tables.events(s, dir)
+      .select(expr("ts_us div 86400000000").as("day"), col("user_id"))
+      .groupBy(col("day"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy(col("day"), col("rnk"))
+  }
+
+  /** DuckDB SQL replicating [[heavyHittersQuery]] exactly (k = 3). */
+  val heavyHittersOracleSql: String = """
+      WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id,
+                        CAST(count(*) AS BIGINT) AS n_events
+                 FROM events GROUP BY day, user_id)
+      SELECT day, user_id, n_events, rnk FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY day
+                    ORDER BY n_events DESC, user_id) AS BIGINT) AS rnk
+        FROM c) z
+      WHERE rnk <= 3 ORDER BY day, rnk"""
 }

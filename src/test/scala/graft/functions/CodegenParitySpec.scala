@@ -56,6 +56,7 @@ class CodegenParitySpec extends AnyFunSuite {
       row2(null, darr(1.0)), row2(darr(1.0), null))
     run(CosineSim(a, b), rows)
     run(SqDist(a, b), rows)
+    run(DotProduct(a, b), rows)
   }
 
   test("PqAdc compiled == interpreted") {

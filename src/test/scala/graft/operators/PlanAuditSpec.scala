@@ -401,4 +401,23 @@ class PlanAuditSpec extends AnyFunSuite {
     // exchanges carry token/count rows, never the document text
     assert(!plan.contains("hashpartitioning(text"), plan)
   }
+
+  test("sim08: MIPS scan broadcasts the candidates; per-query top-k group-limits") {
+    val plan = planOf(Similarity.mipsTopK(spark, sf0001))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("ev07: counts collapse map-side; top-k is a WindowGroupLimit") {
+    val plan = planOf(Windows.heavyHittersQuery(spark, sf0001))
+    assert(plan.contains("partial_count"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("ta18: ONE vocab-scale shuffle; rank cut to topN before the source exchange") {
+    val plan = planOf(TextAnalysis.zipfFitQuery(spark, sf0001))
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert("hashpartitioning\\(source#\\d+, word#".r.findFirstIn(plan).nonEmpty, plan)
+  }
 }

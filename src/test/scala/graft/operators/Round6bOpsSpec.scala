@@ -157,4 +157,64 @@ class Round6bOpsSpec extends AnyFunSuite {
       assert(predicted.head.getString(2) == expected, s"doc $id argmax")
     }
   }
+
+  test("sim08: MIPS ranking matches a driver recompute; asymmetric transform preserves it") {
+    val k = 5
+    val rows = Similarity.mipsTopK(spark, sf0001, k = k, nQueries = 10).collect()
+    val vecs = graft.core.Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "cast(embedding as array<double>) AS v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val maxNorm = math.sqrt(vecs.values.map(v => dot(v, v)).max)
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      assert(rs.length == k, s"query $qid emits k rows")
+      val q = vecs(qid)
+      // brute-force expected top-k under the SAME rounding and tiebreaks
+      val expected = vecs.toSeq.filter(_._1 != qid)
+        .map { case (cid, cv) =>
+          (cid, BigDecimal(dot(q, cv)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .sortBy { case (cid, ip) => (-ip, cid) }.take(k).map(_._1)
+      assert(rs.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq == expected, s"query $qid")
+      // Shrivastava & Li: augmented-space cosine order == dot order for a
+      // fixed query (augmented candidate norm is the constant maxNorm)
+      val augRank = vecs.toSeq.filter(_._1 != qid)
+        .map { case (cid, cv) =>
+          val aug = dot(q, cv) / (math.sqrt(dot(q, q)) * maxNorm)
+          (cid, aug) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(k).map(_._1)
+      val dotRank = vecs.toSeq.filter(_._1 != qid)
+        .map { case (cid, cv) => (cid, dot(q, cv)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(k).map(_._1)
+      assert(augRank == dotRank, s"query $qid: asymmetric transform rank drift")
+    }
+  }
+
+  test("ev07: per-day top-k recomputes from the raw counts") {
+    val rows = Windows.heavyHittersQuery(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val counts = graft.core.Tables.events(spark, sf0001)
+      .selectExpr("ts_us div 86400000000 AS day", "user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (day, rs) =>
+      val expected = counts.collect { case ((d, u), c) if d == day => (u, c) }
+        .toSeq.sortBy { case (u, c) => (-c, u) }.take(3)
+      assert(rs.sortBy(_.getLong(3)).map(r => (r.getLong(1), r.getLong(2))).toSeq
+        == expected, s"day $day")
+    }
+  }
+
+  test("ta18: alpha recomputes from the ranked counts and looks Zipf-like") {
+    val rows = TextAnalysis.zipfFitQuery(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 10, s"${r.getString(0)}: enough ranked words")
+      // the synthetic corpus is near-uniform over a small vocabulary, so
+      // alpha is small-positive; the fit must at least be finite and sane
+      assert(!r.getDouble(2).isNaN && r.getDouble(2) > -1.0 && r.getDouble(2) < 3.0,
+        s"${r.getString(0)}: alpha ${r.getDouble(2)}")
+      assert(!r.getDouble(3).isNaN, s"${r.getString(0)}: intercept")
+    }
+  }
 }
