@@ -108,7 +108,9 @@ object Bench {
     "mm06_audio_frames",
     "cl02_naive_bayes_langid",
     "gr01_dup_hub_rank",
-    "sim08_mips_topk",
+    // sim08 broadcasts the whole candidate set — an exact oracle baseline
+    // like sim01, excluded for the same reason (the certified scale path is
+    // the asymmetric-transform LSH reduction, proven in Round6bOpsSpec)
     "ev07_heavy_hitters",
     "ta18_zipf_fit",
   )

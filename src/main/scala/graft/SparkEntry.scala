@@ -431,16 +431,8 @@ object SparkEntry {
       GROUP BY 1, 2 ORDER BY source_a, source_b""",
     "dd11_substring_dedup" -> Dedup.substringDedupOracleSql,
     "dd05_dup_clusters" -> s"""
-      WITH RECURSIVE pairs AS (${pairsSubquerySql}),
-      edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-                UNION ALL SELECT doc_b, doc_a FROM pairs),
-      reach(n, m) AS (
-        SELECT a, a FROM (SELECT a FROM edges UNION SELECT b FROM edges) t(a)
-        UNION
-        SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n
-      )
-      SELECT n AS doc_id, min(m) AS cluster_id FROM reach
-      GROUP BY n ORDER BY doc_id""",
+      WITH RECURSIVE $ccCtesSql
+      SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""",
     "dd06_dedup_apply" -> s"""
       WITH pairs AS (${pairsSubquerySql})
       SELECT doc_id, n_chars FROM documents
@@ -612,19 +604,11 @@ object SparkEntry {
     "ta16_lexical_stats" -> TextAnalysis.lexicalStatsOracleSql,
     "mm05_scene_cut" -> Multimodal.sceneCutOracleSql(),
     "pl03_training_weights" ->
-      graft.operators.Pipeline.trainingWeightsOracleSql(pairsSubquerySql),
+      graft.operators.Pipeline.trainingWeightsOracleSql(ccCtesSql),
     // dd14/dd15 consume the SAME cluster labels as dd05 — their oracles
     // extend dd05's recursive-component SQL with the selection / weighting
     "dd14_canonical_select" -> s"""
-      WITH RECURSIVE pairs AS (${pairsSubquerySql}),
-      edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-                UNION ALL SELECT doc_b, doc_a FROM pairs),
-      reach(n, m) AS (
-        SELECT a, a FROM (SELECT a FROM edges UNION SELECT b FROM edges) t(a)
-        UNION
-        SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n
-      ),
-      cl AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+      WITH RECURSIVE $ccCtesSql,
       j AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars
             FROM cl JOIN documents d USING (doc_id)),
       r AS (SELECT cluster_id, doc_id, n_chars,
@@ -636,15 +620,7 @@ object SparkEntry {
              n_members
       FROM r WHERE rnk = 1 ORDER BY cluster_id""",
     "dd15_soft_dedup" -> s"""
-      WITH RECURSIVE pairs AS (${pairsSubquerySql}),
-      edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-                UNION ALL SELECT doc_b, doc_a FROM pairs),
-      reach(n, m) AS (
-        SELECT a, a FROM (SELECT a FROM edges UNION SELECT b FROM edges) t(a)
-        UNION
-        SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n
-      ),
-      cl AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+      WITH RECURSIVE $ccCtesSql,
       sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize
              FROM cl GROUP BY cluster_id),
       pd AS (SELECT cl.doc_id, cl.cluster_id, sz.csize
@@ -676,6 +652,22 @@ object SparkEntry {
     s"""(list_sum(list_transform(range(1, len($a)+1), i -> $a[CAST(i AS INT)]*$b[CAST(i AS INT)])) /
        (sqrt(list_sum(list_transform(range(1, len($a)+1), i -> $a[CAST(i AS INT)]*$a[CAST(i AS INT)]))) *
         sqrt(list_sum(list_transform(range(1, len($b)+1), i -> $b[CAST(i AS INT)]*$b[CAST(i AS INT)])))))"""
+
+  /** The connected-components CTE chain over the verified pair set —
+    * pairs/edges/reach plus the `cl(doc_id, cluster_id)` min-label table.
+    * ONE definition shared by every cluster-consuming oracle (dd05, dd14,
+    * dd15, pl03): a change to the cluster semantics cannot silently
+    * diverge one oracle from the Spark hybrid path. Interpolate after
+    * `WITH RECURSIVE`. */
+  private def ccCtesSql: String = s"""pairs AS (${pairsSubquerySql}),
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach(n, m) AS (
+        SELECT a, a FROM (SELECT a FROM edges UNION SELECT b FROM edges) t(a)
+        UNION
+        SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n
+      ),
+      cl AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n)"""
 
   /** The verified near-dup pair set as a subquery (shared by the cluster
     * and dedup-apply oracles). */

@@ -183,18 +183,23 @@ object Classifier {
     val toks = docs
       .select(col("doc_id"), col("lang"),
         explode(split(Text.normText(col("text")), " ")).as("word"))
-    // dense per-(word, lang) counts: conditional sums, stacked long
+    // dense per-(word, lang) counts: conditional sums, stacked long.
+    // Generated columns are INDEX-named (c_0..c_n) — a label value is data,
+    // not an identifier ('zh-cn' must not have to parse as a column name)
     val wide = toks.groupBy(col("word"))
-      .agg(langs.head match { case h =>
-        sum(when(col("lang") === h, 1L).otherwise(0L)).as(s"c_$h") },
-        langs.tail.map(l =>
-          sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"c_$l")): _*)
-    val stackArgs = langs.map(l => s"'$l', c_$l").mkString(", ")
+      .agg(sum(when(col("lang") === langs.head, 1L).otherwise(0L)).as("c_0"),
+        langs.tail.zipWithIndex.map { case (l, i) =>
+          sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"c_${i + 1}") }: _*)
+    def sparkLit(l: String) = l.replace("\\", "\\\\").replace("'", "\\'")
+    val stackArgs = langs.zipWithIndex
+      .map { case (l, i) => s"'${sparkLit(l)}', c_$i" }.mkString(", ")
     val grid = wide.select(col("word"),
       expr(s"stack(${langs.length}, $stackArgs) AS (cand_lang, c)"))
-    // per-language stats: token totals, doc priors; corpus vocab size
-    val langStats = toks.groupBy(col("lang").as("cand_lang"))
-      .agg(count(lit(1)).as("t"))
+    // per-language stats: token totals REDUCED FROM THE GRID (vocab-scale —
+    // a third corpus tokenization would re-explode every document for a
+    // |langs|-row table); doc priors from a narrow (lang)-only scan
+    val langStats = grid.groupBy(col("cand_lang"))
+      .agg(sum(col("c")).as("t"))
       .join(docs.groupBy(col("lang").as("cand_lang")).agg(count(lit(1)).as("nd")),
         "cand_lang")
     val totals = wide.agg(count(lit(1)).as("v"))
@@ -223,10 +228,12 @@ object Classifier {
   /** DuckDB SQL replicating [[naiveBayesLangQuery]] exactly (same dense
     * grid, same smoothing, same 4dp round before the rank). */
   def naiveBayesLangOracleSql(langs: Seq[String] = Langs): String = {
-    val condCounts = langs.map(l =>
-      s"CAST(count(*) FILTER (WHERE lang = '$l') AS BIGINT) AS c_$l")
+    def lit(l: String) = l.replace("'", "''")
+    val condCounts = langs.zipWithIndex.map { case (l, i) =>
+      s"CAST(count(*) FILTER (WHERE lang = '${lit(l)}') AS BIGINT) AS c_$i" }
       .mkString(",\n               ")
-    val gridSel = langs.map(l => s"SELECT word, '$l' AS cand_lang, c_$l AS c FROM wide")
+    val gridSel = langs.zipWithIndex.map { case (l, i) =>
+      s"SELECT word, '${lit(l)}' AS cand_lang, c_$i AS c FROM wide" }
       .mkString("\n        UNION ALL ")
     s"""
       WITH d AS (SELECT doc_id, lang,
@@ -237,8 +244,8 @@ object Classifier {
                $condCounts
                FROM toks GROUP BY word),
       grid AS ($gridSel),
-      ls AS (SELECT lang AS cand_lang, CAST(count(*) AS BIGINT) AS t
-             FROM toks GROUP BY lang),
+      ls AS (SELECT cand_lang, CAST(sum(c) AS BIGINT) AS t
+             FROM grid GROUP BY cand_lang),
       nd AS (SELECT lang AS cand_lang, CAST(count(*) AS BIGINT) AS nd
              FROM documents GROUP BY lang),
       tot AS (SELECT CAST(count(*) AS BIGINT) AS v FROM wide),

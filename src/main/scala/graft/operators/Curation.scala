@@ -251,22 +251,34 @@ object Curation {
     * Plan shape for 100 TB: one map-side-combined count per source plus a
     * broadcast scalar total — the corpus is scanned once, source-projected;
     * everything after the count is arithmetic over |sources| rows. */
-  def temperatureMixQuery(s: SparkSession, dir: String): DataFrame = {
-    // the corpus total and the normalizer are single-partition windows over
-    // the |sources|-row count table — NOT a self-joined re-aggregation,
-    // which would scan the corpus twice (once per branch)
+  /** The alpha=0.5 temperature-share normalizer over a per-source count
+    * table — the ONE implementation of the cross-engine float contract
+    * (sqrt power; 8dp-rounded weights BEFORE the normalizer sum; share =
+    * w/z), shared by [[temperatureMixQuery]] (doc counts) and
+    * [[epochPlanQuery]] (token counts) so the two planners cannot drift on
+    * the same "temperature share" concept. Adds `total`, `nat_share`, `w`,
+    * `z`, `share` columns; the corpus total and the normalizer are
+    * single-partition windows over the |sources|-row count table — NOT a
+    * self-joined re-aggregation, which would scan the corpus twice. */
+  private def temperatureShareCols(counts: DataFrame, nCol: String): DataFrame = {
     val all = org.apache.spark.sql.expressions.Window.partitionBy()
-    Tables.parallel(Tables.documents(s, dir))
-      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    counts
+      .withColumn("total", sum(col(nCol)).over(all))
       .withColumn("nat_share",
-        col("n_docs").cast("double") / sum(col("n_docs")).over(all).cast("double"))
+        col(nCol).cast("double") / col("total").cast("double"))
       .withColumn("w", round(sqrt(col("nat_share")), 8))
       .withColumn("z", round(sum(col("w")).over(all), 8))
-      .select(col("source"), col("n_docs"), col("nat_share"),
-        round(col("w") / col("z"), 6).as("temp_share"),
-        round(col("w") / col("z") / col("nat_share"), 6).as("boost"))
-      .orderBy(col("source"))
+      .withColumn("share", col("w") / col("z"))
   }
+
+  def temperatureMixQuery(s: SparkSession, dir: String): DataFrame =
+    temperatureShareCols(
+      Tables.parallel(Tables.documents(s, dir))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs")), "n_docs")
+      .select(col("source"), col("n_docs"), col("nat_share"),
+        round(col("share"), 6).as("temp_share"),
+        round(col("share") / col("nat_share"), 6).as("boost"))
+      .orderBy(col("source"))
 
   /** DuckDB SQL replicating [[temperatureMixQuery]] exactly (same sqrt
     * power, same 8dp-before-sum normalizer, same association order). */
@@ -566,18 +578,12 @@ object Curation {
     * pattern). Nothing scales with the corpus but the count pass. */
   def epochPlanQuery(s: SparkSession, dir: String,
       budgetMultiple: Double = 2.0, maxEpochs: Double = 4.0): DataFrame = {
-    val all = org.apache.spark.sql.expressions.Window.partitionBy()
-    Tables.parallel(Tables.documents(s, dir))
-      .select(col("source"),
-        graft.functions.Text.tokenCount(
-          graft.functions.Text.normText(col("text"))).as("tc"))
-      .groupBy(col("source")).agg(sum(col("tc")).as("n_tokens"))
-      .withColumn("total", sum(col("n_tokens")).over(all))
-      .withColumn("nat_share",
-        col("n_tokens").cast("double") / col("total").cast("double"))
-      .withColumn("w", round(sqrt(col("nat_share")), 8))
-      .withColumn("z", round(sum(col("w")).over(all), 8))
-      .withColumn("share", col("w") / col("z"))
+    temperatureShareCols(
+      Tables.parallel(Tables.documents(s, dir))
+        .select(col("source"),
+          graft.functions.Text.tokenCount(
+            graft.functions.Text.normText(col("text"))).as("tc"))
+        .groupBy(col("source")).agg(sum(col("tc")).as("n_tokens")), "n_tokens")
       .withColumn("raw_epochs",
         lit(budgetMultiple) * col("total").cast("double") * col("share") /
           col("n_tokens").cast("double"))

@@ -494,16 +494,28 @@ object Dedup {
     * almost always wins, while the distributed path keeps the operator
     * total even when it doesn't. */
   private[operators] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
-    val (rawPairs, lshCaches) = minhashLshPairsTracked(s, dir)
-    val pairs = rawPairs.select(col("doc_a"), col("doc_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nPairs = pairs.count()
-    lshCaches.foreach(_.unpersist(blocking = false))
+    val (pairs, nPairs) = materializedVerifiedPairs(s, dir)
     val labels =
       if (nPairs <= DriverCcMaxPairs) localLabels(s, pairs)
       else distributedLabels(pairs)
     pairs.unpersist(blocking = false)
     labels
+  }
+
+  /** The verified near-dup pair set, MATERIALIZED (persisted + counted,
+    * LSH lineage caches released) — the shared entry of every graph-shaped
+    * consumer ([[clusterLabels]], [[Graph.dupHubRankQuery]]): one place
+    * owns the persist/count/release-lineage discipline, so a new consumer
+    * cannot drift on cache hygiene. The CALLER unpersists the returned
+    * frame once its own derivation is materialized. */
+  private[operators] def materializedVerifiedPairs(s: SparkSession,
+      dir: String): (DataFrame, Long) = {
+    val (rawPairs, lshCaches) = minhashLshPairsTracked(s, dir)
+    val pairs = rawPairs.select(col("doc_a"), col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = pairs.count()
+    lshCaches.foreach(_.unpersist(blocking = false))
+    (pairs, nPairs)
   }
 
   /** Driver union-find over the bounded pair set (see [[clusterLabels]]):

@@ -39,17 +39,14 @@ object Graph {
     * participates — only ids. */
   def dupHubRankQuery(s: SparkSession, dir: String,
       iters: Int = DefaultIters): DataFrame = {
-    val (rawPairs, lshCaches) = Dedup.minhashLshPairsTracked(s, dir)
-    val pairs = rawPairs.select(col("doc_a"), col("doc_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nPairs = pairs.count()
-    lshCaches.foreach(_.unpersist(blocking = false))
+    val (pairs, nPairs) = Dedup.materializedVerifiedPairs(s, dir)
     val out =
-      if (nPairs <= Dedup.DriverCcMaxPairs) {
-        val local = localRanks(s, pairs, iters)
-        pairs.unpersist(blocking = false)
-        local
-      } else distributedRanks(pairs, iters)
+      if (nPairs <= Dedup.DriverCcMaxPairs) localRanks(s, pairs, iters)
+      else distributedRanks(pairs, iters) // materializes edges/deg/ranks
+    // both branches have materialized everything they derive from the pair
+    // cache by the time they return (collect / per-iteration counts), so
+    // the cache never outlives the call (cl01/pl01 lesson)
+    pairs.unpersist(blocking = false)
     out.orderBy(col("doc_id"))
   }
 

@@ -451,7 +451,9 @@ object Multimodal {
       var i = 0
       while (i < bytes.length) {
         // ??? real decode goes here — a position-salted byte map stands in
-        out(i) = ((bytes(i) & 0xff) * 131 + (i + 1) * 31) % 257 - 128
+        // (Long arithmetic: the oracle computes the position term in
+        // BIGINT, and (i+1)*31 would wrap Int for payloads past ~69 MB)
+        out(i) = (((bytes(i) & 0xff) * 131L + (i + 1L) * 31L) % 257L).toInt - 128
         i += 1
       }
       out

@@ -180,20 +180,13 @@ object Pipeline {
   }
 
   /** DuckDB oracle for [[trainingWeightsQuery]]: the sub-operators' oracle
-    * SQL as CTEs (`pairsSql` is the caller's shared near-dup pair
-    * subquery — the same string the dd05/dd15 oracles interpolate), the
-    * identical gate-and-multiply composition. */
-  def trainingWeightsOracleSql(pairsSql: String): String = s"""
+    * SQL as CTEs (`ccCtes` is the caller's shared connected-components CTE
+    * chain ending in `cl(doc_id, cluster_id)` — the same string the
+    * dd05/dd14/dd15 oracles interpolate), the identical gate-and-multiply
+    * composition. */
+  def trainingWeightsOracleSql(ccCtes: String): String = s"""
       WITH cv AS (${Curation.curationOracleSql}),
-      dw AS (WITH RECURSIVE pairs AS ($pairsSql),
-             edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-                       UNION ALL SELECT doc_b, doc_a FROM pairs),
-             reach(n, m) AS (
-               SELECT a, a FROM (SELECT a FROM edges UNION SELECT b FROM edges) t(a)
-               UNION
-               SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n
-             ),
-             cl AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+      dw AS (WITH RECURSIVE $ccCtes,
              sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize
                     FROM cl GROUP BY cluster_id),
              pd AS (SELECT cl.doc_id, sz.csize

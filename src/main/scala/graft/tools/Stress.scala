@@ -41,8 +41,21 @@ object Stress {
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     amplify(spark.read.parquet(s"$src/embeddings.parquet"), "vec_id", None)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // events: amplify USERS as well as event ids — the per-user windows
+    // (ev05/ev06), the per-day matrices (dq04/ev07) and the keyed stream
+    // state all scale with the user population, which is the axis a bigger
+    // deployment actually grows
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val userSpan = ev.agg(max(col("user_id"))).first().getLong(0) + 1
+    val evSpan = ev.agg(max(col("event_id"))).first().getLong(0) + 1
+    (0 until copies).map { i =>
+      ev.withColumn("event_id", col("event_id") + lit(i * evSpan))
+        .withColumn("user_id", col("user_id") + lit(i * userSpan))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
     val nDocs = spark.read.parquet(s"$out/documents.parquet").count()
-    println(s"[stress] corpus ready: $nDocs docs, ${copies}x $src")
+    val nEvents = spark.read.parquet(s"$out/events.parquet").count()
+    println(s"[stress] corpus ready: $nDocs docs, $nEvents events, ${copies}x $src")
 
     val queries = Seq(
       "dd01_exact_dedup", "dd03_minhash_lsh", "dd04_simhash",
@@ -53,7 +66,16 @@ object Stress {
       "sa04_mixture_sample", "sa05_shard_assign", "ta12_bigram_logprob",
       "ta13_bpe_pairs",
       "sim02_ann_lsh", "sim04_ivf_ann", "sim07_pq_ann",
-      "dd12_streaming_neardup")
+      "dd12_streaming_neardup",
+      // round-6 additions: the cluster-consuming dedup paths, the
+      // iterative trainers, the event-keyed analytics on the amplified
+      // user population, and the new scan-shaped passes
+      "dd13_semdedup", "dd15_soft_dedup", "gr01_dup_hub_rank",
+      "cl01_quality_classifier", "cl02_naive_bayes_langid",
+      "ta17_ppl_buckets", "ta18_zipf_fit", "ir05_phrase_search",
+      "sim08_mips_topk", "mm06_audio_frames",
+      "ev05_sessionize", "ev06_attribution", "ev07_heavy_hitters",
+      "dq04_volume_anomaly")
     var failed = false
     queries.foreach { name =>
       spark.catalog.clearCache()
