@@ -113,6 +113,8 @@ object Bench {
     // the asymmetric-transform LSH reduction, proven in Round6bOpsSpec)
     "ev07_heavy_hitters",
     "ta18_zipf_fit",
+    "sk01_kmv_distinct",
+    "dd16_bloom_decontam",
   )
 
   def main(args: Array[String]): Unit = {

@@ -148,6 +148,10 @@ object SparkEntry {
     "sim08_mips_topk"      -> ((s: SparkSession, d: String) => Similarity.mipsTopK(s, d)),
     "ev07_heavy_hitters"   -> ((s: SparkSession, d: String) => Windows.heavyHittersQuery(s, d)),
     "ta18_zipf_fit"        -> ((s: SparkSession, d: String) => TextAnalysis.zipfFitQuery(s, d)),
+    // deterministic-hash sketches: exact cross-engine oracles for
+    // approximate structures (unlike q31's engine-specific HLL++/KLL)
+    "sk01_kmv_distinct"    -> ((s: SparkSession, d: String) => graft.operators.Sketch.kmvDistinctQuery(s, d)),
+    "dd16_bloom_decontam"  -> ((s: SparkSession, d: String) => graft.operators.Sketch.bloomDecontaminateQuery(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables, same column
@@ -643,6 +647,9 @@ object SparkEntry {
     "sim08_mips_topk" -> Similarity.mipsTopKOracleSql(),
     "ev07_heavy_hitters" -> Windows.heavyHittersOracleSql,
     "ta18_zipf_fit" -> TextAnalysis.zipfFitOracleSql,
+    "sk01_kmv_distinct" -> graft.operators.Sketch.kmvDistinctOracleSql(),
+    "dd16_bloom_decontam" ->
+      graft.operators.Sketch.bloomDecontaminateOracleSql(),
   )
 
   /** DuckDB sequential-fold cosine of two DOUBLE[] columns — bit-identical

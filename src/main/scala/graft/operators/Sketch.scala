@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Text
+
+/** Probabilistic data structures with EXACT cross-engine oracles — the
+  * trick is deterministic hashing (md5-derived, the [[Curation.prefix32]]
+  * family): unlike q31's HLL++/KLL (engine-specific by nature, rows-only
+  * check), a KMV sketch or a Bloom filter built from md5 bits is the SAME
+  * structure in any engine, so the DuckDB oracle re-derives the sketch
+  * bit-for-bit AND the estimate/verdict columns hash-match. These are the
+  * production approximations a 100 TB pipeline actually deploys — distinct
+  * counting without the count-distinct expand, membership prefiltering
+  * without the full span join — checked exactly, including their errors.
+  */
+object Sketch {
+
+  /** sk01 — K-Minimum-Values distinct-count sketch per source (the
+    * mergeable distinct sketch behind theta sketches): hash every distinct
+    * token to 60 uniform bits (md5 prefix), keep each source's K smallest;
+    * the estimator is (K−1)/h(K) with h(K) the K-th smallest hash
+    * normalized to [0,1). Emitted beside the EXACT distinct count so the
+    * sketch's error is itself oracle-checked. Sources with fewer than K
+    * distinct tokens report exactly (the standard small-set fallback).
+    *
+    * Determinism: hashes are md5-exact in both engines; the estimate is a
+    * fixed two-division IEEE sequence over (K−1, kth hash, 2^60) — no
+    * summation anywhere, so no rounding is needed.
+    *
+    * Plan shape for 100 TB: one (source, word)-keyed distinct shuffle
+    * (map-side partial), then the per-source bottom-K is a window that
+    * InferWindowGroupLimit cuts to K rows per map task BEFORE the source
+    * exchange — the exact-count branch beside it is the plain distinct
+    * count. A production deployment keeps ONLY the sketch branch (that is
+    * the point); the exact branch here is the self-check. */
+  def kmvDistinctQuery(s: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val kk = k.toLong
+    val distinctTokens = Tables.parallel(Tables.documents(s, dir))
+      .select(col("source"),
+        explode(split(Text.normText(col("text")), " ")).as("word"))
+      .distinct()
+    val hashed = distinctTokens.withColumn("h",
+      conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"), col("word"))
+    val bottomK = hashed
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= kk)
+      .groupBy(col("source"))
+      .agg(max(col("h")).as("kth_hash"), count(lit(1)).as("n_in"))
+    distinctTokens.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+      .join(bottomK, Seq("source"), "left")
+      .select(col("source"), col("n_exact"),
+        when(col("n_in") === kk, col("kth_hash")).as("kth_hash"),
+        when(col("n_in") === kk,
+          lit((k - 1).toDouble) /
+            (col("kth_hash").cast("double") / lit(1152921504606846976.0d)))
+          .otherwise(col("n_exact").cast("double")).as("est_distinct"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB SQL replicating [[kmvDistinctQuery]] exactly (K = `k`; same
+    * 60-bit md5 prefix, same (K−1)/h(K) op sequence). */
+  def kmvDistinctOracleSql(k: Int = 16): String = s"""
+      WITH d AS (SELECT source, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                 FROM documents),
+      dt AS (SELECT DISTINCT source, unnest(string_split(t, ' ')) AS word FROM d),
+      hashed AS (SELECT source, word,
+                   CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) AS h
+                 FROM dt),
+      bk AS (SELECT source, CAST(max(h) AS BIGINT) AS kth_hash,
+                    CAST(count(*) AS BIGINT) AS n_in
+             FROM (SELECT source, h,
+                     row_number() OVER (PARTITION BY source ORDER BY h, word) AS rnk
+                   FROM hashed) z
+             WHERE rnk <= $k GROUP BY source),
+      ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact
+             FROM dt GROUP BY source)
+      SELECT ex.source, n_exact,
+             CASE WHEN n_in = $k THEN kth_hash END AS kth_hash,
+             CASE WHEN n_in = $k
+                  THEN ${(k - 1).toDouble} /
+                       (CAST(kth_hash AS DOUBLE) / 1152921504606846976.0)
+                  ELSE CAST(n_exact AS DOUBLE) END AS est_distinct
+      FROM ex LEFT JOIN bk USING (source)
+      ORDER BY source"""
+
+  val BloomBits = 65536L
+  val BloomHashes = 4
+
+  /** dd16 — Bloom-prefilter decontamination (the approximate-membership
+    * form of dd08 a 100 TB pipeline actually runs first): the benchmark
+    * spans build a Bloom filter (`BloomBits` bits, `BloomHashes` md5-derived
+    * hash functions); every corpus document is probed through it, BESIDE
+    * the exact span join, so the output carries the Bloom verdict, the
+    * exact verdict AND the false-positive flag — the filter's error rate is
+    * itself oracle-checked. Bloom semantics guarantee no false negatives
+    * (asserted in SketchSpec): a Bloom-clean document needs no exact check,
+    * which is what makes the prefilter worth running — at scale the exact
+    * join only receives the Bloom-positive minority.
+    *
+    * Determinism: bit positions are md5(j + ":" + span) prefixes mod m —
+    * the identical bit set in any engine; every output column is integer/
+    * boolean logic over them.
+    *
+    * Plan shape for 100 TB: the bit SET (distinct positions, ≤ m rows,
+    * here ≤ 64Ki) broadcasts; the probe is the span explode joined to it
+    * map-side, reduced per (doc, span) by an all-k-bits count and per doc
+    * by an any-span flag — the corpus never shuffles un-reduced, and the
+    * exact branch reuses dd08's broadcast span join unchanged. */
+  def bloomDecontaminateQuery(s: SparkSession, dir: String,
+      benchSource: String = "src0", n: Int = 8): DataFrame = {
+    def spansOf(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      explode(graft.functions.TokenNgrams.tokenNgrams(
+        Text.normText(col("text")), n)).as("span"))
+    def positions(spanCol: org.apache.spark.sql.Column) = array(
+      (0 until BloomHashes).map(j =>
+        pmod(conv(substring(md5(concat(lit(s"$j:"), spanCol)), 1, 8), 16, 10)
+          .cast("long"), lit(BloomBits))): _*)
+    val docs = Tables.parallel(Tables.documents(s, dir))
+    val benchSpans = spansOf(docs.filter(col("source") === benchSource))
+      .select(col("span")).distinct()
+    val bits = benchSpans
+      .select(explode(positions(col("span"))).as("pos")).distinct()
+    val corpusSpans = spansOf(docs.filter(col("source") =!= benchSource))
+      .select(col("doc_id"), col("span")).distinct()
+    // Bloom probe: a span hits iff ALL k of its positions are set
+    val spanVerdict = corpusSpans
+      .select(col("doc_id"), col("span"),
+        explode(positions(col("span"))).as("pos"))
+      .join(broadcast(bits.withColumn("set", lit(1))), Seq("pos"), "left")
+      .groupBy(col("doc_id"), col("span"))
+      .agg((sum(when(col("set").isNotNull, 1L).otherwise(0L)) === BloomHashes.toInt)
+        .as("bloom_span_hit"))
+    // exact branch: dd08's broadcast distinct-span join
+    val exact = corpusSpans
+      .join(broadcast(benchSpans.withColumn("bhit", lit(1))), Seq("span"), "left")
+      .groupBy(col("doc_id"))
+      .agg((sum(when(col("bhit").isNotNull, 1L).otherwise(0L)) > 0L).as("exact_hit"))
+    spanVerdict
+      .groupBy(col("doc_id"))
+      .agg(max(col("bloom_span_hit")).as("bloom_hit"))
+      .join(exact, "doc_id")
+      .select(col("doc_id"), col("bloom_hit"), col("exact_hit"),
+        (col("bloom_hit") && !col("exact_hit")).as("false_positive"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB SQL replicating [[bloomDecontaminateQuery]] exactly (same md5
+    * bit positions, same all-k probe, same exact branch). */
+  def bloomDecontaminateOracleSql(benchSource: String = "src0",
+      n: Int = 8): String = s"""
+      WITH d AS (SELECT doc_id, source,
+                        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                 FROM documents),
+      tok AS (SELECT doc_id, source, string_split(t, ' ') AS w FROM d),
+      spans AS (SELECT doc_id, source,
+                  unnest(list_transform(range(1, greatest(len(w) - ${n - 2}, 1)),
+                    i -> array_to_string(w[CAST(i AS INT):CAST(i + ${n - 1} AS INT)], ' '))) AS span
+                FROM tok),
+      bench AS (SELECT DISTINCT span FROM spans WHERE source = '$benchSource'),
+      bits AS (SELECT DISTINCT
+                 CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), ':', span)), 1, 8)) AS BIGINT)
+                   % $BloomBits AS pos
+               FROM bench CROSS JOIN range(0, $BloomHashes) r(j)),
+      cs AS (SELECT DISTINCT doc_id, span FROM spans WHERE source <> '$benchSource'),
+      probe AS (SELECT doc_id, span,
+                  CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), ':', span)), 1, 8)) AS BIGINT)
+                    % $BloomBits AS pos
+                FROM cs CROSS JOIN range(0, $BloomHashes) r(j)),
+      sv AS (SELECT doc_id, span,
+               CAST(sum(CASE WHEN pos IN (SELECT pos FROM bits)
+                             THEN 1 ELSE 0 END) AS BIGINT) = $BloomHashes
+                 AS bloom_span_hit
+             FROM probe GROUP BY doc_id, span),
+      bl AS (SELECT doc_id, max(bloom_span_hit) AS bloom_hit
+             FROM sv GROUP BY doc_id),
+      ex AS (SELECT doc_id,
+               CAST(sum(CASE WHEN span IN (SELECT span FROM bench)
+                             THEN 1 ELSE 0 END) AS BIGINT) > 0 AS exact_hit
+             FROM cs GROUP BY doc_id)
+      SELECT doc_id, bloom_hit, exact_hit,
+             bloom_hit AND NOT exact_hit AS false_positive
+      FROM bl JOIN ex USING (doc_id)
+      ORDER BY doc_id"""
+}

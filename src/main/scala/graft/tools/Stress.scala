@@ -75,7 +75,7 @@ object Stress {
       "ta17_ppl_buckets", "ta18_zipf_fit", "ir05_phrase_search",
       "sim08_mips_topk", "mm06_audio_frames",
       "ev05_sessionize", "ev06_attribution", "ev07_heavy_hitters",
-      "dq04_volume_anomaly")
+      "dq04_volume_anomaly", "sk01_kmv_distinct", "dd16_bloom_decontam")
     var failed = false
     queries.foreach { name =>
       spark.catalog.clearCache()
