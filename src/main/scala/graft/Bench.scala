@@ -115,6 +115,11 @@ object Bench {
     "ta18_zipf_fit",
     "sk01_kmv_distinct",
     "dd16_bloom_decontam",
+    "er01_fuzzy_match",
+    "q37_ignore_nulls",
+    "er02_fuzzy_clusters",
+    "q38_latest_snapshot",
+    "ev08_path_ngrams",
   )
 
   def main(args: Array[String]): Unit = {

@@ -53,6 +53,8 @@ object SparkEntry {
     "q34_window_dist"      -> Relational.windowDist _,
     "q35_full_outer"       -> Relational.nationPresence _,
     "q36_tpch_q5"          -> Relational.localSupplierRevenue _,
+    "q37_ignore_nulls"     -> Relational.ignoreNullsWindow _,
+    "q38_latest_snapshot"  -> Relational.latestSnapshot _,
     // LLM-data-pipeline operators (dedup / text analysis / similarity)
     "dd01_exact_dedup"     -> Dedup.exactDedup _,
     "dd02_ngram_jaccard"   -> Dedup.ngramJaccardPairs _,
@@ -152,6 +154,9 @@ object SparkEntry {
     // approximate structures (unlike q31's engine-specific HLL++/KLL)
     "sk01_kmv_distinct"    -> ((s: SparkSession, d: String) => graft.operators.Sketch.kmvDistinctQuery(s, d)),
     "dd16_bloom_decontam"  -> ((s: SparkSession, d: String) => graft.operators.Sketch.bloomDecontaminateQuery(s, d)),
+    "er01_fuzzy_match"     -> ((s: SparkSession, d: String) => graft.operators.Resolution.fuzzyMatchQuery(s, d)),
+    "er02_fuzzy_clusters"  -> ((s: SparkSession, d: String) => graft.operators.Resolution.fuzzyClustersQuery(s, d)),
+    "ev08_path_ngrams"     -> ((s: SparkSession, d: String) => graft.operators.Windows.pathNgramsQuery(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables, same column
@@ -650,6 +655,11 @@ object SparkEntry {
     "sk01_kmv_distinct" -> graft.operators.Sketch.kmvDistinctOracleSql(),
     "dd16_bloom_decontam" ->
       graft.operators.Sketch.bloomDecontaminateOracleSql(),
+    "er01_fuzzy_match" -> graft.operators.Resolution.fuzzyMatchOracleSql(),
+    "er02_fuzzy_clusters" -> graft.operators.Resolution.fuzzyClustersOracleSql(),
+    "q37_ignore_nulls" -> Relational.ignoreNullsWindowOracleSql,
+    "q38_latest_snapshot" -> Relational.latestSnapshotOracleSql,
+    "ev08_path_ngrams" -> graft.operators.Windows.pathNgramsOracleSql,
   )
 
   /** DuckDB sequential-fold cosine of two DOUBLE[] columns — bit-identical

@@ -372,6 +372,100 @@ object Relational {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** IGNORE-NULLS window navigation (W2): last-observation-carried-forward
+    * — every event carries the SAME USER's most recent purchase amount
+    * (the canonical gap-fill/LOCF query of telemetry and feature
+    * engineering), plus the second-ever purchase via nth_value ignore-nulls
+    * and the frame's first event type. The carried values are passthrough
+    * doubles (no arithmetic), so no rounding is needed anywhere.
+    *
+    * Plan shape for 100 TB: ONE exchange keyed by user_id and one in-task
+    * sort serve all three window functions (same partition+order key);
+    * per-row state is a single carried value, the streaming-twin shape of
+    * [[graft.state.AttributionStream]]'s last-touch store. */
+  def ignoreNullsWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us").as("tus"))
+      .withColumn("pv",
+        when(col("event_type") === "purchase", col("value")))
+      .select(col("user_id"), col("event_id"),
+        last(col("pv"), ignoreNulls = true).over(w).as("locf_purchase"),
+        nth_value(col("pv"), 2, ignoreNulls = true).over(w).as("second_purchase"),
+        first_value(col("event_type")).over(w).as("first_type"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** DuckDB SQL replicating [[ignoreNullsWindow]] exactly (same frame,
+    * same IGNORE NULLS navigation). */
+  val ignoreNullsWindowOracleSql: String = """
+      WITH e AS (SELECT user_id, event_id, event_type, value,
+                        epoch_us(ts) AS tus,
+                        CASE WHEN event_type = 'purchase' THEN value END AS pv
+                 FROM events)
+      SELECT user_id, event_id,
+             last_value(pv IGNORE NULLS) OVER w AS locf_purchase,
+             nth_value(pv, 2 IGNORE NULLS) OVER w AS second_purchase,
+             first_value(event_type) OVER w AS first_type
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id"""
+
+  /** Changelog compaction (the reference's changelog-topic semantics as a
+    * batch operator — reference: fluvii/fluvii/table/sqlite.py's
+    * last-write-wins key store): collapse the event stream to ONE current
+    * row per key — the latest (ts, event_id) event's type and value — plus
+    * the key's event count. This is the "materialize the table from the
+    * log" query of every CDC/state pipeline.
+    *
+    * Latest-wins is a single struct-max aggregate (lexicographic
+    * (tus, event_id, …) ordering — the [[graft.operators.Windows]]
+    * attribution recipe), NOT a row_number window: the aggregate combines
+    * map-side, so the exchange carries one partial row per (task, key)
+    * instead of every event. Values are passthrough (no float arithmetic).
+    *
+    * Plan shape for 100 TB: ONE user-keyed exchange of partially-aggregated
+    * rows; the scan projects four columns (no props payload). At real CDC
+    * scale the same aggregate runs incrementally as a streaming
+    * stateful query — this is its batch twin. */
+  def latestSnapshot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us").as("tus"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(struct(col("tus"), col("event_id"), col("event_type"),
+          col("value"))).as("last"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_type"),
+        col("last.value").as("last_value"),
+        col("last.tus").as("last_us"),
+        col("n_events"))
+      .orderBy(col("user_id"))
+
+  /** DuckDB SQL replicating [[latestSnapshot]] exactly (same struct-max
+    * latest-wins ordering, same integer micros). */
+  val latestSnapshotOracleSql: String = """
+      WITH e AS (SELECT user_id, event_id, event_type, value,
+                        epoch_us(ts) AS tus
+                 FROM events),
+      s AS (SELECT user_id,
+              max(struct_pack(tus := tus, event_id := event_id,
+                              event_type := event_type, value := value))
+                AS last,
+              CAST(count(*) AS BIGINT) AS n_events
+            FROM e GROUP BY user_id)
+      SELECT user_id, last.event_id AS last_event_id,
+             last.event_type AS last_type, last.value AS last_value,
+             last.tus AS last_us, n_events
+      FROM s ORDER BY user_id"""
+
   /** Map functions (§2.8): construct, merge, probe and enumerate map
     * columns (the headers/props shape every Kafka envelope carries) —
     * map(), map_concat, element_at, size, map_keys. Scalars are emitted

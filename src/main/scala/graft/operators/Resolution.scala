@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Text
+
+/** Entity resolution / record linkage — the "same real-world thing under
+  * slightly different spellings" primitive (dedup of titles, author names,
+  * product records) that string-EXACT dedup (dd01) and set-similarity
+  * dedup (dd02/dd03) both miss: character-level edit distance, made
+  * joinable by q-gram blocking.
+  */
+object Resolution {
+
+  /** er01 — edit-distance record matching over q-gram blocking: each
+    * document's match key (the first `keyLen` chars of its normalized
+    * text — a production caller passes its title/name column) is cut into
+    * overlapping `q`-grams; documents sharing ANY gram become candidates;
+    * candidates are verified with exact Levenshtein ≤ `maxDist`.
+    *
+    * The blocking is recall-LOSSLESS by pigeonhole, not heuristically: a
+    * key has keyLen−q+1 grams and one edit destroys at most q of them, so
+    * with maxDist·q < keyLen−q+1 (the require below) two keys within
+    * maxDist edits MUST still share an intact gram — the same class of
+    * guarantee as mm04's band pigeonhole. ResolutionSpec proves it by
+    * brute force. All-integer verification: bit-deterministic cross-engine.
+    *
+    * Plan shape for 100 TB: the gram-keyed equi-join is dd03's banding
+    * class — ONE shuffle keyed by gram value, with the distinct pair set
+    * reduced before the Levenshtein verify so the quadratic work is
+    * confined to true candidate blocks. Skew: a boilerplate-flooded gram
+    * ("the same 4 chars in every title") hot-buckets exactly like an LSH
+    * band — [[Dedup.HotBucketCap]]'s star-candidate guard is the drop-in
+    * pattern when a real corpus needs it; the stop-gram analog (drop grams
+    * with document frequency above a cap) is the cheaper production fix. */
+  def fuzzyMatchQuery(s: SparkSession, dir: String, keyLen: Int = 24,
+      q: Int = 4, maxDist: Int = 4): DataFrame =
+    matchPairs(s, dir, keyLen, q, maxDist)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The unordered verified match-pair set — shared by [[fuzzyMatchQuery]]
+    * (which reports it) and [[fuzzyClustersQuery]] (which resolves its
+    * transitive closure), so the blocking+verify derivation exists once. */
+  private def matchPairs(s: SparkSession, dir: String, keyLen: Int,
+      q: Int, maxDist: Int): DataFrame = {
+    require(maxDist * q < keyLen - q + 1,
+      s"lossless blocking needs maxDist*q < keyLen-q+1 " +
+        s"(got ${maxDist * q} vs ${keyLen - q + 1})")
+    val keys = Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        substring(Text.normText(col("text")), 1, keyLen).as("p"))
+    val grams = keys.select(col("doc_id"), col("p"),
+      explode(array((1 to keyLen - q + 1).map(i =>
+        substring(col("p"), i, q)): _*)).as("g"))
+      .distinct()
+    grams.alias("a")
+      .join(grams.alias("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.p").as("pa"), col("b.p").as("pb"))
+      .distinct()
+      .withColumn("edit_dist", levenshtein(col("pa"), col("pb")).cast("long"))
+      .filter(col("edit_dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"))
+  }
+
+  /** er02 — entity groups: exact connected components over the verified
+    * fuzzy-match graph, labeling every matched document with the minimum
+    * doc_id of its group — [[Dedup.dupClusters]]'s contract applied to the
+    * EDIT-DISTANCE relation (the record-linkage "same entity" partition
+    * that feeds canonical-record selection).
+    *
+    * Plan shape for 100 TB: identical to dd05's size-guarded hybrid — the
+    * pair set is verification-bounded (true fuzzy matches only, never the
+    * corpus), so under [[Dedup.DriverCcMaxPairs]] a driver union-find runs
+    * in one job and the labels broadcast; above it, the distributed
+    * min-label propagation loop takes over. Shared machinery, shared bound
+    * argument, shared convergence guard. */
+  def fuzzyClustersQuery(s: SparkSession, dir: String, keyLen: Int = 24,
+      q: Int = 4, maxDist: Int = 4): DataFrame = {
+    val pairs = matchPairs(s, dir, keyLen, q, maxDist)
+      .select(col("doc_a"), col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = pairs.count()
+    val labels =
+      if (nPairs <= Dedup.DriverCcMaxPairs) Dedup.localLabels(s, pairs)
+      else Dedup.distributedLabels(pairs)
+    pairs.unpersist(blocking = false)
+    labels.orderBy(col("doc_id"))
+  }
+
+  /** The shared blocking+candidate CTE text of the er01/er02 oracles
+    * (same keys, same gram blocking — integer end to end). */
+  private def candCtesSql(keyLen: Int, q: Int): String = s"""
+      d AS (SELECT doc_id,
+                   substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, $keyLen) AS p
+                 FROM documents),
+      g AS (SELECT DISTINCT doc_id, p, g FROM (
+              SELECT doc_id, p,
+                unnest(list_transform(range(1, ${keyLen - q + 2}),
+                  i -> substr(p, CAST(i AS INT), $q))) AS g
+              FROM d) z),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.p AS pa, b.p AS pb
+               FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id)"""
+
+  /** DuckDB SQL replicating [[fuzzyMatchQuery]] exactly (same keys, same
+    * gram blocking, same Levenshtein cut — integer end to end). */
+  def fuzzyMatchOracleSql(keyLen: Int = 24, q: Int = 4,
+      maxDist: Int = 4): String = s"""
+      WITH ${candCtesSql(keyLen, q)}
+      SELECT doc_a, doc_b, CAST(levenshtein(pa, pb) AS BIGINT) AS edit_dist
+      FROM cand WHERE levenshtein(pa, pb) <= $maxDist
+      ORDER BY doc_a, doc_b"""
+
+  /** DuckDB SQL replicating [[fuzzyClustersQuery]] exactly: the verified
+    * pair set's transitive closure via a recursive reachability CTE (the
+    * dd05 oracle shape over the er01 pair subquery). */
+  def fuzzyClustersOracleSql(keyLen: Int = 24, q: Int = 4,
+      maxDist: Int = 4): String = s"""
+      WITH RECURSIVE ${candCtesSql(keyLen, q)},
+      pairs AS (SELECT doc_a, doc_b FROM cand
+                WHERE levenshtein(pa, pb) <= $maxDist),
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach(n, m) AS (
+        SELECT a, a FROM (SELECT a FROM edges UNION SELECT b FROM edges) t(a)
+        UNION
+        SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n
+      ),
+      cl AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n)
+      SELECT doc_id, cluster_id FROM cl ORDER BY doc_id"""
+}

@@ -422,4 +422,75 @@ object Windows {
                     ORDER BY n_events DESC, user_id) AS BIGINT) AS rnk
         FROM c) z
       WHERE rnk <= 3 ORDER BY day, rnk"""
+
+  /** ev08 — session path mining: the `k` most frequent length-3 event-type
+    * sequences taken by users WITHIN a session (the [[sessionizeQuery]]
+    * gap rule), e.g. `view>click>purchase` — the "what journeys happen"
+    * query behind funnel design and anomaly triage.
+    *
+    * Every window (the session boundary running-sum AND the two leads)
+    * partitions by user_id only — session membership is enforced by
+    * DISCARDING trigrams whose 2-ahead row crossed a session boundary
+    * (lead(session_idx, 2) != session_idx), not by re-partitioning on
+    * (user, session): ONE exchange + one in-task sort serve everything.
+    * Exact integer counts, ties on path string — fully deterministic.
+    *
+    * Plan shape for 100 TB: the user-keyed exchange carries (user_id,
+    * event_type, tus, event_id) only; trigram counting is a map-side-
+    * combined aggregate over path strings (vocabulary-scale: |types|³
+    * distinct keys), and the top-k is TakeOrderedAndProject — the corpus
+    * is never globally sorted. */
+  def pathNgramsQuery(s: SparkSession, dir: String, gapSecs: Long = 1800,
+      k: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val run = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val gapUs = gapSecs * 1000000L
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_us").as("tus"))
+      .withColumn("prev", lag(col("tus"), 1).over(w))
+      .withColumn("boundary",
+        when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("boundary")).over(run))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .withColumn("s3", lead(col("session_idx"), 2).over(w))
+      .filter(col("s3") === col("session_idx"))
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
+  /** DuckDB SQL replicating [[pathNgramsQuery]] exactly (gap = 1800 s,
+    * k = 20; same single-partition-key window discipline). */
+  val pathNgramsOracleSql: String = """
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+                 FROM events),
+      b AS (SELECT user_id, event_id, event_type, tus,
+              CASE WHEN lag(tus, 1) OVER w IS NULL
+                     OR tus - lag(tus, 1) OVER w > 1800000000
+                   THEN 1 ELSE 0 END AS boundary
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      sx AS (SELECT user_id, event_id, event_type, tus,
+               sum(boundary) OVER (PARTITION BY user_id
+                 ORDER BY tus, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_idx
+             FROM b),
+      tri AS (SELECT event_type AS t1,
+                lead(event_type, 1) OVER w AS t2,
+                lead(event_type, 2) OVER w AS t3,
+                session_idx,
+                lead(session_idx, 2) OVER w AS s3
+              FROM sx
+              WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
+      SELECT t1 || '>' || t2 || '>' || t3 AS path,
+             CAST(count(*) AS BIGINT) AS n
+      FROM tri WHERE s3 = session_idx
+      GROUP BY path ORDER BY n DESC, path LIMIT 20"""
 }

@@ -75,7 +75,9 @@ object Stress {
       "ta17_ppl_buckets", "ta18_zipf_fit", "ir05_phrase_search",
       "sim08_mips_topk", "mm06_audio_frames",
       "ev05_sessionize", "ev06_attribution", "ev07_heavy_hitters",
-      "dq04_volume_anomaly", "sk01_kmv_distinct", "dd16_bloom_decontam")
+      "dq04_volume_anomaly", "sk01_kmv_distinct", "dd16_bloom_decontam",
+      "er01_fuzzy_match", "er02_fuzzy_clusters", "q38_latest_snapshot",
+      "ev08_path_ngrams")
     var failed = false
     queries.foreach { name =>
       spark.catalog.clearCache()

@@ -420,4 +420,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan)
     assert("hashpartitioning\\(source#\\d+, word#".r.findFirstIn(plan).nonEmpty, plan)
   }
+
+  test("q38: latest-wins is a map-side-combined aggregate, not a window") {
+    val plan = planOf(Relational.latestSnapshot(spark, sf0001))
+    assert(plan.contains("partial_max") || plan.contains("partial max"), plan)
+    assert(!plan.contains("Window"), s"latest-wins must not be a window:\n$plan")
+    assert(count(plan, "hashpartitioning\\(user_id") == 1, plan)
+  }
+
+  test("ev08: ONE user-keyed exchange serves all windows; top-k is TakeOrdered") {
+    val plan = planOf(Windows.pathNgramsQuery(spark, sf0001))
+    assert(count(plan, "hashpartitioning\\(user_id") == 1,
+      s"all windows must share the user_id exchange:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
 }

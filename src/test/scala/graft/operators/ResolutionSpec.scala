@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession.{sf0001, spark}
+
+/** er01 — q-gram-blocked edit-distance matching: the pigeonhole
+  * losslessness claim proven by brute force, and the plan shape. */
+class ResolutionSpec extends AnyFunSuite {
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("er01: blocked matching equals the brute-force quadratic (lossless)") {
+    val got = Resolution.fuzzyMatchQuery(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val keys = graft.core.Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        substring(graft.functions.Text.normText(col("text")), 1, 24).as("p"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val brute = (for {
+      i <- keys.indices; j <- (i + 1) until keys.length
+      d = lev(keys(i)._2, keys(j)._2) if d <= 4
+    } yield (keys(i)._1, keys(j)._1, d.toLong)).toSet
+    assert(brute.nonEmpty, "corpus must contain at least one fuzzy match")
+    assert(got == brute,
+      s"missing: ${brute -- got}; extra: ${got -- brute}")
+  }
+
+  test("er01: lossless-blocking precondition is enforced") {
+    intercept[IllegalArgumentException] {
+      Resolution.fuzzyMatchQuery(spark, sf0001, keyLen = 16, q = 4, maxDist = 4)
+    }
+  }
+
+  test("er02: cluster labels equal a brute-force union-find over er01's pairs") {
+    val pairs = Resolution.fuzzyMatchQuery(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val expected = parent.keys.map(v => (v, find(v))).toSet
+    val got = Resolution.fuzzyClustersQuery(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty && got == expected,
+      s"missing: ${expected -- got}; extra: ${got -- expected}")
+  }
+
+  test("er01: gram-keyed join, pruned scan, no cartesian") {
+    val plan = Resolution.fuzzyMatchQuery(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+  }
+}
