@@ -120,6 +120,10 @@ object Bench {
     "er02_fuzzy_clusters",
     "q38_latest_snapshot",
     "ev08_path_ngrams",
+    "ir06_pmi_cooccur",
+    "sk02_cms_heavy",
+    "cl03_knn_classifier",
+    "sa09_cluster_split",
   )
 
   def main(args: Array[String]): Unit = {

@@ -157,6 +157,10 @@ object SparkEntry {
     "er01_fuzzy_match"     -> ((s: SparkSession, d: String) => graft.operators.Resolution.fuzzyMatchQuery(s, d)),
     "er02_fuzzy_clusters"  -> ((s: SparkSession, d: String) => graft.operators.Resolution.fuzzyClustersQuery(s, d)),
     "ev08_path_ngrams"     -> ((s: SparkSession, d: String) => graft.operators.Windows.pathNgramsQuery(s, d)),
+    "ir06_pmi_cooccur"     -> ((s: SparkSession, d: String) => graft.operators.Search.pmiCooccurQuery(s, d)),
+    "sk02_cms_heavy"       -> ((s: SparkSession, d: String) => graft.operators.Sketch.cmsHeavyQuery(s, d)),
+    "cl03_knn_classifier"  -> ((s: SparkSession, d: String) => graft.operators.Classifier.knnClassifierQuery(s, d)),
+    "sa09_cluster_split"   -> ((s: SparkSession, d: String) => graft.operators.Curation.clusterSplitQuery(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables, same column
@@ -660,6 +664,31 @@ object SparkEntry {
     "q37_ignore_nulls" -> Relational.ignoreNullsWindowOracleSql,
     "q38_latest_snapshot" -> Relational.latestSnapshotOracleSql,
     "ev08_path_ngrams" -> graft.operators.Windows.pathNgramsOracleSql,
+    "ir06_pmi_cooccur" -> graft.operators.Search.pmiCooccurOracleSql(),
+    "sk02_cms_heavy" -> graft.operators.Sketch.cmsHeavyOracleSql(),
+    // cl03: inline — reuses this object's sequential-fold cosSql like sim04
+    "cl03_knn_classifier" -> s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label,
+                   CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     % 10 AS h
+                 FROM embeddings),
+      train AS (SELECT vec_id AS cand_id, v, label AS cand_label FROM e WHERE h < 8),
+      test AS (SELECT vec_id, v, label AS true_label FROM e WHERE h >= 8),
+      sc AS (SELECT t.vec_id, t.true_label, c.cand_id, c.cand_label,
+               round(${cosSql("t.v", "c.v")}, 6) AS cos
+             FROM test t CROSS JOIN train c),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY cos DESC, cand_id) AS rnk FROM sc),
+      votes AS (SELECT vec_id, true_label, cand_label,
+                  CAST(count(*) AS BIGINT) AS n_votes
+                FROM rk WHERE rnk <= 5 GROUP BY 1, 2, 3),
+      win AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY n_votes DESC, cand_label) AS vr FROM votes)
+      SELECT vec_id, true_label, cand_label AS pred_label, n_votes,
+             cand_label = true_label AS correct
+      FROM win WHERE vr = 1 ORDER BY vec_id""",
+    "sa09_cluster_split" ->
+      graft.operators.Curation.clusterSplitOracleSql(ccCtesSql),
   )
 
   /** DuckDB sequential-fold cosine of two DOUBLE[] columns — bit-identical

@@ -271,4 +271,51 @@ object Classifier {
       FROM rk JOIN documents USING (doc_id)
       ORDER BY doc_id, cand_lang"""
   }
+
+  /** cl03 — k-nearest-neighbor label propagation over the embedding table:
+    * vectors hash-split 80/20 into train/test (the [[Curation.md5Prefix32]]
+    * family — same verdict on every engine and every run); each test
+    * vector takes its `k` nearest TRAIN vectors by cosine and adopts the
+    * majority label (ties: smaller label). Emitted with the true label and
+    * the hit flag, so the output IS the accuracy report — the standard
+    * embedding-quality probe (kNN accuracy) of representation pipelines.
+    *
+    * Determinism: cosine is the sequential-fold native expression rounded
+    * 6dp BEFORE ranking; neighbor rank ties break on cand_id, vote ties on
+    * label — fully deterministic cross-engine.
+    *
+    * Plan shape for 100 TB: the exact form broadcasts the train side like
+    * sim01's baseline (valid while train fits the broadcast budget — kNN
+    * probes use a SAMPLED train set precisely so this holds); above that
+    * budget the sim04 IVF routing is the drop-in scale path (coarse
+    * centroids → per-list joins). Neighbor cut and vote are WindowGroupLimit-
+    * able windows over the test-keyed partials — the corpus never sorts
+    * globally. */
+  def knnClassifierQuery(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+      .withColumn("h", Curation.md5Prefix32(col("vec_id")).cast("long") % 10)
+    val train = emb.filter(col("h") < 8)
+      .select(col("vec_id").as("cand_id"), col("v").as("cv"),
+        col("label").as("cand_label"))
+    val test = Tables.parallel(emb.filter(col("h") >= 8))
+      .select(col("vec_id"), col("v").as("qv"), col("label").as("true_label"))
+    val byCos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cand_id"))
+    val byVotes = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("n_votes").desc, col("cand_label"))
+    test.join(broadcast(train))
+      .withColumn("cos", round(Similarity.cosine(col("qv"), col("cv")), 6))
+      .withColumn("rnk", row_number().over(byCos))
+      .filter(col("rnk") <= k)
+      .groupBy(col("vec_id"), col("true_label"), col("cand_label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("vr", row_number().over(byVotes))
+      .filter(col("vr") === 1)
+      .select(col("vec_id"), col("true_label"),
+        col("cand_label").as("pred_label"), col("n_votes"),
+        (col("cand_label") === col("true_label")).as("correct"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -633,4 +633,50 @@ object Curation {
                CAST(n_tokens AS DOUBLE), 2) AS planned_tokens
       FROM b4 ORDER BY source"""
   }
+
+  /** sa09 — leakage-safe train/val/test split: documents are assigned
+    * 80/10/10 by md5 hash of their near-dup CLUSTER representative (the
+    * [[Dedup.dupClusters]] min-label; singletons represent themselves), so
+    * a document and its near-duplicates ALWAYS land in the same split —
+    * the split-level guarantee that document-hash splitting silently
+    * violates (a near-dup of a test doc in train is eval contamination).
+    * SplitSpec asserts the invariant directly: no cluster spans splits.
+    *
+    * Determinism: the verdict is pure md5-prefix arithmetic on the
+    * representative id — same split on every engine, every run, and stable
+    * as the corpus grows (a new member joins its cluster's split).
+    *
+    * Plan shape for 100 TB: the cluster labels are pair-graph-scale (never
+    * corpus-scale — the dd05 contract) and join the id-projected corpus by
+    * BROADCAST; the verdict is then a map-side expression. One corpus-scale
+    * exchange total (the output sort, which a production writer drops). */
+  def clusterSplitQuery(s: SparkSession, dir: String): DataFrame = {
+    val labels = Dedup.clusterLabels(s, dir)
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket", md5Prefix32(col("rep")).cast("long") % 10)
+      .select(col("doc_id"), col("rep"),
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB SQL replicating [[clusterSplitQuery]] exactly, over the shared
+    * connected-components CTE chain (`ccCtes` must define `cl(doc_id,
+    * cluster_id)` — the SparkEntry dd05 oracle text). */
+  def clusterSplitOracleSql(ccCtes: String): String = s"""
+      WITH RECURSIVE $ccCtes,
+      rep AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS rep
+              FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+      b AS (SELECT doc_id, rep,
+              CAST(concat('0x', substr(md5(CAST(rep AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 10 AS bucket
+            FROM rep)
+      SELECT doc_id, rep,
+             CASE WHEN bucket < 8 THEN 'train'
+                  WHEN bucket = 8 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM b ORDER BY doc_id"""
 }

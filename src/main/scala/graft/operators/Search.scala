@@ -286,4 +286,81 @@ object Search {
       WHERE t0.w = '${phrase.head}'
       GROUP BY t0.doc_id ORDER BY t0.doc_id"""
   }
+
+  /** ir06 — term-association mining: pointwise mutual information of term
+    * pairs co-occurring in a document, restricted to the mid-frequency
+    * band `minDf ≤ df ≤ maxDf` (the standard collocation cut: stopwords
+    * are uninformative and rare words unstable). PMI = ln(N·c_ab /
+    * (c_a·c_b)) over document-level presence counts — the query-expansion
+    * / related-terms primitive of every retrieval stack.
+    *
+    * The band is RELATIVE (percent of N, compared by exact integer
+    * cross-multiplication — no float thresholds), so the same defaults are
+    * meaningful at sf0.001 and at 100 TB: absolute df cuts silently empty
+    * out or saturate as N scales.
+    *
+    * Determinism: every count is an exact integer; the PMI is ONE ln over
+    * one integer-derived ratio (no summation), rounded 6dp; ranking uses
+    * the rounded value with (term_a, term_b) tie-break.
+    *
+    * Plan shape for 100 TB: presence sets reduce map-side to (doc, term)
+    * distinct; the df table is vocabulary-scale and joins back by
+    * BROADCAST, so only band-surviving terms reach the doc-keyed self-join
+    * — the per-doc pair fan-out is bounded by the band width (the maxDf
+    * cut kills the stopword quadratic exactly where it would explode);
+    * pair counts combine map-side and the top-k is TakeOrderedAndProject. */
+  def pmiCooccurQuery(s: SparkSession, dir: String, minDfPct: Int = 5,
+      maxDfPct: Int = 95, minPairPct: Int = 2, k: Int = 100): DataFrame = {
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val present = tokens(s, dir).distinct()
+    val df = present.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") * 100 >= col("n_docs") * minDfPct &&
+        col("df") * 100 <= col("n_docs") * maxDfPct)
+      .select(col("term"), col("df"))
+    val banded = present.join(broadcast(df), "term")
+    banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
+      .select(col("a.term").as("term_a"), col("b.term").as("term_b"),
+        col("a.df").as("df_a"), col("b.df").as("df_b"))
+      .groupBy(col("term_a"), col("term_b"), col("df_a"), col("df_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .crossJoin(broadcast(n))
+      .filter(col("n_ab") * 100 >= col("n_docs") * minPairPct)
+      .withColumn("pmi", round(log(
+        (col("n_ab") * col("n_docs")).cast("double") /
+          (col("df_a") * col("df_b")).cast("double")), 6))
+      .select(col("term_a"), col("term_b"), col("n_ab"), col("pmi"))
+      .orderBy(col("pmi").desc, col("term_a"), col("term_b"))
+      .limit(k)
+  }
+
+  /** DuckDB SQL replicating [[pmiCooccurQuery]] exactly (same relative
+    * band via the same integer cross-multiplications, same single-ln op
+    * sequence — parameterized def so non-default cuts cannot drift from
+    * the declared oracle). */
+  def pmiCooccurOracleSql(minDfPct: Int = 5, maxDfPct: Int = 95,
+      minPairPct: Int = 2, k: Int = 100): String = s"""
+      WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                 FROM documents),
+      present AS (SELECT DISTINCT doc_id, unnest(string_split(t, ' ')) AS term FROM d),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM present, n
+             GROUP BY term, n_docs
+             HAVING count(*) * 100 >= n_docs * $minDfPct
+                AND count(*) * 100 <= n_docs * $maxDfPct),
+      banded AS (SELECT p.doc_id, p.term, df.df FROM present p JOIN df USING (term)),
+      pairs AS (SELECT a.term AS term_a, b.term AS term_b,
+                       a.df AS df_a, b.df AS df_b,
+                       CAST(count(*) AS BIGINT) AS n_ab
+                FROM banded a JOIN banded b
+                  ON a.doc_id = b.doc_id AND a.term < b.term
+                GROUP BY 1, 2, 3, 4)
+      SELECT term_a, term_b, n_ab,
+             round(ln(CAST(n_ab * n_docs AS DOUBLE) /
+                      CAST(df_a * df_b AS DOUBLE)), 6) AS pmi
+      FROM pairs, n
+      WHERE n_ab * 100 >= n_docs * $minPairPct
+      ORDER BY pmi DESC, term_a, term_b LIMIT $k"""
 }

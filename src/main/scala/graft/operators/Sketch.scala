@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.Text
@@ -185,4 +185,75 @@ object Sketch {
              bloom_hit AND NOT exact_hit AS false_positive
       FROM bl JOIN ex USING (doc_id)
       ORDER BY doc_id"""
+
+  val CmsDepth = 4
+  val CmsWidth = 64L
+
+  /** sk02 — Count-Min sketch frequency estimation: token occurrences
+    * stream into a `CmsDepth` × `CmsWidth` counter matrix (row j buckets a
+    * word by md5("j:word")); a word's estimate is the MINIMUM of its
+    * `CmsDepth` counters — always ≥ the true count (one-sided error, the
+    * property that makes CMS the heavy-hitter filter of choice). Emitted
+    * for the true top-`k` tokens BESIDE their exact counts, so the
+    * sketch's overcount is itself oracle-checked, row by row.
+    *
+    * Determinism: bucket ids are md5-prefix arithmetic (identical in any
+    * engine); every output column is an exact integer — no rounding
+    * anywhere.
+    *
+    * Plan shape for 100 TB: the sketch builds in ONE corpus pass — each
+    * occurrence emits `CmsDepth` (row, bucket) keys that partial-aggregate
+    * map-side to ≤ depth×width rows PER TASK, so the exchange carries a
+    * few hundred rows per task regardless of corpus size (this is the
+    * point of a CMS). The exact branch (count + top-k) is the self-check;
+    * a production deployment keeps only the sketch pass. The probe joins
+    * the k words against the counter matrix by BROADCAST. */
+  def cmsHeavyQuery(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val occ = Tables.parallel(Tables.documents(s, dir))
+      .select(explode(split(Text.normText(col("text")), " ")).as("word"))
+    def bucketOf(j: Column, word: Column): Column =
+      pmod(conv(substring(md5(concat(j.cast("string"), lit(":"), word)),
+        1, 15), 16, 10).cast("long"), lit(CmsWidth))
+    val counters = occ
+      .select(explode(array((0 until CmsDepth).map(lit(_)): _*)).as("j"),
+        col("word"))
+      .select(col("j"), bucketOf(col("j"), col("word")).as("bucket"))
+      .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val top = occ.groupBy(col("word")).agg(count(lit(1)).as("true_n"))
+      .orderBy(col("true_n").desc, col("word")).limit(k)
+    top
+      .select(col("word"), col("true_n"),
+        explode(array((0 until CmsDepth).map(lit(_)): _*)).as("j"))
+      .withColumn("bucket", bucketOf(col("j"), col("word")))
+      .join(broadcast(counters), Seq("j", "bucket"))
+      .groupBy(col("word"), col("true_n"))
+      .agg(min(col("cnt")).as("est_n"))
+      .withColumn("overcount", col("est_n") - col("true_n"))
+      .orderBy(col("true_n").desc, col("word"))
+  }
+
+  /** DuckDB SQL replicating [[cmsHeavyQuery]] exactly (same depth/width,
+    * same md5-prefix buckets, integer end to end). */
+  def cmsHeavyOracleSql(k: Int = 20): String = s"""
+      WITH d AS (SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                 FROM documents),
+      occ AS (SELECT unnest(string_split(t, ' ')) AS word FROM d),
+      keyed AS (SELECT j, word,
+                  CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), ':', word)), 1, 15)) AS BIGINT)
+                    % $CmsWidth AS bucket
+                FROM occ CROSS JOIN range(0, $CmsDepth) r(j)),
+      counters AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt
+                   FROM keyed GROUP BY j, bucket),
+      top AS (SELECT word, CAST(count(*) AS BIGINT) AS true_n
+              FROM occ GROUP BY word
+              ORDER BY true_n DESC, word LIMIT $k),
+      probe AS (SELECT t.word, t.true_n,
+                  CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), ':', t.word)), 1, 15)) AS BIGINT)
+                    % $CmsWidth AS bucket, j
+                FROM top t CROSS JOIN range(0, $CmsDepth) r(j))
+      SELECT p.word, p.true_n, min(c.cnt) AS est_n,
+             min(c.cnt) - p.true_n AS overcount
+      FROM probe p JOIN counters c ON c.j = p.j AND c.bucket = p.bucket
+      GROUP BY p.word, p.true_n
+      ORDER BY p.true_n DESC, p.word"""
 }

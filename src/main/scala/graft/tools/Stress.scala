@@ -77,7 +77,8 @@ object Stress {
       "ev05_sessionize", "ev06_attribution", "ev07_heavy_hitters",
       "dq04_volume_anomaly", "sk01_kmv_distinct", "dd16_bloom_decontam",
       "er01_fuzzy_match", "er02_fuzzy_clusters", "q38_latest_snapshot",
-      "ev08_path_ngrams")
+      "ev08_path_ngrams", "ir06_pmi_cooccur", "sk02_cms_heavy",
+      "cl03_knn_classifier", "sa09_cluster_split")
     var failed = false
     queries.foreach { name =>
       spark.catalog.clearCache()

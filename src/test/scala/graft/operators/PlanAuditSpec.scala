@@ -435,4 +435,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(plan.contains("partial_count"), plan)
   }
+
+  test("ir06: df band joins back by broadcast; pair top-k is TakeOrdered") {
+    val plan = planOf(Search.pmiCooccurQuery(spark, sf0001))
+    assert(count(plan, "BroadcastHashJoin") >= 1, plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the doc-keyed self-join must be an equi-join, never a cartesian
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("sk02: counter build combines map-side; probe joins by broadcast") {
+    val plan = planOf(Sketch.cmsHeavyQuery(spark, sf0001))
+    assert(plan.contains("partial_count"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("cl03: train side broadcasts; neighbor cut is a WindowGroupLimit") {
+    val plan = planOf(Classifier.knnClassifierQuery(spark, sf0001))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("sa09: cluster labels broadcast onto an id-pruned corpus scan") {
+    val plan = planOf(Curation.clusterSplitQuery(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"), plan)
+  }
 }

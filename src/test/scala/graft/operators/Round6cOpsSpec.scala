@@ -33,6 +33,94 @@ class Round6cOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ir06: PMI rows recompute from driver presence sets; band respected") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), graft.functions.Text.normText(col("text")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ").toSet))
+    val n = docs.length.toLong
+    val df = docs.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+      .filter { case (_, d) => d * 100 >= n * 5 && d * 100 <= n * 95 }
+    val rows = Search.pmiCooccurQuery(spark, sf0001).collect()
+    assert(rows.nonEmpty, "the default band must produce rows on the corpus")
+    rows.foreach { r =>
+      val (a, b, nab) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(df.contains(a) && df.contains(b), s"($a,$b) outside the band")
+      val expected = docs.count(d => d._2(a) && d._2(b)).toLong
+      assert(nab == expected, s"($a,$b) co-occurrence $nab != $expected")
+      assert(nab * 100 >= n * 2, s"($a,$b) below min-pair cut")
+      val pmi = BigDecimal.valueOf(
+        math.log(nab.toDouble * n / (df(a).toDouble * df(b)).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+      assert(r.getDouble(3) == pmi, s"($a,$b) pmi")
+    }
+  }
+
+  test("sk02: CMS error is one-sided and the probe rows are the true top-k") {
+    val rows = Sketch.cmsHeavyQuery(spark, sf0001).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS must never undercount: ${r.getString(0)}")
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1))
+    }
+    val counts = graft.core.Tables.documents(spark, sf0001)
+      .select(graft.functions.Text.normText(col("text")).as("t"))
+      .collect().flatMap(_.getString(0).split(" "))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = counts.toSeq.sortBy { case (w, c) => (-c, w) }.take(20)
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq == expected)
+  }
+
+  test("cl03: predictions equal a brute-force kNN vote; split is 80/20-ish") {
+    def r6(x: Double): Double = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    val vecs = graft.core.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>"), col("label"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    def h10(id: Long): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5.take(8), 16) % 10
+    }
+    val train = vecs.filter(v => h10(v._1) < 8)
+    val test = vecs.filter(v => h10(v._1) >= 8)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val rows = Classifier.knnClassifierQuery(spark, sf0001).collect()
+    assert(rows.length == test.length, "one row per test vector")
+    val byId = rows.map(r => r.getLong(0) ->
+      (r.getInt(1), r.getInt(2), r.getLong(3), r.getBoolean(4))).toMap
+    test.foreach { case (qid, qv, qlabel) =>
+      val nn = train.map(t => (r6(cos(qv, t._2)), t._1, t._3))
+        .sortBy(t => (-t._1, t._2)).take(5)
+      val votes = nn.groupBy(_._3).view.mapValues(_.length.toLong).toSeq
+      val (predLabel, nVotes) = votes.minBy { case (l, c) => (-c, l) }
+      val got = byId(qid)
+      assert(got._1 == qlabel && got._2 == predLabel && got._3 == nVotes &&
+        got._4 == (predLabel == qlabel), s"vec $qid: $got vs ($predLabel, $nVotes)")
+    }
+  }
+
+  test("sa09: no near-dup cluster ever spans two splits; coverage is total") {
+    val rows = Curation.clusterSplitQuery(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val nDocs = graft.core.Tables.documents(spark, sf0001).count()
+    assert(rows.length.toLong == nDocs, "every document assigned exactly once")
+    rows.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $rep spans splits: ${members.map(_._3).distinct.toSeq}")
+    }
+    val bySplit = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    assert(bySplit("train") > rows.length / 2, s"split sizes: $bySplit")
+  }
+
   test("ev08: trigram counts equal a brute-force session walk; top-k ordered") {
     val gapUs = 1800L * 1000000L
     val counts = scala.collection.mutable.HashMap.empty[String, Long]
