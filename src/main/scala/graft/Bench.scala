@@ -124,6 +124,9 @@ object Bench {
     "sk02_cms_heavy",
     "cl03_knn_classifier",
     "sa09_cluster_split",
+    "sk03_minhash_est",
+    "ev09_ewma_anomaly",
+    "cl04_confusion",
   )
 
   def main(args: Array[String]): Unit = {

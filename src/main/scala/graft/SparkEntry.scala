@@ -161,6 +161,9 @@ object SparkEntry {
     "sk02_cms_heavy"       -> ((s: SparkSession, d: String) => graft.operators.Sketch.cmsHeavyQuery(s, d)),
     "cl03_knn_classifier"  -> ((s: SparkSession, d: String) => graft.operators.Classifier.knnClassifierQuery(s, d)),
     "sa09_cluster_split"   -> ((s: SparkSession, d: String) => graft.operators.Curation.clusterSplitQuery(s, d)),
+    "sk03_minhash_est"     -> ((s: SparkSession, d: String) => graft.operators.Sketch.minhashEstimateQuery(s, d)),
+    "ev09_ewma_anomaly"    -> ((s: SparkSession, d: String) => graft.operators.Windows.ewmaAnomalyQuery(s, d)),
+    "cl04_confusion"       -> ((s: SparkSession, d: String) => graft.operators.Classifier.confusionReportQuery(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables, same column
@@ -666,9 +669,53 @@ object SparkEntry {
     "ev08_path_ngrams" -> graft.operators.Windows.pathNgramsOracleSql,
     "ir06_pmi_cooccur" -> graft.operators.Search.pmiCooccurOracleSql(),
     "sk02_cms_heavy" -> graft.operators.Sketch.cmsHeavyOracleSql(),
-    // cl03: inline — reuses this object's sequential-fold cosSql like sim04
+    // cl03/cl04: inline — reuse this object's sequential-fold cosSql (like
+    // sim04) and share the prediction CTE chain between query and report
     "cl03_knn_classifier" -> s"""
-      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label,
+      WITH $knnPredCtesSql
+      SELECT vec_id, true_label, pred_label, n_votes, correct
+      FROM pred ORDER BY vec_id""",
+    "cl04_confusion" -> s"""
+      WITH $knnPredCtesSql,
+      bt AS (SELECT true_label AS label, CAST(count(*) AS BIGINT) AS n_true,
+               CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS tp
+             FROM pred GROUP BY 1),
+      bp AS (SELECT pred_label AS label, CAST(count(*) AS BIGINT) AS n_pred
+             FROM pred GROUP BY 1),
+      j AS (SELECT coalesce(bt.label, bp.label) AS label,
+              coalesce(n_true, 0) AS n_true, coalesce(n_pred, 0) AS n_pred,
+              coalesce(tp, 0) AS tp
+            FROM bt FULL OUTER JOIN bp ON bt.label = bp.label),
+      m AS (SELECT *,
+              CASE WHEN n_pred > 0
+                   THEN round(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6)
+              END AS precision,
+              CASE WHEN n_true > 0
+                   THEN round(CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE), 6)
+              END AS recall
+            FROM j)
+      SELECT label, n_true, n_pred, tp, precision, recall,
+             CASE WHEN precision IS NOT NULL AND recall IS NOT NULL
+                    AND precision + recall > 0.0
+                  THEN round(2.0 * precision * recall / (precision + recall), 6)
+             END AS f1
+      FROM m ORDER BY label""",
+    "sa09_cluster_split" ->
+      graft.operators.Curation.clusterSplitOracleSql(ccCtesSql),
+    "sk03_minhash_est" ->
+      graft.operators.Sketch.minhashEstimateOracleSql(pairsSubquerySql),
+    "ev09_ewma_anomaly" -> graft.operators.Windows.ewmaAnomalyOracleSql(),
+  )
+
+  /** DuckDB sequential-fold cosine of two DOUBLE[] columns — bit-identical
+    * to [[graft.functions.CosineSim]] (left-to-right summation both sides;
+    * proven exact by sim01). */
+  /** The cl03 kNN prediction derivation as a CTE chain ending in
+    * `pred(vec_id, true_label, pred_label, n_votes, correct)` — ONE
+    * definition shared by the cl03 oracle (which orders it) and the cl04
+    * oracle (which aggregates it). */
+  private def knnPredCtesSql: String = s"""
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label,
                    CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
                      % 10 AS h
                  FROM embeddings),
@@ -683,17 +730,11 @@ object SparkEntry {
                   CAST(count(*) AS BIGINT) AS n_votes
                 FROM rk WHERE rnk <= 5 GROUP BY 1, 2, 3),
       win AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-                ORDER BY n_votes DESC, cand_label) AS vr FROM votes)
-      SELECT vec_id, true_label, cand_label AS pred_label, n_votes,
-             cand_label = true_label AS correct
-      FROM win WHERE vr = 1 ORDER BY vec_id""",
-    "sa09_cluster_split" ->
-      graft.operators.Curation.clusterSplitOracleSql(ccCtesSql),
-  )
+                ORDER BY n_votes DESC, cand_label) AS vr FROM votes),
+      pred AS (SELECT vec_id, true_label, cand_label AS pred_label, n_votes,
+                      cand_label = true_label AS correct
+               FROM win WHERE vr = 1)"""
 
-  /** DuckDB sequential-fold cosine of two DOUBLE[] columns — bit-identical
-    * to [[graft.functions.CosineSim]] (left-to-right summation both sides;
-    * proven exact by sim01). */
   private def cosSql(a: String, b: String): String =
     s"""(list_sum(list_transform(range(1, len($a)+1), i -> $a[CAST(i AS INT)]*$b[CAST(i AS INT)])) /
        (sqrt(list_sum(list_transform(range(1, len($a)+1), i -> $a[CAST(i AS INT)]*$a[CAST(i AS INT)]))) *

@@ -291,7 +291,13 @@ object Classifier {
     * centroids → per-list joins). Neighbor cut and vote are WindowGroupLimit-
     * able windows over the test-keyed partials — the corpus never sorts
     * globally. */
-  def knnClassifierQuery(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def knnClassifierQuery(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    knnPredictions(s, dir, k).orderBy(col("vec_id"))
+
+  /** The unordered kNN prediction set — shared by [[knnClassifierQuery]]
+    * (which reports it) and [[confusionReportQuery]] (which aggregates
+    * it), so the split/vote derivation exists once. */
+  private def knnPredictions(s: SparkSession, dir: String, k: Int): DataFrame = {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
         col("label"))
@@ -316,6 +322,45 @@ object Classifier {
       .select(col("vec_id"), col("true_label"),
         col("cand_label").as("pred_label"), col("n_votes"),
         (col("cand_label") === col("true_label")).as("correct"))
-      .orderBy(col("vec_id"))
+  }
+
+  /** cl04 — per-class evaluation report over the cl03 predictions: support
+    * (n_true), prediction volume (n_pred), true positives, and rounded
+    * precision/recall/F1 — the standard classifier scorecard, emitted as a
+    * query so the evaluation itself is oracle-checked. Classes never
+    * predicted report NULL precision (0/0), and F1 is NULL when
+    * precision+recall is 0 — the scikit-style conventions, made explicit.
+    *
+    * Determinism: counts are exact integers; precision/recall round 6dp
+    * BEFORE entering the F1 formula, which is the same fixed op sequence
+    * on both sides.
+    *
+    * Plan shape for 100 TB: two label-scale aggregates over the prediction
+    * set joined FULL OUTER at |labels| rows — the report costs nothing
+    * beyond cl03 itself. */
+  def confusionReportQuery(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val pred = knnPredictions(s, dir, k)
+    val byTrue = pred.groupBy(col("true_label").as("label"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("correct"), 1L).otherwise(0L)).as("tp"))
+    val byPred = pred.groupBy(col("pred_label").as("label"))
+      .agg(count(lit(1)).as("n_pred"))
+    byTrue.join(byPred, Seq("label"), "full_outer")
+      .select(col("label"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision",
+        when(col("n_pred") > 0,
+          round(col("tp").cast("double") / col("n_pred").cast("double"), 6)))
+      .withColumn("recall",
+        when(col("n_true") > 0,
+          round(col("tp").cast("double") / col("n_true").cast("double"), 6)))
+      .withColumn("f1",
+        when(col("precision").isNotNull && col("recall").isNotNull &&
+            col("precision") + col("recall") > 0.0,
+          round(lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall")), 6)))
+      .orderBy(col("label"))
   }
 }

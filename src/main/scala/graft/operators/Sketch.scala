@@ -256,4 +256,95 @@ object Sketch {
       FROM probe p JOIN counters c ON c.j = p.j AND c.bucket = p.bucket
       GROUP BY p.word, p.true_n
       ORDER BY p.true_n DESC, p.word"""
+
+  val MhK = 32
+
+  /** sk03 — MinHash estimate vs ground truth: for every VERIFIED near-dup
+    * pair (the dd03 pair set), the `MhK`-permutation MinHash Jaccard
+    * estimate (fraction of agreeing signature components) emitted BESIDE
+    * the exact shingle Jaccard — the third sketch whose error is itself
+    * oracle-checked (sk01 distinct-count, sk02 frequency, sk03 similarity).
+    *
+    * Signatures here use md5-derived component hashes (min over shingles
+    * of md5("j:gram")) so ANY engine re-derives the identical sketch —
+    * unlike dd03's production one-pass [[graft.functions.MinHashFromText]]
+    * signatures, whose hash family is engine-native and therefore only
+    * ScalaTest-checkable. Estimate and truth are exact integer ratios: no
+    * rounding anywhere.
+    *
+    * Plan shape for 100 TB: the pair set is collision-bounded (the dd03
+    * contract) and BROADCASTs into two joins against the shingle
+    * projection; signatures are computed columnarly (array_min over the
+    * shingle array, `MhK` expressions, zero exchange) and only for docs on
+    * the probe side of each join. */
+  def minhashEstimateQuery(s: SparkSession, dir: String,
+      k: Int = MhK): DataFrame = {
+    // localize the bounded pair set so the cache does not outlive the call
+    // (the Graph.localRanks discipline): under the CC driver bound the
+    // pairs become a LocalTableScan the joins broadcast for free; above it
+    // the persisted frame stays distributed (and cached for the two joins)
+    val (pairsCached, nPairs) = Dedup.materializedVerifiedPairs(s, dir)
+    val pairs: DataFrame =
+      if (nPairs <= Dedup.DriverCcMaxPairs) {
+        import s.implicits._
+        val local = pairsCached.select(col("doc_a"), col("doc_b"))
+          .as[(Long, Long)].collect().toSeq
+        pairsCached.unpersist(blocking = false)
+        s.createDataFrame(local).toDF("doc_a", "doc_b")
+      } else pairsCached
+    def hashJ(j: Int, g: Column): Column =
+      conv(substring(md5(concat(lit(s"$j:"), g)), 1, 15), 16, 10).cast("long")
+    val sigCols = (0 until k).map(j =>
+      array_min(transform(col("sh"), g => hashJ(j, g))).as(s"mh$j"))
+    val sh = Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        graft.functions.CharShingles.charShingles(col("text"), Dedup.ShingleSize).as("sh"))
+      .withColumn("n", size(col("sh")))
+      .select(Seq(col("doc_id"), col("sh"), col("n")) ++ sigCols: _*)
+    val a = sh.select(Seq(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+      col("n").as("n_a")) ++ (0 until k).map(j => col(s"mh$j").as(s"a$j")): _*)
+    val b = sh.select(Seq(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+      col("n").as("n_b")) ++ (0 until k).map(j => col(s"mh$j").as(s"b$j")): _*)
+    val matches = (0 until k).map(j =>
+      when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L)).reduce(_ + _)
+    a.join(broadcast(pairs), "doc_a").join(b, "doc_b")
+      .withColumn("true_jaccard",
+        graft.functions.Text.jaccardWithSizes(col("sh_a"), col("sh_b"),
+          col("n_a"), col("n_b")))
+      .withColumn("mh_matches", matches)
+      .withColumn("est_jaccard",
+        col("mh_matches").cast("double") / lit(k.toDouble))
+      .select(col("doc_a"), col("doc_b"), col("true_jaccard"),
+        col("mh_matches"), col("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB SQL replicating [[minhashEstimateQuery]] exactly (same md5
+    * component hashes, same exact ratios) over the shared verified-pair
+    * subquery (`pairsSql` — the SparkEntry dd05/dd06 pair text). */
+  def minhashEstimateOracleSql(pairsSql: String, k: Int = MhK): String = {
+    val sigSelects = (0 until k).map { j =>
+      s"""list_min(list_transform(sh, g ->
+           CAST(concat('0x', substr(md5(concat('$j:', g)), 1, 15)) AS BIGINT))) AS mh$j"""
+    }.mkString(",\n               ")
+    val matchSum = (0 until k).map(j =>
+      s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""
+      WITH pairs AS ($pairsSql),
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(length(text)-3, 2)),
+                             i -> substr(text, CAST(i AS INT), 5))) AS sh
+             FROM documents),
+      sig AS (SELECT doc_id, sh, len(sh) AS n,
+               $sigSelects
+              FROM sh)
+      SELECT p.doc_a, p.doc_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               (a.n + b.n - len(list_intersect(a.sh, b.sh))) AS true_jaccard,
+             CAST($matchSum AS BIGINT) AS mh_matches,
+             CAST($matchSum AS DOUBLE) / $k.0 AS est_jaccard
+      FROM pairs p JOIN sig a ON a.doc_id = p.doc_a
+                   JOIN sig b ON b.doc_id = p.doc_b
+      ORDER BY p.doc_a, p.doc_b"""
+  }
 }

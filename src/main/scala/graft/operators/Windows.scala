@@ -493,4 +493,75 @@ object Windows {
              CAST(count(*) AS BIGINT) AS n
       FROM tri WHERE s3 = session_idx
       GROUP BY path ORDER BY n DESC, path LIMIT 20"""
+
+  val EwmaAlpha = 0.3
+  val EwmaHorizon = 14
+
+  /** ev09 — EWMA volume anomaly (the trailing-smoother complement of
+    * dq04's global z-score): per event type and day, the exponentially-
+    * weighted moving average of the last `horizon` OBSERVED daily counts
+    * (weights (1−α)^h, normalized over the lags that exist, so early days
+    * are unbiased), the day's ratio to it, and the 2×/0.5× anomaly flag —
+    * the standard ops-dashboard "is today's volume weird" statistic.
+    *
+    * Determinism: weights are Scala-computed doubles interpolated into
+    * the oracle via shortest-round-trip decimal strings (bit-identical
+    * parse); numerator and denominator are FIXED left-to-right chains in
+    * lag order h=0..H−1 on both sides; ewma and ratio round 6dp and the
+    * flag reads the ROUNDED ratio.
+    *
+    * Plan shape for 100 TB: the event stream collapses to the (type, day)
+    * matrix via one map-side-combined aggregate (dq04's shape); the EWMA
+    * is `horizon` lags over ONE type-keyed window — matrix-scale work
+    * (|types|×|days|), corpus-scale never re-exchanges. */
+  def ewmaAnomalyQuery(s: SparkSession, dir: String, alpha: Double = EwmaAlpha,
+      horizon: Int = EwmaHorizon): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+    val weights = (0 until horizon).map(h => math.pow(1.0 - alpha, h))
+    val num = (0 until horizon).map { h =>
+      val x = if (h == 0) col("n") else lag(col("n"), h).over(w)
+      when(x.isNotNull, x.cast("double") * lit(weights(h))).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val den = (0 until horizon).map { h =>
+      val x = if (h == 0) col("n") else lag(col("n"), h).over(w)
+      when(x.isNotNull, lit(weights(h))).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    Tables.events(s, dir)
+      .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("ewma", round(num / den, 6))
+      .withColumn("ratio", round(col("n").cast("double") / col("ewma"), 6))
+      .withColumn("anomaly", col("ratio") > 2.0 || col("ratio") < 0.5)
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** DuckDB SQL replicating [[ewmaAnomalyQuery]] exactly: the SAME weight
+    * doubles (interpolated from the Scala computation) in the SAME
+    * left-to-right chain. */
+  def ewmaAnomalyOracleSql(alpha: Double = EwmaAlpha,
+      horizon: Int = EwmaHorizon): String = {
+    val weights = (0 until horizon).map(h => math.pow(1.0 - alpha, h))
+    def x(h: Int) = if (h == 0) "CAST(n AS DOUBLE)"
+      else s"CAST(lag(n, $h) OVER w AS DOUBLE)"
+    val num = (0 until horizon).map(h =>
+      s"CASE WHEN ${x(h)} IS NOT NULL THEN ${x(h)} * ${weights(h)} ELSE 0.0 END")
+      .mkString(" + ")
+    val den = (0 until horizon).map(h =>
+      s"CASE WHEN ${x(h)} IS NOT NULL THEN ${weights(h)} ELSE 0.0 END")
+      .mkString(" + ")
+    s"""
+      WITH c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                        CAST(count(*) AS BIGINT) AS n
+                 FROM events GROUP BY event_type, day),
+      e AS (SELECT event_type, day, n,
+              round(($num) / ($den), 6) AS ewma
+            FROM c
+            WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      r AS (SELECT *, round(CAST(n AS DOUBLE) / ewma, 6) AS ratio FROM e)
+      SELECT event_type, day, n, ewma, ratio,
+             ratio > 2.0 OR ratio < 0.5 AS anomaly
+      FROM r ORDER BY event_type, day"""
+  }
 }

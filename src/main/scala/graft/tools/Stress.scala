@@ -78,7 +78,8 @@ object Stress {
       "dq04_volume_anomaly", "sk01_kmv_distinct", "dd16_bloom_decontam",
       "er01_fuzzy_match", "er02_fuzzy_clusters", "q38_latest_snapshot",
       "ev08_path_ngrams", "ir06_pmi_cooccur", "sk02_cms_heavy",
-      "cl03_knn_classifier", "sa09_cluster_split")
+      "cl03_knn_classifier", "sa09_cluster_split", "sk03_minhash_est",
+      "ev09_ewma_anomaly", "cl04_confusion")
     var failed = false
     queries.foreach { name =>
       spark.catalog.clearCache()

@@ -462,4 +462,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(plan.contains("ReadSchema: struct<doc_id:bigint>"), plan)
   }
+
+  test("sk03: both pair joins broadcast; signatures never exchange") {
+    val plan = planOf(Sketch.minhashEstimateQuery(spark, sf0001))
+    assert(count(plan, "BroadcastHashJoin") == 2, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("ev09: events collapse to the (type, day) matrix before the window") {
+    val plan = planOf(Windows.ewmaAnomalyQuery(spark, sf0001))
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("hashpartitioning(user_id"), plan)
+  }
+
+  test("cl04: the report adds only label-scale work over the kNN core") {
+    val plan = planOf(Classifier.confusionReportQuery(spark, sf0001))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -121,6 +121,89 @@ class Round6cOpsSpec extends AnyFunSuite {
     assert(bySplit("train") > rows.length / 2, s"split sizes: $bySplit")
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("sk03: estimates recompute from driver md5 signatures; truth is exact") {
+    val texts = graft.core.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingles(t: String): Set[String] =
+      if (t.length < 5) Set(t.substring(0, math.min(t.length, 5)))
+      else (0 to t.length - 5).map(i => t.substring(i, i + 5)).toSet
+    def mh(j: Int, sh: Set[String]): Long =
+      sh.map(g => java.lang.Long.parseLong(md5hex(s"$j:$g").take(15), 16)).min
+    val rows = Sketch.minhashEstimateQuery(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (sa, sb) = (shingles(texts(a)), shingles(texts(b)))
+      val inter = (sa & sb).size
+      val truth = inter.toDouble / (sa.size + sb.size - inter)
+      assert(r.getDouble(2) == truth, s"($a,$b) true jaccard")
+      val matches = (0 until Sketch.MhK).count(j => mh(j, sa) == mh(j, sb))
+      assert(r.getLong(3) == matches.toLong, s"($a,$b) mh matches")
+      assert(r.getDouble(4) == matches.toDouble / Sketch.MhK, s"($a,$b) est")
+    }
+  }
+
+  test("ev09: EWMA recomputes from the daily matrix; flag reads the rounded ratio") {
+    def r6(x: Double): Double = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    val daily = events().groupBy(e => (e._3, e._5 / 86400000000L)).view
+      .mapValues(_.length.toLong).toMap
+    val rows = Windows.ewmaAnomalyQuery(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val series = daily.keys.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq.sorted).toMap
+    val w = (0 until Windows.EwmaHorizon).map(h =>
+      math.pow(1.0 - Windows.EwmaAlpha, h))
+    rows.foreach { r =>
+      val (ty, day, n) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(n == daily((ty, day)))
+      val days = series(ty)
+      val idx = days.indexOf(day)
+      val lags = (0 until Windows.EwmaHorizon).flatMap { h =>
+        if (idx - h >= 0) Some((daily((ty, days(idx - h))).toDouble, w(h)))
+        else None
+      }
+      var num = 0.0; var den = 0.0
+      lags.foreach { case (x, wt) => num += x * wt; den += wt }
+      val ewma = r6(num / den)
+      assert(r.getDouble(3) == ewma, s"($ty,$day) ewma")
+      val ratio = r6(n.toDouble / ewma)
+      assert(r.getDouble(4) == ratio, s"($ty,$day) ratio")
+      assert(r.getBoolean(5) == (ratio > 2.0 || ratio < 0.5), s"($ty,$day) flag")
+    }
+  }
+
+  test("cl04: the scorecard aggregates cl03's own predictions exactly") {
+    def r6(x: Double): Double = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    val pred = Classifier.knnClassifierQuery(spark, sf0001).collect()
+      .map(r => (r.getInt(1), r.getInt(2)))
+    val rows = Classifier.confusionReportQuery(spark, sf0001).collect()
+    val labels = (pred.map(_._1) ++ pred.map(_._2)).distinct.sorted
+    assert(rows.map(_.getInt(0)).toSeq == labels.toSeq)
+    rows.foreach { r =>
+      val c = r.getInt(0)
+      val nTrue = pred.count(_._1 == c).toLong
+      val nPred = pred.count(_._2 == c).toLong
+      val tp = pred.count(p => p._1 == c && p._2 == c).toLong
+      assert(r.getLong(1) == nTrue && r.getLong(2) == nPred && r.getLong(3) == tp)
+      if (nPred > 0) assert(r.getDouble(4) == r6(tp.toDouble / nPred))
+      else assert(r.isNullAt(4))
+      if (nTrue > 0) assert(r.getDouble(5) == r6(tp.toDouble / nTrue))
+      else assert(r.isNullAt(5))
+      if (nPred > 0 && nTrue > 0) {
+        val (p, rc) = (r6(tp.toDouble / nPred), r6(tp.toDouble / nTrue))
+        if (p + rc > 0) assert(r.getDouble(6) == r6(2.0 * p * rc / (p + rc)))
+        else assert(r.isNullAt(6))
+      }
+    }
+  }
+
   test("ev08: trigram counts equal a brute-force session walk; top-k ordered") {
     val gapUs = 1800L * 1000000L
     val counts = scala.collection.mutable.HashMap.empty[String, Long]
