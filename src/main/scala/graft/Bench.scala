@@ -127,6 +127,10 @@ object Bench {
     "sk03_minhash_est",
     "ev09_ewma_anomaly",
     "cl04_confusion",
+    "q39_unpivot",
+    "ir07_kwic",
+    "gr02_triangles",
+    "ev10_session_bounce",
   )
 
   def main(args: Array[String]): Unit = {

@@ -164,6 +164,10 @@ object SparkEntry {
     "sk03_minhash_est"     -> ((s: SparkSession, d: String) => graft.operators.Sketch.minhashEstimateQuery(s, d)),
     "ev09_ewma_anomaly"    -> ((s: SparkSession, d: String) => graft.operators.Windows.ewmaAnomalyQuery(s, d)),
     "cl04_confusion"       -> ((s: SparkSession, d: String) => graft.operators.Classifier.confusionReportQuery(s, d)),
+    "q39_unpivot"          -> Relational.unpivotLineitem _,
+    "ir07_kwic"            -> ((s: SparkSession, d: String) => graft.operators.Search.kwicQuery(s, d)),
+    "gr02_triangles"       -> ((s: SparkSession, d: String) => graft.operators.Graph.triangleCountQuery(s, d)),
+    "ev10_session_bounce"  -> ((s: SparkSession, d: String) => graft.operators.Windows.sessionBounceQuery(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables, same column
@@ -705,6 +709,11 @@ object SparkEntry {
     "sk03_minhash_est" ->
       graft.operators.Sketch.minhashEstimateOracleSql(pairsSubquerySql),
     "ev09_ewma_anomaly" -> graft.operators.Windows.ewmaAnomalyOracleSql(),
+    "q39_unpivot" -> Relational.unpivotLineitemOracleSql,
+    "ir07_kwic" -> graft.operators.Search.kwicOracleSql(),
+    "gr02_triangles" ->
+      graft.operators.Graph.triangleCountOracleSql(pairsSubquerySql),
+    "ev10_session_bounce" -> graft.operators.Windows.sessionBounceOracleSql,
   )
 
   /** DuckDB sequential-fold cosine of two DOUBLE[] columns — bit-identical

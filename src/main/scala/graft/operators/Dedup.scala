@@ -518,6 +518,26 @@ object Dedup {
     (pairs, nPairs)
   }
 
+  /** The verified pair set as a frame whose cache does NOT outlive this
+    * call: under [[DriverCcMaxPairs]] the pairs collect to a
+    * LocalTableScan (downstream joins broadcast it for free and the
+    * persist is released immediately — the Graph.localRanks discipline);
+    * above the bound the persisted distributed frame is returned as-is
+    * (the caller's joins re-read the cache, which then lives until Spark
+    * evicts it — the documented trade of the oversized-graph path).
+    * Shared by the LAZY pair consumers (sk03, gr02) that cannot run the
+    * materialize-then-unpersist protocol themselves. */
+  private[operators] def boundedPairs(s: SparkSession, dir: String): DataFrame = {
+    val (pairsCached, nPairs) = materializedVerifiedPairs(s, dir)
+    if (nPairs <= DriverCcMaxPairs) {
+      import s.implicits._
+      val local = pairsCached.select(col("doc_a"), col("doc_b"))
+        .as[(Long, Long)].collect().toSeq
+      pairsCached.unpersist(blocking = false)
+      s.createDataFrame(local).toDF("doc_a", "doc_b")
+    } else pairsCached
+  }
+
   /** Driver union-find over the bounded pair set (see [[clusterLabels]]):
     * path-halving find + link-to-min union, then every vertex labeled with
     * the minimum doc_id of its component — the same output contract as the

@@ -142,4 +142,71 @@ object Graph {
       FROM deg d JOIN r$iters r ON r.doc_id = d.src
       ORDER BY doc_id"""
   }
+
+  /** gr02 — triangle count and local clustering coefficient over the
+    * verified near-dup graph: per node, its degree, the number of
+    * triangles through it, and cc = 2T/(deg·(deg−1)) — the "is this a
+    * dense template cluster or a sparse chain" signal that ranks dup
+    * neighborhoods for template-strip review (a clique of boilerplate
+    * scores cc = 1; a chain of drifting revisions scores 0).
+    *
+    * Triangles are enumerated ONCE each by the canonical orientation
+    * (a < b < c): edges (a,b)·(b,c)·(a,c) — the standard distributed
+    * triangle-counting join, whose work is bounded by true collision
+    * structure, not the corpus. Counts are exact integers; cc is one
+    * division, rounded 6dp.
+    *
+    * Plan shape for 100 TB: the pair set is collision-bounded and
+    * localizes under the CC driver bound ([[Dedup.boundedPairs]]) so all
+    * three self-joins broadcast; above the bound the same oriented joins
+    * run as distributed equi-joins keyed by the shared endpoints — the
+    * textbook MapReduce triangle algorithm. */
+  def triangleCountQuery(s: SparkSession, dir: String): DataFrame = {
+    val p = Dedup.boundedPairs(s, dir)
+    val tri = p.alias("e1")
+      .join(p.alias("e2"), col("e2.doc_a") === col("e1.doc_b"))
+      .join(p.alias("e3"), col("e3.doc_a") === col("e1.doc_a") &&
+        col("e3.doc_b") === col("e2.doc_b"))
+      .select(col("e1.doc_a").as("a"), col("e1.doc_b").as("b"),
+        col("e2.doc_b").as("c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+    val deg = p.select(col("doc_a").as("doc_id"))
+      .unionByName(p.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    deg.join(perNode, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("clustering",
+        when(col("degree") >= 2, round(
+          (col("n_triangles") * 2L).cast("double") /
+            (col("degree") * (col("degree") - 1L)).cast("double"), 6))
+          .otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB SQL replicating [[triangleCountQuery]] exactly (same canonical
+    * orientation, same exact ratios) over the shared pair subquery. */
+  def triangleCountOracleSql(pairsSql: String): String = s"""
+      WITH pairs AS ($pairsSql),
+      tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+              FROM pairs e1
+                JOIN pairs e2 ON e2.doc_a = e1.doc_b
+                JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+      pn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+               SELECT a AS doc_id FROM tri
+               UNION ALL SELECT b FROM tri
+               UNION ALL SELECT c FROM tri) z GROUP BY doc_id),
+      deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM (
+                SELECT doc_a AS doc_id FROM pairs
+                UNION ALL SELECT doc_b FROM pairs) z GROUP BY doc_id)
+      SELECT d.doc_id, d.degree,
+             coalesce(pn.n_triangles, 0) AS n_triangles,
+             CASE WHEN d.degree >= 2
+                  THEN round(CAST(coalesce(pn.n_triangles, 0) * 2 AS DOUBLE) /
+                             CAST(d.degree * (d.degree - 1) AS DOUBLE), 6)
+                  ELSE 0.0 END AS clustering
+      FROM deg d LEFT JOIN pn USING (doc_id)
+      ORDER BY doc_id"""
 }

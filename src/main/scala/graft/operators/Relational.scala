@@ -510,6 +510,41 @@ object Relational {
       .withColumnRenamed("P", "n_p")
       .orderBy(col("o_orderpriority"))
 
+  /** UNPIVOT/melt (§2.8 — the inverse of [[pivotOrders]]): a wide
+    * per-returnflag aggregate melted back to long (flag, measure, value)
+    * form — the report-reshaping primitive warehouses pair with PIVOT.
+    * Measures are exact integer counts so the value column is one type and
+    * bit-deterministic. The oracle is the portable UNION ALL expansion.
+    *
+    * Plan shape for 100 TB: the wide aggregate collapses map-side first
+    * (|flags| rows); Expand (the unpivot operator) then multiplies ROWS of
+    * that tiny result, never the corpus — melt after aggregate, the only
+    * order that scales. */
+  def unpivotLineitem(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("n_lines"), col("n_orders"), col("n_parts")),
+        "measure", "value")
+      .orderBy(col("l_returnflag"), col("measure"))
+
+  /** DuckDB SQL replicating [[unpivotLineitem]] exactly (UNION ALL form —
+    * measure names match Spark's unpivot, which uses the column names). */
+  val unpivotLineitemOracleSql: String = """
+      WITH w AS (SELECT l_returnflag,
+                        CAST(count(*) AS BIGINT) AS n_lines,
+                        CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+                        CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+                 FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, measure, value FROM (
+        SELECT l_returnflag, 'n_lines' AS measure, n_lines AS value FROM w
+        UNION ALL SELECT l_returnflag, 'n_orders', n_orders FROM w
+        UNION ALL SELECT l_returnflag, 'n_parts', n_parts FROM w) z
+      ORDER BY l_returnflag, measure"""
+
   /** Exact interpolated percentiles (median / p90) per order priority. */
   def percentiles(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)

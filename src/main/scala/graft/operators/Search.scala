@@ -363,4 +363,48 @@ object Search {
       FROM pairs, n
       WHERE n_ab * 100 >= n_docs * $minPairPct
       ORDER BY pmi DESC, term_a, term_b LIMIT $k"""
+
+  val KwicTerm = "spark"
+  val KwicContext = 20
+
+  /** ir07 — keyword-in-context (KWIC) snippets: for every document
+    * containing `term`, its first occurrence position in the normalized
+    * text, the substring-occurrence count, and a ±`ctx`-char snippet
+    * around the first hit — the "show me the matches" presentation layer
+    * over [[bm25TopK]]-style retrieval.
+    *
+    * All columns are integer positions and deterministic substrings (the
+    * engines share 1-based substring clamping semantics), so the check is
+    * exact with no rounding.
+    *
+    * Plan shape for 100 TB: a zero-exchange columnar pass (position,
+    * count, slice are all scalar expressions over the scanned text) plus
+    * the output sort — the ta01 class. */
+  def kwicQuery(s: SparkSession, dir: String, term: String = KwicTerm,
+      ctx: Int = KwicContext): DataFrame =
+    Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"), Text.normText(col("text")).as("t"))
+      .withColumn("pos", instr(col("t"), term).cast("long"))
+      .filter(col("pos") > 0)
+      .select(col("doc_id"), col("pos"),
+        ((length(col("t")) - length(replace(col("t"), lit(term), lit(""))))
+          / term.length).cast("long").as("n_occ"),
+        substring(col("t"),
+          greatest(lit(1), col("pos") - ctx).cast("int"),
+          lit(ctx + term.length + ctx)).as("snippet"))
+      .orderBy(col("doc_id"))
+
+  /** DuckDB SQL replicating [[kwicQuery]] exactly (same 1-based positions,
+    * same clamped slice). */
+  def kwicOracleSql(term: String = KwicTerm, ctx: Int = KwicContext): String = s"""
+      WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                 FROM documents),
+      p AS (SELECT doc_id, t, CAST(strpos(t, '$term') AS BIGINT) AS pos FROM d)
+      SELECT doc_id, pos,
+             CAST((length(t) - length(replace(t, '$term', ''))) // ${term.length}
+               AS BIGINT) AS n_occ,
+             substr(t, CAST(greatest(1, pos - $ctx) AS INT),
+                    ${ctx + term.length + ctx}) AS snippet
+      FROM p WHERE pos > 0
+      ORDER BY doc_id"""
 }

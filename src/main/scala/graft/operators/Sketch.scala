@@ -279,19 +279,7 @@ object Sketch {
     * the probe side of each join. */
   def minhashEstimateQuery(s: SparkSession, dir: String,
       k: Int = MhK): DataFrame = {
-    // localize the bounded pair set so the cache does not outlive the call
-    // (the Graph.localRanks discipline): under the CC driver bound the
-    // pairs become a LocalTableScan the joins broadcast for free; above it
-    // the persisted frame stays distributed (and cached for the two joins)
-    val (pairsCached, nPairs) = Dedup.materializedVerifiedPairs(s, dir)
-    val pairs: DataFrame =
-      if (nPairs <= Dedup.DriverCcMaxPairs) {
-        import s.implicits._
-        val local = pairsCached.select(col("doc_a"), col("doc_b"))
-          .as[(Long, Long)].collect().toSeq
-        pairsCached.unpersist(blocking = false)
-        s.createDataFrame(local).toDF("doc_a", "doc_b")
-      } else pairsCached
+    val pairs = Dedup.boundedPairs(s, dir)
     def hashJ(j: Int, g: Column): Column =
       conv(substring(md5(concat(lit(s"$j:"), g)), 1, 15), 16, 10).cast("long")
     val sigCols = (0 until k).map(j =>

@@ -564,4 +564,99 @@ object Windows {
              ratio > 2.0 OR ratio < 0.5 AS anomaly
       FROM r ORDER BY event_type, day"""
   }
+
+  /** ev10 — session entry/exit report: per ENTRY event type, how many
+    * sessions start there, how many bounce (single-event sessions), the
+    * bounce rate, and mean session size/duration — the landing-page
+    * analytics readout over the [[sessionizeQuery]] gap rule.
+    *
+    * Entry and exit resolve as min/max over a (tus, event_id, type)
+    * struct inside the session aggregate (latest/earliest-wins without a
+    * second window — the attribution recipe). Means are exact integer
+    * sums over exact counts: ONE division each, rounded 6dp; bounce rate
+    * likewise.
+    *
+    * Plan shape for 100 TB: the user-keyed window exchange, then the
+    * (user, session) aggregate (pre-combined map-side), then a
+    * |entry-types|-scale report aggregate — event rows cross the wire
+    * once. */
+  def sessionBounceQuery(s: SparkSession, dir: String,
+      gapSecs: Long = 1800): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val run = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val gapUs = gapSecs * 1000000L
+    val sessions = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_us").as("tus"))
+      .withColumn("prev", lag(col("tus"), 1).over(w))
+      .withColumn("boundary",
+        when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("boundary")).over(run))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(struct(col("tus"), col("event_id"), col("event_type"))).as("entry"),
+        max(struct(col("tus"), col("event_id"), col("event_type"))).as("exit"),
+        count(lit(1)).as("n_events"))
+    sessions
+      .select(col("entry.event_type").as("entry_type"),
+        col("n_events"),
+        (col("exit.tus") - col("entry.tus")).as("dur_us"))
+      .groupBy(col("entry_type"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_bounces"),
+        sum(col("n_events")).as("sum_events"),
+        sum(col("dur_us")).as("sum_dur_us"))
+      .select(col("entry_type"), col("n_sessions"), col("n_bounces"),
+        round(col("n_bounces").cast("double") /
+          col("n_sessions").cast("double"), 6).as("bounce_rate"),
+        round(col("sum_events").cast("double") /
+          col("n_sessions").cast("double"), 6).as("avg_events"),
+        round((col("sum_dur_us").cast("double") /
+          col("n_sessions").cast("double")) / lit(1000000.0), 6)
+          .as("avg_duration_secs"))
+      .orderBy(col("entry_type"))
+  }
+
+  /** DuckDB SQL replicating [[sessionBounceQuery]] exactly (gap = 1800 s;
+    * same struct-min/max entry/exit, same exact-ratio means). */
+  val sessionBounceOracleSql: String = """
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+                 FROM events),
+      b AS (SELECT user_id, event_id, event_type, tus,
+              CASE WHEN lag(tus, 1) OVER w IS NULL
+                     OR tus - lag(tus, 1) OVER w > 1800000000
+                   THEN 1 ELSE 0 END AS boundary
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      sx AS (SELECT user_id, event_id, event_type, tus,
+               sum(boundary) OVER (PARTITION BY user_id
+                 ORDER BY tus, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_idx
+             FROM b),
+      ses AS (SELECT user_id, session_idx,
+                min(struct_pack(tus := tus, event_id := event_id,
+                                event_type := event_type)) AS entry,
+                max(struct_pack(tus := tus, event_id := event_id,
+                                event_type := event_type)) AS exit,
+                CAST(count(*) AS BIGINT) AS n_events
+              FROM sx GROUP BY user_id, session_idx),
+      agg AS (SELECT entry.event_type AS entry_type,
+                CAST(count(*) AS BIGINT) AS n_sessions,
+                CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_bounces,
+                CAST(sum(n_events) AS BIGINT) AS sum_events,
+                CAST(sum(exit.tus - entry.tus) AS BIGINT) AS sum_dur_us
+              FROM ses GROUP BY 1)
+      SELECT entry_type, n_sessions, n_bounces,
+             round(CAST(n_bounces AS DOUBLE) / CAST(n_sessions AS DOUBLE), 6)
+               AS bounce_rate,
+             round(CAST(sum_events AS DOUBLE) / CAST(n_sessions AS DOUBLE), 6)
+               AS avg_events,
+             round((CAST(sum_dur_us AS DOUBLE) / CAST(n_sessions AS DOUBLE))
+               / 1000000.0, 6) AS avg_duration_secs
+      FROM agg ORDER BY entry_type"""
 }

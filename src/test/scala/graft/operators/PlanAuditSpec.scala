@@ -482,4 +482,31 @@ class PlanAuditSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q39: melt expands AFTER the aggregate, never the corpus") {
+    val plan = planOf(Relational.unpivotLineitem(spark, sf0001))
+    assert(plan.contains("Expand"), plan)
+    // Expand must sit above the final aggregate, i.e. the scan-side
+    // partial aggregation is still present below it
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("ir07: KWIC is a zero-exchange columnar pass") {
+    val plan = planOf(Search.kwicQuery(spark, sf0001).limit(1))
+    assert(!plan.contains("hashpartitioning"), plan)
+  }
+
+  test("gr02: oriented triangle joins broadcast; no cartesian") {
+    val plan = planOf(Graph.triangleCountQuery(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("ev10: ONE user-keyed exchange feeds the session aggregate") {
+    val plan = planOf(Windows.sessionBounceQuery(spark, sf0001))
+    // exactly ONE single-key user exchange (the window); the session
+    // aggregate then keys by (user_id, session_idx)
+    assert(count(plan, "hashpartitioning\\(user_id#\\d+, \\d+\\)") == 1, plan)
+    assert(plan.contains("partial_count"), plan)
+  }
 }

@@ -204,6 +204,99 @@ class Round6cOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q39: melt triples the wide rows and preserves every measure value") {
+    val wide = Relational.unpivotLineitem(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val li = graft.core.Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_partkey"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val flags = li.map(_._1).distinct
+    assert(wide.size == flags.length * 3)
+    flags.foreach { f =>
+      val rows = li.filter(_._1 == f)
+      assert(wide((f, "n_lines")) == rows.length.toLong)
+      assert(wide((f, "n_orders")) == rows.map(_._2).distinct.length.toLong)
+      assert(wide((f, "n_parts")) == rows.map(_._3).distinct.length.toLong)
+    }
+  }
+
+  test("ir07: positions, counts and snippets recompute from driver strings") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), graft.functions.Text.normText(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val term = Search.KwicTerm
+    val rows = Search.kwicQuery(spark, sf0001).collect()
+    val expectedIds = docs.filter(_._2.contains(term)).keySet
+    assert(rows.map(_.getLong(0)).toSet == expectedIds && rows.nonEmpty)
+    rows.foreach { r =>
+      val t = docs(r.getLong(0))
+      val pos = t.indexOf(term) + 1
+      assert(r.getLong(1) == pos.toLong)
+      assert(r.getLong(2) == t.sliding(term.length).count(_ == term).toLong)
+      val start = math.max(1, pos - Search.KwicContext) - 1
+      val len = Search.KwicContext * 2 + term.length
+      assert(r.getString(3) == t.substring(start, math.min(t.length, start + len)))
+    }
+  }
+
+  test("gr02: triangles and clustering recompute from the pair graph") {
+    val pairs = Dedup.minhashLshPairs(spark, sf0001)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.Set[Long]]
+    pairs.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    val rows = Graph.triangleCountQuery(spark, sf0001).collect()
+    assert(rows.length == adj.size && rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getLong(0)
+      val ns = adj(v)
+      assert(r.getLong(1) == ns.size.toLong, s"node $v degree")
+      val tri = ns.toSeq.combinations(2).count(p => adj(p.head)(p(1)))
+      assert(r.getLong(2) == tri.toLong, s"node $v triangles")
+      if (ns.size >= 2) {
+        val cc = BigDecimal.valueOf(2.0 * tri / (ns.size.toLong * (ns.size - 1L)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+        assert(r.getDouble(3) == cc, s"node $v clustering")
+      } else assert(r.getDouble(3) == 0.0)
+    }
+  }
+
+  test("ev10: bounce report recomputes from a brute-force session walk") {
+    def r6(x: Double): Double = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    val gapUs = 1800L * 1000000L
+    case class Ses(entry: String, n: Long, durUs: Long)
+    val sessions = events().groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._5, e._2)).toList
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[scala.collection.mutable.ArrayBuffer[(String, Long)]]
+      var prev = Long.MinValue
+      sorted.foreach { e =>
+        if (prev == Long.MinValue || e._5 - prev > gapUs)
+          out += scala.collection.mutable.ArrayBuffer.empty
+        out.last += ((e._3, e._5))
+        prev = e._5
+      }
+      out.map(s => Ses(s.head._1, s.length.toLong, s.last._2 - s.head._2))
+    }.toSeq
+    val rows = Windows.sessionBounceQuery(spark, sf0001).collect()
+    val byEntry = sessions.groupBy(_.entry)
+    assert(rows.map(_.getString(0)).toSet == byEntry.keySet && rows.nonEmpty)
+    rows.foreach { r =>
+      val ss = byEntry(r.getString(0))
+      assert(r.getLong(1) == ss.length.toLong)
+      assert(r.getLong(2) == ss.count(_.n == 1L).toLong)
+      assert(r.getDouble(3) == r6(ss.count(_.n == 1L).toDouble / ss.length))
+      assert(r.getDouble(4) == r6(ss.map(_.n).sum.toDouble / ss.length))
+      assert(r.getDouble(5) ==
+        r6(ss.map(_.durUs).sum.toDouble / ss.length / 1000000.0))
+    }
+  }
+
   test("ev08: trigram counts equal a brute-force session walk; top-k ordered") {
     val gapUs = 1800L * 1000000L
     val counts = scala.collection.mutable.HashMap.empty[String, Long]
