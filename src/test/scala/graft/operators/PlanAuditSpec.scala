@@ -505,8 +505,8 @@ class PlanAuditSpec extends AnyFunSuite {
   test("ev10: ONE user-keyed exchange feeds the session aggregate") {
     val plan = planOf(Windows.sessionBounceQuery(spark, sf0001))
     // exactly ONE single-key user exchange (the window); the session
-    // aggregate then keys by (user_id, session_idx)
-    assert(count(plan, "hashpartitioning\\(user_id#\\d+, \\d+\\)") == 1, plan)
+    // aggregate rides its sort as an exchange-free SortAggregate
+    assert(count(plan, "hashpartitioning\\(user_id#\\d+L?, \\d+\\)") == 1, plan)
     assert(plan.contains("partial_count"), plan)
   }
 }
