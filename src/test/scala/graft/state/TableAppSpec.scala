@@ -124,6 +124,66 @@ class TableAppSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming twin: changelog compaction via table state equals q38") {
+    // q38's batch struct-max latest-wins IS the reference's changelog/table
+    // semantic; replaying the event log through the keyed-state table in
+    // two microbatches must land on the identical snapshot — the
+    // batch/stream equality that makes the compaction claim structural.
+    import org.apache.spark.sql.functions.col
+    val expected = graft.operators.Relational.latestSnapshot(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4),
+          r.getLong(5)))).toMap
+
+    def compactFn(txn: TableTransaction)
+        : Iterator[(Long, Long, String, Double, Long, Long)] = {
+      val m = txn.message
+      val Array(tusS, ty, vS) = m.value.split(",", 3)
+      val (tus, v) = (tusS.toLong, vS.toDouble)
+      // state: lastTus,lastId,lastType,lastValue,count
+      val (bTus, bId, bTy, bV, n) = txn.readTableEntry()
+        .map(_.split(",", 5)) match {
+        case Some(Array(t, i, t2, vv, c)) =>
+          (t.toLong, i.toLong, t2, vv.toDouble, c.toLong)
+        case _ => (Long.MinValue, Long.MinValue, "", 0.0, 0L)
+      }
+      val wins = tus > bTus || (tus == bTus && m.offset > bId)
+      val (nT, nI, nTy, nV) =
+        if (wins) (tus, m.offset, ty, v) else (bTus, bId, bTy, bV)
+      txn.updateTableEntry(s"$nT,$nI,$nTy,$nV,${n + 1}")
+      Iterator.single((m.key.toLong, nI, nTy, nV, nT, n + 1))
+    }
+
+    val events = graft.core.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        r.getLong(4)))
+    val mid = events.map(_._2).sorted.apply(events.length / 2)
+    def msgs(f: ((Long, Long, String, Double, Long)) => Boolean): Seq[Message] =
+      events.filter(f).map { case (u, e, ty, v, tus) =>
+        msg(u.toString, (u % 3).toInt, e, s"$tus,$ty,$v")
+      }.toSeq
+
+    val input = MemoryStream[Message](spark)
+    val out = GraftTableApp.transform(input.toDS())(compactFn)
+    val q = out.writeStream.format("memory").queryName("compact_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(msgs(_._2 < mid)); q.processAllAvailable()
+      input.addData(msgs(_._2 >= mid)); q.processAllAvailable()
+      val finals = spark.table("compact_out")
+        .as[(Long, Long, String, Double, Long, Long)]
+        .collect().groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._6) }
+      assert(finals.size == expected.size)
+      finals.foreach { case (u, (_, id, ty, v, tus, n)) =>
+        assert(expected(u) == ((id, ty, v, tus, n)), s"user $u")
+      }
+    } finally q.stop()
+  }
+
   test("delete_table_entry tombstones state (read-your-writes included)") {
     val input = MemoryStream[Message](spark)
     val out = GraftTableApp.transform(input.toDS()) { txn =>
