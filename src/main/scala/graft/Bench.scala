@@ -128,6 +128,7 @@ object Bench {
     "ev09_ewma_anomaly",
     "cl04_confusion",
     "q39_unpivot",
+    "q40_array_hof",
     "ir07_kwic",
     "gr02_triangles",
     "ev10_session_bounce",

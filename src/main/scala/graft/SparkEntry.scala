@@ -165,6 +165,7 @@ object SparkEntry {
     "ev09_ewma_anomaly"    -> ((s: SparkSession, d: String) => graft.operators.Windows.ewmaAnomalyQuery(s, d)),
     "cl04_confusion"       -> ((s: SparkSession, d: String) => graft.operators.Classifier.confusionReportQuery(s, d)),
     "q39_unpivot"          -> Relational.unpivotLineitem _,
+    "q40_array_hof"        -> Relational.arrayHofQuery _,
     "ir07_kwic"            -> ((s: SparkSession, d: String) => graft.operators.Search.kwicQuery(s, d)),
     "gr02_triangles"       -> ((s: SparkSession, d: String) => graft.operators.Graph.triangleCountQuery(s, d)),
     "ev10_session_bounce"  -> ((s: SparkSession, d: String) => graft.operators.Windows.sessionBounceQuery(s, d)),
@@ -710,6 +711,7 @@ object SparkEntry {
       graft.operators.Sketch.minhashEstimateOracleSql(pairsSubquerySql),
     "ev09_ewma_anomaly" -> graft.operators.Windows.ewmaAnomalyOracleSql(),
     "q39_unpivot" -> Relational.unpivotLineitemOracleSql,
+    "q40_array_hof" -> Relational.arrayHofOracleSql,
     "ir07_kwic" -> graft.operators.Search.kwicOracleSql(),
     "gr02_triangles" ->
       graft.operators.Graph.triangleCountOracleSql(pairsSubquerySql),

@@ -545,6 +545,47 @@ object Relational {
         UNION ALL SELECT l_returnflag, 'n_parts', n_parts FROM w) z
       ORDER BY l_returnflag, measure"""
 
+  /** Higher-order array functions (§2.8 — the lambda surface): per order,
+    * the sorted quantity list reduced through transform / filter / exists
+    * / aggregate plus positional access — the array-programming layer the
+    * engine's own operators lean on (sk03's signatures, sim01's cosine),
+    * exercised here as a first-class query. Quantities are integral in
+    * this schema, so every HOF result is an exact integer.
+    *
+    * Plan shape for 100 TB: ONE orderkey-keyed aggregate (collect_list
+    * combines map-side); every lambda is then columnar over the built
+    * array — no further exchange before the output sort. */
+  def arrayHofQuery(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_quantity").cast("long").as("q"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("q"))).as("qtys"))
+      .select(col("l_orderkey"),
+        size(col("qtys")).cast("long").as("n_items"),
+        aggregate(transform(col("qtys"), x => x * 2L), lit(0L),
+          (acc, x) => acc + x).as("sum_doubled"),
+        size(filter(col("qtys"), _ > 25L)).cast("long").as("n_large"),
+        exists(col("qtys"), _ === 40L).as("has_40"),
+        element_at(col("qtys"), 1).as("min_qty"),
+        element_at(col("qtys"), -1).as("max_qty"))
+      .orderBy(col("l_orderkey"))
+
+  /** DuckDB SQL replicating [[arrayHofQuery]] exactly (same lambdas over
+    * the same sorted integer list). */
+  val arrayHofOracleSql: String = """
+      WITH a AS (SELECT l_orderkey,
+                        list_sort(list(CAST(l_quantity AS BIGINT))) AS qtys
+                 FROM lineitem GROUP BY l_orderkey)
+      SELECT l_orderkey,
+             CAST(len(qtys) AS BIGINT) AS n_items,
+             CAST(list_sum(list_transform(qtys, x -> x * 2)) AS BIGINT)
+               AS sum_doubled,
+             CAST(len(list_filter(qtys, x -> x > 25)) AS BIGINT) AS n_large,
+             len(list_filter(qtys, x -> x = 40)) > 0 AS has_40,
+             qtys[1] AS min_qty,
+             qtys[-1] AS max_qty
+      FROM a ORDER BY l_orderkey"""
+
   /** Exact interpolated percentiles (median / p90) per order priority. */
   def percentiles(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)

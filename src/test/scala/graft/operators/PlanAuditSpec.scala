@@ -491,6 +491,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"), plan)
   }
 
+  test("q40: ONE orderkey aggregate; lambdas add no exchange") {
+    val plan = planOf(Relational.arrayHofQuery(spark, sf0001))
+    assert(count(plan, "hashpartitioning") == 1, plan)
+    assert(plan.contains("partial_collect_list") ||
+      plan.contains("partial_sort_array"), plan)
+  }
+
   test("ir07: KWIC is a zero-exchange columnar pass") {
     val plan = planOf(Search.kwicQuery(spark, sf0001).limit(1))
     assert(!plan.contains("hashpartitioning"), plan)
