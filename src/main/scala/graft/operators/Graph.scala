@@ -189,7 +189,7 @@ object Graph {
   /** DuckDB SQL replicating [[triangleCountQuery]] exactly (same canonical
     * orientation, same exact ratios) over the shared pair subquery. */
   def triangleCountOracleSql(pairsSql: String): String = s"""
-      WITH pairs AS ($pairsSql),
+      WITH pairs AS MATERIALIZED ($pairsSql),
       tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
               FROM pairs e1
                 JOIN pairs e2 ON e2.doc_a = e1.doc_b

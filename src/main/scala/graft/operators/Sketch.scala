@@ -318,12 +318,14 @@ object Sketch {
     val matchSum = (0 until k).map(j =>
       s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END").mkString(" + ")
     s"""
-      WITH pairs AS ($pairsSql),
+      WITH pairs AS MATERIALIZED ($pairsSql),
       sh AS (SELECT doc_id,
                list_distinct(list_transform(range(1, greatest(length(text)-3, 2)),
                              i -> substr(text, CAST(i AS INT), 5))) AS sh
-             FROM documents),
-      sig AS (SELECT doc_id, sh, len(sh) AS n,
+             FROM documents
+             WHERE doc_id IN (SELECT doc_a FROM pairs
+                              UNION SELECT doc_b FROM pairs)),
+      sig AS MATERIALIZED (SELECT doc_id, sh, len(sh) AS n,
                $sigSelects
               FROM sh)
       SELECT p.doc_a, p.doc_b,
