@@ -284,7 +284,13 @@ object Sketch {
       conv(substring(md5(concat(lit(s"$j:"), g)), 1, 15), 16, 10).cast("long")
     val sigCols = (0 until k).map(j =>
       array_min(transform(col("sh"), g => hashJ(j, g))).as(s"mh$j"))
+    // signatures cost k md5 passes per shingle — compute them ONLY for
+    // docs that participate in a verified pair (broadcast semi-join on the
+    // bounded pair ids), not the whole corpus
+    val pairDocs = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val sh = Tables.parallel(Tables.documents(s, dir))
+      .join(broadcast(pairDocs), Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         graft.functions.CharShingles.charShingles(col("text"), Dedup.ShingleSize).as("sh"))
       .withColumn("n", size(col("sh")))

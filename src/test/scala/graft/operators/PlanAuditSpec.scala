@@ -463,9 +463,10 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint>"), plan)
   }
 
-  test("sk03: both pair joins broadcast; signatures never exchange") {
+  test("sk03: pair joins + doc prefilter broadcast; signatures never exchange") {
     val plan = planOf(Sketch.minhashEstimateQuery(spark, sf0001))
-    assert(count(plan, "BroadcastHashJoin") == 2, plan)
+    assert(count(plan, "BroadcastHashJoin") == 4, plan) // semi per side + two key joins
+    assert(plan.contains("LeftSemi"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
