@@ -58,10 +58,13 @@ object Resolution {
     * the surviving pair stream carries ONLY ids (the key strings join
     * back id-keyed after the cut, never riding the wide exchange).
     *
-    * Plan shape for 100 TB: grams shuffle once keyed (gram, bucket); the
-    * shared-gram count is a map-side-combined aggregate on id pairs; the
-    * two key joins are id-keyed equi-joins (AQE broadcasts them at small
-    * scale); Levenshtein runs on count-filter survivors only. */
+    * Plan shape for 100 TB: one key-grouping shuffle canonicalizes
+    * duplicates; grams of the DISTINCT keys shuffle once keyed
+    * (gram, bucket); the shared-gram count is a map-side-combined
+    * aggregate on representative-id pairs; Levenshtein runs on
+    * count-filter survivors only; group expansion and within-group pairs
+    * are key-keyed equi-joins whose output is the true match set itself
+    * (output-sensitive, the only irreducible cost). */
   private def matchPairs(s: SparkSession, dir: String, keyLen: Int,
       q: Int, maxDist: Int): DataFrame = {
     require(maxDist * q < keyLen - q + 1,
@@ -72,29 +75,52 @@ object Resolution {
     val keys = Tables.parallel(Tables.documents(s, dir))
       .select(col("doc_id"),
         substring(Text.normText(col("text")), 1, keyLen).as("p"))
-    val grams = keys.select(col("doc_id"),
+    // CANONICALIZE FIRST: identical keys collapse to one representative
+    // before any blocking, so corpus duplication never re-enters the
+    // candidate quadratic (the 10× stress corpus — 10 copies of every
+    // key — blocks at DISTINCT-key cost; the naive form spilled >80 GB
+    // there). Membership and within-group pairs are output-sensitive.
+    val groups = keys.groupBy(col("p")).agg(min(col("doc_id")).as("pid"))
+    val mem = keys.join(groups, "p")
+      .select(col("pid"), col("doc_id"))
+    val reps = groups.select(col("pid"), col("p"))
+    // positional q-gram blocking + count filter over DISTINCT keys only
+    val grams = reps.select(col("pid"),
       explode(array((1 to keyLen - q + 1).map(i =>
         struct(lit(i).as("i"), substring(col("p"), i, q).as("g"))): _*)).as("x"))
-      .select(col("doc_id"), col("x.i").as("i"), col("x.g").as("g"))
-    val a = grams.select(col("doc_id").as("doc_a"), col("i").as("ai"), col("g"))
+      .select(col("pid"), col("x.i").as("i"), col("x.g").as("g"))
+    val a = grams.select(col("pid").as("pa_id"), col("i").as("ai"), col("g"))
       .withColumn("bk", expr(s"CAST(ai - 1 AS BIGINT) div $w"))
-    val b = grams.select(col("doc_id").as("doc_b"), col("i").as("bi"), col("g"))
+    val b = grams.select(col("pid").as("pb_id"), col("i").as("bi"), col("g"))
       .withColumn("bk0", expr(s"CAST(bi - 1 AS BIGINT) div $w"))
       .withColumn("bk", explode(array(col("bk0") - 1, col("bk0"), col("bk0") + 1)))
       .drop("bk0")
     val cand = a.join(b,
         a("g") === b("g") && a("bk") === b("bk") &&
-          col("doc_a") < col("doc_b") &&
+          col("pa_id") < col("pb_id") &&
           abs(col("ai") - col("bi")) <= maxDist)
-      .groupBy(col("doc_a"), col("doc_b"))
+      .groupBy(col("pa_id"), col("pb_id"))
       .agg(countDistinct(col("ai")).as("shared"))
       .filter(col("shared") >= minShared)
-    cand
-      .join(keys.select(col("doc_id").as("doc_a"), col("p").as("pa")), "doc_a")
-      .join(keys.select(col("doc_id").as("doc_b"), col("p").as("pb")), "doc_b")
+    // distinct keys ⇒ edit_dist ≥ 1 here; the dist-0 relation is exactly
+    // "same group", emitted below without touching the blocking path
+    val repPairs = cand
+      .join(reps.select(col("pid").as("pa_id"), col("p").as("pa")), "pa_id")
+      .join(reps.select(col("pid").as("pb_id"), col("p").as("pb")), "pb_id")
       .withColumn("edit_dist", levenshtein(col("pa"), col("pb")).cast("long"))
       .filter(col("edit_dist") <= maxDist)
-      .select(col("doc_a"), col("doc_b"), col("edit_dist"))
+      .select(col("pa_id"), col("pb_id"), col("edit_dist"))
+    val cross = repPairs
+      .join(mem.select(col("pid").as("pa_id"), col("doc_id").as("da")), "pa_id")
+      .join(mem.select(col("pid").as("pb_id"), col("doc_id").as("db")), "pb_id")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("edit_dist"))
+    val within = mem.alias("x")
+      .join(mem.alias("y"),
+        col("x.pid") === col("y.pid") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0L).as("edit_dist"))
+    within.unionByName(cross)
   }
 
   /** er02 — entity groups: exact connected components over the verified
