@@ -132,6 +132,7 @@ object Bench {
     "ir07_kwic",
     "gr02_triangles",
     "ev10_session_bounce",
+    "pl04_dataset_card",
   )
 
   def main(args: Array[String]): Unit = {

@@ -166,6 +166,7 @@ object SparkEntry {
     "cl04_confusion"       -> ((s: SparkSession, d: String) => graft.operators.Classifier.confusionReportQuery(s, d)),
     "q39_unpivot"          -> Relational.unpivotLineitem _,
     "q40_array_hof"        -> Relational.arrayHofQuery _,
+    "pl04_dataset_card"    -> ((s: SparkSession, d: String) => graft.operators.Pipeline.datasetCardQuery(s, d)),
     "ir07_kwic"            -> ((s: SparkSession, d: String) => graft.operators.Search.kwicQuery(s, d)),
     "gr02_triangles"       -> ((s: SparkSession, d: String) => graft.operators.Graph.triangleCountQuery(s, d)),
     "ev10_session_bounce"  -> ((s: SparkSession, d: String) => graft.operators.Windows.sessionBounceQuery(s, d)),
@@ -712,6 +713,8 @@ object SparkEntry {
     "ev09_ewma_anomaly" -> graft.operators.Windows.ewmaAnomalyOracleSql(),
     "q39_unpivot" -> Relational.unpivotLineitemOracleSql,
     "q40_array_hof" -> Relational.arrayHofOracleSql,
+    "pl04_dataset_card" ->
+      graft.operators.Pipeline.datasetCardOracleSql(ccCtesSql),
     "ir07_kwic" -> graft.operators.Search.kwicOracleSql(),
     "gr02_triangles" ->
       graft.operators.Graph.triangleCountOracleSql(pairsSubquerySql),

@@ -650,16 +650,20 @@ object Curation {
     * corpus-scale — the dd05 contract) and join the id-projected corpus by
     * BROADCAST; the verdict is then a map-side expression. One corpus-scale
     * exchange total (the output sort, which a production writer drops). */
+  /** The 80/10/10 split verdict for a cluster representative — ONE
+    * definition shared by [[clusterSplitQuery]] and the pl04 dataset card
+    * so the split rule cannot drift between the assigner and the report. */
+  private[operators] def splitOf(rep: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bucket = md5Prefix32(rep).cast("long") % 10
+    when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
+  }
+
   def clusterSplitQuery(s: SparkSession, dir: String): DataFrame = {
     val labels = Dedup.clusterLabels(s, dir)
     Tables.documents(s, dir).select(col("doc_id"))
       .join(broadcast(labels), Seq("doc_id"), "left")
       .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
-      .withColumn("bucket", md5Prefix32(col("rep")).cast("long") % 10)
-      .select(col("doc_id"), col("rep"),
-        when(col("bucket") < 8, "train")
-          .when(col("bucket") === 8, "val")
-          .otherwise("test").as("split"))
+      .select(col("doc_id"), col("rep"), splitOf(col("rep")).as("split"))
       .orderBy(col("doc_id"))
   }
 

@@ -202,4 +202,81 @@ object Pipeline {
       FROM documents d JOIN cv USING (doc_id) JOIN dw USING (doc_id)
       JOIN tb ON d.source = tb.source
       ORDER BY d.doc_id"""
+
+  /** pl04 — the dataset card: one row per source with the numbers a data
+    * release actually publishes — volume (docs/tokens/chars), curation
+    * keep count, near-dup involvement, and the leakage-safe split sizes.
+    * Every column is an exact integer (counts and integer sums only), so
+    * the whole card is bit-deterministic with no rounding.
+    *
+    * Composition discipline (the pl01 rules): the near-dup labels are
+    * computed ONCE and broadcast (pair-graph-scale); the split verdict is
+    * derived from those same labels via [[Curation.splitOf]] rather than
+    * re-running the LSH pipeline; the only corpus-keyed join carries
+    * (doc_id, reason) — text never rides a join.
+    *
+    * Plan shape for 100 TB: one metric scan (normalize + count, columnar),
+    * one broadcast label join, one doc-keyed verdict join, then ONE
+    * map-side-combined |sources|-row aggregate. */
+  def datasetCardQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"), col("source"), Text.normText(col("text")).as("t"))
+      .select(col("doc_id"), col("source"),
+        length(col("t")).cast("long").as("nc"),
+        Text.tokenCount(col("t")).as("nt"))
+    val kept = Curation.curationVerdicts(s, dir)
+      .select(col("doc_id"), (col("reason") === "ok").as("kept"))
+    val labels = Dedup.clusterLabels(s, dir)
+    docs
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split", Curation.splitOf(col("rep")))
+      .join(kept, "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        sum(col("nc")).as("n_chars"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB SQL replicating [[datasetCardQuery]] exactly, composed from
+    * the shared component oracles (`ccCtes` = the SparkEntry dd05 chain
+    * ending in `cl`). */
+  def datasetCardOracleSql(ccCtes: String): String = s"""
+      WITH RECURSIVE $ccCtes,
+      cv AS (${Curation.curationOracleSql}),
+      d AS (SELECT doc_id, source,
+              trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+            FROM documents),
+      m AS (SELECT doc_id, source, CAST(length(t) AS BIGINT) AS nc,
+              CASE WHEN length(t) = 0 THEN CAST(0 AS BIGINT)
+                   ELSE CAST(length(t) -
+                     length(regexp_replace(t, ' ', '', 'g')) + 1 AS BIGINT)
+              END AS nt
+            FROM d),
+      x AS (SELECT m.*, cl.cluster_id IS NOT NULL AS is_dup,
+              coalesce(cl.cluster_id, m.doc_id) AS rep,
+              cv.reason = 'ok' AS kept
+            FROM m LEFT JOIN cl ON cl.doc_id = m.doc_id
+                   JOIN cv ON cv.doc_id = m.doc_id),
+      y AS (SELECT *,
+              CAST(concat('0x', substr(md5(CAST(rep AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 10 AS bucket
+            FROM x)
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS n_tokens,
+             CAST(sum(nc) AS BIGINT) AS n_chars,
+             CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+             CAST(sum(CASE WHEN bucket < 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+             CAST(sum(CASE WHEN bucket = 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+             CAST(sum(CASE WHEN bucket = 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+      FROM y GROUP BY source ORDER BY source"""
 }

@@ -510,6 +510,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("pl04: labels broadcast; the card aggregate combines map-side; no text exchanges") {
+    val plan = planOf(Pipeline.datasetCardQuery(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("hashpartitioning(text"), plan)
+  }
+
   test("ev10: ONE user-keyed exchange feeds the session aggregate") {
     val plan = planOf(Windows.sessionBounceQuery(spark, sf0001))
     // exactly ONE single-key user exchange (the window); the session

@@ -297,6 +297,35 @@ class Round6cOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pl04: the dataset card aggregates its component operators exactly") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"),
+        graft.functions.Text.normText(col("text")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val kept = Curation.curationQuery(spark, sf0001).collect()
+      .filter(_.getString(1) == "ok").map(_.getLong(0)).toSet
+    val dup = Dedup.dupClusters(spark, sf0001).collect()
+      .map(_.getLong(0)).toSet
+    val split = Curation.clusterSplitQuery(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val rows = Pipeline.datasetCardQuery(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).toSeq == docs.map(_._2).distinct.sorted.toSeq)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val ds = docs.filter(_._2 == src)
+      def tok(t: String): Long =
+        if (t.isEmpty) 0L else t.count(_ == ' ').toLong + 1L
+      assert(r.getLong(1) == ds.length.toLong, s"$src n_docs")
+      assert(r.getLong(2) == ds.map(d => tok(d._3)).sum, s"$src n_tokens")
+      assert(r.getLong(3) == ds.map(_._3.length.toLong).sum, s"$src n_chars")
+      assert(r.getLong(4) == ds.count(d => kept(d._1)).toLong, s"$src n_kept")
+      assert(r.getLong(5) == ds.count(d => dup(d._1)).toLong, s"$src n_dup")
+      assert(r.getLong(6) == ds.count(d => split(d._1) == "train").toLong, s"$src train")
+      assert(r.getLong(7) == ds.count(d => split(d._1) == "val").toLong, s"$src val")
+      assert(r.getLong(8) == ds.count(d => split(d._1) == "test").toLong, s"$src test")
+    }
+  }
+
   test("ev08: trigram counts equal a brute-force session walk; top-k ordered") {
     val gapUs = 1800L * 1000000L
     val counts = scala.collection.mutable.HashMap.empty[String, Long]
