@@ -138,6 +138,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // optional args restrict the run to the named queries (targeted timing
+    // during optimization); the driver's full run passes no args
+    val headline: Seq[String] =
+      if (args.nonEmpty) args.toSeq.filter(Bench.headline.contains)
+      else Bench.headline
 
     // Contention self-report, round-5 lesson: ONE ambient loadavg sample
     // missed load that arrived during the 15-minute run (loadavg_start was

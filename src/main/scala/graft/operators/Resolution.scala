@@ -89,12 +89,19 @@ object Resolution {
       explode(array((1 to keyLen - q + 1).map(i =>
         struct(lit(i).as("i"), substring(col("p"), i, q).as("g"))): _*)).as("x"))
       .select(col("pid"), col("x.i").as("i"), col("x.g").as("g"))
+    // the gram join's INPUTS are small (vocabulary of distinct keys) but
+    // its OUTPUT fans out quadratically within blocks — AQE's size-based
+    // partition coalescing would run that fan-out nearly single-threaded;
+    // pinning the exchange width keeps the block work spread across cores
+    val par = s.sparkContext.defaultParallelism
     val a = grams.select(col("pid").as("pa_id"), col("i").as("ai"), col("g"))
       .withColumn("bk", expr(s"CAST(ai - 1 AS BIGINT) div $w"))
+      .repartition(par, col("g"), col("bk"))
     val b = grams.select(col("pid").as("pb_id"), col("i").as("bi"), col("g"))
       .withColumn("bk0", expr(s"CAST(bi - 1 AS BIGINT) div $w"))
       .withColumn("bk", explode(array(col("bk0") - 1, col("bk0"), col("bk0") + 1)))
       .drop("bk0")
+      .repartition(par, col("g"), col("bk"))
     val cand = a.join(b,
         a("g") === b("g") && a("bk") === b("bk") &&
           col("pa_id") < col("pb_id") &&
