@@ -139,10 +139,20 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // optional args restrict the run to the named queries (targeted timing
-    // during optimization); the driver's full run passes no args
+    // during optimization); the driver's full run passes no args. Unknown
+    // names are an ERROR — a typo must not produce a success-looking JSON
+    // that timed nothing.
     val headline: Seq[String] =
-      if (args.nonEmpty) args.toSeq.filter(Bench.headline.contains)
-      else Bench.headline
+      if (args.isEmpty) Bench.headline
+      else {
+        val unknown = args.toSeq.filterNot(Bench.headline.contains)
+        if (unknown.nonEmpty) {
+          System.err.println(
+            s"[bench] unknown/non-headline queries: ${unknown.mkString(", ")}")
+          sys.exit(2)
+        }
+        args.toSeq
+      }
 
     // Contention self-report, round-5 lesson: ONE ambient loadavg sample
     // missed load that arrived during the 15-minute run (loadavg_start was

@@ -721,9 +721,6 @@ object SparkEntry {
     "ev10_session_bounce" -> graft.operators.Windows.sessionBounceOracleSql,
   )
 
-  /** DuckDB sequential-fold cosine of two DOUBLE[] columns — bit-identical
-    * to [[graft.functions.CosineSim]] (left-to-right summation both sides;
-    * proven exact by sim01). */
   /** The cl03 kNN prediction derivation as a CTE chain ending in
     * `pred(vec_id, true_label, pred_label, n_votes, correct)` — ONE
     * definition shared by the cl03 oracle (which orders it) and the cl04
@@ -749,6 +746,9 @@ object SparkEntry {
                       cand_label = true_label AS correct
                FROM win WHERE vr = 1)"""
 
+  /** DuckDB sequential-fold cosine of two DOUBLE[] columns — bit-identical
+    * to [[graft.functions.CosineSim]] (left-to-right summation both sides;
+    * proven exact by sim01). */
   private def cosSql(a: String, b: String): String =
     s"""(list_sum(list_transform(range(1, len($a)+1), i -> $a[CAST(i AS INT)]*$b[CAST(i AS INT)])) /
        (sqrt(list_sum(list_transform(range(1, len($a)+1), i -> $a[CAST(i AS INT)]*$a[CAST(i AS INT)]))) *

@@ -634,13 +634,21 @@ object Curation {
       FROM b4 ORDER BY source"""
   }
 
+  /** The 80/10/10 split verdict for a cluster representative — ONE
+    * definition shared by [[clusterSplitQuery]] and the pl04 dataset card
+    * so the split rule cannot drift between the assigner and the report. */
+  private[operators] def splitOf(rep: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bucket = md5Prefix32(rep).cast("long") % 10
+    when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
+  }
+
   /** sa09 — leakage-safe train/val/test split: documents are assigned
     * 80/10/10 by md5 hash of their near-dup CLUSTER representative (the
     * [[Dedup.dupClusters]] min-label; singletons represent themselves), so
     * a document and its near-duplicates ALWAYS land in the same split —
     * the split-level guarantee that document-hash splitting silently
     * violates (a near-dup of a test doc in train is eval contamination).
-    * SplitSpec asserts the invariant directly: no cluster spans splits.
+    * Round6cOpsSpec asserts the invariant directly: no cluster spans splits.
     *
     * Determinism: the verdict is pure md5-prefix arithmetic on the
     * representative id — same split on every engine, every run, and stable
@@ -650,14 +658,6 @@ object Curation {
     * corpus-scale — the dd05 contract) and join the id-projected corpus by
     * BROADCAST; the verdict is then a map-side expression. One corpus-scale
     * exchange total (the output sort, which a production writer drops). */
-  /** The 80/10/10 split verdict for a cluster representative — ONE
-    * definition shared by [[clusterSplitQuery]] and the pl04 dataset card
-    * so the split rule cannot drift between the assigner and the report. */
-  private[operators] def splitOf(rep: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val bucket = md5Prefix32(rep).cast("long") % 10
-    when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
-  }
-
   def clusterSplitQuery(s: SparkSession, dir: String): DataFrame = {
     val labels = Dedup.clusterLabels(s, dir)
     Tables.documents(s, dir).select(col("doc_id"))

@@ -369,9 +369,14 @@ object Search {
 
   /** ir07 — keyword-in-context (KWIC) snippets: for every document
     * containing `term`, its first occurrence position in the normalized
-    * text, the substring-occurrence count, and a ±`ctx`-char snippet
-    * around the first hit — the "show me the matches" presentation layer
-    * over [[bm25TopK]]-style retrieval.
+    * text, the NON-OVERLAPPING substring-occurrence count (replace-length
+    * math — the same left-to-right greedy contract both engines' replace
+    * implements; a self-overlapping term like "aaa" counts its greedy
+    * occurrences, not every offset), and a ±`ctx`-char snippet around the
+    * first hit — the "show me the matches" presentation layer over
+    * [[bm25TopK]]-style retrieval. `term` is treated as a LITERAL string
+    * (it is spliced into the oracle SQL with quote doubling, and reaches
+    * instr/replace as a literal, never a pattern).
     *
     * All columns are integer positions and deterministic substrings (the
     * engines share 1-based substring clamping semantics), so the check is
@@ -396,15 +401,18 @@ object Search {
 
   /** DuckDB SQL replicating [[kwicQuery]] exactly (same 1-based positions,
     * same clamped slice). */
-  def kwicOracleSql(term: String = KwicTerm, ctx: Int = KwicContext): String = s"""
+  def kwicOracleSql(term: String = KwicTerm, ctx: Int = KwicContext): String = {
+    val lit = term.replace("'", "''") // SQL string-literal escape
+    s"""
       WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
                  FROM documents),
-      p AS (SELECT doc_id, t, CAST(strpos(t, '$term') AS BIGINT) AS pos FROM d)
+      p AS (SELECT doc_id, t, CAST(strpos(t, '$lit') AS BIGINT) AS pos FROM d)
       SELECT doc_id, pos,
-             CAST((length(t) - length(replace(t, '$term', ''))) // ${term.length}
+             CAST((length(t) - length(replace(t, '$lit', ''))) // ${term.length}
                AS BIGINT) AS n_occ,
              substr(t, CAST(greatest(1, pos - $ctx) AS INT),
                     ${ctx + term.length + ctx}) AS snippet
       FROM p WHERE pos > 0
       ORDER BY doc_id"""
+  }
 }

@@ -269,7 +269,16 @@ object Windows {
     * (user_id, session_idx) with map-side partial aggregation, so the
     * second exchange carries one row per session, not per event. Nothing
     * global: no window spans more than one user's slice. */
-  def sessionizeQuery(s: SparkSession, dir: String, gapSecs: Long = 1800): DataFrame = {
+  /** The gap-rule session indexing shared by every session-consuming
+    * operator (ev05 sessionize, ev08 path mining, ev10 bounce report):
+    * events projected to (user_id, event_id, event_type, tus) with a
+    * running `session_idx` per user — a new session starts when the gap to
+    * the previous event exceeds `gapSecs`. ONE definition (and one oracle
+    * CTE chain, [[sessionCtesSql]]) so the boundary rule cannot drift
+    * between consumers. All windows partition by user_id only, so a
+    * consumer's follow-up windows/aggregates reuse the same exchange. */
+  private def sessionIndexed(s: SparkSession, dir: String,
+      gapSecs: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
     val run = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -282,6 +291,29 @@ object Windows {
         when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1L)
           .otherwise(0L))
       .withColumn("session_idx", sum(col("boundary")).over(run))
+      .drop("prev", "boundary")
+  }
+
+  /** The shared e/b/sx oracle CTE chain of [[sessionIndexed]], ending in
+    * `sx(user_id, event_id, event_type, tus, session_idx)`. */
+  private def sessionCtesSql(gapSecs: Long): String = s"""
+      e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+                 FROM events),
+      b AS (SELECT user_id, event_id, event_type, tus,
+              CASE WHEN lag(tus, 1) OVER w IS NULL
+                     OR tus - lag(tus, 1) OVER w > ${gapSecs}000000
+                   THEN 1 ELSE 0 END AS boundary
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      sx AS (SELECT user_id, event_id, event_type, tus,
+               CAST(sum(boundary) OVER (PARTITION BY user_id
+                 ORDER BY tus, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS session_idx
+             FROM b)"""
+
+  def sessionizeQuery(s: SparkSession, dir: String, gapSecs: Long = 1800): DataFrame =
+    sessionIndexed(s, dir, gapSecs)
       .groupBy(col("user_id"), col("session_idx"))
       .agg(
         min(col("tus")).as("start_us"),
@@ -290,25 +322,11 @@ object Windows {
         countDistinct(col("event_type")).as("n_types"))
       .withColumn("duration_secs", expr("(end_us - start_us) div 1000000"))
       .orderBy(col("user_id"), col("session_idx"))
-  }
 
   /** DuckDB SQL replicating [[sessionizeQuery]] exactly (gap = 1800 s; same
     * ROWS running frame, same integer micros arithmetic). */
-  val sessionizeOracleSql: String = """
-      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
-                 FROM events),
-      b AS (SELECT user_id, event_id, event_type, tus,
-              CASE WHEN lag(tus, 1) OVER w IS NULL
-                     OR tus - lag(tus, 1) OVER w > 1800000000
-                   THEN 1 ELSE 0 END AS boundary
-            FROM e
-            WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
-      sx AS (SELECT user_id, event_type, tus,
-               CAST(sum(boundary) OVER (PARTITION BY user_id
-                 ORDER BY tus, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-                 AS session_idx
-             FROM b)
+  val sessionizeOracleSql: String = s"""
+      WITH ${sessionCtesSql(1800)}
       SELECT user_id, session_idx,
              min(tus) AS start_us, max(tus) AS end_us,
              CAST(count(*) AS BIGINT) AS n_events,
@@ -444,16 +462,7 @@ object Windows {
       k: Int = 20): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
-    val run = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val gapUs = gapSecs * 1000000L
-    Tables.events(s, dir)
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        col("ts_us").as("tus"))
-      .withColumn("prev", lag(col("tus"), 1).over(w))
-      .withColumn("boundary",
-        when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1L)
-          .otherwise(0L))
-      .withColumn("session_idx", sum(col("boundary")).over(run))
+    sessionIndexed(s, dir, gapSecs)
       .withColumn("t2", lead(col("event_type"), 1).over(w))
       .withColumn("t3", lead(col("event_type"), 2).over(w))
       .withColumn("s3", lead(col("session_idx"), 2).over(w))
@@ -467,21 +476,8 @@ object Windows {
 
   /** DuckDB SQL replicating [[pathNgramsQuery]] exactly (gap = 1800 s,
     * k = 20; same single-partition-key window discipline). */
-  val pathNgramsOracleSql: String = """
-      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
-                 FROM events),
-      b AS (SELECT user_id, event_id, event_type, tus,
-              CASE WHEN lag(tus, 1) OVER w IS NULL
-                     OR tus - lag(tus, 1) OVER w > 1800000000
-                   THEN 1 ELSE 0 END AS boundary
-            FROM e
-            WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
-      sx AS (SELECT user_id, event_id, event_type, tus,
-               sum(boundary) OVER (PARTITION BY user_id
-                 ORDER BY tus, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS session_idx
-             FROM b),
+  val pathNgramsOracleSql: String = s"""
+      WITH ${sessionCtesSql(1800)},
       tri AS (SELECT event_type AS t1,
                 lead(event_type, 1) OVER w AS t2,
                 lead(event_type, 2) OVER w AS t3,
@@ -582,18 +578,7 @@ object Windows {
     * once. */
   def sessionBounceQuery(s: SparkSession, dir: String,
       gapSecs: Long = 1800): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
-    val run = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val gapUs = gapSecs * 1000000L
-    val sessions = Tables.events(s, dir)
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        col("ts_us").as("tus"))
-      .withColumn("prev", lag(col("tus"), 1).over(w))
-      .withColumn("boundary",
-        when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1L)
-          .otherwise(0L))
-      .withColumn("session_idx", sum(col("boundary")).over(run))
+    val sessions = sessionIndexed(s, dir, gapSecs)
       .groupBy(col("user_id"), col("session_idx"))
       .agg(
         min(struct(col("tus"), col("event_id"), col("event_type"))).as("entry"),
@@ -622,21 +607,8 @@ object Windows {
 
   /** DuckDB SQL replicating [[sessionBounceQuery]] exactly (gap = 1800 s;
     * same struct-min/max entry/exit, same exact-ratio means). */
-  val sessionBounceOracleSql: String = """
-      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
-                 FROM events),
-      b AS (SELECT user_id, event_id, event_type, tus,
-              CASE WHEN lag(tus, 1) OVER w IS NULL
-                     OR tus - lag(tus, 1) OVER w > 1800000000
-                   THEN 1 ELSE 0 END AS boundary
-            FROM e
-            WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
-      sx AS (SELECT user_id, event_id, event_type, tus,
-               sum(boundary) OVER (PARTITION BY user_id
-                 ORDER BY tus, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS session_idx
-             FROM b),
+  val sessionBounceOracleSql: String = s"""
+      WITH ${sessionCtesSql(1800)},
       ses AS (SELECT user_id, session_idx,
                 min(struct_pack(tus := tus, event_id := event_id,
                                 event_type := event_type)) AS entry,

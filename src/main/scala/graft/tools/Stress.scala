@@ -80,7 +80,8 @@ object Stress {
       "ev08_path_ngrams", "ir06_pmi_cooccur", "sk02_cms_heavy",
       "cl03_knn_classifier", "sa09_cluster_split", "sk03_minhash_est",
       "ev09_ewma_anomaly", "cl04_confusion", "ir07_kwic",
-      "gr02_triangles", "ev10_session_bounce", "pl04_dataset_card")
+      "gr02_triangles", "ev10_session_bounce", "pl04_dataset_card",
+      "q37_ignore_nulls")
     // q39/q40 read lineitem, which the stress corpus does not amplify —
     // they rehearse under Bench at sf0.1 instead
     var failed = false

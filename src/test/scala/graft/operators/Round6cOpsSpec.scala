@@ -232,7 +232,9 @@ class Round6cOpsSpec extends AnyFunSuite {
       val t = docs(r.getLong(0))
       val pos = t.indexOf(term) + 1
       assert(r.getLong(1) == pos.toLong)
-      assert(r.getLong(2) == t.sliding(term.length).count(_ == term).toLong)
+      // NON-overlapping count — the operator's replace-length contract
+      assert(r.getLong(2) ==
+        ((t.length - t.replace(term, "").length) / term.length).toLong)
       val start = math.max(1, pos - Search.KwicContext) - 1
       val len = Search.KwicContext * 2 + term.length
       assert(r.getString(3) == t.substring(start, math.min(t.length, start + len)))
