@@ -133,6 +133,7 @@ object Bench {
     "gr02_triangles",
     "ev10_session_bounce",
     "pl04_dataset_card",
+    "sk04_sample_quantiles",
   )
 
   def main(args: Array[String]): Unit = {

@@ -167,6 +167,7 @@ object SparkEntry {
     "q39_unpivot"          -> Relational.unpivotLineitem _,
     "q40_array_hof"        -> Relational.arrayHofQuery _,
     "pl04_dataset_card"    -> ((s: SparkSession, d: String) => graft.operators.Pipeline.datasetCardQuery(s, d)),
+    "sk04_sample_quantiles" -> ((s: SparkSession, d: String) => graft.operators.Sketch.sampleQuantilesQuery(s, d)),
     "ir07_kwic"            -> ((s: SparkSession, d: String) => graft.operators.Search.kwicQuery(s, d)),
     "gr02_triangles"       -> ((s: SparkSession, d: String) => graft.operators.Graph.triangleCountQuery(s, d)),
     "ev10_session_bounce"  -> ((s: SparkSession, d: String) => graft.operators.Windows.sessionBounceQuery(s, d)),
@@ -715,6 +716,8 @@ object SparkEntry {
     "q40_array_hof" -> Relational.arrayHofOracleSql,
     "pl04_dataset_card" ->
       graft.operators.Pipeline.datasetCardOracleSql(ccCtesSql),
+    "sk04_sample_quantiles" ->
+      graft.operators.Sketch.sampleQuantilesOracleSql(),
     "ir07_kwic" -> graft.operators.Search.kwicOracleSql(),
     "gr02_triangles" ->
       graft.operators.Graph.triangleCountOracleSql(pairsSubquerySql),

@@ -343,4 +343,89 @@ object Sketch {
                    JOIN sig b ON b.doc_id = p.doc_b
       ORDER BY p.doc_a, p.doc_b"""
   }
+
+  val QuantileSampleRate = 0.1
+
+  /** sk04 — sampled quantile estimation, error-checked: per event type,
+    * p50/p90/p99 of `value` from a DETERMINISTIC 10% uniform sample
+    * (md5(event_id) threshold — the sa03 recipe, so the sample is the
+    * same rows in any engine) emitted BESIDE the exact quantiles — the
+    * quantile member of the error-checked sketch family (sk01 distinct,
+    * dd16 membership, sk02 frequency, sk03 similarity).
+    *
+    * Quantiles are rank-discrete with INTEGER rank arithmetic
+    * (ceil(p·n) as (num·n + num) div den — float ceil(0.9·n) rounds the
+    * wrong way at representable boundaries) and (value, event_id) tie
+    * order: bit-deterministic, no rounding anywhere; the estimate columns
+    * are passthrough values from sampled rows.
+    *
+    * Plan shape for 100 TB: the point of the sketch is the branch you
+    * keep — the exact branch sorts every row within its type key (the
+    * self-check); the production branch sorts only the sample, whose
+    * rate is tuned so each key's sample fits an executor. Both branches
+    * are ONE type-keyed window over (value, id) rows — the payload never
+    * rides the exchange. */
+  def sampleQuantilesQuery(s: SparkSession, dir: String,
+      rate: Double = QuantileSampleRate): DataFrame = {
+    val cut = Curation.hashCut(rate)
+    def ranked(df: DataFrame, prefix: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      val wn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      df.withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy(col("event_type"))
+        .agg(
+          max(col("n")).as(s"${prefix}n"),
+          max(when(col("rnk") === expr(s"(n * 1 + 1) div 2"), col("value")))
+            .as(s"${prefix}p50"),
+          max(when(col("rnk") === expr(s"(n * 9 + 9) div 10"), col("value")))
+            .as(s"${prefix}p90"),
+          max(when(col("rnk") === expr(s"(n * 99 + 99) div 100"), col("value")))
+            .as(s"${prefix}p99"))
+    }
+    val base = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val exact = ranked(base, "")
+    val est = ranked(base.filter(
+      Curation.md5Prefix32(col("event_id")).cast("long") < cut), "s_")
+    exact.join(est, "event_type")
+      .select(col("event_type"), col("n"), col("s_n"),
+        col("p50"), col("s_p50").as("p50_est"),
+        col("p90"), col("s_p90").as("p90_est"),
+        col("p99"), col("s_p99").as("p99_est"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB SQL replicating [[sampleQuantilesQuery]] exactly (same md5
+    * sample, same integer rank arithmetic, same tie order). */
+  def sampleQuantilesOracleSql(rate: Double = QuantileSampleRate): String = {
+    val cut = Curation.hashCut(rate)
+    def rankedSql(src: String): String = s"""
+      SELECT event_type,
+             CAST(max(n) AS BIGINT) AS n,
+             max(CASE WHEN rnk = (n * 1 + 1) // 2 THEN value END) AS p50,
+             max(CASE WHEN rnk = (n * 9 + 9) // 10 THEN value END) AS p90,
+             max(CASE WHEN rnk = (n * 99 + 99) // 100 THEN value END) AS p99
+      FROM (SELECT event_type, value,
+              CAST(row_number() OVER (PARTITION BY event_type
+                ORDER BY value, event_id) AS BIGINT) AS rnk,
+              CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+            FROM $src) z
+      GROUP BY event_type"""
+    s"""
+      WITH ev AS (SELECT event_type, event_id, value FROM events),
+      sampled AS (SELECT * FROM ev
+                  WHERE CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        < $cut),
+      exact AS (${rankedSql("ev")}),
+      est AS (${rankedSql("sampled")})
+      SELECT e.event_type, e.n, s.n AS s_n,
+             e.p50, s.p50 AS p50_est,
+             e.p90, s.p90 AS p90_est,
+             e.p99, s.p99 AS p99_est
+      FROM exact e JOIN est s USING (event_type)
+      ORDER BY e.event_type"""
+  }
 }

@@ -510,6 +510,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("sk04: each branch is ONE type-keyed exchange; the agg rides the window sort") {
+    val plan = planOf(Sketch.sampleQuantilesQuery(spark, sf0001))
+    assert(count(plan, "hashpartitioning\\(event_type") == 2, plan)
+  }
+
   test("pl04: labels broadcast; the card aggregate combines map-side; no text exchanges") {
     val plan = planOf(Pipeline.datasetCardQuery(spark, sf0001))
     assert(plan.contains("BroadcastHashJoin"), plan)

@@ -299,6 +299,29 @@ class Round6cOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sk04: sampled and exact quantiles recompute from a driver sort") {
+    val ev = events().map(e => (e._3, e._2, e._4)) // (type, event_id, value)
+    def h32(id: Long): Long = java.lang.Long.parseLong(
+      md5hex(id.toString).take(8), 16)
+    val cut = (Sketch.QuantileSampleRate * 4294967296.0).toLong
+    def q(rows: Seq[(Long, Double)], num: Int, den: Int): Double = {
+      val sorted = rows.sortBy(r => (r._2, r._1))
+      val n = sorted.length.toLong
+      sorted(((n * num + num) / den - 1).toInt)._2
+    }
+    val rows = Sketch.sampleQuantilesQuery(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ty = r.getString(0)
+      val all = ev.filter(_._1 == ty).map(e => (e._2, e._3)).toSeq
+      val smp = all.filter(e => h32(e._1) < cut)
+      assert(r.getLong(1) == all.length.toLong && r.getLong(2) == smp.length.toLong)
+      assert(r.getDouble(3) == q(all, 1, 2) && r.getDouble(4) == q(smp, 1, 2))
+      assert(r.getDouble(5) == q(all, 9, 10) && r.getDouble(6) == q(smp, 9, 10))
+      assert(r.getDouble(7) == q(all, 99, 100) && r.getDouble(8) == q(smp, 99, 100))
+    }
+  }
+
   test("pl04: the dataset card aggregates its component operators exactly") {
     val docs = graft.core.Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("source"),
