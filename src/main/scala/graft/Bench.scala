@@ -134,6 +134,7 @@ object Bench {
     "ev10_session_bounce",
     "pl04_dataset_card",
     "sk04_sample_quantiles",
+    "er03_golden_record",
   )
 
   def main(args: Array[String]): Unit = {

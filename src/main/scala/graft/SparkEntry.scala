@@ -156,6 +156,7 @@ object SparkEntry {
     "dd16_bloom_decontam"  -> ((s: SparkSession, d: String) => graft.operators.Sketch.bloomDecontaminateQuery(s, d)),
     "er01_fuzzy_match"     -> ((s: SparkSession, d: String) => graft.operators.Resolution.fuzzyMatchQuery(s, d)),
     "er02_fuzzy_clusters"  -> ((s: SparkSession, d: String) => graft.operators.Resolution.fuzzyClustersQuery(s, d)),
+    "er03_golden_record"   -> ((s: SparkSession, d: String) => graft.operators.Resolution.goldenRecordQuery(s, d)),
     "ev08_path_ngrams"     -> ((s: SparkSession, d: String) => graft.operators.Windows.pathNgramsQuery(s, d)),
     "ir06_pmi_cooccur"     -> ((s: SparkSession, d: String) => graft.operators.Search.pmiCooccurQuery(s, d)),
     "sk02_cms_heavy"       -> ((s: SparkSession, d: String) => graft.operators.Sketch.cmsHeavyQuery(s, d)),
@@ -671,6 +672,7 @@ object SparkEntry {
       graft.operators.Sketch.bloomDecontaminateOracleSql(),
     "er01_fuzzy_match" -> graft.operators.Resolution.fuzzyMatchOracleSql(),
     "er02_fuzzy_clusters" -> graft.operators.Resolution.fuzzyClustersOracleSql(),
+    "er03_golden_record" -> graft.operators.Resolution.goldenRecordOracleSql(),
     "q37_ignore_nulls" -> Relational.ignoreNullsWindowOracleSql,
     "q38_latest_snapshot" -> Relational.latestSnapshotOracleSql,
     "ev08_path_ngrams" -> graft.operators.Windows.pathNgramsOracleSql,

@@ -179,6 +179,69 @@ object Resolution {
       FROM cand WHERE levenshtein(pa, pb) <= $maxDist
       ORDER BY doc_a, doc_b"""
 
+  /** er03 — golden-record survivorship: one merged record per entity
+    * group (the [[fuzzyClustersQuery]] partition), built by the standard
+    * survivorship rules — canonical text from the LONGEST member (ties:
+    * smallest doc_id — the dd14 rule), first-seen id, member count, and
+    * the sorted distinct source provenance list. This is the step after
+    * clustering that every record-linkage pipeline actually ships.
+    *
+    * The canonical pick is a struct-max aggregate (n_chars, −doc_id) —
+    * map-side combinable, no window — and every output column is exact
+    * integer/string logic: bit-deterministic cross-engine.
+    *
+    * Plan shape for 100 TB: the cluster labels are match-graph-scale and
+    * BROADCAST onto a text-pruned doc scan (doc_id, source, n_chars);
+    * the merge is ONE cluster-keyed map-side-combined aggregate. */
+  def goldenRecordQuery(s: SparkSession, dir: String, keyLen: Int = 24,
+      q: Int = 4, maxDist: Int = 4): DataFrame = {
+    val labels = fuzzyClustersQuery(s, dir, keyLen, q, maxDist)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(broadcast(labels), "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("nid")))
+          .as("c"),
+        min(col("doc_id")).as("first_id"),
+        array_join(sort_array(collect_set(col("source"))), ",").as("sources"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("c.nid")).as("canonical_id"),
+        col("c.nc").as("canonical_chars"),
+        col("first_id"), col("sources"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** DuckDB SQL replicating [[goldenRecordQuery]] exactly (same struct-max
+    * survivorship, same sorted provenance list). */
+  def goldenRecordOracleSql(keyLen: Int = 24, q: Int = 4,
+      maxDist: Int = 4): String = s"""
+      WITH RECURSIVE ${candCtesSql(keyLen, q)},
+      pairs AS (SELECT doc_a, doc_b FROM cand
+                WHERE levenshtein(pa, pb) <= $maxDist),
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach(n, m) AS (
+        SELECT a, a FROM (SELECT a FROM edges UNION SELECT b FROM edges) t(a)
+        UNION
+        SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n
+      ),
+      cl AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+      mem AS (SELECT cl.cluster_id, d.doc_id, d.source, d.n_chars
+              FROM cl JOIN documents d USING (doc_id))
+      SELECT cluster_id,
+             CAST(count(*) AS BIGINT) AS n_members,
+             -(max(struct_pack(nc := n_chars, nid := -doc_id)).nid)
+               AS canonical_id,
+             max(struct_pack(nc := n_chars, nid := -doc_id)).nc
+               AS canonical_chars,
+             min(doc_id) AS first_id,
+             array_to_string(list_sort(list_distinct(list(source))), ',')
+               AS sources
+      FROM mem GROUP BY cluster_id
+      ORDER BY cluster_id"""
+
   /** DuckDB SQL replicating [[fuzzyClustersQuery]] exactly: the verified
     * pair set's transitive closure via a recursive reachability CTE (the
     * dd05 oracle shape over the er01 pair subquery). */

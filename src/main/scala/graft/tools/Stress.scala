@@ -81,7 +81,7 @@ object Stress {
       "cl03_knn_classifier", "sa09_cluster_split", "sk03_minhash_est",
       "ev09_ewma_anomaly", "cl04_confusion", "ir07_kwic",
       "gr02_triangles", "ev10_session_bounce", "pl04_dataset_card",
-      "q37_ignore_nulls", "sk04_sample_quantiles")
+      "q37_ignore_nulls", "sk04_sample_quantiles", "er03_golden_record")
     // q39/q40 read lineitem, which the stress corpus does not amplify —
     // they rehearse under Bench at sf0.1 instead
     var failed = false

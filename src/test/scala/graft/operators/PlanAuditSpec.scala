@@ -510,6 +510,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("er03: labels broadcast onto a text-pruned scan; merge combines map-side") {
+    val plan = planOf(Resolution.goldenRecordQuery(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("partial_count"), plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>"), plan)
+  }
+
   test("sk04: each branch is ONE type-keyed exchange; the agg rides the window sort") {
     val plan = planOf(Sketch.sampleQuantilesQuery(spark, sf0001))
     assert(count(plan, "hashpartitioning\\(event_type") == 2, plan)

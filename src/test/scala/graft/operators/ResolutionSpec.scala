@@ -61,6 +61,28 @@ class ResolutionSpec extends AnyFunSuite {
       s"missing: ${expected -- got}; extra: ${got -- expected}")
   }
 
+  test("er03: golden records recompute from the clusters by survivorship rules") {
+    val clusters = Resolution.fuzzyClustersQuery(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val rows = Resolution.goldenRecordQuery(spark, sf0001).collect()
+    val byCluster = clusters.groupBy(_._2)
+    assert(rows.length == byCluster.size && rows.nonEmpty)
+    rows.foreach { r =>
+      val cid = r.getLong(0)
+      val members = byCluster(cid).map(_._1)
+      assert(r.getLong(1) == members.length.toLong, s"cluster $cid size")
+      val canonical = members.maxBy(id => (docs(id)._2, -id))
+      assert(r.getLong(2) == canonical, s"cluster $cid canonical")
+      assert(r.getLong(3) == docs(canonical)._2, s"cluster $cid chars")
+      assert(r.getLong(4) == members.min, s"cluster $cid first")
+      assert(r.getString(5) == members.map(docs(_)._1).distinct.sorted.mkString(","),
+        s"cluster $cid sources")
+    }
+  }
+
   test("er01: gram-keyed join, pruned scan, no cartesian") {
     val plan = Resolution.fuzzyMatchQuery(spark, sf0001)
       .queryExecution.executedPlan.toString
