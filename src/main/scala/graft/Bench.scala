@@ -135,6 +135,7 @@ object Bench {
     "pl04_dataset_card",
     "sk04_sample_quantiles",
     "er03_golden_record",
+    "q41_set_ops_all",
   )
 
   def main(args: Array[String]): Unit = {

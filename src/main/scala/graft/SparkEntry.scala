@@ -167,6 +167,7 @@ object SparkEntry {
     "cl04_confusion"       -> ((s: SparkSession, d: String) => graft.operators.Classifier.confusionReportQuery(s, d)),
     "q39_unpivot"          -> Relational.unpivotLineitem _,
     "q40_array_hof"        -> Relational.arrayHofQuery _,
+    "q41_set_ops_all"      -> Relational.setOpsAllQuery _,
     "pl04_dataset_card"    -> ((s: SparkSession, d: String) => graft.operators.Pipeline.datasetCardQuery(s, d)),
     "sk04_sample_quantiles" -> ((s: SparkSession, d: String) => graft.operators.Sketch.sampleQuantilesQuery(s, d)),
     "ir07_kwic"            -> ((s: SparkSession, d: String) => graft.operators.Search.kwicQuery(s, d)),
@@ -716,6 +717,7 @@ object SparkEntry {
     "ev09_ewma_anomaly" -> graft.operators.Windows.ewmaAnomalyOracleSql(),
     "q39_unpivot" -> Relational.unpivotLineitemOracleSql,
     "q40_array_hof" -> Relational.arrayHofOracleSql,
+    "q41_set_ops_all" -> Relational.setOpsAllOracleSql,
     "pl04_dataset_card" ->
       graft.operators.Pipeline.datasetCardOracleSql(ccCtesSql),
     "sk04_sample_quantiles" ->

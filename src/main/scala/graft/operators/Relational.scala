@@ -510,6 +510,40 @@ object Relational {
       .withColumnRenamed("P", "n_p")
       .orderBy(col("o_orderpriority"))
 
+  /** Multiset set operations (W4 completion — the ALL variants q14's
+    * distinct-semantics set ops don't exercise): EXCEPT ALL and INTERSECT
+    * ALL between the priority multisets of 'F' and 'O' orders, reported
+    * as per-value multiplicities — except-all keeps max(0, cA−cB) copies
+    * and intersect-all min(cA, cB), which only the multiset forms
+    * produce. Exact integer counts.
+    *
+    * Plan shape for 100 TB: Spark plans both ALL variants as count-based
+    * aggregates over a union (no pairwise matching): two scans collapse
+    * map-side to per-value count rows before the single value-keyed
+    * exchange. */
+  def setOpsAllQuery(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderpriority").as("v"))
+    val b = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+      .select(col("o_orderpriority").as("v"))
+    a.exceptAll(b).withColumn("op", lit("except_all"))
+      .unionByName(a.intersectAll(b).withColumn("op", lit("intersect_all")))
+      .groupBy(col("op"), col("v")).agg(count(lit(1)).as("n"))
+      .orderBy(col("op"), col("v"))
+  }
+
+  /** DuckDB SQL replicating [[setOpsAllQuery]] exactly (same multiset
+    * semantics, same multiplicity report). */
+  val setOpsAllOracleSql: String = """
+      WITH a AS (SELECT o_orderpriority AS v FROM orders WHERE o_orderstatus = 'F'),
+      b AS (SELECT o_orderpriority AS v FROM orders WHERE o_orderstatus = 'O'),
+      ea AS (SELECT v FROM a EXCEPT ALL SELECT v FROM b),
+      ia AS (SELECT v FROM a INTERSECT ALL SELECT v FROM b),
+      u AS (SELECT 'except_all' AS op, v FROM ea
+            UNION ALL SELECT 'intersect_all', v FROM ia)
+      SELECT op, v, CAST(count(*) AS BIGINT) AS n
+      FROM u GROUP BY op, v ORDER BY op, v"""
+
   /** UNPIVOT/melt (§2.8 — the inverse of [[pivotOrders]]): a wide
     * per-returnflag aggregate melted back to long (flag, measure, value)
     * form — the report-reshaping primitive warehouses pair with PIVOT.

@@ -510,6 +510,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q41: multiset ops plan as count aggregates, no pairwise join blowup") {
+    val plan = planOf(Relational.setOpsAllQuery(spark, sf0001))
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the priority filter reaches the scan
+    assert(plan.contains("PushedFilters"), plan)
+  }
+
   test("er03: labels broadcast onto a text-pruned scan; merge combines map-side") {
     val plan = planOf(Resolution.goldenRecordQuery(spark, sf0001))
     assert(plan.contains("BroadcastHashJoin"), plan)
