@@ -447,7 +447,7 @@ object SparkEntry {
     // recall argument as dd03's oracle)
     "dd12_streaming_neardup" -> graft.state.NearDupStream.oracleSql,
     "dd10_dup_source_matrix" -> s"""
-      WITH pairs AS (${pairsSubquerySql})
+      WITH pairs AS MATERIALIZED (${pairsSubquerySql})
       SELECT least(a.source, b.source) AS source_a,
              greatest(a.source, b.source) AS source_b,
              CAST(count(*) AS BIGINT) AS n_dup_pairs
@@ -459,7 +459,7 @@ object SparkEntry {
       WITH RECURSIVE $ccCtesSql
       SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""",
     "dd06_dedup_apply" -> s"""
-      WITH pairs AS (${pairsSubquerySql})
+      WITH pairs AS MATERIALIZED (${pairsSubquerySql})
       SELECT doc_id, n_chars FROM documents
       WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
       ORDER BY doc_id""",
@@ -767,7 +767,7 @@ object SparkEntry {
     * dd15, pl03): a change to the cluster semantics cannot silently
     * diverge one oracle from the Spark hybrid path. Interpolate after
     * `WITH RECURSIVE`. */
-  private def ccCtesSql: String = s"""pairs AS (${pairsSubquerySql}),
+  private def ccCtesSql: String = s"""pairs AS MATERIALIZED (${pairsSubquerySql}),
       edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
                 UNION ALL SELECT doc_b, doc_a FROM pairs),
       reach(n, m) AS (
@@ -778,30 +778,43 @@ object SparkEntry {
       cl AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n)"""
 
   /** The verified near-dup pair set as a subquery (shared by the cluster
-    * and dedup-apply oracles). */
+    * and dedup-apply oracles).
+    *
+    * Token-join form: `|A ∩ B|` is computed as `count(*)` over an equi-join
+    * of the distinct-shingle streams — arithmetic identical to the old
+    * per-pair `len(list_intersect(a.s, b.s))` (same integer intersection,
+    * same double division), but DuckDB evaluates it in Σ df(tok)² work
+    * instead of n²·|s| list intersections: ~0.7 s vs ~22 s at sf0.01.
+    * The old brute-force form re-paid by ~10 oracles blew the driver's
+    * comparator budget in round 6 (VERDICT r6 "What's wrong" #1). */
   private val pairsSubquerySql: String = """
-      SELECT doc_a, doc_b FROM (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-        FROM (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(text)-3, 2)),
-                     i -> substr(text, CAST(i AS INT), 5))) AS s FROM documents) a
-        JOIN (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(text)-3, 2)),
-                     i -> substr(text, CAST(i AS INT), 5))) AS s FROM documents) b
-          ON a.doc_id < b.doc_id) t
-      WHERE jaccard >= 0.8"""
+      WITH psh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(text)-3, 2)),
+                   i -> substr(text, CAST(i AS INT), 5))) AS s FROM documents),
+      ptok AS (SELECT doc_id, unnest(s) AS tok FROM psh),
+      pix AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ix
+              FROM ptok a JOIN ptok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+      plen AS (SELECT doc_id, len(s) AS n FROM psh)
+      SELECT doc_a, doc_b FROM pix i
+      JOIN plen la ON la.doc_id = i.doc_a JOIN plen lb ON lb.doc_id = i.doc_b
+      WHERE CAST(ix AS DOUBLE) / (la.n + lb.n - ix) >= 0.8"""
 
   /** Shared oracle for dd02 (brute force) and dd03 (MinHash-LSH + exact
-    * verification — same output by construction at this banding). */
+    * verification — same output by construction at this banding). Same
+    * token-join intersection count as [[pairsSubquerySql]]; the emitted
+    * `jaccard` double is the identical division on identical integers. */
   private val ngramJaccardSql: String = """
-      WITH sh AS (SELECT doc_id,
-                         list_distinct(list_transform(range(1, greatest(length(text)-3, 2)),
-                                       i -> substr(text, CAST(i AS INT), 5))) AS s
-                  FROM documents)
-      SELECT doc_a, doc_b, jaccard FROM (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
-      WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b"""
+      WITH psh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(text)-3, 2)),
+                   i -> substr(text, CAST(i AS INT), 5))) AS s FROM documents),
+      ptok AS (SELECT doc_id, unnest(s) AS tok FROM psh),
+      pix AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ix
+              FROM ptok a JOIN ptok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+      plen AS (SELECT doc_id, len(s) AS n FROM psh)
+      SELECT doc_a, doc_b,
+             CAST(ix AS DOUBLE) / (la.n + lb.n - ix) AS jaccard
+      FROM pix i
+      JOIN plen la ON la.doc_id = i.doc_a JOIN plen lb ON lb.doc_id = i.doc_b
+      WHERE CAST(ix AS DOUBLE) / (la.n + lb.n - ix) >= 0.8
+      ORDER BY doc_a, doc_b"""
 }

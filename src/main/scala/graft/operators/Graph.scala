@@ -131,7 +131,7 @@ object Graph {
               GROUP BY e.dst)"""
     }.mkString(",")
     s"""
-      WITH pairs AS ($pairsSql),
+      WITH pairs AS MATERIALIZED ($pairsSql),
       edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
                 UNION ALL SELECT doc_b, doc_a FROM pairs),
       deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
