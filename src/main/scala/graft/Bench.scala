@@ -108,9 +108,10 @@ object Bench {
     "mm06_audio_frames",
     "cl02_naive_bayes_langid",
     "gr01_dup_hub_rank",
-    // sim08 broadcasts the whole candidate set — an exact oracle baseline
-    // like sim01, excluded for the same reason (the certified scale path is
-    // the asymmetric-transform LSH reduction, proven in Round6bOpsSpec)
+    // sim08 (exact MIPS) now streams the corpus against a broadcast query
+    // set; its sublinear twin sim09 is the certified scale path — bench both
+    "sim08_mips_topk",
+    "sim09_mips_lsh",
     "ev07_heavy_hitters",
     "ta18_zipf_fit",
     "sk01_kmv_distinct",

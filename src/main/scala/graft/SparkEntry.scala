@@ -148,6 +148,7 @@ object SparkEntry {
     "cl02_naive_bayes_langid" -> ((s: SparkSession, d: String) => graft.operators.Classifier.naiveBayesLangQuery(s, d)),
     "gr01_dup_hub_rank"    -> ((s: SparkSession, d: String) => graft.operators.Graph.dupHubRankQuery(s, d)),
     "sim08_mips_topk"      -> ((s: SparkSession, d: String) => Similarity.mipsTopK(s, d)),
+    "sim09_mips_lsh"       -> ((s: SparkSession, d: String) => Similarity.mipsLshTopK(s, d)),
     "ev07_heavy_hitters"   -> ((s: SparkSession, d: String) => Windows.heavyHittersQuery(s, d)),
     "ta18_zipf_fit"        -> ((s: SparkSession, d: String) => TextAnalysis.zipfFitQuery(s, d)),
     // deterministic-hash sketches: exact cross-engine oracles for
@@ -666,6 +667,9 @@ object SparkEntry {
     "gr01_dup_hub_rank" ->
       graft.operators.Graph.dupHubRankOracleSql(pairsSubquerySql),
     "sim08_mips_topk" -> Similarity.mipsTopKOracleSql(),
+    // sim09: the asymmetric-transform buckets are md5-derived like
+    // sim02/sim05, so DuckDB re-derives the full ANN structure exactly
+    "sim09_mips_lsh" -> Similarity.mipsLshOracleSql(),
     "ev07_heavy_hitters" -> Windows.heavyHittersOracleSql,
     "ta18_zipf_fit" -> TextAnalysis.zipfFitOracleSql,
     "sk01_kmv_distinct" -> graft.operators.Sketch.kmvDistinctOracleSql(),

@@ -39,20 +39,23 @@ object Similarity {
 
   /** Exact cosine top-k: for each query vector (vec_id < nQueries), the k
     * nearest other vectors. Cosine is rounded to 6 dp at the OUTPUT (rank
-    * uses the rounded value + id tie-break => fully deterministic). */
+    * uses the rounded value + id tie-break => fully deterministic).
+    *
+    * Plan shape for 100 TB: the tiny QUERY set is broadcast over ONE pass
+    * of the candidate stream — the corpus is never shuffled or broadcast;
+    * candidate-side partitioning is the parallelism, and the only exchange
+    * is the per-query top-k. The sublinear twin is [[lshTopK]]. */
   def bruteForceTopK(s: SparkSession, dir: String, k: Int = 5,
       nQueries: Int = 100): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    // probe side: spread the per-pair cosine work across all cores (the
-    // candidate side is broadcast, so probe partitioning IS the parallelism)
-    val q = Tables.parallel(emb.filter(col("vec_id") < nQueries))
+    val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
-    val c = emb
+    val c = Tables.parallel(emb)
       .select(col("vec_id").as("cand_id"), asDouble(col("embedding")).as("cv"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
-    q.join(broadcast(c), col("query_id") =!= col("cand_id"))
+    c.join(broadcast(q), col("query_id") =!= col("cand_id"))
       .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
@@ -584,24 +587,25 @@ object Similarity {
     *
     * Plan shape for 100 TB: identical to [[bruteForceTopK]]'s — broadcast
     * query set over ONE pass of the candidate stream, per-query
-    * WindowGroupLimit top-k. The sublinear scale path is the asymmetric
-    * transform (Shrivastava & Li 2014): augment candidates with
-    * sqrt(M² − ‖x‖²) and queries with 0, which makes augmented-space
-    * cosine order = dot order, so the WHOLE sign-LSH machinery of sim02
-    * applies unchanged — SimilaritySpec proves the transform's
-    * rank-equivalence on this corpus, making the reduction a tested fact
-    * rather than a cited one. */
+    * WindowGroupLimit top-k (PlanAuditSpec pins that the corpus side is
+    * never broadcast). The sublinear scale path is [[mipsLshTopK]]
+    * (sim09): the asymmetric transform (Shrivastava & Li 2014) — augment
+    * candidates with sqrt(M² − ‖x‖²) and queries with 0, which makes
+    * augmented-space cosine order = dot order, so the WHOLE sign-LSH
+    * machinery of sim02 applies unchanged — Round6bOpsSpec proves the
+    * transform's rank-equivalence on this corpus, making the reduction a
+    * tested fact rather than a cited one. */
   def mipsTopK(s: SparkSession, dir: String, k: Int = 5,
       nQueries: Int = 100): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val q = Tables.parallel(emb.filter(col("vec_id") < nQueries))
+    val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
-    val c = emb
+    val c = Tables.parallel(emb)
       .select(col("vec_id").as("cand_id"), asDouble(col("embedding")).as("cv"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("ip").desc, col("cand_id"))
-    q.join(broadcast(c), col("query_id") =!= col("cand_id"))
+    c.join(broadcast(q), col("query_id") =!= col("cand_id"))
       .withColumn("ip",
         round(graft.functions.DotProduct.dotProduct(col("qv"), col("cv")), 6))
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -620,6 +624,118 @@ object Similarity {
                      i -> q.v[CAST(i AS INT)] * c.v[CAST(i AS INT)])), 6) AS ip
                  FROM e q JOIN e c ON c.vec_id <> q.vec_id
                  WHERE q.vec_id < $nQueries)
+      SELECT query_id, cand_id, ip, rnk FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY ip DESC, cand_id) AS BIGINT) AS rnk
+        FROM scored) z
+      WHERE rnk <= $k ORDER BY query_id, rnk"""
+
+  /** sim09 — sublinear MIPS: the asymmetric transform (Shrivastava & Li
+    * 2014, "Asymmetric LSH for sublinear time MIPS") feeding the sign-LSH
+    * machinery of [[lshTopK]]. Candidates are augmented with one extra
+    * coordinate sqrt(M² − ‖x‖²) (M² = the corpus max squared norm) and
+    * queries with 0 — in the augmented space every candidate has the SAME
+    * norm M, so cosine order against a fixed query equals dot-product
+    * order (rank-equivalence proven on this corpus in Round6bOpsSpec), and
+    * random-hyperplane bucketing becomes a valid MIPS candidate filter.
+    * Buckets meet by equi-join (multi-probe over 1-bit flips); surviving
+    * id pairs are scored by the EXACT dot product, so every emitted row is
+    * exact — recall is the LSH tradeoff, tuned by `planes`.
+    *
+    * Plan shape for 100 TB: ‖x‖² is one columnar pass; M² is a 1-row
+    * aggregate joined back by broadcast (never collected to the driver);
+    * bucketing is embarrassingly parallel; the candidate join is
+    * bucket-equi (no all-pairs anywhere); the pair stream carries IDS ONLY
+    * until the final per-pair scoring join, and the query-vector join is
+    * broadcast. This is the sublinear twin [[mipsTopK]]'s scaladoc names.
+    *
+    * Oracle-checkable end to end because the hyperplanes are md5-derived:
+    * DuckDB re-derives the identical augmented vectors (same left-to-right
+    * norm fold, same max, same sqrt), hence identical buckets, candidates,
+    * and ranking — see [[mipsLshOracleSql]]. */
+  def mipsLshTopK(s: SparkSession, dir: String, k: Int = 5, planes: Int = 8,
+      nQueries: Int = 100): DataFrame = {
+    val emb = Tables.parallel(Tables.embeddings(s, dir))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("n2",
+        graft.functions.DotProduct.dotProduct(col("v"), col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mx = emb.agg(max(col("n2")).as("maxn2"))
+    val cands = emb.crossJoin(broadcast(mx))
+      .select(col("vec_id").as("cand_id"),
+        lshBucket(concat(col("v"), array(sqrt(col("maxn2") - col("n2")))),
+          planes).as("cbucket"))
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        lshBucket(concat(col("v"), array(lit(0.0d))), planes).as("bucket"))
+      .select(col("query_id"),
+        explode(array((col("bucket") +: (0 until planes).map(p =>
+          col("bucket").bitwiseXOR(lit(1L << p)))): _*)).as("probe"))
+    val candIds = probes
+      .join(cands, col("probe") === col("cbucket") &&
+        col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"))
+      .distinct() // a pair can meet via several probes; ids only — no vectors
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("ip").desc, col("cand_id"))
+    candIds
+      .join(emb.select(col("vec_id").as("cand_id"), col("v").as("cv")),
+        "cand_id")
+      .join(broadcast(emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))), "query_id")
+      .withColumn("ip",
+        round(graft.functions.DotProduct.dotProduct(col("qv"), col("cv")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("ip"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** DuckDB SQL replicating [[mipsLshTopK]] exactly: same left-to-right
+    * squared-norm fold, same corpus max, same augmented vectors (so the
+    * md5-parity sign projections agree bit for bit), same multi-probe set,
+    * same exact-dot ranking. */
+  def mipsLshOracleSql(k: Int = 5, planes: Int = 8, dim: Int = 64,
+      nQueries: Int = 100): String = s"""
+      WITH n AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               list_sum(list_transform(range(1, $dim + 1),
+                 i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE) * CAST(embedding[CAST(i AS INT)] AS DOUBLE))) AS n2
+        FROM embeddings),
+      mx AS (SELECT max(n2) AS maxn2 FROM n),
+      ca AS (SELECT vec_id, list_append(v, sqrt(mx.maxn2 - n2)) AS av
+             FROM n, mx),
+      qa AS (SELECT vec_id, list_append(v, CAST(0.0 AS DOUBLE)) AS av
+             FROM n WHERE vec_id < $nQueries),
+      signs AS (SELECT p.p, i.i,
+                  CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(p.p AS VARCHAR), ':', CAST(i.i AS VARCHAR))), 1, 1)) AS INT) % 2 = 0
+                       THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS sg
+                FROM range(0, $planes) p(p), range(0, ${dim + 1}) i(i)),
+      cb AS (SELECT vec_id,
+               CAST(sum(CASE WHEN pr >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+             FROM (SELECT ca.vec_id, s.p,
+                     list_sum(list(ca.av[CAST(s.i + 1 AS INT)] * s.sg ORDER BY s.i)) AS pr
+                   FROM ca CROSS JOIN signs s GROUP BY ca.vec_id, s.p) z
+             GROUP BY vec_id),
+      qb AS (SELECT vec_id,
+               CAST(sum(CASE WHEN pr >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+             FROM (SELECT qa.vec_id, s.p,
+                     list_sum(list(qa.av[CAST(s.i + 1 AS INT)] * s.sg ORDER BY s.i)) AS pr
+                   FROM qa CROSS JOIN signs s GROUP BY qa.vec_id, s.p) z
+             GROUP BY vec_id),
+      probes AS (SELECT vec_id AS query_id,
+                   unnest(list_prepend(bucket,
+                     list_transform(range(0, $planes), p -> xor(bucket, 1 << p)))) AS probe
+                 FROM qb),
+      cand AS (SELECT DISTINCT p.query_id, c.vec_id AS cand_id
+               FROM probes p JOIN cb c
+                 ON p.probe = c.bucket AND c.vec_id <> p.query_id),
+      scored AS (SELECT c.query_id, c.cand_id,
+                   round(list_sum(list_transform(range(1, $dim + 1),
+                     i -> q.v[CAST(i AS INT)] * x.v[CAST(i AS INT)])), 6) AS ip
+                 FROM cand c JOIN n q ON c.query_id = q.vec_id
+                 JOIN n x ON c.cand_id = x.vec_id)
       SELECT query_id, cand_id, ip, rnk FROM (
         SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                     ORDER BY ip DESC, cand_id) AS BIGINT) AS rnk

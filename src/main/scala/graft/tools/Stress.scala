@@ -73,7 +73,7 @@ object Stress {
       "dd13_semdedup", "dd15_soft_dedup", "gr01_dup_hub_rank",
       "cl01_quality_classifier", "cl02_naive_bayes_langid",
       "ta17_ppl_buckets", "ta18_zipf_fit", "ir05_phrase_search",
-      "sim08_mips_topk", "mm06_audio_frames",
+      "sim08_mips_topk", "sim09_mips_lsh", "mm06_audio_frames",
       "ev05_sessionize", "ev06_attribution", "ev07_heavy_hitters",
       "dq04_volume_anomaly", "sk01_kmv_distinct", "dd16_bloom_decontam",
       "er01_fuzzy_match", "er02_fuzzy_clusters", "q38_latest_snapshot",

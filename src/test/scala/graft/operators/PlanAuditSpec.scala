@@ -60,6 +60,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("sim01/sim08: only the query set is broadcast — the corpus streams") {
+    for (df <- Seq(Similarity.bruteForceTopK(spark, sf0001, nQueries = 10),
+        Similarity.mipsTopK(spark, sf0001, nQueries = 10))) {
+      val plan = planOf(df)
+      assert(plan.contains("BroadcastNestedLoopJoin BuildRight"), plan)
+      // the broadcast subtree must be the vec_id<10 QUERY slice, never the
+      // full candidate table (the round-7 scale-killer this pin outlaws)
+      val bx = plan.indexOf("BroadcastExchange")
+      assert(bx >= 0 && plan.substring(bx).contains("LessThan(vec_id,10)"),
+        s"broadcast subtree is not the filtered query set:\n$plan")
+    }
+  }
+
+  test("sim09: bucket equi-join candidates, ids-only distinct, no cartesian") {
+    val plan = planOf(Similarity.mipsLshTopK(spark, sf0001, nQueries = 10))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // final scoring re-joins the query vectors by broadcast hash join
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("sim06: kmeans centroids are broadcast every iteration") {
     val plan = planOf(Similarity.kmeansAssign(spark, sf0001))
     // 3 assignment passes (2 iterations + final) — each broadcasts the
@@ -402,10 +422,9 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("hashpartitioning(text"), plan)
   }
 
-  test("sim08: MIPS scan broadcasts the candidates; per-query top-k group-limits") {
+  test("sim08: MIPS scan broadcasts the queries; per-query top-k group-limits") {
     val plan = planOf(Similarity.mipsTopK(spark, sf0001))
-    assert(plan.contains("BroadcastNestedLoopJoin") ||
-      plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin BuildRight"), plan)
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 

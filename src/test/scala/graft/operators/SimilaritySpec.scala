@@ -91,6 +91,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall $recall too low for planes=4 multi-probe")
   }
 
+  test("MIPS LSH (sim09): k rows per query, exact scores, recall beats probing") {
+    val k = 5
+    val exactDf = Similarity.mipsTopK(spark, sf0001, k = k, nQueries = 50)
+    val annDf = Similarity.mipsLshTopK(spark, sf0001, k = k, planes = 5, nQueries = 50)
+    val rows = annDf.collect()
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    // every emitted (query, cand) score is the EXACT dot product: recompute
+    def ipMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val vecs = graft.core.Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "cast(embedding as array<double>) AS v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    ipMap(annDf).foreach { case ((q, c), ip) =>
+      val exact = vecs(q).zip(vecs(c)).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+      assert(math.abs(BigDecimal(exact).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble - ip) < 1e-9, s"($q,$c)")
+    }
+    // recall vs the exact MIPS top-k must clearly beat the probed fraction
+    val exact = topkSet(exactDf)
+    val ann = topkSet(annDf)
+    val recalls = exact.map { case (q, s) =>
+      ann.get(q).map(a => (a & s).size.toDouble / s.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    val probedFraction = 6.0 / 32
+    info(s"MIPS-LSH mean top-$k recall = $mean, probed fraction ~ $probedFraction")
+    assert(mean >= 1.5 * probedFraction,
+      s"MIPS-LSH recall $mean does not beat random sampling baseline")
+  }
+
   test("kmeans: full coverage, valid cluster ids, nontrivial, deterministic") {
     val rows = Similarity.kmeansAssign(spark, sf0001).collect()
     assert(rows.length == 500)
