@@ -686,11 +686,11 @@ object SparkEntry {
     // cl03/cl04: inline — reuse this object's sequential-fold cosSql (like
     // sim04) and share the prediction CTE chain between query and report
     "cl03_knn_classifier" -> s"""
-      WITH $knnPredCtesSql
+      WITH ${knnPredCtesSql()}
       SELECT vec_id, true_label, pred_label, n_votes, correct
       FROM pred ORDER BY vec_id""",
     "cl04_confusion" -> s"""
-      WITH $knnPredCtesSql,
+      WITH ${knnPredCtesSql()},
       bt AS (SELECT true_label AS label, CAST(count(*) AS BIGINT) AS n_true,
                CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS tp
              FROM pred GROUP BY 1),
@@ -735,8 +735,11 @@ object SparkEntry {
   /** The cl03 kNN prediction derivation as a CTE chain ending in
     * `pred(vec_id, true_label, pred_label, n_votes, correct)` — ONE
     * definition shared by the cl03 oracle (which orders it) and the cl04
-    * oracle (which aggregates it). */
-  private def knnPredCtesSql: String = s"""
+    * oracle (which aggregates it). `k` is the neighbor count — the SAME
+    * parameter the Spark side defaults (Classifier.knnClassifierQuery),
+    * interpolated rather than hardcoded so a k change cannot silently
+    * desynchronize the oracle. */
+  private def knnPredCtesSql(k: Int = 5): String = s"""
       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label,
                    CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
                      % 10 AS h
@@ -750,7 +753,7 @@ object SparkEntry {
                ORDER BY cos DESC, cand_id) AS rnk FROM sc),
       votes AS (SELECT vec_id, true_label, cand_label,
                   CAST(count(*) AS BIGINT) AS n_votes
-                FROM rk WHERE rnk <= 5 GROUP BY 1, 2, 3),
+                FROM rk WHERE rnk <= $k GROUP BY 1, 2, 3),
       win AS (SELECT *, row_number() OVER (PARTITION BY vec_id
                 ORDER BY n_votes DESC, cand_label) AS vr FROM votes),
       pred AS (SELECT vec_id, true_label, cand_label AS pred_label, n_votes,

@@ -285,19 +285,32 @@ object Classifier {
     * label — fully deterministic cross-engine.
     *
     * Plan shape for 100 TB: the exact form broadcasts the train side like
-    * sim01's baseline (valid while train fits the broadcast budget — kNN
-    * probes use a SAMPLED train set precisely so this holds); above that
-    * budget the sim04 IVF routing is the drop-in scale path (coarse
-    * centroids → per-list joins). Neighbor cut and vote are WindowGroupLimit-
-    * able windows over the test-keyed partials — the corpus never sorts
-    * globally. */
+    * sim01's baseline (valid while train fits [[MaxTrainBroadcastBytes]] —
+    * kNN probes use a SAMPLED train set precisely so this usually holds);
+    * above that budget the routing switches to the sim04 IVF path
+    * ([[knnScoredIvf]]) — coarse centroids broadcast, train assigned to
+    * inverted lists, each test vector probing its nearest lists only —
+    * the size-guarded hybrid pattern of [[Dedup.DriverCcMaxPairs]].
+    * ClassifierSpec proves the routed path reproduces the exact
+    * predictions on this corpus and pins both plans. Neighbor cut and
+    * vote are WindowGroupLimit-able windows over the test-keyed
+    * partials — the corpus never sorts globally. */
   def knnClassifierQuery(s: SparkSession, dir: String, k: Int = 5): DataFrame =
     knnPredictions(s, dir, k).orderBy(col("vec_id"))
 
+  /** Broadcast budget (bytes) for the exact kNN train side — the guard
+    * that routes [[knnPredictions]] between the broadcast-exact and the
+    * IVF plans. Mirrors [[Dedup.MaxSigBroadcastBytes]]'s role: an
+    * estimate, compared against nTrain x row-footprint, kept far under
+    * Spark's 8 GB broadcast hard limit. */
+  val MaxTrainBroadcastBytes: Long = 512L * 1024 * 1024
+
   /** The unordered kNN prediction set — shared by [[knnClassifierQuery]]
     * (which reports it) and [[confusionReportQuery]] (which aggregates
-    * it), so the split/vote derivation exists once. */
-  private def knnPredictions(s: SparkSession, dir: String, k: Int): DataFrame = {
+    * it), so the split/vote derivation exists once. `maxTrainBroadcastBytes`
+    * is the routing guard (tests force the IVF branch by passing 0). */
+  private[operators] def knnPredictions(s: SparkSession, dir: String, k: Int,
+      maxTrainBroadcastBytes: Long = MaxTrainBroadcastBytes): DataFrame = {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
         col("label"))
@@ -307,12 +320,67 @@ object Classifier {
         col("label").as("cand_label"))
     val test = Tables.parallel(emb.filter(col("h") >= 8))
       .select(col("vec_id"), col("v").as("qv"), col("label").as("true_label"))
+    // routing guard: estimated broadcast footprint of the train side
+    // (count is a cheap columnar job; dim from the table contract)
+    val nTrain = train.count()
+    val estBytes = nTrain * (8L * 64 + 64)
+    val scored =
+      if (estBytes <= maxTrainBroadcastBytes)
+        test.join(broadcast(train))
+          .withColumn("cos", round(Similarity.cosine(col("qv"), col("cv")), 6))
+          .select(col("vec_id"), col("true_label"), col("cand_id"),
+            col("cand_label"), col("cos"))
+      else knnScoredIvf(train, test)
+    knnVote(scored, k)
+  }
+
+  /** The above-budget kNN scan (the sim04 IVF routing): deterministic
+    * coarse centroids = the `nCentroids` smallest-id train vectors
+    * (broadcast — tiny); every train vector assigned to its nearest
+    * centroid by cosine (argmax aggregation, map-side combined); each
+    * test vector probes its `nProbe` nearest centroids' inverted lists,
+    * and NOTHING broadcasts the train table — the candidate scan is an
+    * equi-join keyed by centroid id.
+    *
+    * With the DEFAULT nProbe = nCentroids every list is probed: the scan
+    * is EXACT — a block-partitioned join replacing the broadcast, which
+    * is the correct above-budget *exact* plan (exact kNN must score every
+    * train vector; what the budget forbids is the broadcast, not the
+    * work), and what lets ClassifierSpec prove routed == exact
+    * bit-for-bit. Lowering nProbe below nCentroids is the approximate
+    * IVF speedup knob (the sim04 tradeoff: candidate cost scales with
+    * nTrain x nProbe/nCentroids, recall is corpus-dependent). */
+  private[operators] def knnScoredIvf(train: DataFrame, test: DataFrame,
+      nCentroids: Int = 16, nProbe: Int = 16): DataFrame = {
+    val cent = train.orderBy(col("cand_id")).limit(nCentroids)
+      .select(col("cand_id").as("cid"), col("cv").as("centv"))
+    val assign = train.join(broadcast(cent))
+      .withColumn("ccos", Similarity.cosine(col("cv"), col("centv")))
+      .groupBy(col("cand_id"))
+      .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cid"),
+        first(col("cv")).as("cv"), first(col("cand_label")).as("cand_label"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+    val probes = test.join(broadcast(cent))
+      .withColumn("ccos", Similarity.cosine(col("qv"), col("centv")))
+      .withColumn("r", row_number().over(wp))
+      .filter(col("r") <= nProbe)
+      .select(col("vec_id"), col("true_label"), col("qv"), col("cid"))
+    probes.join(assign, "cid")
+      .withColumn("cos", round(Similarity.cosine(col("qv"), col("cv")), 6))
+      .select(col("vec_id"), col("true_label"), col("cand_id"),
+        col("cand_label"), col("cos"))
+  }
+
+  /** Shared kNN tail: neighbor cut (top-k by rounded cosine, id
+    * tie-break) + majority vote (ties on smaller label) over a scored
+    * candidate frame — ONE definition for both routings. */
+  private def knnVote(scored: DataFrame, k: Int): DataFrame = {
     val byCos = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cand_id"))
     val byVotes = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("n_votes").desc, col("cand_label"))
-    test.join(broadcast(train))
-      .withColumn("cos", round(Similarity.cosine(col("qv"), col("cv")), 6))
+    scored
       .withColumn("rnk", row_number().over(byCos))
       .filter(col("rnk") <= k)
       .groupBy(col("vec_id"), col("true_label"), col("cand_label"))

@@ -136,12 +136,15 @@ object Dedup {
 
   /** MinHash + LSH near-dup pairs, verified by exact Jaccard.
     *
-    * Pipeline: one-pass text→signature → 32 band hashes → explode →
-    * equi-self-join on (band, bandhash) → distinct candidates → signature
-    * agreement prefilter → exact Jaccard verification. With these parameters
-    * recall at the 0.8 threshold is 1 - 5e-8, so the output equals
-    * [[ngramJaccardPairs]] — which is exactly how the oracle checks it —
-    * while the plan is equi-joins instead of a cross join.
+    * Pipeline: canonicalize-first (identical raw texts collapse to one
+    * representative, so exact copies never enter candidate generation) →
+    * one-pass text→signature over DISTINCT texts → 32 band hashes →
+    * explode → equi-self-join on (band, bandhash) → distinct candidates →
+    * signature agreement prefilter → exact Jaccard verification → expand
+    * through the membership table (within-group pairs are exactly 1.0).
+    * With these parameters recall at the 0.8 threshold is 1 - 5e-8, so the
+    * output equals [[ngramJaccardPairs]] — which is exactly how the oracle
+    * checks it — while the plan is equi-joins instead of a cross join.
     *
     * Exactness caveat: buckets above [[HotBucketCap]] members emit star +
     * identical-signature candidates instead of all pairs (see the
@@ -174,11 +177,31 @@ object Dedup {
       df
     }
 
-    // Signatures are computed in ONE pass over the text (no shingle arrays
-    // materialized) and persisted — at cluster scale this is the "write
-    // signatures to a staging table" step.
-    val docs = cached(Tables.parallel(Tables.documents(s, dir))
-      .select(col("doc_id"),
+    // CANONICALIZE FIRST (er01's proven pattern): identical raw texts
+    // collapse to one representative before ANY shingling, so exact copies
+    // never enter candidate generation — the 10× stress corpus (10 copies
+    // of everything) LSH-buckets at DISTINCT-text cost. The group-by's
+    // map-side combine collapses same-partition copies before the one
+    // fp-keyed corpus shuffle (the same exchange dd01 pays); texts within
+    // a group are bytewise equal, so max(text) is deterministic. The key
+    // is md5 of the RAW text (not dd01's normalized fingerprint): shingles
+    // are computed over raw text, so only raw equality guarantees equal
+    // shingle sets — i.e. an exactly-1.0 Jaccard the expansion below can
+    // emit without re-verifying.
+    val fpDocs = Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"), col("text"), md5(col("text")).as("fp"))
+    val groups = cached(fpDocs
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("rep"), max(col("text")).as("text")))
+    val mem = cached(fpDocs.select(col("doc_id"), col("fp"))
+      .join(groups.select(col("fp"), col("rep")), "fp")
+      .select(col("rep"), col("doc_id")))
+
+    // Signatures are computed in ONE pass over the representative texts (no
+    // shingle arrays materialized) and persisted — at cluster scale this is
+    // the "write signatures to a staging table" step.
+    val docs = cached(groups
+      .select(col("rep").as("doc_id"),
         graft.functions.MinHashFromText.minhashFromText(col("text"), ShingleSize, SigK).as("sig")))
 
     val bands = cached(docs
@@ -269,13 +292,30 @@ object Dedup {
       .join(broadcast(neededIds), "doc_id")
       .select(col("doc_id"), graft.functions.CharShingles.charShingles(col("text"), ShingleSize).as("sh"))
       .withColumn("n", size(col("sh"))))
-    val pairs = prefiltered
+    val repPairs = prefiltered
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("n_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("n_b")), "doc_b")
       .withColumn("jaccard",
         Text.jaccardWithSizes(col("sh_a"), col("sh_b"), col("n_a"), col("n_b")))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+    // expand representative pairs through the membership table (the er01
+    // pattern): bytewise-equal texts have identical shingle sets, so a
+    // cross-group pair inherits its representatives' exact Jaccard and a
+    // within-group pair is exactly 1.0 ≥ threshold — both output-sensitive
+    // (every emitted row is a true near-dup relation the contract demands).
+    val cross = repPairs
+      .join(mem.select(col("rep").as("doc_a"), col("doc_id").as("da")), "doc_a")
+      .join(mem.select(col("rep").as("doc_b"), col("doc_id").as("db")), "doc_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
+    val within = mem.alias("x")
+      .join(mem.alias("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(1.0d).as("jaccard"))
+    val pairs = within.unionByName(cross)
       .orderBy(col("doc_a"), col("doc_b"))
     (pairs, caches.toSeq)
   }

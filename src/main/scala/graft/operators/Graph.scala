@@ -58,9 +58,10 @@ object Graph {
 
   /** Driver fold over the bounded pair set (see [[Dedup.DriverCcMaxPairs]]
     * for the bound argument): adjacency in memory, same per-iteration
-    * rounding, neighbors summed in ascending-id order (a fixed order — the
-    * 8dp round absorbs the remaining cross-backend summation difference,
-    * GraphSpec pins local == distributed on the test corpus). */
+    * rounding, neighbors summed in ascending-id order — the IDENTICAL
+    * IEEE sequence the distributed path's ordered fold and the oracle's
+    * `list_sum(list(... ORDER BY src))` execute, so the three backends are
+    * bit-equal by construction (GraphSpec pins local == distributed). */
   private[operators] def localRanks(s: SparkSession, pairs: DataFrame,
       iters: Int): DataFrame = {
     import s.implicits._
@@ -85,7 +86,15 @@ object Graph {
     s.createDataFrame(rows).toDF("doc_id", "degree", "pr")
   }
 
-  /** Distributed power-method loop (the > [[Dedup.DriverCcMaxPairs]] path). */
+  /** Distributed power-method loop (the > [[Dedup.DriverCcMaxPairs]] path).
+    * Neighbor contributions are summed in ASCENDING src order via an
+    * ordered fold (the [[Similarity.lshBucketHof]] recipe) — the same
+    * fixed IEEE sequence the driver fold and the oracle's
+    * `list_sum(list(... ORDER BY src))` execute, so no rank can sit on an
+    * 8dp rounding boundary differently across backends. The collect_list
+    * trades map-side combine for determinism; per-dst lists are
+    * degree-bounded (the collision-bounded graph contract), so the
+    * exchange payload stays node-scale. */
   private[operators] def distributedRanks(pairs: DataFrame,
       iters: Int): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -101,10 +110,14 @@ object Graph {
     for (_ <- 1 to iters) {
       val next = edges.join(deg, "src")
         .join(ranks, col("src") === col("doc_id"))
+        .withColumn("contrib", col("pr") / col("deg").cast("double"))
         .groupBy(col("dst"))
-        .agg(round(lit(0.15) + lit(Damping) *
-          sum(col("pr") / col("deg").cast("double")), 8).as("npr"))
-        .select(col("dst").as("doc_id"), col("npr").as("pr"))
+        .agg(aggregate(
+          transform(array_sort(collect_list(struct(col("src"), col("contrib")))),
+            e => e.getField("contrib")),
+          lit(0.0d), (acc, x) => acc + x).as("acc"))
+        .select(col("dst").as("doc_id"),
+          round(lit(0.15) + lit(Damping) * col("acc"), 8).as("pr"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       next.count()
       ranks.unpersist(blocking = false)
@@ -113,7 +126,11 @@ object Graph {
     val out = deg.select(col("src").as("doc_id"), col("deg").as("degree"))
       .join(ranks, "doc_id")
       .select(col("doc_id"), col("degree"), round(col("pr"), 6).as("pr"))
-    edges.unpersist(blocking = false) // result reads only deg + final ranks
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize, then release every lineage cache it read
+    edges.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    ranks.unpersist(blocking = false)
     out
   }
 
@@ -125,7 +142,8 @@ object Graph {
     val blocks = (1 to iters).map { i =>
       s"""
       r$i AS (SELECT e.dst AS doc_id,
-                round(0.15 + $Damping * sum(r.pr / CAST(d.deg AS DOUBLE)), 8) AS pr
+                round(0.15 + $Damping *
+                  list_sum(list(r.pr / CAST(d.deg AS DOUBLE) ORDER BY e.src)), 8) AS pr
               FROM edges e JOIN deg d ON d.src = e.src
                 JOIN r${i - 1} r ON r.doc_id = e.src
               GROUP BY e.dst)"""

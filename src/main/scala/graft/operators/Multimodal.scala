@@ -11,16 +11,18 @@ import graft.core.Tables
   * scans prune to metadata columns unless features are actually computed,
   * and decode/feature-extract runs batched per partition.
   *
-  * The IMAGE path (mm01) is a real codec round-trip: deterministic
-  * grayscale PNG fixtures are encoded and then honestly decoded through
-  * the JDK's javax.imageio (PNG support ships with the JDK — no external
-  * codec dependency), with features pooled from the DECODED raster. The
-  * fixtures' pixels are a known function of the source text, which is what
-  * keeps the decoded features SQL-derivable for the DuckDB oracle. The
-  * video/audio-shaped paths (mm02 frame plumbing, mm03 embedding) stay
-  * payload-agnostic over opaque bytes, with [[FakeDecoder]] standing in
-  * for heavyweight neural encoders (none exist in this environment);
-  * swapping it for a JNI/javacv decoder changes one function.
+  * The IMAGE path (mm01) and the AUDIO path (mm06) are real codec
+  * round-trips: deterministic grayscale PNG / 16-bit PCM WAV fixtures are
+  * encoded and then honestly decoded through the JDK's javax.imageio /
+  * javax.sound.sampled (both ship with the JDK — no external codec
+  * dependency), with features pooled from the DECODED raster / sample
+  * stream. The fixtures' pixels and samples are known functions of the
+  * source text, which is what keeps the decoded features SQL-derivable
+  * for the DuckDB oracle. The video-shaped paths (mm02 frame plumbing,
+  * mm03 embedding) stay payload-agnostic over opaque bytes, with
+  * [[FakeDecoder]] standing in for heavyweight neural encoders (none
+  * exist in this environment); swapping it for a JNI/javacv decoder
+  * changes one function.
   */
 object Multimodal {
 
@@ -439,33 +441,98 @@ object Multimodal {
       FROM fs WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)
       ORDER BY media_id, frame_idx"""
 
-  /** STUB audio decoder: stands in for codec decode to PCM. Deterministic
-    * in (bytes, position) — the position term makes the synthetic signal
-    * oscillate in sign, so downstream zero-crossing analysis exercises the
-    * real code path (a pure byte map of ASCII text never changes sign).
-    * Replace with a real codec (libsndfile/javax.sound) at the same
-    * signature: bytes in, centered PCM samples out. */
-  object FakeAudioDecoder {
-    def pcm(bytes: Array[Byte]): Array[Int] = {
-      val out = new Array[Int](bytes.length)
+  /** Deterministic 16-bit PCM WAV fixtures (the audio analog of
+    * [[ImageFixtures]]): sample i carries the position-salted byte map
+    * ((payload[i]·131 + (i+1)·31) mod 257) − 128 — the position term makes
+    * the signal oscillate in sign, so downstream zero-crossing analysis is
+    * genuinely exercised (a pure byte map of ASCII text never changes
+    * sign), and the known sample function keeps the decoded stream
+    * SQL-derivable for the DuckDB oracle. Encoding goes through the real
+    * javax.sound.sampled WAV writer; 16-bit integer PCM is lossless, so
+    * the decode side recovers exactly these samples. (Long arithmetic in
+    * the position term: the oracle computes it in BIGINT, and (i+1)*31
+    * would wrap Int for payloads past ~69 MB.) */
+  object AudioFixtures {
+    val SampleRate = 8000f
+    def sample(b: Byte, i: Int): Int =
+      (((b & 0xff) * 131L + (i + 1L) * 31L) % 257L).toInt - 128
+    def pcm16Wav(payload: Array[Byte]): Array[Byte] = {
+      val n = payload.length
+      val raw = new Array[Byte](n * 2)
       var i = 0
-      while (i < bytes.length) {
-        // ??? real decode goes here — a position-salted byte map stands in
-        // (Long arithmetic: the oracle computes the position term in
-        // BIGINT, and (i+1)*31 would wrap Int for payloads past ~69 MB)
-        out(i) = (((bytes(i) & 0xff) * 131L + (i + 1L) * 31L) % 257L).toInt - 128
+      while (i < n) {
+        val v = sample(payload(i), i)
+        raw(2 * i) = (v & 0xff).toByte // little-endian 16-bit signed
+        raw(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        SampleRate, 16, 1, 2, SampleRate, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+  }
+
+  /** REAL audio decode via the JDK codec (javax.sound.sampled — WAV/AIFF
+    * support ships with the JDK, no external dependency): parse the
+    * container header, require 16-bit signed mono integer PCM, and return
+    * centered samples. Fails fast on undecodable bytes (a corrupt payload
+    * must not silently become silence) — the audio twin of
+    * [[ImageDecoder]]. */
+  object AudioDecoder {
+    def pcm(bytes: Array[Byte]): Array[Int] = {
+      val ais =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch {
+          case e: javax.sound.sampled.UnsupportedAudioFileException =>
+            throw new IllegalArgumentException(
+              s"undecodable audio payload (${bytes.length} bytes)", e)
+        }
+      val fmt = ais.getFormat
+      require(
+        fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"expected 16-bit mono signed PCM, got $fmt")
+      val raw = ais.readAllBytes()
+      val out = new Array[Int](raw.length / 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) =
+          if (fmt.isBigEndian) (raw(2 * i) << 8) | (raw(2 * i + 1) & 0xff)
+          else (raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)
         i += 1
       }
       out
     }
   }
 
+  /** Audio-media table: one WAV fixture per document (the encode cost is
+    * the fixture synthesis this sandbox needs; a production pipeline reads
+    * already-encoded payloads from parquet binary columns). */
+  def audioMediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        MediaRecord(id, "audio",
+          AudioFixtures.pcm16Wav(text.getBytes("UTF-8")), 0, 0)
+      }
+  }
+
   case class AudioFrame(media_id: Long, frame_idx: Long, n_samples: Long,
       energy: Long, zc: Long)
 
   /** Query mm06 — audio frame analysis (the VAD/silence-trim primitive of
-    * speech-corpus curation): decode the payload to PCM ([[FakeAudioDecoder]]
-    * standing in for the codec), cut the sample stream into
+    * speech-corpus curation): decode WAV fixtures to PCM through the REAL
+    * JDK codec ([[AudioDecoder]], the same honest-decode move mm01 made
+    * with javax.imageio), cut the sample stream into
     * `frameLen`-sample frames (tail frame kept partial, as real framers
     * do), and per frame compute the energy (Σ amp² — exact integer), the
     * zero-crossing count (adjacent sign flips — the classic
@@ -482,9 +549,9 @@ object Multimodal {
   def audioFramesQuery(s: SparkSession, dir: String, frameLen: Int = 64,
       thresholdMs: Long = 5500): DataFrame = {
     import s.implicits._
-    mediaFromDocuments(s, dir)
+    audioMediaFromDocuments(s, dir)
       .flatMap { m =>
-        val samples = FakeAudioDecoder.pcm(m.bytes)
+        val samples = AudioDecoder.pcm(m.bytes)
         (0 until (samples.length + frameLen - 1) / frameLen).map { fi =>
           val from = fi * frameLen
           val until = math.min(from + frameLen, samples.length)

@@ -269,10 +269,13 @@ object Search {
 
   /** DuckDB SQL replicating [[phraseSearch]] exactly: the same posting
     * lists derived positionally (1-based; adjacency is shift-invariant),
-    * the same shifted-intersection join chain. */
+    * the same shifted-intersection join chain. Terms are escaped as SQL
+    * string literals, so a phrase containing a quote cannot break (or
+    * inject into) the generated oracle. */
   def phraseSearchOracleSql(phrase: Seq[String] = Phrase): String = {
+    def lit(w: String) = w.replace("'", "''")
     val joins = phrase.zipWithIndex.tail.map { case (w, i) =>
-      s"JOIN pw t$i ON t$i.doc_id = t0.doc_id AND t$i.i = t0.i + $i AND t$i.w = '$w'"
+      s"JOIN pw t$i ON t$i.doc_id = t0.doc_id AND t$i.i = t0.i + $i AND t$i.w = '${lit(w)}'"
     }.mkString("\n        ")
     s"""
       WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
@@ -283,7 +286,7 @@ object Search {
       SELECT t0.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
       FROM pw t0
         $joins
-      WHERE t0.w = '${phrase.head}'
+      WHERE t0.w = '${phrase.head.replace("'", "''")}'
       GROUP BY t0.doc_id ORDER BY t0.doc_id"""
   }
 

@@ -58,6 +58,17 @@ object NearDupStream {
     * key = (band, bh), payload = (doc_id, signature). */
   case class BandedDoc(band: Int, bh: Long, doc_id: Long, sig: Array[Long])
 
+  /** One arrival for the canonicalization stage (stage 0): key = fp
+    * (md5 of the raw text — the same key [[Dedup.minhashLshPairs]]
+    * canonicalizes on, and for the same reason: only raw equality
+    * guarantees equal shingle sets). */
+  case class DocArrival(fp: String, doc_id: Long, text: String)
+
+  /** Canonicalized document: `rep` = the FIRST (smallest-id) doc with
+    * bytewise-identical text; `text` is carried only on the representative
+    * row (null elsewhere — members never re-ship their text). */
+  case class CanonDoc(doc_id: Long, rep: Long, text: String)
+
   /** A bucket store entry — what the keyed state holds per earlier doc. */
   case class SeenDoc(doc_id: Long, sig: Array[Long])
 
@@ -72,6 +83,63 @@ object NearDupStream {
     var i = 0
     while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
     if (n == 0) 0.0 else eq.toDouble / n
+  }
+
+  /** The canonicalization fold both stage-0 backends share (the
+    * [[processBucket]] discipline applied to exact-copy state): fold one
+    * batch of a fingerprint group's arrivals into the `rep0` store,
+    * returning (canonicalized rows, the store after). Sorts by doc_id
+    * within the bounded buffer; past the bound the representative is
+    * already fixed, so order can no longer affect state — the same
+    * graceful degradation as [[SortBound]]'s contract. */
+  private[state] def processFpGroup(rep0: Option[Long],
+      rows: Iterator[DocArrival], sortBound: Int = SortBound)
+      : (Vector[CanonDoc], Option[Long]) = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[DocArrival]
+    while (rows.hasNext && buf.length < sortBound) buf += rows.next()
+    buf.sortInPlaceBy(_.doc_id)
+    var rep = rep0
+    val out = Vector.newBuilder[CanonDoc]
+    def step(d: DocArrival): Unit = rep match {
+      case None    => rep = Some(d.doc_id); out += CanonDoc(d.doc_id, d.doc_id, d.text)
+      case Some(r) => out += CanonDoc(d.doc_id, r, null)
+    }
+    buf.foreach(step)
+    rows.foreach(step)
+    (out.result(), rep)
+  }
+
+  /** Stage 0, batch backend: CANONICALIZE FIRST — identical raw texts
+    * collapse to their first-arrival representative before any shingling,
+    * so exact copies never enter the LSH store (the batch twin of the
+    * [[Dedup.minhashLshPairs]] canonicalize-first pass). The shuffle is
+    * one fp-keyed exchange of (fp, doc_id, text) — one row per document,
+    * never per copy-pair. */
+  def canonical(docs: DataFrame): Dataset[CanonDoc] = {
+    import docs.sparkSession.implicits._
+    docs.select(md5(col("text")).as("fp"), col("doc_id"), col("text"))
+      .as[DocArrival]
+      .groupByKey(_.fp)
+      .flatMapGroups { (_: String, rows: Iterator[DocArrival]) =>
+        processFpGroup(None, rows)._1.iterator
+      }
+  }
+
+  /** Stage 0, streaming backend: the same fold over a durable per-
+    * fingerprint ValueState — in a deployment this stage emits the canon
+    * stream to its own topic; stage 1 consumes the representative rows and
+    * the verdict join consumes the membership. `ttl` ages fingerprint
+    * memory out with the retention window, matching the bucket store's. */
+  def canonicalStream(docs: DataFrame,
+      ttl: Option[java.time.Duration] = None): Dataset[CanonDoc] = {
+    import docs.sparkSession.implicits._
+    val ttlConfig = ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
+    val timeMode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    docs.select(md5(col("text")).as("fp"), col("doc_id"), col("text"))
+      .as[DocArrival]
+      .groupByKey(_.fp)
+      .transformWithState(new CanonFpProcessor(ttlConfig), timeMode,
+        OutputMode.Append())
   }
 
   /** Documents -> banded signature rows (stage 1). Pure columnar pass:
@@ -178,11 +246,18 @@ object NearDupStream {
 
   /** Stage 3: exact verification + per-doc verdict, batch relational ops
     * (in the streaming deployment this is the downstream job over the
-    * emitted candidate topic — candidates are tiny, so either form works).
-    * Shingles are computed only for docs named by a candidate. Output:
-    * (doc_id, keep, dup_of) for every document, dup_of = earliest verified
-    * near-dup ancestor, ordered by doc_id. */
-  def verdict(s: SparkSession, dir: String, cands: DataFrame): DataFrame = {
+    * emitted candidate + canon topics — both tiny relative to the corpus).
+    * Candidates are REPRESENTATIVE pairs; shingles are computed only for
+    * reps named by a candidate, and the verdict expands through the canon
+    * membership: a member b of rep r (b ≠ r) is a duplicate of
+    * coalesce(dup_of(r), r) — identical texts make every near-dup of r a
+    * near-dup of b, and r itself (earlier, identical) is always one, so
+    * the earliest ancestor is r's own or r. NearDupSpec proves this equals
+    * the brute-force prefix verdict. Output: (doc_id, keep, dup_of) for
+    * every document, dup_of = earliest verified near-dup ancestor, ordered
+    * by doc_id. */
+  def verdict(s: SparkSession, dir: String, canon: DataFrame,
+      cands: DataFrame): DataFrame = {
     val candSet = cands.select(col("doc_a"), col("doc_b")).distinct()
     val neededIds = candSet
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
@@ -192,28 +267,38 @@ object NearDupStream {
       .select(col("doc_id"),
         graft.functions.CharShingles.charShingles(col("text"), Dedup.ShingleSize).as("sh"))
       .withColumn("n", size(col("sh")))
-    val dropped = candSet
+    val repDropped = candSet
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("n_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("n_b")), "doc_b")
       .filter(Text.jaccardWithSizes(col("sh_a"), col("sh_b"), col("n_a"), col("n_b"))
         >= Dedup.JaccardThreshold)
       .groupBy(col("doc_b"))
-      .agg(min(col("doc_a")).as("dup_of"))
-      .withColumnRenamed("doc_b", "doc_id")
-    Tables.documents(s, dir).select(col("doc_id"))
-      .join(dropped, Seq("doc_id"), "left")
+      .agg(min(col("doc_a")).as("rep_dup"))
+      .withColumnRenamed("doc_b", "rep")
+    canon.select(col("doc_id"), col("rep"))
+      .join(broadcast(repDropped), Seq("rep"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") === col("rep"), col("rep_dup"))
+          .otherwise(coalesce(col("rep_dup"), col("rep"))).as("dup_of"))
       .select(col("doc_id"), col("dup_of").isNull.as("keep"), col("dup_of"))
       .orderBy(col("doc_id"))
   }
 
   /** dd12 — the full operator in batch mode (the CORRECTNESS form): same
-    * processor, same state discipline, state starting empty, every bucket's
-    * history replayed in one group call. The streaming twin (NearDupSpec)
-    * replays the same corpus in increments through the same processor and
-    * must produce the identical kept set. */
+    * processors, same state discipline, state starting empty, every
+    * fingerprint group and bucket history replayed in one group call. The
+    * streaming twin (NearDupSpec) replays the same corpus in increments
+    * through the same processors and must produce the identical kept set.
+    * Canonicalize-first means the LSH store only ever holds DISTINCT
+    * texts — an exact-copy flood grows the (cheap) fingerprint state, not
+    * the signature store, and never hot-buckets. */
   def streamingNearDup(s: SparkSession, dir: String): DataFrame = {
-    val cands = candidates(bandedDocs(Tables.parallel(Tables.documents(s, dir))))
-    verdict(s, dir, cands.toDF())
+    val canon = canonical(Tables.parallel(Tables.documents(s, dir))).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = canon.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("text"))
+    val cands = candidates(bandedDocs(reps))
+    verdict(s, dir, canon, cands.toDF())
   }
 
   /** DuckDB SQL replicating [[streamingNearDup]] exactly: brute-force
@@ -221,16 +306,20 @@ object NearDupStream {
     * 5-gram Jaccard >= 0.8) — valid as ground truth for the LSH-store path
     * by the same recall argument that lets dd03 use the brute-force pair
     * oracle, plus the insert-regardless-of-verdict store semantics
-    * documented above. */
+    * documented above. Pairs come from the token-join intersection form
+    * (Σ df(tok)² work, verified bit-identical to the list_intersect form
+    * on DuckDB 1.0.0 — the same rewrite the dd03/dd05 oracles carry). */
   val oracleSql: String = """
-      WITH sh AS (SELECT doc_id,
-                         list_distinct(list_transform(range(1, greatest(length(text)-3, 2)),
-                                       i -> substr(text, CAST(i AS INT), 5))) AS s
-                  FROM documents),
-      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sh a JOIN sh b
-            ON a.doc_id < b.doc_id
-            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+      WITH psh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(text)-3, 2)),
+                   i -> substr(text, CAST(i AS INT), 5))) AS s FROM documents),
+      ptok AS (SELECT doc_id, unnest(s) AS tok FROM psh),
+      pix AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ix
+              FROM ptok a JOIN ptok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+      plen AS (SELECT doc_id, len(s) AS n FROM psh),
+      p AS (SELECT doc_a, doc_b FROM pix i
+            JOIN plen la ON la.doc_id = i.doc_a JOIN plen lb ON lb.doc_id = i.doc_b
+            WHERE CAST(ix AS DOUBLE) / (la.n + lb.n - ix) >= 0.8),
       dr AS (SELECT doc_b AS doc_id, min(doc_a) AS dup_of FROM p GROUP BY doc_b)
       SELECT d.doc_id, dr.dup_of IS NULL AS keep, dr.dup_of
       FROM documents d LEFT JOIN dr ON d.doc_id = dr.doc_id
@@ -244,6 +333,30 @@ object NearDupStream {
   * `ttl` (TTLConfig) ages members out of the store after the retention
   * window — the state store filters expired entries on read, so an aged
   * bucket behaves exactly like an empty one. */
+/** The per-fingerprint first-arrival store as a [[StatefulProcessor]]:
+  * ValueState holding the representative doc_id of each distinct text —
+  * the stateful twin of [[NearDupStream.canonical]]'s batch fold. `ttl`
+  * ages fingerprint memory out with the retention window (an exact copy
+  * of an expired text re-canonicalizes as a fresh representative, exactly
+  * as a batch over the retention window would). */
+private[state] final class CanonFpProcessor(ttl: TTLConfig = TTLConfig.NONE)
+    extends StatefulProcessor[String, NearDupStream.DocArrival, NearDupStream.CanonDoc] {
+  import NearDupStream.{CanonDoc, DocArrival}
+
+  @transient private var rep: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    rep = getHandle.getValueState[Long]("fp_rep", Encoders.scalaLong, ttl)
+
+  override def handleInputRows(key: String, rows: Iterator[DocArrival],
+      timers: TimerValues): Iterator[CanonDoc] = {
+    val rep0 = if (rep.exists()) Some(rep.get()) else None
+    val (out, repAfter) = NearDupStream.processFpGroup(rep0, rows)
+    repAfter.filter(r => !rep0.contains(r)).foreach(rep.update)
+    out.iterator
+  }
+}
+
 private[state] final class NearDupBucketProcessor(cap: Int, prefilter: Double,
     ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[(Int, Long), NearDupStream.BandedDoc, NearDupStream.CandidatePair] {

@@ -18,8 +18,14 @@ import org.apache.spark.sql.functions._
 object Stress {
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
+    // `exact` mode: amplify WITHOUT the per-copy marker, so copies are
+    // bytewise-identical — the crawl-duplication scenario the dedup
+    // chain's canonicalize-first pass targets. Runs the dedup subset and
+    // expects ZERO hot-bucket warnings: exact copies collapse before
+    // candidate generation, so LSH work reverts to distinct-text scale.
+    val exactCopies = args.contains("exact")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val out = "target/stress"
+    val out = if (exactCopies) "target/stress_exact" else "target/stress"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -32,7 +38,7 @@ object Stress {
       val span = df.agg(max(col(idCol))).first().getLong(0) + 1
       (0 until copies).map { i =>
         val shifted = df.withColumn(idCol, col(idCol) + lit(i * span))
-        textCol.fold(shifted)(t =>
+        textCol.filter(_ => !exactCopies).fold(shifted)(t =>
           shifted.withColumn(t, concat(col(t), lit(s" copymark$i"))))
       }.reduce(_ unionAll _)
     }
@@ -84,8 +90,10 @@ object Stress {
       "q37_ignore_nulls", "sk04_sample_quantiles", "er03_golden_record")
     // q39/q40 read lineitem, which the stress corpus does not amplify —
     // they rehearse under Bench at sf0.1 instead
+    val dedupSubset = Seq("dd01_exact_dedup", "dd03_minhash_lsh",
+      "dd05_dup_clusters", "dd06_dedup_apply", "dd12_streaming_neardup")
     var failed = false
-    queries.foreach { name =>
+    (if (exactCopies) dedupSubset else queries).foreach { name =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try {
@@ -111,6 +119,7 @@ object Stress {
     // fallback must engage — the WARN line is the evidence — and the pair
     // pass must stay linear per bucket while still connecting every copy
     // group (dedupApply/dupClusters semantics survive the approximation).
+    if (exactCopies) { spark.stop(); if (failed) sys.exit(1); return }
     val cap = math.max(copies / 2, 2)
     spark.catalog.clearCache()
     val t0g = System.nanoTime()

@@ -58,4 +58,36 @@ class ClassifierSpec extends AnyFunSuite {
     val mean = rows.map(_.getDouble(2)).sum / rows.length
     assert(mean > 0.0 && mean < 0.6, s"mean score $mean")
   }
+
+  test("cl03: above-budget IVF routing reproduces the exact predictions") {
+    val exact = Classifier.knnPredictions(spark, sf0001, 5)
+      .collect().map(_.toSeq).toSet
+    // budget 0 forces the IVF branch through the same routing guard the
+    // production path uses — the size-guarded hybrid, actually exercised;
+    // the default full-probe routing is EXACT, so equality is bit-for-bit
+    val routed = Classifier.knnPredictions(spark, sf0001, 5,
+      maxTrainBroadcastBytes = 0L).collect().map(_.toSeq).toSet
+    assert(routed.nonEmpty)
+    assert(routed == exact,
+      s"IVF-routed predictions drifted: ${(routed diff exact).take(5)} vs ${(exact diff routed).take(5)}")
+  }
+
+  test("cl03: pruned-probe IVF mode stays well-formed (one prediction per test vector)") {
+    // nProbe < nCentroids is the approximate knob: predictions may drift
+    // on an isotropic corpus (no cluster structure), but every test vector
+    // must still get exactly one majority verdict from its probed lists
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "cast(embedding as array<double>) AS v", "label")
+      .withColumn("h",
+        Curation.md5Prefix32(org.apache.spark.sql.functions.col("vec_id"))
+          .cast("long") % 10)
+    val train = emb.filter("h < 8")
+      .selectExpr("vec_id AS cand_id", "v AS cv", "label AS cand_label")
+    val test = emb.filter("h >= 8")
+      .selectExpr("vec_id", "v AS qv", "label AS true_label")
+    val scored = Classifier.knnScoredIvf(train, test, nCentroids = 16, nProbe = 4)
+    val nTest = test.count()
+    val perQuery = scored.groupBy("vec_id").count().count()
+    assert(perQuery == nTest, s"pruned scan lost test vectors: $perQuery of $nTest")
+  }
 }

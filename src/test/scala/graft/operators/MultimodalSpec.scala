@@ -32,6 +32,26 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("audio path decodes a real WAV through javax.sound.sampled") {
+    val payload = "hello audio world".getBytes("UTF-8")
+    val wav = Multimodal.AudioFixtures.pcm16Wav(payload)
+    // it really is a RIFF/WAVE container (magic bytes), not a raw buffer
+    assert(wav(0) == 'R' && wav(1) == 'I' && wav(2) == 'F' && wav(3) == 'F')
+    assert(wav(8) == 'W' && wav(9) == 'A' && wav(10) == 'V' && wav(11) == 'E')
+    // lossless round-trip: decoded samples equal the known sample function
+    val pcm = Multimodal.AudioDecoder.pcm(wav)
+    assert(pcm.length == payload.length)
+    payload.indices.foreach { i =>
+      assert(pcm(i) == Multimodal.AudioFixtures.sample(payload(i), i), s"sample $i")
+    }
+    // the position salt makes the signal actually cross zero
+    assert(pcm.exists(_ > 0) && pcm.exists(_ < 0))
+    // corrupt payloads fail fast instead of decoding to silence
+    intercept[IllegalArgumentException] {
+      Multimodal.AudioDecoder.pcm("not audio at all".getBytes)
+    }
+  }
+
   test("PNG fixtures round-trip: decoded features equal the pixel function") {
     val media = Multimodal.imageMediaFromDocuments(spark, sf0001)
     val texts = graft.core.Tables.documents(spark, sf0001)

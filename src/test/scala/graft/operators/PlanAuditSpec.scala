@@ -476,6 +476,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("cl03: forced-IVF routing joins inverted lists keyed by centroid") {
+    val plan = planOf(Classifier.knnPredictions(spark, sf0001, 5,
+      maxTrainBroadcastBytes = 0L))
+    assert(plan.contains("WindowGroupLimit"), plan)
+    // the candidate scan is an equi-join keyed by centroid id — the train
+    // table is never on the build side of a nested-loop broadcast
+    assert(plan.contains("hashpartitioning(cid"), plan)
+  }
+
   test("sa09: cluster labels broadcast onto an id-pruned corpus scan") {
     val plan = planOf(Curation.clusterSplitQuery(spark, sf0001))
     assert(plan.contains("BroadcastHashJoin"), plan)

@@ -130,7 +130,8 @@ class Round6bOpsSpec extends AnyFunSuite {
         (0L until frames.length).toSeq, s"media $id frame indexes")
       // brute-force recompute of one media's frames
       if (id == byMedia.keySet.min) {
-        val pcm = Multimodal.FakeAudioDecoder.pcm(bytes)
+        // the brute-force twin runs the REAL codec round-trip too
+        val pcm = Multimodal.AudioDecoder.pcm(Multimodal.AudioFixtures.pcm16Wav(bytes))
         frames.sortBy(_.getLong(1)).foreach { f =>
           val from = f.getLong(1).toInt * 64
           val slice = pcm.slice(from, from + 64)

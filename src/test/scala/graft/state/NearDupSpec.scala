@@ -41,29 +41,52 @@ class NearDupSpec extends AnyFunSuite {
       val docs = graft.core.Tables.documents(spark, sf0001)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .collect().sortBy(_._1)
-      // three replay increments in arrival (= doc_id) order
+      // three replay increments in arrival (= doc_id) order; the two
+      // stateful stages run as separate queries chained topic-style (the
+      // deployment shape: canon stream feeds the banding stage's input)
       val inc = docs.grouped(math.max(docs.length / 3 + 1, 1)).toSeq
       val input = MemoryStream[(Long, String)](spark)
-      val banded = bandedDocs(input.toDS().toDF("doc_id", "text"))
+      val canonQ = canonicalStream(input.toDS().toDF("doc_id", "text")).toDF()
+        .writeStream.format("memory").queryName("dd12_canon")
+        .outputMode(OutputMode.Append).start()
+      val repInput = MemoryStream[(Long, String)](spark)
+      val banded = bandedDocs(repInput.toDS().toDF("doc_id", "text"))
       val q = candidatesStream(banded).toDF()
         .writeStream.format("memory").queryName("dd12_cands")
         .outputMode(OutputMode.Append).start()
       try {
-        inc.foreach { batch => input.addData(batch.toSeq); q.processAllAvailable() }
+        inc.foreach { batch =>
+          input.addData(batch.toSeq); canonQ.processAllAvailable()
+          val ids = batch.map(_._1)
+          val newReps = spark.table("dd12_canon")
+            .filter(col("doc_id") === col("rep") && col("doc_id").isin(ids: _*))
+            .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+          repInput.addData(newReps.toSeq); q.processAllAvailable()
+        }
+        val streamedCanon = spark.table("dd12_canon")
         val streamedCands = spark.table("dd12_cands")
-        val streamed = verdict(spark, sf0001, streamedCands).collect().map(_.toSeq)
+        val streamed = verdict(spark, sf0001, streamedCanon, streamedCands)
+          .collect().map(_.toSeq)
         val batchRun = streamingNearDup(spark, sf0001).collect().map(_.toSeq)
         assert(streamed.length == batchRun.length)
         assert(streamed.sameElements(batchRun))
-        // the stateful store produced the same candidate SET as the batch
-        // fold (order/multiplicity may differ across microbatch boundaries)
+        // the stateful stores produced the same canon membership and the
+        // same candidate SET as the batch folds (order/multiplicity may
+        // differ across microbatch boundaries)
+        val scanon = streamedCanon.select("doc_id", "rep").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val bcanonDs = canonical(graft.core.Tables.documents(spark, sf0001))
+        val bcanon = bcanonDs.toDF().select("doc_id", "rep").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(scanon == bcanon)
         val sc = streamedCands.select("doc_a", "doc_b").distinct().collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
-        val bc = candidates(bandedDocs(graft.core.Tables.documents(spark, sf0001)))
+        val bc = candidates(bandedDocs(bcanonDs.toDF()
+          .filter(col("doc_id") === col("rep")).select(col("doc_id"), col("text"))))
           .toDF().select("doc_a", "doc_b").distinct().collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         assert(sc == bc)
-      } finally q.stop()
+      } finally { q.stop(); canonQ.stop() }
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
