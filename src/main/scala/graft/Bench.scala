@@ -137,6 +137,43 @@ object Bench {
     "sk04_sample_quantiles",
     "er03_golden_record",
     "q41_set_ops_all",
+    // round-8 stragglers: the cluster-consuming dedup chain end to end
+    // (dd05/dd06/dd14 re-pay the LSH pipeline honestly, like dd15),
+    // the remaining window family member, the funnel pipeline, and the
+    // q31 exact twin
+    "dd05_dup_clusters",
+    "dd06_dedup_apply",
+    "dd14_canonical_select",
+    "pl02_funnel",
+    "w03_sliding_window",
+    "q42_exact_stats",
+    // round-8 completion sweep: every remaining query joins the bench
+    // except the two true-quadratic brute-force oracles (dd02, sim03 —
+    // correctness baselines nobody runs at scale). sim01/sim08 DO bench:
+    // since the broadcast flip they stream the corpus once against the
+    // tiny query set, which is a legitimate exact plan.
+    "q02_top_orders",
+    "q05_window_lag_lead",
+    "q07_rollup",
+    "q08_cube",
+    "q10_anti_join",
+    "q14_set_ops",
+    "q15_distinct",
+    "q16_string_funcs",
+    "q18_math_funcs",
+    "q19_json_extract",
+    "q20_conditional_agg",
+    "q22_grouping_sets",
+    "q23_scalar_subquery",
+    "q25_window_misc",
+    "q26_array_funcs",
+    "q30_pushdown",
+    "q33_map_funcs",
+    "q34_window_dist",
+    "q35_full_outer",
+    "ta04_fingerprint",
+    "sim01_cosine_topk",
+    "mm02_frame_sample",
   )
 
   def main(args: Array[String]): Unit = {
@@ -227,15 +264,54 @@ object Bench {
     // recomputed each time; a query failing ANY attempt reports -1 (a flaky
     // query must not be certified with its lucky run's time).
     val attempts = if (ambientLoad > loadThreshold) 3 else 2
+
+    // Straggler retry rule (round-7 lesson: 6.9×/4.5× one-off deltas
+    // shipped in the artifact on byte-identical code, with no confirming
+    // rerun): if a query's min still exceeds RetryFactor × its prior
+    // clean time at the SAME sf (bench_baseline.json, committed from the
+    // last clean full run), it earns up to RetryExtra more attempts
+    // before its number lands in the artifact. Genuine regressions
+    // reproduce across the retries and still ship; one-off JIT/GC/IO
+    // stalls do not.
+    val RetryFactor = 1.5
+    val RetryExtra = 2
+    val baselinePath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "bench_baseline.json")
+    val baseline: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(baselinePath)), "UTF-8")
+        val sameSf = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt)
+          .exists(_.group(1) == sfDir)
+        if (!sameSf) Map.empty
+        else """"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter { case (k, _) => Bench.headline.contains(k) }
+          .toMap
+      } catch { case _: Throwable => Map.empty }
+    if (baseline.isEmpty)
+      System.err.println(s"[bench] no same-sf baseline at $baselinePath; " +
+        "straggler retry rule inactive for this run")
+
     val sysJ0 = sysBusyJiffies
     val procNs0 = procCpuNanos
     val wall0 = System.nanoTime()
     val results = headline.map { name =>
-      val times = (1 to attempts).map { _ =>
+      def attempt(): Double = {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val ok = try { force(name); true } catch { case _: Throwable => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      var times = (1 to attempts).map(_ => attempt())
+      val bar = baseline.get(name).map(_ * RetryFactor)
+      var extra = RetryExtra
+      while (times.forall(_ >= 0) && extra > 0 &&
+          bar.exists(times.min > _)) {
+        System.err.println(f"[bench] $name min ${times.min}%.3f s exceeds " +
+          f"${RetryFactor}x baseline ${baseline(name)}%.3f s - retrying")
+        times = times :+ attempt()
+        extra -= 1
       }
       (name, if (times.forall(_ >= 0)) times.min else -1.0, times)
     }

@@ -47,6 +47,14 @@ object SparkEntry {
     "q28_percentiles"      -> Relational.percentiles _,
     "q29_correlated_subq"  -> Relational.aboveNationAvg _,
     "q30_pushdown"         -> Relational.pushdownShowcase _,
+    // q31 ORACLE EXEMPTION CONTRACT: approx_count_distinct (HLL++) and
+    // percentile_approx (engine-specific sketch) have no cross-engine
+    // equality oracle by construction — their bit layout is Spark's own.
+    // The query stays (the approximate API surface is part of the
+    // contract); its CORRECTNESS check is the split pair: q42_exact_stats
+    // is the hash-checked exact twin, and Round6cOpsSpec pins q31's
+    // sketch outputs against q42's exact values within the documented
+    // error bounds (rsd 0.02, rank accuracy 1/1000).
     "q31_approx_stats"     -> Relational.approxStats _,
     "q32_range_frame"      -> Relational.rangeFrame _,
     "q33_map_funcs"        -> Relational.mapFuncs _,
@@ -169,6 +177,7 @@ object SparkEntry {
     "q39_unpivot"          -> Relational.unpivotLineitem _,
     "q40_array_hof"        -> Relational.arrayHofQuery _,
     "q41_set_ops_all"      -> Relational.setOpsAllQuery _,
+    "q42_exact_stats"      -> Relational.exactStats _,
     "pl04_dataset_card"    -> ((s: SparkSession, d: String) => graft.operators.Pipeline.datasetCardQuery(s, d)),
     "sk04_sample_quantiles" -> ((s: SparkSession, d: String) => graft.operators.Sketch.sampleQuantilesQuery(s, d)),
     "ir07_kwic"            -> ((s: SparkSession, d: String) => graft.operators.Search.kwicQuery(s, d)),
@@ -722,6 +731,7 @@ object SparkEntry {
     "q39_unpivot" -> Relational.unpivotLineitemOracleSql,
     "q40_array_hof" -> Relational.arrayHofOracleSql,
     "q41_set_ops_all" -> Relational.setOpsAllOracleSql,
+    "q42_exact_stats" -> Relational.exactStatsOracleSql,
     "pl04_dataset_card" ->
       graft.operators.Pipeline.datasetCardOracleSql(ccCtesSql),
     "sk04_sample_quantiles" ->

@@ -667,6 +667,60 @@ object Relational {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
       .orderBy(col("l_returnflag"))
 
+  /** q42 — the oracle-checkable EXACT twin of [[approxStats]]: per
+    * returnflag, exact distinct counts and the exact median extendedprice
+    * by INTEGER RANK selection — rn ∈ {⌊(n+1)/2⌋, ⌈(n+1)/2⌉} picked with
+    * integer division and averaged (two operands at most: the division is
+    * a single deterministic float op, no engine-ordered summation
+    * anywhere), the quantile recipe float ceil() gets wrong at
+    * representable points. Round6cOpsSpec pins q31's sketches against
+    * this twin's exact values within their documented error bounds — the
+    * split that makes the approximate query indirectly oracle-checked.
+    *
+    * Plan shape for 100 TB: the counts are distinct-aggregates keyed by
+    * the 3-value returnflag (expand + two-level partial agg); the median
+    * needs a per-group sort — unavoidable for an exact median — but the
+    * window partitions by returnflag, so it is 3 parallel sorted spills,
+    * not a global sort (at scale you'd run q31's KLL sketch instead; that
+    * is the whole point of the pair). */
+  def exactStats(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val counts = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag"))
+    val med = li.select(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+      .filter(col("rn") === expr("(n + 1) div 2") ||
+        col("rn") === expr("(n + 2) div 2"))
+      .groupBy(col("l_returnflag"))
+      .agg((sum(col("l_extendedprice")) / count(lit(1))).as("median_price"))
+    counts.join(med, "l_returnflag")
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** DuckDB SQL replicating [[exactStats]] exactly (same integer-rank
+    * median selection; the two selected order statistics are identical
+    * doubles, so the single averaging division is bit-portable). */
+  val exactStatsOracleSql: String = """
+      WITH c AS (SELECT l_returnflag,
+                   CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+                   CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+                 FROM lineitem GROUP BY 1),
+      r AS (SELECT l_returnflag, l_extendedprice,
+              CAST(row_number() OVER (PARTITION BY l_returnflag
+                ORDER BY l_extendedprice) AS BIGINT) AS rn,
+              CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+            FROM lineitem),
+      m AS (SELECT l_returnflag, sum(l_extendedprice) / count(*) AS median_price
+            FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY 1)
+      SELECT c.l_returnflag, n_parts, n_orders, median_price
+      FROM c JOIN m USING (l_returnflag) ORDER BY l_returnflag"""
+
   /** Scalar subquery (uncorrelated) — orders above the global mean. */
   def aboveAvgOrders(s: SparkSession, dir: String): DataFrame = {
     Tables.orders(s, dir).createOrReplaceTempView("orders_sq")

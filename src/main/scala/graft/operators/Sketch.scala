@@ -265,28 +265,33 @@ object Sketch {
     * the exact shingle Jaccard — the third sketch whose error is itself
     * oracle-checked (sk01 distinct-count, sk02 frequency, sk03 similarity).
     *
-    * Signatures here use md5-derived component hashes (min over shingles
-    * of md5("j:gram")) so ANY engine re-derives the identical sketch —
-    * unlike dd03's production one-pass [[graft.functions.MinHashFromText]]
-    * signatures, whose hash family is engine-native and therefore only
-    * ScalaTest-checkable. Estimate and truth are exact integer ratios: no
-    * rounding anywhere.
+    * Signatures here use an md5-derived BASE hash per gram (folded into
+    * the 2^31−1 Mersenne field) with the k components derived by the same
+    * affine family [[graft.functions.MinHashSig]] uses — ONE md5 pass per
+    * gram instead of k (32× less hash work; the round-8 stress run spent
+    * 74 s here, almost all of it md5), while staying fully engine-portable:
+    * DuckDB re-derives the identical base and the identical affine
+    * components. Unlike dd03's production signatures (engine-native
+    * xxhash64 base, ScalaTest-checkable only), this sketch is
+    * oracle-checked end to end. Estimate and truth are exact integer
+    * ratios: no rounding anywhere.
     *
     * Plan shape for 100 TB: the pair set is collision-bounded (the dd03
     * contract) and BROADCASTs into two joins against the shingle
-    * projection; signatures are computed columnarly (array_min over the
-    * shingle array, `MhK` expressions, zero exchange) and only for docs on
-    * the probe side of each join. */
+    * projection; signatures are computed columnarly (one md5 pass, then
+    * `MhK` primitive affine transforms, zero exchange) and only for docs
+    * on the probe side of each join. */
   def minhashEstimateQuery(s: SparkSession, dir: String,
       k: Int = MhK): DataFrame = {
     val pairs = Dedup.boundedPairs(s, dir)
-    def hashJ(j: Int, g: Column): Column =
-      conv(substring(md5(concat(lit(s"$j:"), g)), 1, 15), 16, 10).cast("long")
+    val P = 2147483647L // 2^31 - 1
+    val baseHashes = transform(col("sh"), g =>
+      conv(substring(md5(g), 1, 15), 16, 10).cast("long") % P)
     val sigCols = (0 until k).map(j =>
-      array_min(transform(col("sh"), g => hashJ(j, g))).as(s"mh$j"))
-    // signatures cost k md5 passes per shingle — compute them ONLY for
-    // docs that participate in a verified pair (broadcast semi-join on the
-    // bounded pair ids), not the whole corpus
+      array_min(transform(col("hb"), x =>
+        (x * (2 * j + 1) + 40503L * j) % P)).as(s"mh$j"))
+    // signatures are computed ONLY for docs that participate in a verified
+    // pair (broadcast semi-join on the bounded pair ids), not the corpus
     val pairDocs = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val sh = Tables.parallel(Tables.documents(s, dir))
@@ -294,6 +299,7 @@ object Sketch {
       .select(col("doc_id"),
         graft.functions.CharShingles.charShingles(col("text"), Dedup.ShingleSize).as("sh"))
       .withColumn("n", size(col("sh")))
+      .withColumn("hb", baseHashes)
       .select(Seq(col("doc_id"), col("sh"), col("n")) ++ sigCols: _*)
     val a = sh.select(Seq(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
       col("n").as("n_a")) ++ (0 until k).map(j => col(s"mh$j").as(s"a$j")): _*)
@@ -314,12 +320,13 @@ object Sketch {
   }
 
   /** DuckDB SQL replicating [[minhashEstimateQuery]] exactly (same md5
-    * component hashes, same exact ratios) over the shared verified-pair
-    * subquery (`pairsSql` — the SparkEntry dd05/dd06 pair text). */
+    * base per gram, same Mersenne fold, same affine components, same
+    * exact ratios) over the shared verified-pair subquery (`pairsSql` —
+    * the SparkEntry dd05/dd06 pair text). */
   def minhashEstimateOracleSql(pairsSql: String, k: Int = MhK): String = {
     val sigSelects = (0 until k).map { j =>
-      s"""list_min(list_transform(sh, g ->
-           CAST(concat('0x', substr(md5(concat('$j:', g)), 1, 15)) AS BIGINT))) AS mh$j"""
+      s"""list_min(list_transform(hb, x ->
+           (x * ${2 * j + 1} + ${40503L * j}) % 2147483647)) AS mh$j"""
     }.mkString(",\n               ")
     val matchSum = (0 until k).map(j =>
       s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END").mkString(" + ")
@@ -331,9 +338,13 @@ object Sketch {
              FROM documents
              WHERE doc_id IN (SELECT doc_a FROM pairs
                               UNION SELECT doc_b FROM pairs)),
+      hb AS (SELECT doc_id, sh,
+               list_transform(sh, g ->
+                 CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % 2147483647) AS hb
+             FROM sh),
       sig AS MATERIALIZED (SELECT doc_id, sh, len(sh) AS n,
                $sigSelects
-              FROM sh)
+              FROM hb)
       SELECT p.doc_a, p.doc_b,
              CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                (a.n + b.n - len(list_intersect(a.sh, b.sh))) AS true_jaccard,

@@ -132,8 +132,13 @@ class Round6cOpsSpec extends AnyFunSuite {
     def shingles(t: String): Set[String] =
       if (t.length < 5) Set(t.substring(0, math.min(t.length, 5)))
       else (0 to t.length - 5).map(i => t.substring(i, i + 5)).toSet
-    def mh(j: Int, sh: Set[String]): Long =
-      sh.map(g => java.lang.Long.parseLong(md5hex(s"$j:$g").take(15), 16)).min
+    def mh(j: Int, sh: Set[String]): Long = {
+      val P = 2147483647L
+      sh.map { g =>
+        val base = java.lang.Long.parseLong(md5hex(g).take(15), 16) % P
+        (base * (2 * j + 1) + 40503L * j) % P
+      }.min
+    }
     val rows = Sketch.minhashEstimateQuery(spark, sf0001).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
@@ -376,5 +381,36 @@ class Round6cOpsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(expected.nonEmpty && got == expected,
       s"expected $expected\ngot $got")
+  }
+
+  test("q31: sketches stay inside their documented bounds of the q42 exact twin") {
+    // q31 is the one oracle-exempt query (engine-specific HLL++/KLL bit
+    // layouts); this pin IS its correctness check — every sketch output
+    // vs the hash-checked exact twin, per group, within contract bounds
+    val exact = Relational.exactStats(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val approx = Relational.approxStats(spark, sf0001).collect()
+    assert(approx.map(_.getString(0)).toSet == exact.keySet)
+    // per-group values for rank-error checking of the approximate median
+    val prices = graft.core.Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag"), col("l_extendedprice")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    approx.foreach { r =>
+      val flag = r.getString(0)
+      val (nParts, nOrders, _) = exact(flag)
+      // HLL++ rsd 0.02: allow 5 sigma (one-in-ten-million flake budget)
+      assert(math.abs(r.getLong(1) - nParts).toDouble / nParts <= 5 * 0.02,
+        s"$flag approx_parts ${r.getLong(1)} vs exact $nParts")
+      assert(math.abs(r.getLong(2) - nOrders).toDouble / nOrders <= 5 * 0.02,
+        s"$flag approx_orders ${r.getLong(2)} vs exact $nOrders")
+      // percentile_approx(accuracy=1000): rank error <= 1/1000, so the
+      // returned value must sit between the exact 0.49 and 0.51 quantiles
+      val ps = prices(flag)
+      val lo = ps(math.max(0, (0.49 * ps.length).toInt - 1))
+      val hi = ps(math.min(ps.length - 1, (0.51 * ps.length).toInt + 1))
+      val med = r.getDouble(3)
+      assert(med >= lo && med <= hi, s"$flag approx_median $med outside [$lo, $hi]")
+    }
   }
 }
