@@ -310,8 +310,17 @@ object Bench {
           bar.exists(times.min > _)) {
         System.err.println(f"[bench] $name min ${times.min}%.3f s exceeds " +
           f"${RetryFactor}x baseline ${baseline(name)}%.3f s - retrying")
-        times = times :+ attempt()
-        extra -= 1
+        val t = attempt()
+        // a transient FAILURE during a retry must not decertify a query
+        // whose base attempts all passed — stop retrying, keep the honest
+        // (slow) base result
+        if (t < 0) {
+          System.err.println(s"[bench] $name retry attempt failed; keeping base result")
+          extra = 0
+        } else {
+          times = times :+ t
+          extra -= 1
+        }
       }
       (name, if (times.forall(_ >= 0)) times.min else -1.0, times)
     }

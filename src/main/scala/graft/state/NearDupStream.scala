@@ -85,13 +85,16 @@ object NearDupStream {
     if (n == 0) 0.0 else eq.toDouble / n
   }
 
-  /** The canonicalization fold both stage-0 backends share (the
-    * [[processBucket]] discipline applied to exact-copy state): fold one
-    * batch of a fingerprint group's arrivals into the `rep0` store,
-    * returning (canonicalized rows, the store after). Sorts by doc_id
-    * within the bounded buffer; past the bound the representative is
-    * already fixed, so order can no longer affect state — the same
-    * graceful degradation as [[SortBound]]'s contract. */
+  /** The canonicalization fold of the streaming stage-0 processor: fold
+    * one microbatch of a fingerprint group's arrivals into the `rep0`
+    * store, returning (canonicalized rows, the store after). The
+    * representative is the FIRST ARRIVAL — the stream contract (ascending
+    * doc_id replay across microbatches) makes that the minimum id; the
+    * bounded in-batch sort is defense for arrival jitter WITHIN one
+    * microbatch, and past the bound the fold trusts the contract order
+    * (the batch correctness form does not go through this fold at all —
+    * see [[canonical]] — so an adversarial group larger than the buffer
+    * cannot flip batch verdicts). */
   private[state] def processFpGroup(rep0: Option[Long],
       rows: Iterator[DocArrival], sortBound: Int = SortBound)
       : (Vector[CanonDoc], Option[Long]) = {
@@ -110,19 +113,26 @@ object NearDupStream {
   }
 
   /** Stage 0, batch backend: CANONICALIZE FIRST — identical raw texts
-    * collapse to their first-arrival representative before any shingling,
-    * so exact copies never enter the LSH store (the batch twin of the
-    * [[Dedup.minhashLshPairs]] canonicalize-first pass). The shuffle is
-    * one fp-keyed exchange of (fp, doc_id, text) — one row per document,
-    * never per copy-pair. */
+    * collapse to their MINIMUM-id representative before any shingling, so
+    * exact copies never enter the LSH store (the batch twin of the
+    * [[Dedup.minhashLshPairs]] canonicalize-first pass, and the same
+    * relational shape: a min/max aggregate with map-side combine, correct
+    * for a group of ANY size — a flatMapGroups fold here would depend on
+    * shuffle arrival order once a group outgrew a sort buffer). Texts
+    * within a group are bytewise equal, so max(text) is deterministic;
+    * the rep row carries it, members carry null (never re-shipping
+    * payloads). */
   def canonical(docs: DataFrame): Dataset[CanonDoc] = {
     import docs.sparkSession.implicits._
-    docs.select(md5(col("text")).as("fp"), col("doc_id"), col("text"))
-      .as[DocArrival]
-      .groupByKey(_.fp)
-      .flatMapGroups { (_: String, rows: Iterator[DocArrival]) =>
-        processFpGroup(None, rows)._1.iterator
-      }
+    val fp = docs.select(md5(col("text")).as("fp"), col("doc_id"), col("text"))
+    val groups = fp.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("rep"), max(col("text")).as("rep_text"))
+    fp.select(col("fp"), col("doc_id"))
+      .join(groups, "fp")
+      .select(col("doc_id"), col("rep"),
+        when(col("doc_id") === col("rep"), col("rep_text"))
+          .otherwise(lit(null)).as("text"))
+      .as[CanonDoc]
   }
 
   /** Stage 0, streaming backend: the same fold over a durable per-

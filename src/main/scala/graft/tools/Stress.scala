@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   */
 object Stress {
   def main(args: Array[String]): Unit = {
-    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val copies = args.find(a => a.nonEmpty && a.forall(_.isDigit))
+      .map(_.toInt).getOrElse(10)
     // `exact` mode: amplify WITHOUT the per-copy marker, so copies are
     // bytewise-identical — the crawl-duplication scenario the dedup
     // chain's canonicalize-first pass targets. Runs the dedup subset and

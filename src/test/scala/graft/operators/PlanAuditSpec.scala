@@ -60,6 +60,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q42: median window partitions by returnflag — no global sort before it") {
+    val plan = planOf(Relational.exactStats(spark, sf0001))
+    assert(plan.contains("hashpartitioning(l_returnflag"), plan)
+    // exactly ONE range exchange: the final 3-row output orderBy — the
+    // per-group median sort must ride the hash-partitioned window
+    assert(count(plan, "rangepartitioning") == 1, plan)
+  }
+
+  test("dd03: canonicalization groups fingerprints with map-side combine") {
+    // the canonicalize-first exchange must carry PARTIAL aggregates (one
+    // row per distinct text per map partition), so an exact-copy flood
+    // collapses before it ever reaches the wire
+    val plan = planOf(Dedup.minhashLshPairs(spark, sf0001).limit(1))
+    assert(plan.contains("partial_min(doc_id"), plan)
+  }
+
   test("sim01/sim08: only the query set is broadcast — the corpus streams") {
     for (df <- Seq(Similarity.bruteForceTopK(spark, sf0001, nQueries = 10),
         Similarity.mipsTopK(spark, sf0001, nQueries = 10))) {

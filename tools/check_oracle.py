@@ -99,6 +99,10 @@ if __name__ == "__main__":
     args = sys.argv[1:]
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            sys.exit("usage: check_oracle.py <sfdir> <outdir> [--json out.json]")
         jout = args[i + 1]
         args = args[:i] + args[i + 2:]
+    if len(args) != 2:
+        sys.exit("usage: check_oracle.py <sfdir> <outdir> [--json out.json]")
     main(args[0], args[1], jout)

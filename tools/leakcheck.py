@@ -27,14 +27,14 @@ PATTERNS = {
     # URLs to anything that is not a public docs/code host or an
     # RFC 2606 documentation/placeholder domain
     "internal-url": re.compile(
-        r"https?://(?!(?:www\.)?(?:github\.com|duckdb\.org|spark\.apache\.org|kafka\.apache\.org|avro\.apache\.org|arxiv\.org|docs\.oracle\.com|openjdk\.org|scala-lang\.org|en\.wikipedia\.org|dl\.acm\.org|doi\.org|localhost)[/:\s\"')]|[A-Za-z0-9.\-]*example\.(?:com|org|net)|[A-Za-z0-9.\-]+\.(?:test|invalid|local)\b)[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"),
+        r"https?://(?!(?:www\.)?(?:github\.com|duckdb\.org|spark\.apache\.org|kafka\.apache\.org|avro\.apache\.org|arxiv\.org|docs\.oracle\.com|openjdk\.org|scala-lang\.org|en\.wikipedia\.org|dl\.acm\.org|doi\.org|localhost)(?![A-Za-z0-9.\-])|[A-Za-z0-9.\-]*example\.(?:com|org|net)|[A-Za-z0-9.\-]+\.(?:test|invalid|local)\b)[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"),
     # second-level package roots that are not public ecosystems
     "internal-pkg2": re.compile(
         r"\b(?:com|net|io)\.(?!fasterxml|sun\b|github)[a-z][a-z0-9]{2,}\.(?:internal|private|corp)\b"),
     # object-store bucket URIs
     "internal-bucket": re.compile(r"\b(?:s3|gs|s3a|s3n|abfss?|wasbs?)://[A-Za-z0-9._\-]+"),
     # chat permalinks / shortlink services
-    "slack-link": re.compile(r"\b(?:[a-z0-9\-]+\.slack\.com|hooks\.slack\.com|go/[a-z][a-z0-9\-]{2,})\b"),
+    "slack-link": re.compile(r"\b(?:[a-z0-9\-]+\.slack\.com|hooks\.slack\.com|go/[a-z][a-z0-9\-]+)\b"),
     # credential shapes: AWS key ids, slack/github tokens, PEM blocks
     "api-key": re.compile(
         r"\b(?:AKIA[0-9A-Z]{16}|xox[abprs]-[0-9A-Za-z\-]{10,}|ghp_[0-9A-Za-z]{36}|-----BEGIN (?:RSA |EC )?PRIVATE KEY-----)"),
