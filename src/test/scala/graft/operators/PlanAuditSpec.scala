@@ -60,6 +60,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("blanket: no query in the whole inventory plans a CartesianProduct") {
+    // every non-equi join must carry a broadcastable side (BNLJ) — an
+    // unhinted cross product is never the plan we mean, in ANY query
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .flatMap { case (name, f) =>
+        try {
+          val plan = planOf(f(spark, sf0001))
+          if (plan.contains("CartesianProduct")) Some(name) else None
+        } catch {
+          case t: Throwable => Some(s"$name (plan failed: ${t.getMessage})")
+        }
+      }
+    assert(offenders.isEmpty, s"cartesian plans: ${offenders.mkString(", ")}")
+  }
+
   test("q42: median window partitions by returnflag — no global sort before it") {
     val plan = planOf(Relational.exactStats(spark, sf0001))
     assert(plan.contains("hashpartitioning(l_returnflag"), plan)

@@ -168,6 +168,66 @@ class NearDupSpec extends AnyFunSuite {
     }
   }
 
+  test("TTL: expired fingerprint memory re-canonicalizes an exact copy as a fresh rep") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val ckKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    val prev = spark.conf.getOption(key)
+    val prevCk = spark.conf.getOption(ckKey)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(ckKey, "false") // see the bucket TTL test's deadlock note
+    val seen = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.name == "dd12_canon_ttl") seen.addAndGet(e.progress.numInputRows)
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    def waitUntil(cond: => Boolean, what: String): Unit = {
+      val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
+      while (!cond && System.nanoTime < deadline) Thread.sleep(50)
+      assert(cond, s"timed out waiting for $what")
+    }
+    spark.streams.addListener(listener)
+    try {
+      import spark.implicits._
+      val text = "identical boilerplate page"
+      val input = MemoryStream[(Long, String)](spark)
+      val q = canonicalStream(input.toDS().toDF("doc_id", "text"),
+          ttl = Some(java.time.Duration.ofSeconds(4))).toDF()
+        .writeStream.format("memory").queryName("dd12_canon_ttl")
+        .outputMode(OutputMode.Append).start()
+      try {
+        input.addData((1L, text))
+        waitUntil(seen.get >= 1, "doc 1 processed")
+        // doc 2 arrives INSIDE the retention window: member of rep 1
+        input.addData((2L, text))
+        waitUntil(seen.get >= 2, "doc 2 processed")
+        Thread.sleep(6000) // > TTL: the fingerprint memory expires
+        // doc 3 arrives after expiry: must become its OWN representative,
+        // exactly as a batch over the retention window would canonicalize
+        input.addData((3L, text))
+        waitUntil(seen.get >= 3, "doc 3 processed")
+        waitUntil(spark.table("dd12_canon_ttl").count() >= 3, "3 canon rows")
+        val rows = spark.table("dd12_canon_ttl")
+          .select("doc_id", "rep").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(rows == Map(1L -> 1L, 2L -> 1L, 3L -> 3L), s"got $rows")
+      } finally q.stop()
+    } finally {
+      spark.streams.removeListener(listener)
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+      prevCk match {
+        case Some(v) => spark.conf.set(ckKey, v)
+        case None    => spark.conf.unset(ckKey)
+      }
+    }
+  }
+
   test("hot-bucket cap: star candidates only, state stops growing") {
     val sig = Array(1L, 2L, 3L, 4L)
     val arrivals = (0L until 6L).map(i => BandedDoc(0, 0L, i, sig))
