@@ -371,12 +371,27 @@ object Bench {
     // ONE compact JSON line on stdout, printed LAST (after spark.stop(), so
     // no shutdown logging can land beyond it in a combined capture). Keys
     // are each query's family code (the unique prefix before the first '_',
-    // e.g. dd03_minhash_lsh -> dd03) and values are 3-decimal seconds —
-    // this keeps the whole line ~1.3 KB, inside the driver's capture
-    // window. Full names live in the file artifact above.
+    // e.g. dd03_minhash_lsh -> dd03); values are seconds with trailing
+    // zeros stripped, and attempts/loadavg live only in the file artifact —
+    // at 140 queries the line must stay well inside the driver's ~2 KB
+    // capture window (BENCH_r05's "parsed":null lesson). Full names live
+    // in the file artifact above.
+    def rShort(v: Double): String = {
+      val s = r3(v)
+      if (!s.contains('.')) s
+      else s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse match {
+        case t if t.isEmpty || t == "-" => "0"
+        case t => t
+      }
+    }
     val qsShort = results.map { case (k, v, _) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
+      "\"" + k.takeWhile(_ != '_') + "\":" + rShort(v)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"attempts":$attempts,"contended":$contended,"foreign_cores":${r3(foreignCores)},"loadavg":[${samples.map(r3).mkString(",")}],"sf":"$sfDir"}""")
+    val shortLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"contended":$contended,"foreign_cores":${r3(foreignCores)},"sf":"$sfDir"}"""
+    if (shortLine.length > 1900)
+      System.err.println(s"[bench] WARNING: stdout line ${shortLine.length} chars " +
+        "- approaching the driver capture window; trim the headline encoding")
+    println(shortLine)
   }
 }
