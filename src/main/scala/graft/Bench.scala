@@ -261,8 +261,11 @@ object Bench {
     // contention), report the min — damps GC/JIT noise so the number
     // reflects the plan, not the weather in this JVM. The cache is cleared
     // before every attempt so intra-query persist() stages are honestly
-    // recomputed each time; a query failing ANY attempt reports -1 (a flaky
-    // query must not be certified with its lucky run's time).
+    // recomputed each time; a query failing any BASE attempt reports -1 (a
+    // flaky query must not be certified with its lucky run's time). A
+    // failure during a straggler RETRY is recorded in the runs artifact
+    // and stops retrying, but keeps the certification the base attempts
+    // already earned.
     val attempts = if (ambientLoad > loadThreshold) 3 else 2
 
     // Straggler retry rule (round-7 lesson: 6.9×/4.5× one-off deltas
@@ -303,26 +306,23 @@ object Bench {
         val ok = try { force(name); true } catch { case _: Throwable => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      var times = (1 to attempts).map(_ => attempt())
+      val base = (1 to attempts).map(_ => attempt())
+      var good = base // certification source: base + successful retries
+      var allRuns = base // artifact source: every attempt, incl. failed retries
       val bar = baseline.get(name).map(_ * RetryFactor)
       var extra = RetryExtra
-      while (times.forall(_ >= 0) && extra > 0 &&
-          bar.exists(times.min > _)) {
-        System.err.println(f"[bench] $name min ${times.min}%.3f s exceeds " +
+      while (good.forall(_ >= 0) && extra > 0 && bar.exists(good.min > _)) {
+        System.err.println(f"[bench] $name min ${good.min}%.3f s exceeds " +
           f"${RetryFactor}x baseline ${baseline(name)}%.3f s - retrying")
         val t = attempt()
+        allRuns = allRuns :+ t
         // a transient FAILURE during a retry must not decertify a query
         // whose base attempts all passed — stop retrying, keep the honest
-        // (slow) base result
-        if (t < 0) {
-          System.err.println(s"[bench] $name retry attempt failed; keeping base result")
-          extra = 0
-        } else {
-          times = times :+ t
-          extra -= 1
-        }
+        // (slow) base result; the -1 stays visible in the runs artifact
+        if (t < 0) extra = 0
+        else { good = good :+ t; extra -= 1 }
       }
-      (name, if (times.forall(_ >= 0)) times.min else -1.0, times)
+      (name, if (base.forall(_ >= 0)) good.filter(_ >= 0).min else -1.0, allRuns)
     }
     // average foreign cores busy during the timed window: system busy time
     // minus this JVM's cpu time, per wall second. >cpus/8 foreign cores in
@@ -376,14 +376,10 @@ object Bench {
     // at 140 queries the line must stay well inside the driver's ~2 KB
     // capture window (BENCH_r05's "parsed":null lesson). Full names live
     // in the file artifact above.
-    def rShort(v: Double): String = {
-      val s = r3(v)
-      if (!s.contains('.')) s
-      else s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse match {
-        case t if t.isEmpty || t == "-" => "0"
-        case t => t
-      }
-    }
+    def rShort(v: Double): String =
+      if (v < 0) "-1"
+      else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.stripTrailingZeros.toPlainString
     val qsShort = results.map { case (k, v, _) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + rShort(v)
     }.mkString("{", ",", "}")

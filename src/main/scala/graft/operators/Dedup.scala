@@ -146,6 +146,13 @@ object Dedup {
     * output equals [[ngramJaccardPairs]] — which is exactly how the oracle
     * checks it — while the plan is equi-joins instead of a cross join.
     *
+    * Output-cardinality contract: the PAIR LISTING is inherently quadratic
+    * in duplicate-group size (a 1M-copy boilerplate group owns ~5·10¹¹
+    * true pairs). Canonicalize-first makes the COMPUTE output-sensitive,
+    * but a consumer that only needs group structure should use the
+    * membership-shaped operators ([[dupClusters]], [[dedupApply]],
+    * [[canonicalSelect]]) whose output is linear in the corpus.
+    *
     * Exactness caveat: buckets above [[HotBucketCap]] members emit star +
     * identical-signature candidates instead of all pairs (see the
     * [[HotBucketCap]] contract); the test corpus produces no such bucket,
@@ -188,6 +195,9 @@ object Dedup {
     // are computed over raw text, so only raw equality guarantees equal
     // shingle sets — i.e. an exactly-1.0 Jaccard the expansion below can
     // emit without re-verifying.
+    // (null-text docs get a null fingerprint and drop out of `mem` at the
+    // inner join below — output-equivalent to the pre-canonicalize plan,
+    // where a null text produced a null signature, no bands, and no pairs)
     val fpDocs = Tables.parallel(Tables.documents(s, dir))
       .select(col("doc_id"), col("text"), md5(col("text")).as("fp"))
     val groups = cached(fpDocs

@@ -125,13 +125,22 @@ object NearDupStream {
   def canonical(docs: DataFrame): Dataset[CanonDoc] = {
     import docs.sparkSession.implicits._
     val fp = docs.select(md5(col("text")).as("fp"), col("doc_id"), col("text"))
-    val groups = fp.groupBy(col("fp"))
+    // null text ⇒ null fingerprint: such docs are SINGLETONS (rep = self),
+    // never grouped — matching both the brute-force oracle (a null text
+    // has no shingles, so it can never be anyone's duplicate) and the
+    // pre-relational fold. An inner join on fp would silently drop them
+    // from the verdict's membership instead.
+    val nullDocs = fp.filter(col("fp").isNull)
+      .select(col("doc_id"), col("doc_id").as("rep"), col("text"))
+    val typed = fp.filter(col("fp").isNotNull)
+    val groups = typed.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("rep"), max(col("text")).as("rep_text"))
-    fp.select(col("fp"), col("doc_id"))
+    typed.select(col("fp"), col("doc_id"))
       .join(groups, "fp")
       .select(col("doc_id"), col("rep"),
         when(col("doc_id") === col("rep"), col("rep_text"))
           .otherwise(lit(null)).as("text"))
+      .unionByName(nullDocs)
       .as[CanonDoc]
   }
 

@@ -17,14 +17,28 @@ import org.apache.spark.sql.functions._
   */
 object Stress {
   def main(args: Array[String]): Unit = {
-    val copies = args.find(a => a.nonEmpty && a.forall(_.isDigit))
-      .map(_.toInt).getOrElse(10)
+    // strict arg parse: `[copies] [exact]` in any order — an unrecognized
+    // or malformed arg must not silently run the default amplification
+    // and produce success-looking SCALE evidence for the wrong corpus
+    val (flagArgs, numArgs) = args.partition(_ == "exact")
+    val copies = numArgs match {
+      case Array() => 10
+      case Array(n) =>
+        try {
+          val c = n.toInt
+          require(c >= 1 && c <= 1000, s"copies out of range: $c")
+          c
+        } catch { case _: NumberFormatException =>
+          sys.error(s"bad copies argument: '$n' (usage: Stress [copies] [exact])")
+        }
+      case more => sys.error(s"too many arguments: ${more.mkString(" ")}")
+    }
     // `exact` mode: amplify WITHOUT the per-copy marker, so copies are
     // bytewise-identical — the crawl-duplication scenario the dedup
     // chain's canonicalize-first pass targets. Runs the dedup subset and
     // expects ZERO hot-bucket warnings: exact copies collapse before
     // candidate generation, so LSH work reverts to distinct-text scale.
-    val exactCopies = args.contains("exact")
+    val exactCopies = flagArgs.nonEmpty
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = if (exactCopies) "target/stress_exact" else "target/stress"
     val spark = SparkSession.builder().master("local[32]")

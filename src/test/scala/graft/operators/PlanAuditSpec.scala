@@ -62,17 +62,23 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("blanket: no query in the whole inventory plans a CartesianProduct") {
     // every non-equi join must carry a broadcastable side (BNLJ) — an
-    // unhinted cross product is never the plan we mean, in ANY query
-    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
-      .flatMap { case (name, f) =>
-        try {
-          val plan = planOf(f(spark, sf0001))
-          if (plan.contains("CartesianProduct")) Some(name) else None
-        } catch {
-          case t: Throwable => Some(s"$name (plan failed: ${t.getMessage})")
+    // unhinted cross product is never the plan we mean, in ANY query.
+    // Some query builders persist intermediates (the LSH chain) — clear
+    // the cache before AND after so this sweep neither reads another
+    // test's cache nor leaks InMemoryRelations into later plan pins.
+    spark.catalog.clearCache()
+    try {
+      val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+        .flatMap { case (name, f) =>
+          try {
+            val plan = planOf(f(spark, sf0001))
+            if (plan.contains("CartesianProduct")) Some(name) else None
+          } catch {
+            case t: Throwable => Some(s"$name (plan failed: ${t.getMessage})")
+          }
         }
-      }
-    assert(offenders.isEmpty, s"cartesian plans: ${offenders.mkString(", ")}")
+      assert(offenders.isEmpty, s"cartesian plans: ${offenders.mkString(", ")}")
+    } finally spark.catalog.clearCache()
   }
 
   test("q42: median window partitions by returnflag — no global sort before it") {

@@ -194,8 +194,11 @@ class NearDupSpec extends AnyFunSuite {
       import spark.implicits._
       val text = "identical boilerplate page"
       val input = MemoryStream[(Long, String)](spark)
+      // 8 s TTL: wide enough that doc 2's microbatch cannot plausibly
+      // slip past the retention window on a loaded machine (the race a
+      // 4 s TTL would invite), small enough to expire in one sleep
       val q = canonicalStream(input.toDS().toDF("doc_id", "text"),
-          ttl = Some(java.time.Duration.ofSeconds(4))).toDF()
+          ttl = Some(java.time.Duration.ofSeconds(8))).toDF()
         .writeStream.format("memory").queryName("dd12_canon_ttl")
         .outputMode(OutputMode.Append).start()
       try {
@@ -204,7 +207,7 @@ class NearDupSpec extends AnyFunSuite {
         // doc 2 arrives INSIDE the retention window: member of rep 1
         input.addData((2L, text))
         waitUntil(seen.get >= 2, "doc 2 processed")
-        Thread.sleep(6000) // > TTL: the fingerprint memory expires
+        Thread.sleep(10000) // > TTL: the fingerprint memory expires
         // doc 3 arrives after expiry: must become its OWN representative,
         // exactly as a batch over the retention window would canonicalize
         input.addData((3L, text))
@@ -225,6 +228,23 @@ class NearDupSpec extends AnyFunSuite {
         case Some(v) => spark.conf.set(ckKey, v)
         case None    => spark.conf.unset(ckKey)
       }
+    }
+  }
+
+  test("canonical (batch): rep is the group-minimum id regardless of row order") {
+    import org.apache.spark.sql.functions.col
+    import graft.SparkTestSession.spark
+    import spark.implicits._
+    // deliberately unsorted arrivals; groups: {1,3,5}="a", {7,9}="b", {8}="c"
+    val docs = Seq((5L, "a"), (3L, "a"), (9L, "b"), (1L, "a"), (7L, "b"), (8L, "c"))
+      .toDF("doc_id", "text").repartition(4)
+    val rows = canonical(docs).collect()
+    val reps = rows.map(c => c.doc_id -> c.rep).toMap
+    assert(reps == Map(1L -> 1L, 3L -> 1L, 5L -> 1L, 7L -> 7L, 9L -> 7L, 8L -> 8L))
+    // text rides ONLY on representative rows
+    rows.foreach { c =>
+      if (c.doc_id == c.rep) assert(c.text != null, s"rep ${c.doc_id} lost its text")
+      else assert(c.text == null, s"member ${c.doc_id} re-shipped its text")
     }
   }
 

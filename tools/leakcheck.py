@@ -27,7 +27,7 @@ PATTERNS = {
     # URLs to anything that is not a public docs/code host or an
     # RFC 2606 documentation/placeholder domain
     "internal-url": re.compile(
-        r"https?://(?!(?:www\.)?(?:github\.com|duckdb\.org|spark\.apache\.org|kafka\.apache\.org|avro\.apache\.org|arxiv\.org|docs\.oracle\.com|openjdk\.org|scala-lang\.org|en\.wikipedia\.org|dl\.acm\.org|doi\.org|localhost)(?![A-Za-z0-9.\-])|[A-Za-z0-9.\-]*example\.(?:com|org|net)|[A-Za-z0-9.\-]+\.(?:test|invalid|local)\b)[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"),
+        r"https?://(?!(?:www\.)?(?:github\.com|duckdb\.org|spark\.apache\.org|kafka\.apache\.org|avro\.apache\.org|arxiv\.org|docs\.oracle\.com|openjdk\.org|scala-lang\.org|en\.wikipedia\.org|dl\.acm\.org|doi\.org|localhost)(?![A-Za-z0-9.\-_])|[A-Za-z0-9.\-]*example\.(?:com|org|net)|[A-Za-z0-9.\-]+\.(?:test|invalid|local)\b)[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"),
     # second-level package roots that are not public ecosystems
     "internal-pkg2": re.compile(
         r"\b(?:com|net|io)\.(?!fasterxml|sun\b|github)[a-z][a-z0-9]{2,}\.(?:internal|private|corp)\b"),
