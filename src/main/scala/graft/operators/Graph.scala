@@ -168,31 +168,54 @@ object Graph {
     * neighborhoods for template-strip review (a clique of boilerplate
     * scores cc = 1; a chain of drifting revisions scores 0).
     *
-    * Triangles are enumerated ONCE each by the canonical orientation
-    * (a < b < c): edges (a,b)·(b,c)·(a,c) — the standard distributed
-    * triangle-counting join, whose work is bounded by true collision
-    * structure, not the corpus. Counts are exact integers; cc is one
-    * division, rounded 6dp.
+    * Triangles are enumerated ONCE each under a DEGREE-ORDERED
+    * orientation (Schank & Wagner / the MapReduce "node-iterator++"):
+    * every edge points from its lower-(degree, id) endpoint to the
+    * higher, and wedges are built only at the LOW vertex — each triangle
+    * has exactly one acyclic orientation, so counts are exact. Ordering
+    * by degree (id tie-break) instead of raw id bounds every vertex's
+    * out-degree by ~√E on any graph: the id orientation degenerates on
+    * hubs — and the near-dup graph GROWS hubs by construction, because
+    * the [[Dedup.HotBucketCap]] star fallback emits (min_id, member)
+    * edges whose min-id center would otherwise own the whole bucket's
+    * wedge fan-out. Counts are exact integers; cc is one division,
+    * rounded 6dp.
     *
     * Plan shape for 100 TB: the pair set is collision-bounded and
-    * localizes under the CC driver bound ([[Dedup.boundedPairs]]) so all
-    * three self-joins broadcast; above the bound the same oriented joins
-    * run as distributed equi-joins keyed by the shared endpoints — the
-    * textbook MapReduce triangle algorithm. */
+    * localizes under the CC driver bound ([[Dedup.boundedPairs]]) so the
+    * orientation joins and the wedge joins all broadcast; above the bound
+    * the same joins run as distributed equi-joins keyed by the shared
+    * endpoints, with the √E out-degree bound capping wedge skew. */
   def triangleCountQuery(s: SparkSession, dir: String): DataFrame = {
     val p = Dedup.boundedPairs(s, dir)
-    val tri = p.alias("e1")
-      .join(p.alias("e2"), col("e2.doc_a") === col("e1.doc_b"))
-      .join(p.alias("e3"), col("e3.doc_a") === col("e1.doc_a") &&
-        col("e3.doc_b") === col("e2.doc_b"))
-      .select(col("e1.doc_a").as("a"), col("e1.doc_b").as("b"),
-        col("e2.doc_b").as("c"))
-    val perNode = tri
-      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
     val deg = p.select(col("doc_a").as("doc_id"))
       .unionByName(p.select(col("doc_b").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    // orient each edge low -> high by (degree, id); join the node-scale
+    // degree table onto both endpoints, then swap where needed
+    val withDeg = p
+      .join(deg.select(col("doc_id").as("doc_a"), col("degree").as("dega")), "doc_a")
+      .join(deg.select(col("doc_id").as("doc_b"), col("degree").as("degb")), "doc_b")
+    val aLow = col("dega") < col("degb") ||
+      (col("dega") === col("degb") && col("doc_a") < col("doc_b"))
+    val e = withDeg.select(
+      when(aLow, col("doc_a")).otherwise(col("doc_b")).as("lo"),
+      when(aLow, col("doc_b")).otherwise(col("doc_a")).as("hi"),
+      when(aLow, col("degb")).otherwise(col("dega")).as("hideg"))
+    // wedges open at the LOW vertex (out-degree <= ~sqrt(E)), tips ordered
+    // by the SAME (degree, id) rank — then the closing edge is exactly
+    // e1.hi -> e2.hi in that orientation, a pure equi-join
+    val tipOrdered = col("e1.hideg") < col("e2.hideg") ||
+      (col("e1.hideg") === col("e2.hideg") && col("e1.hi") < col("e2.hi"))
+    val tri = e.alias("e1")
+      .join(e.alias("e2"), col("e2.lo") === col("e1.lo"))
+      .filter(tipOrdered) // each wedge once, rank-oriented
+      .join(e.alias("e3"),
+        col("e3.lo") === col("e1.hi") && col("e3.hi") === col("e2.hi"))
+      .select(col("e1.lo").as("a"), col("e1.hi").as("b"), col("e2.hi").as("c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
     deg.join(perNode, Seq("doc_id"), "left")
       .select(col("doc_id"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
