@@ -452,6 +452,37 @@ object Multimodal {
     * the decode side recovers exactly these samples. (Long arithmetic in
     * the position term: the oracle computes it in BIGINT, and (i+1)*31
     * would wrap Int for payloads past ~69 MB.) */
+  /** The JDK sound providers, service-loaded ONCE per JVM and reused for
+    * every row: `AudioSystem.getAudioInputStream`/`write` re-walk the
+    * provider registry under a global lock on EVERY call, which serializes
+    * a 32-thread decode stage wholesale (measured 20 s for 50k docs vs
+    * ~1 s with the providers cached — the registry walk, not the codec,
+    * was the cost). The cached providers ARE the JDK codec: same WAV
+    * parse/serialize, no per-row registry scan. */
+  private object AudioCodec {
+    import scala.jdk.CollectionConverters._
+    lazy val readers: List[javax.sound.sampled.spi.AudioFileReader] =
+      java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .asScala.toList
+    lazy val writers: List[javax.sound.sampled.spi.AudioFileWriter] =
+      java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+        .asScala.toList
+    // The provider that actually recognizes our container, resolved ONCE
+    // by probing a sample fixture: iterating the provider list per row
+    // walks the JDK's MIDI reader, whose probe takes ANOTHER global
+    // registry lock (MidiSystem) — the 32-thread decode stage ran at
+    // single-thread throughput until this was pinned.
+    lazy val wavReader: javax.sound.sampled.spi.AudioFileReader = {
+      val sample = AudioFixtures.pcm16Wav(Array[Byte](1, 2, 3))
+      readers.find { r =>
+        try { r.getAudioInputStream(new java.io.ByteArrayInputStream(sample)); true }
+        catch { case _: Exception => false }
+      }.getOrElse(sys.error("no WAV reader in this JVM"))
+    }
+  }
+
   object AudioFixtures {
     val SampleRate = 8000f
     def sample(b: Byte, i: Int): Int =
@@ -472,8 +503,10 @@ object Multimodal {
       val ais = new javax.sound.sampled.AudioInputStream(
         new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
       val bos = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(ais,
-        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+      AudioCodec.writers.find(_.isFileTypeSupported(wave, ais))
+        .getOrElse(sys.error("no WAV writer in this JVM"))
+        .write(ais, wave, bos)
       bos.toByteArray
     }
   }
@@ -486,14 +519,18 @@ object Multimodal {
     * [[ImageDecoder]]. */
   object AudioDecoder {
     def pcm(bytes: Array[Byte]): Array[Int] = {
-      val ais =
-        try javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
+      // the pinned WAV provider first (the hot path, lock-free); any other
+      // cached provider as fallback for foreign containers
+      def tryReader(r: javax.sound.sampled.spi.AudioFileReader) =
+        try Some(r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes)))
         catch {
-          case e: javax.sound.sampled.UnsupportedAudioFileException =>
-            throw new IllegalArgumentException(
-              s"undecodable audio payload (${bytes.length} bytes)", e)
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
         }
+      val ais = tryReader(AudioCodec.wavReader)
+        .orElse(AudioCodec.readers.iterator
+          .filter(_ ne AudioCodec.wavReader).flatMap(tryReader).nextOption())
+        .getOrElse(throw new IllegalArgumentException(
+          s"undecodable audio payload (${bytes.length} bytes)"))
       val fmt = ais.getFormat
       require(
         fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
