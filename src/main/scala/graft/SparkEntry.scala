@@ -473,10 +473,7 @@ object SparkEntry {
       SELECT doc_id, n_chars FROM documents
       WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
       ORDER BY doc_id""",
-    // the stub "decode" is strided octet pooling — plain byte arithmetic,
-    // so the whole multimodal plumbing is oracle-checked (corpus is ASCII:
-    // ord(char) == octet, verified for every sf; n_bytes uses the blob)
-    // mm01 runs a REAL PNG decode (javax.imageio) over fixtures whose pixel
+    // mm01/mm03 run a REAL PNG decode (javax.imageio) over fixtures whose pixel
     // i = text byte (i mod len); the oracle re-derives the decoded-raster
     // pooling straight from that pixel function (ASCII corpus: char ord ==
     // UTF-8 byte, which mm01's old byte-pooling oracle already relied on)

@@ -18,11 +18,12 @@ import graft.core.Tables
   * dependency), with features pooled from the DECODED raster / sample
   * stream. The fixtures' pixels and samples are known functions of the
   * source text, which is what keeps the decoded features SQL-derivable
-  * for the DuckDB oracle. The video-shaped paths (mm02 frame plumbing,
-  * mm03 embedding) stay payload-agnostic over opaque bytes, with
-  * [[FakeDecoder]] standing in for heavyweight neural encoders (none
-  * exist in this environment); swapping it for a JNI/javacv decoder
-  * changes one function.
+  * for the DuckDB oracle. The embedding-retrieval path (mm03) rides the
+  * same real decode: its embeddings are pooled from decoded rasters, not
+  * from raw payload bytes. Only the video-shaped frame plumbing (mm02)
+  * stays payload-agnostic over opaque bytes; [[FakeDecoder]] remains as
+  * the documented stand-in signature for heavyweight NEURAL encoders
+  * (none exist in this environment) — no shipped query uses it.
   */
 object Multimodal {
 
@@ -250,23 +251,28 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
-  /** Query mm03 — the full multimodal curation loop: binary payload →
-    * batched (stub) encoder → embedding column → similarity search. Each
-    * media item's pooled features become its embedding (cosine is scale-
-    * invariant, so the raw pooled vector works unnormalized), and the first
-    * `nQueries` items retrieve their `k` nearest others — media-level
-    * near-duplicate retrieval, the dedup primitive for image/video corpora.
+  /** Query mm03 — the full multimodal curation loop: encoded binary payload
+    * → REAL codec decode → pixel-space embedding → similarity search. Each
+    * image is decoded through javax.imageio ([[extractImageFeatures]], the
+    * mm01 path) and its raster-pooled feature vector becomes the embedding
+    * (cosine is scale-invariant, so the raw pooled vector works
+    * unnormalized); the first `nQueries` items retrieve their `k` nearest
+    * others — media-level near-duplicate retrieval, the dedup primitive for
+    * image/video corpora. The encoder here is a real decode + pooling, not
+    * a stand-in: swapping the pooling for a neural model's activations
+    * changes one mapPartitions body and nothing downstream.
     *
-    * Plan shape for 100 TB: the encoder runs once per item inside
-    * mapPartitions (setup amortized per partition); the tiny query-vector
-    * table is broadcast over ONE pass of the candidate stream; per-query
-    * rank is a WindowGroupLimit-able top-k. Swapping [[FakeDecoder]] for a
-    * real model changes nothing downstream. */
+    * Plan shape for 100 TB: decode runs once per item inside mapPartitions
+    * (codec init amortized per partition); the tiny query-vector table is
+    * broadcast over ONE pass of the candidate stream; per-query rank is a
+    * WindowGroupLimit-able top-k. */
   def mediaEmbedTopK(s: SparkSession, dir: String, k: Int = 5,
       nQueries: Int = 20): DataFrame = {
     import s.implicits._
-    val feats = extractFeatures(mediaFromDocuments(s, dir)).toDF()
-      .filter(col("n_bytes") > 0) // all-zero vector has no cosine
+    val feats = extractImageFeatures(imageMediaFromDocuments(s, dir)).toDF()
+      // all-zero vector has no cosine (only the empty-text fixture pools
+      // to zero — decoded pixels of non-empty ASCII text are all positive)
+      .filter(aggregate(col("features"), lit(0L), (a, x) => a + x) > 0)
       .select(col("media_id"), col("features").cast("array<double>").as("emb"))
     val qs = feats.filter(col("media_id") < nQueries)
       .select(col("media_id").as("query_id"), col("emb").as("qv"))
@@ -281,21 +287,24 @@ object Multimodal {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  /** DuckDB SQL replicating [[mediaEmbedTopK]]: the same 8 strided octet
-    * sums as the mm01 oracle assembled into a DOUBLE[] embedding, the same
-    * sequential-fold cosine (bit-identical to CosineSim), same rank rules. */
+  /** DuckDB SQL replicating [[mediaEmbedTopK]]: the decoded-raster pooled
+    * sums re-derived from the fixtures' known pixel function (pixel i =
+    * text byte i mod len, the same contract the mm01 oracle leans on)
+    * assembled into a DOUBLE[] embedding, the same sequential-fold cosine
+    * (bit-identical to CosineSim), same rank rules. */
   def mediaEmbedTopKOracleSql(k: Int = 5, nQueries: Int = 20): String = {
-    val sums = (0 until FeatureDim).map { i =>
-      s"""CAST(CAST(coalesce(list_sum(list_transform(range(${i + 1}, length(text)+1, $FeatureDim),
-         i -> ord(substr(text, CAST(i AS INT), 1)))), 0) AS BIGINT) AS DOUBLE)"""
+    val sums = (0 until FeatureDim).map { j =>
+      s"""CAST(CAST(coalesce(list_sum(list_transform(range($j, 256, $FeatureDim),
+         i -> CASE WHEN length(text) = 0 THEN 0
+                   ELSE ord(substr(text, CAST((i % length(text)) + 1 AS INT), 1)) END)), 0) AS BIGINT) AS DOUBLE)"""
     }.mkString("[", ", ", "]")
     def fold(a: String, b: String): String =
       s"""(list_sum(list_transform(range(1, len($a)+1), i -> $a[CAST(i AS INT)]*$b[CAST(i AS INT)])) /
          (sqrt(list_sum(list_transform(range(1, len($a)+1), i -> $a[CAST(i AS INT)]*$a[CAST(i AS INT)]))) *
           sqrt(list_sum(list_transform(range(1, len($b)+1), i -> $b[CAST(i AS INT)]*$b[CAST(i AS INT)])))))"""
     s"""
-      WITH f AS (SELECT doc_id AS media_id, $sums AS emb
-                 FROM documents WHERE octet_length(encode(text)) > 0),
+      WITH f0 AS (SELECT doc_id AS media_id, $sums AS emb FROM documents),
+      f AS (SELECT media_id, emb FROM f0 WHERE list_sum(emb) > 0),
       scored AS (SELECT q.media_id AS query_id, c.media_id AS cand_id,
                         round(${fold("q.emb", "c.emb")}, 6) AS cos
                  FROM f q JOIN f c ON c.media_id <> q.media_id

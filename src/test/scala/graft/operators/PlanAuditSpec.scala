@@ -465,6 +465,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("mm03: only the query slice is broadcast — the decoded corpus streams") {
+    val plan = planOf(Multimodal.mediaEmbedTopK(spark, sf0001, nQueries = 20))
+    assert(plan.contains("BroadcastNestedLoopJoin BuildRight"), plan)
+    // the broadcast subtree must be the media_id<20 QUERY slice, never the
+    // full embedded corpus (the sim08 scale-killer shape, outlawed here too)
+    val bx = plan.indexOf("BroadcastExchange")
+    assert(bx >= 0 && plan.substring(bx).contains("(media_id#") &&
+      plan.substring(bx).contains("< 20"),
+      s"broadcast subtree is not the filtered query slice:\n$plan")
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("ev07: counts collapse map-side; top-k is a WindowGroupLimit") {
     val plan = planOf(Windows.heavyHittersQuery(spark, sf0001))
     assert(plan.contains("partial_count"), plan)
