@@ -147,6 +147,10 @@ object Bench {
     "pl02_funnel",
     "w03_sliding_window",
     "q42_exact_stats",
+    // round-8 additions: the document-rewrite boilerplate pass and the
+    // margin-mining pair scorer (both linear corpus passes)
+    "dd17_boilerplate_strip",
+    "sim10_margin_mining",
     // round-8 completion sweep: every remaining query joins the bench
     // except the two true-quadratic brute-force oracles (dd02, sim03 —
     // correctness baselines nobody runs at scale). sim01/sim08 DO bench:

@@ -183,6 +183,8 @@ object SparkEntry {
     "ir07_kwic"            -> ((s: SparkSession, d: String) => graft.operators.Search.kwicQuery(s, d)),
     "gr02_triangles"       -> ((s: SparkSession, d: String) => graft.operators.Graph.triangleCountQuery(s, d)),
     "ev10_session_bounce"  -> ((s: SparkSession, d: String) => graft.operators.Windows.sessionBounceQuery(s, d)),
+    "dd17_boilerplate_strip" -> ((s: SparkSession, d: String) => Dedup.boilerplateStrip(s, d)),
+    "sim10_margin_mining"  -> ((s: SparkSession, d: String) => Similarity.marginMining(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables, same column
@@ -737,6 +739,8 @@ object SparkEntry {
     "gr02_triangles" ->
       graft.operators.Graph.triangleCountOracleSql(pairsSubquerySql),
     "ev10_session_bounce" -> graft.operators.Windows.sessionBounceOracleSql,
+    "dd17_boilerplate_strip" -> Dedup.boilerplateStripOracleSql(),
+    "sim10_margin_mining" -> Similarity.marginMiningOracleSql(),
   )
 
   /** The cl03 kNN prediction derivation as a CTE chain ending in

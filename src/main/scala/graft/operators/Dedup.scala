@@ -942,4 +942,89 @@ object Dedup {
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** dd17 — cross-document boilerplate strip (the C4/RefinedWeb "remove
+    * boilerplate lines seen in many pages" pass; the corpus is unpunctuated
+    * single-line text, so the removable unit is a fixed-boundary `width`-token
+    * segment instead of a line): every document is cut into consecutive
+    * NON-overlapping `width`-token segments; a segment whose exact text occurs
+    * in at least `minDocs` distinct documents is boilerplate; the document is
+    * REWRITTEN with those segments dropped (unlike [[repeatedSpans]]/dd07,
+    * which only scores overlap, this emits the cleaned text).
+    *
+    * Plan shape for 100 TB: segments are non-overlapping, so the exploded
+    * stream is ≈ corpus token count / width — LINEAR, never pairwise. Three
+    * exchanges, all key-partitioned and map-side combinable: (seg, doc_id)
+    * dedup + per-seg doc count (the boilerplate vote), the seg-keyed marker
+    * join back (both sides co-partitioned on seg; AQE broadcasts the
+    * boilerplate side when it is small, which it is by construction — only
+    * segments crossing the minDocs vote survive), and the per-doc reassembly
+    * aggregation. Reassembly order is pinned by array_sort over (pos, seg)
+    * structs — no collect_list order assumption. Docs whose text is null
+    * bypass the pipeline (null clean_text); a doc whose every segment is
+    * boilerplate comes back as the empty string, exactly like the oracle's
+    * coalesced string_agg. */
+  def boilerplateStrip(s: SparkSession, dir: String, width: Int = 4,
+      minDocs: Int = 3): DataFrame = {
+    val docs = Tables.parallel(Tables.documents(s, dir))
+    val toks = split(Text.normText(col("text")), " ")
+    val nseg = ((size(toks) + (width - 1)) / width).cast("int")
+    val segs = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nseg - 1),
+          i => array_join(slice(toks, i * width + 1, lit(width)), " ")))
+          .as(Seq("pos", "seg")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bp = segs.select(col("seg"), col("doc_id")).distinct()
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("seg"), lit(true).as("is_bp"))
+    val perDoc = segs.join(bp, Seq("seg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("is_bp"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("is_bp").isNull, struct(col("pos"), col("seg"))))),
+            x => x.getField("seg")),
+          " ").as("clean_text"))
+    docs.select(col("doc_id"), col("text").isNull.as("tnull"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        when(col("tnull"), lit(null: String))
+          .otherwise(coalesce(col("clean_text"), lit(""))).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB SQL replicating [[boilerplateStrip]] exactly: same normalization,
+    * same fixed-boundary token slices (1-based inclusive list slice = Spark's
+    * `slice(toks, i*width+1, width)` with the short tail kept), same
+    * countDistinct >= minDocs vote, same pos-ordered reassembly. */
+  def boilerplateStripOracleSql(width: Int = 4, minDocs: Int = 3): String = s"""
+      WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                 FROM documents),
+      tok AS (SELECT doc_id, string_split(t, ' ') AS w FROM d WHERE t IS NOT NULL),
+      seg AS (SELECT doc_id,
+                unnest(range(0, (len(w) + ${width - 1}) // $width)) AS pos,
+                unnest(list_transform(range(0, (len(w) + ${width - 1}) // $width),
+                  i -> array_to_string(w[CAST(i*$width+1 AS INT):CAST(i*$width+$width AS INT)], ' '))) AS seg
+              FROM tok),
+      bp AS (SELECT seg FROM seg GROUP BY seg HAVING count(DISTINCT doc_id) >= $minDocs),
+      marked AS (SELECT f.doc_id, f.pos, f.seg, (b.seg IS NOT NULL) AS is_bp
+                 FROM seg f LEFT JOIN bp b ON f.seg = b.seg),
+      perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+                        CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                        coalesce(string_agg(CASE WHEN NOT is_bp THEN seg END, ' ' ORDER BY pos), '') AS ct
+                 FROM marked GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(n_segments, 0) AS n_segments,
+             coalesce(n_removed, 0) AS n_removed,
+             CASE WHEN d.t IS NULL THEN NULL ELSE coalesce(ct, '') END AS clean_text
+      FROM d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"""
 }

@@ -741,4 +741,123 @@ object Similarity {
                     ORDER BY ip DESC, cand_id) AS BIGINT) AS rnk
         FROM scored) z
       WHERE rnk <= $k ORDER BY query_id, rnk"""
+
+  /** sim10 — margin-based pair mining (the CCMatrix / LASER bitext-mining
+    * criterion, Artetxe & Schwenk 2019): two embedding sets X (even vec_id,
+    * the "source side") and Y (odd vec_id, the "target side"); a candidate
+    * pair (x, y) is scored not by raw cosine but by the MARGIN
+    * `2·cos(x,y) / (dx(x) + dy(y))` where dx/dy are the mean cosines of each
+    * vector to its k nearest neighbors on the OTHER side — normalizing away
+    * hubness (vectors that are close to everything score high raw cosine
+    * against everything; dividing by their neighborhood density cancels it).
+    * Emits each query's top-k forward candidates re-ranked by margin, with
+    * `accepted` = (best candidate AND margin above threshold) — the mined
+    * pair decision.
+    *
+    * Plan shape for 100 TB: the bounded query set broadcasts over ONE pass
+    * of the Y side (forward kNN, per-query WindowGroupLimit top-k — the
+    * corpus never shuffles); the surviving candidate set is ≤ k·|Q| rows, so
+    * IT broadcasts over ONE pass of the X side for the reverse-kNN density
+    * term. Two linear corpus passes, two bounded broadcasts, no all-pairs
+    * anywhere. For unbounded |Q| the forward pass swaps in the sign-LSH
+    * bucketing of [[lshTopK]] unchanged (cosine is the metric on both
+    * sides). Determinism: cosines round to 6 dp before ranking (id
+    * tie-break), each density mean folds its k addends in rank order
+    * (k = 4 ⇒ the /k division is exact in IEEE), margin rounds to 6 dp
+    * before the final rank. */
+  def marginMining(s: SparkSession, dir: String, k: Int = 4,
+      nQueries: Int = 100, threshold: Double = 1.02): DataFrame = {
+    val emb = Tables.parallel(Tables.embeddings(s, dir))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val xs = emb.filter(col("vec_id") % 2 === 0)
+    val ys = emb.filter(col("vec_id") % 2 === 1)
+    val q = xs.filter(col("vec_id") < 2 * nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+
+    // rank-ordered sequential fold of the k neighbor cosines => mean
+    def densityOf(df: DataFrame, key: String, out: String): DataFrame =
+      df.groupBy(col(key))
+        .agg((aggregate(
+          transform(
+            array_sort(collect_list(struct(col("rnk"), col("cos")))),
+            x => x.getField("cos")),
+          lit(0.0d), (a, b) => a + b) / k).as(out))
+
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
+    val fwd = ys.select(col("vec_id").as("cand_id"), col("v").as("cv"))
+      .join(broadcast(q))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rnk", row_number().over(wq).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rnk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dx = densityOf(fwd, "query_id", "dx")
+
+    // reverse kNN for the bounded candidate set only (ids join their
+    // vectors back y-keyed, then broadcast over one X pass)
+    val candY = fwd.select(col("cand_id")).distinct()
+      .join(ys.select(col("vec_id").as("cand_id"), col("v").as("yv")), "cand_id")
+    val wy = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cand_id")).orderBy(col("cos").desc, col("x_id"))
+    val rev = xs.select(col("vec_id").as("x_id"), col("v").as("xv"))
+      .join(broadcast(candY))
+      .withColumn("cos", round(cosine(col("yv"), col("xv")), 6))
+      .withColumn("rnk", row_number().over(wy).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("cand_id"), col("cos"), col("rnk"))
+    val dy = densityOf(rev, "cand_id", "dy")
+
+    val wm = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("margin").desc, col("cand_id"))
+    fwd.join(dx, "query_id").join(dy, "cand_id")
+      .withColumn("margin",
+        round(col("cos") * 2.0d / (col("dx") + col("dy")), 6))
+      .withColumn("mrnk", row_number().over(wm).cast("long"))
+      .select(col("query_id"), col("cand_id"), col("cos"), col("margin"),
+        col("mrnk"),
+        (col("margin") > threshold && col("mrnk") === 1).as("accepted"))
+      .orderBy(col("query_id"), col("mrnk"))
+  }
+
+  /** DuckDB SQL replicating [[marginMining]] exactly: same parity split,
+    * same 6dp-rounded sequential-fold cosine, same rank-ordered density
+    * folds (list(cos ORDER BY rnk) = the array_sort fold), same margin
+    * arithmetic (cos*2 and /k are exact IEEE scalings), same tie-breaks. */
+  def marginMiningOracleSql(k: Int = 4, nQueries: Int = 100,
+      threshold: Double = 1.02): String = s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      xs AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+      ys AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM xs WHERE vec_id < ${2 * nQueries}),
+      fscored AS (SELECT q.query_id, c.vec_id AS cand_id,
+                    round(${cosListSql("q.qv", "c.v")}, 6) AS cos
+                  FROM q CROSS JOIN ys c),
+      fwd AS MATERIALIZED (SELECT query_id, cand_id, cos, rnk FROM (
+               SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos DESC, cand_id) AS BIGINT) AS rnk
+               FROM fscored) z WHERE rnk <= $k),
+      dx AS (SELECT query_id, list_sum(list(cos ORDER BY rnk)) / $k AS dx
+             FROM fwd GROUP BY query_id),
+      cy AS (SELECT c.cand_id, y.v AS yv
+             FROM (SELECT DISTINCT cand_id FROM fwd) c
+             JOIN ys y ON c.cand_id = y.vec_id),
+      rscored AS (SELECT cy.cand_id, x.vec_id AS x_id,
+                    round(${cosListSql("cy.yv", "x.v")}, 6) AS cos
+                  FROM cy CROSS JOIN xs x),
+      rev AS (SELECT cand_id, cos, rnk FROM (
+               SELECT *, CAST(row_number() OVER (PARTITION BY cand_id
+                           ORDER BY cos DESC, x_id) AS BIGINT) AS rnk
+               FROM rscored) z WHERE rnk <= $k),
+      dy AS (SELECT cand_id, list_sum(list(cos ORDER BY rnk)) / $k AS dy
+             FROM rev GROUP BY cand_id)
+      SELECT query_id, cand_id, cos, margin, mrnk,
+             (margin > $threshold AND mrnk = 1) AS accepted
+      FROM (SELECT f.query_id, f.cand_id, f.cos,
+              round(f.cos * 2.0 / (dx.dx + dy.dy), 6) AS margin,
+              CAST(row_number() OVER (PARTITION BY f.query_id
+                ORDER BY round(f.cos * 2.0 / (dx.dx + dy.dy), 6) DESC,
+                         f.cand_id) AS BIGINT) AS mrnk
+            FROM fwd f JOIN dx USING (query_id) JOIN dy USING (cand_id)) z
+      ORDER BY query_id, mrnk"""
 }

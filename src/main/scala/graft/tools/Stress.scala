@@ -102,7 +102,11 @@ object Stress {
       "cl03_knn_classifier", "sa09_cluster_split", "sk03_minhash_est",
       "ev09_ewma_anomaly", "cl04_confusion", "ir07_kwic",
       "gr02_triangles", "ev10_session_bounce", "pl04_dataset_card",
-      "q37_ignore_nulls", "sk04_sample_quantiles", "er03_golden_record")
+      "q37_ignore_nulls", "sk04_sample_quantiles", "er03_golden_record",
+      // round-8 additions: the boilerplate rewrite must stay linear when
+      // the amplified corpus multiplies every segment's doc count, and the
+      // margin miner's reverse pass must stay bounded by k*|Q|
+      "dd17_boilerplate_strip", "sim10_margin_mining")
     // q39/q40 read lineitem, which the stress corpus does not amplify —
     // they rehearse under Bench at sf0.1 instead
     val dedupSubset = Seq("dd01_exact_dedup", "dd03_minhash_lsh",

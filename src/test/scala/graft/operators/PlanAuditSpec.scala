@@ -459,6 +459,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("hashpartitioning(text"), plan)
   }
 
+  test("dd17: linear segment stream — key exchanges only, no pair work") {
+    val plan = planOf(Dedup.boilerplateStrip(spark, sf0001).limit(1))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the boilerplate vote collapses map-side BEFORE the wire (distinct
+    // (seg, doc) partial agg), and no exchange ever carries document text
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      plan)
+    assert(!plan.contains("hashpartitioning(clean_text"), plan)
+    assert(!plan.contains("hashpartitioning(text"), plan)
+  }
+
+  test("sim10: both corpus passes broadcast only bounded sets") {
+    val plan = planOf(Similarity.marginMining(spark, sf0001, nQueries = 10))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // forward pass: query slice broadcast; reverse pass: k*|Q| candidate
+    // set broadcast — two BNLJs, corpus side streaming in both
+    assert(count(plan, "BroadcastNestedLoopJoin BuildRight") >= 2, plan)
+    // the broadcast subtrees are the vec_id<20 slice / the fwd-derived
+    // candidate set — never an unfiltered embeddings scan (the filter
+    // renders as a parquet PushedFilter or, when a sibling test's persist
+    // substitutes a cached relation, as an InMemoryTableScan predicate)
+    assert(plan.contains("LessThan(vec_id,20)") ||
+      """vec_id#\d+L? < 20""".r.findFirstIn(plan).nonEmpty, plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("sim08: MIPS scan broadcasts the queries; per-query top-k group-limits") {
     val plan = planOf(Similarity.mipsTopK(spark, sf0001))
     assert(plan.contains("BroadcastNestedLoopJoin BuildRight"), plan)
