@@ -151,6 +151,8 @@ object Bench {
     // margin-mining pair scorer (both linear corpus passes)
     "dd17_boilerplate_strip",
     "sim10_margin_mining",
+    "dd18_semantic_decontam",
+    "sa10_weighted_sample",
     // round-8 completion sweep: every remaining query joins the bench
     // except the two true-quadratic brute-force oracles (dd02, sim03 —
     // correctness baselines nobody runs at scale). sim01/sim08 DO bench:

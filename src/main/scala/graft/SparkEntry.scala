@@ -185,6 +185,8 @@ object SparkEntry {
     "ev10_session_bounce"  -> ((s: SparkSession, d: String) => graft.operators.Windows.sessionBounceQuery(s, d)),
     "dd17_boilerplate_strip" -> ((s: SparkSession, d: String) => Dedup.boilerplateStrip(s, d)),
     "sim10_margin_mining"  -> ((s: SparkSession, d: String) => Similarity.marginMining(s, d)),
+    "dd18_semantic_decontam" -> ((s: SparkSession, d: String) => Dedup.semanticDecontaminate(s, d)),
+    "sa10_weighted_sample" -> ((s: SparkSession, d: String) => Curation.weightedSampleQuery(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables, same column
@@ -741,6 +743,8 @@ object SparkEntry {
     "ev10_session_bounce" -> graft.operators.Windows.sessionBounceOracleSql,
     "dd17_boilerplate_strip" -> Dedup.boilerplateStripOracleSql(),
     "sim10_margin_mining" -> Similarity.marginMiningOracleSql(),
+    "dd18_semantic_decontam" -> Dedup.semanticDecontaminateOracleSql(),
+    "sa10_weighted_sample" -> Curation.weightedSampleOracleSql(),
   )
 
   /** The cl03 kNN prediction derivation as a CTE chain ending in

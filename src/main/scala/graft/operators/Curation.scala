@@ -683,4 +683,54 @@ object Curation {
                   WHEN bucket = 8 THEN 'val'
                   ELSE 'test' END AS split
       FROM b ORDER BY doc_id"""
+
+  /** sa10 — weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    * 2006, the one-pass weighted reservoir everyone's data pipeline uses):
+    * each document draws a deterministic md5 uniform u ∈ (0, 1] and a key
+    * ln(u) / w (the monotone form of u^(1/w)); the n largest keys ARE a
+    * without-replacement sample with inclusion probability proportional to
+    * weight — here w = token count, i.e. "sample tokens, not documents",
+    * the policy that makes a token-budgeted corpus draw fair.
+    *
+    * Plan shape for 100 TB: the key is one columnar pass (no exchange);
+    * selection is a global top-n = TakeOrderedAndProject — per-partition
+    * heaps of n rows, ONE n-row collect to assemble the winners, nothing
+    * corpus-scale ever shuffles. (This is the whole point of E-S over
+    * systematic/PPS cumulative-sum sampling, which would need a global
+    * prefix scan.) Determinism: u is md5-derived (engine-portable, no RNG
+    * state); keys round to 6 dp with doc_id tie-break before the cut, so
+    * the boundary is exact on both engines. */
+  def weightedSampleQuery(s: SparkSession, dir: String, n: Int = 64): DataFrame = {
+    val docs = Tables.parallel(Tables.documents(s, dir))
+      .filter(col("text").isNotNull)
+    val w = size(split(Text.normText(col("text")), " ")).cast("double")
+    val u = (md5Prefix32(col("doc_id")).cast("double") + 1.0d) / 4294967296.0d
+    val keyed = docs.select(col("doc_id"), col("source"),
+      w.cast("long").as("weight"),
+      round(log(u) / w, 6).as("skey"))
+    val top = keyed.orderBy(col("skey").desc, col("doc_id")).limit(n)
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy(col("skey").desc, col("doc_id"))
+    top.withColumn("rnk", row_number().over(wr).cast("long"))
+      .select(col("doc_id"), col("source"), col("weight"), col("skey"),
+        col("rnk"))
+      .orderBy(col("rnk"))
+  }
+
+  /** DuckDB SQL replicating [[weightedSampleQuery]] exactly: same md5
+    * 32-bit uniform, same ln(u)/w key (ln agrees bitwise across engines on
+    * these dyadic-rational inputs; the 6dp round + id tie-break pins the
+    * cut), same top-n. */
+  def weightedSampleOracleSql(n: Int = 64): String = s"""
+      WITH d AS (SELECT doc_id, source,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                 FROM documents WHERE text IS NOT NULL),
+      keyed AS (SELECT doc_id, source,
+                  CAST(len(string_split(t, ' ')) AS BIGINT) AS weight,
+                  round(ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0) / 4294967296.0)
+                        / CAST(len(string_split(t, ' ')) AS DOUBLE), 6) AS skey
+                FROM d)
+      SELECT doc_id, source, weight, skey,
+             CAST(row_number() OVER (ORDER BY skey DESC, doc_id) AS BIGINT) AS rnk
+      FROM keyed ORDER BY skey DESC, doc_id LIMIT $n"""
 }

@@ -1027,4 +1027,69 @@ object Dedup {
              coalesce(n_removed, 0) AS n_removed,
              CASE WHEN d.t IS NULL THEN NULL ELSE coalesce(ct, '') END AS clean_text
       FROM d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"""
+
+  /** dd18 — SEMANTIC decontamination: the embedding-space complement of
+    * [[decontaminate]]/dd08 (which only catches verbatim n-gram overlap —
+    * a paraphrased eval question shares no 8-gram with its source but
+    * lands next to it in embedding space). Vectors labeled `benchLabel`
+    * are the held-out benchmark; every other vector is scored by its max
+    * cosine to ANY benchmark vector and flagged when that exceeds
+    * `threshold`, with the nearest benchmark id (tie: smaller id) and the
+    * count of benchmark vectors above the threshold as audit columns.
+    *
+    * Plan shape for 100 TB: benchmark suites are bounded, so the bench
+    * side broadcasts and the corpus side is ONE streamed pass (same
+    * contract as dd08); the argmax is a map-side-combining max over a
+    * (cos, -bench_id) struct — per-corpus-vector state is one struct, no
+    * window shuffle, no bench-side distinct-aggregate. If a benchmark
+    * outgrew the broadcast limit the sign-LSH bucketing of [[Similarity
+    * .lshTopK]] substitutes for candidate generation, same verdict. */
+  def semanticDecontaminate(s: SparkSession, dir: String, benchLabel: Int = 0,
+      threshold: Double = 0.45): DataFrame = {
+    val emb = Tables.parallel(Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+    val bench = emb.filter(col("label") === benchLabel)
+      .select(col("vec_id").as("bench_id"), col("v").as("bv"))
+    emb.filter(col("label") =!= benchLabel)
+      .join(broadcast(bench))
+      .withColumn("cos",
+        round(graft.functions.CosineSim.cosineSim(col("v"), col("bv")), 6))
+      .groupBy(col("vec_id"))
+      .agg(
+        max(struct(col("cos"), (-col("bench_id")).as("nid"))).as("best"),
+        sum(when(col("cos") >= threshold, 1L).otherwise(0L)).as("n_hits"))
+      .select(
+        col("vec_id"),
+        col("best.cos").as("max_cos"),
+        (-col("best.nid")).as("nearest_bench_id"),
+        col("n_hits"),
+        (col("best.cos") >= threshold).as("contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB SQL replicating [[semanticDecontaminate]] exactly: same
+    * sequential-fold cosine (bit-identical to CosineSim), same 6dp round
+    * before every comparison, min-id tie-break expressed as min(bench_id)
+    * over the rows achieving the max (= the struct-max's negated-id
+    * field). */
+  def semanticDecontaminateOracleSql(benchLabel: Int = 0,
+      threshold: Double = 0.45): String = s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+      b AS (SELECT vec_id AS bench_id, v AS bv FROM e WHERE label = $benchLabel),
+      c AS (SELECT vec_id, v FROM e WHERE label <> $benchLabel),
+      scored AS (SELECT c.vec_id, b.bench_id,
+                   round((list_sum(list_transform(range(1, len(c.v)+1), i -> c.v[CAST(i AS INT)]*b.bv[CAST(i AS INT)])) /
+                     (sqrt(list_sum(list_transform(range(1, len(c.v)+1), i -> c.v[CAST(i AS INT)]*c.v[CAST(i AS INT)]))) *
+                      sqrt(list_sum(list_transform(range(1, len(b.bv)+1), i -> b.bv[CAST(i AS INT)]*b.bv[CAST(i AS INT)]))))), 6) AS cos
+                 FROM c CROSS JOIN b),
+      agg AS (SELECT vec_id, max(cos) AS max_cos,
+                     CAST(sum(CASE WHEN cos >= $threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+              FROM scored GROUP BY vec_id),
+      nearest AS (SELECT s.vec_id, min(s.bench_id) AS nearest_bench_id
+                  FROM scored s JOIN agg a ON s.vec_id = a.vec_id AND s.cos = a.max_cos
+                  GROUP BY s.vec_id)
+      SELECT a.vec_id, a.max_cos, n.nearest_bench_id, a.n_hits,
+             (a.max_cos >= $threshold) AS contaminated
+      FROM agg a JOIN nearest n USING (vec_id) ORDER BY a.vec_id"""
 }

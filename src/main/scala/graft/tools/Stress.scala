@@ -106,7 +106,8 @@ object Stress {
       // round-8 additions: the boilerplate rewrite must stay linear when
       // the amplified corpus multiplies every segment's doc count, and the
       // margin miner's reverse pass must stay bounded by k*|Q|
-      "dd17_boilerplate_strip", "sim10_margin_mining")
+      "dd17_boilerplate_strip", "sim10_margin_mining",
+      "dd18_semantic_decontam", "sa10_weighted_sample")
     // q39/q40 read lineitem, which the stress corpus does not amplify —
     // they rehearse under Bench at sf0.1 instead
     val dedupSubset = Seq("dd01_exact_dedup", "dd03_minhash_lsh",

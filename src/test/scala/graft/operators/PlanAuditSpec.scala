@@ -470,6 +470,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("hashpartitioning(text"), plan)
   }
 
+  test("dd18: bench set broadcasts; argmax combines map-side, no window") {
+    val plan = planOf(Dedup.semanticDecontaminate(spark, sf0001).limit(1))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin BuildRight"), plan)
+    // the per-vector argmax is an aggregate (one struct of state per
+    // vector, partial-combined before the exchange) — never a window sort
+    assert(plan.contains("partial_max") || plan.contains("partial max"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("sa10: key pass is columnar; selection is a top-n, never a global sort") {
+    val plan = planOf(Curation.weightedSampleQuery(spark, sf0001))
+    // per-partition heaps + one n-row assembly — no corpus-scale exchange
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("hashpartitioning"), plan)
+  }
+
   test("sim10: both corpus passes broadcast only bounded sets") {
     val plan = planOf(Similarity.marginMining(spark, sf0001, nQueries = 10))
     assert(!plan.contains("CartesianProduct"), plan)

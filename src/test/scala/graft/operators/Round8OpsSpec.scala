@@ -44,6 +44,75 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(expected.map(_._3).sum > 0, "no boilerplate removed at sf0.001")
   }
 
+  test("dd18: verdicts recompute from a driver-side brute force") {
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>"),
+        col("label"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      round6(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val bench = emb.filter(_._3 == 0)
+    val corpus = emb.filter(_._3 != 0)
+    assert(bench.nonEmpty && corpus.nonEmpty)
+    val byId = corpus.map { case (id, v, _) =>
+      id -> bench.map { case (bid, bv, _) => (bid, cos(v, bv)) }
+    }
+    // pick a threshold from the recomputed data that guarantees BOTH
+    // verdict classes exist on this corpus (the fixed default may yield
+    // zero contaminated rows at sf0.001, making the flag untested)
+    val maxes = byId.map(_._2.map(_._2).max).sorted
+    val t = maxes(maxes.length / 2)
+    val expected = byId.map { case (id, cs) =>
+      val mx = cs.map(_._2).max
+      (id, mx, cs.filter(_._2 == mx).map(_._1).min,
+        cs.count(_._2 >= t).toLong, mx >= t)
+    }.sortBy(_._1)
+    val got = Dedup.semanticDecontaminate(spark, sf0001, 0, t).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(got.toSeq == expected.toSeq)
+    assert(expected.exists(_._5) && expected.exists(!_._5),
+      "both verdict classes must occur")
+  }
+
+  test("sa10: E-S sample recomputes from a driver-side key sort") {
+    val n = 64
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .filter(!_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val keyed = docs.map { case (id, src, t) =>
+      val w = t.toLowerCase.replaceAll("\\s+", " ").trim.split(" ", -1).length
+      val h32 = java.lang.Long.parseLong(md5hex(id.toString).take(8), 16)
+      val key = round6(math.log((h32 + 1.0) / 4294967296.0) / w)
+      (id, src, w.toLong, key)
+    }
+    val expected = keyed.sortBy { case (id, _, _, k) => (-k, id) }.take(n)
+      .zipWithIndex.map { case ((id, src, w, k), i) =>
+        (id, src, w, k, (i + 1).toLong)
+      }
+    val got = Curation.weightedSampleQuery(spark, sf0001, n).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(got.toSeq == expected.toSeq)
+    // weights must matter: the E-S rank order must differ from the order
+    // of the raw uniforms (otherwise w never influenced the draw)
+    val byU = keyed.sortBy { case (id, _, _, _) =>
+      (-java.lang.Long.parseLong(md5hex(id.toString).take(8), 16), id)
+    }.map(_._1).take(expected.length)
+    assert(expected.map(_._1).toSeq != byU.toSeq,
+      "weighted order degenerated to the unweighted uniform order")
+  }
+
   test("sim10: margins recompute from a driver-side brute force") {
     val k = 4
     val nQueries = 100
