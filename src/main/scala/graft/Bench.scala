@@ -180,6 +180,14 @@ object Bench {
     "ta04_fingerprint",
     "sim01_cosine_topk",
     "mm02_frame_sample",
+    // round-8 third batch: LM retrieval, centroid/calibration classifiers,
+    // Markov next-event, multi-vector MaxSim, Adamic-Adar link prediction
+    "ir08_lm_dirichlet",
+    "cl05_centroid_classifier",
+    "cl06_calibration",
+    "ev11_markov_next",
+    "sim11_maxsim",
+    "gr03_adamic_adar",
   )
 
   def main(args: Array[String]): Unit = {

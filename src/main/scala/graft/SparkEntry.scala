@@ -187,6 +187,12 @@ object SparkEntry {
     "sim10_margin_mining"  -> ((s: SparkSession, d: String) => Similarity.marginMining(s, d)),
     "dd18_semantic_decontam" -> ((s: SparkSession, d: String) => Dedup.semanticDecontaminate(s, d)),
     "sa10_weighted_sample" -> ((s: SparkSession, d: String) => Curation.weightedSampleQuery(s, d)),
+    "ir08_lm_dirichlet"    -> ((s: SparkSession, d: String) => Search.lmDirichletTopK(s, d)),
+    "cl05_centroid_classifier" -> ((s: SparkSession, d: String) => graft.operators.Classifier.centroidClassifierQuery(s, d)),
+    "cl06_calibration"     -> ((s: SparkSession, d: String) => graft.operators.Classifier.calibrationReportQuery(s, d)),
+    "ev11_markov_next"     -> ((s: SparkSession, d: String) => Windows.markovNextQuery(s, d)),
+    "sim11_maxsim"         -> ((s: SparkSession, d: String) => Similarity.maxSimTopK(s, d)),
+    "gr03_adamic_adar"     -> ((s: SparkSession, d: String) => graft.operators.Graph.adamicAdarQuery(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables, same column
@@ -745,6 +751,14 @@ object SparkEntry {
     "sim10_margin_mining" -> Similarity.marginMiningOracleSql(),
     "dd18_semantic_decontam" -> Dedup.semanticDecontaminateOracleSql(),
     "sa10_weighted_sample" -> Curation.weightedSampleOracleSql(),
+    "ir08_lm_dirichlet" -> Search.lmDirichletOracleSql(),
+    "cl05_centroid_classifier" ->
+      graft.operators.Classifier.centroidClassifierOracleSql(),
+    "cl06_calibration" -> graft.operators.Classifier.calibrationOracleSql(),
+    "ev11_markov_next" -> Windows.markovNextOracleSql,
+    "sim11_maxsim" -> Similarity.maxSimOracleSql(),
+    "gr03_adamic_adar" ->
+      graft.operators.Graph.adamicAdarOracleSql(pairsSubquerySql),
   )
 
   /** The cl03 kNN prediction derivation as a CTE chain ending in

@@ -431,4 +431,142 @@ object Classifier {
             (col("precision") + col("recall")), 6)))
       .orderBy(col("label"))
   }
+
+  /** cl05 — nearest-centroid (Rocchio) embedding classifier: per-label
+    * mean embedding on the train split, classify each test vector to the
+    * centroid with the highest cosine — the cheapest linear-probe-style
+    * baseline over a frozen embedding space (and the model a SemDeDup-era
+    * pipeline uses to audit whether its embeddings separate its labels at
+    * all before paying for kNN). Same md5 80/20 split as [[knnPredictions]]
+    * so the two classifiers are comparable on the identical test set.
+    *
+    * Determinism: centroid components are round(avg, 6) per (label, dim) —
+    * the [[Similarity.kmeansFit]] recipe — assembled in dimension order;
+    * cosines round 6dp; the argmax is a row_number over (cos DESC, label)
+    * — a total order both engines compute identically.
+    *
+    * Plan shape for 100 TB: the centroid pass is one map-side-combined
+    * aggregate keyed (label, dim) — |labels| x dim cells regardless of
+    * corpus size; the grid broadcasts (tiny by construction) over ONE pass
+    * of the test stream. No corpus shuffle, no pairwise work anywhere —
+    * the reason Rocchio is the probe you run before kNN. */
+  def centroidClassifierQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+      .withColumn("h", Curation.md5Prefix32(col("vec_id")).cast("long") % 10)
+    val train = emb.filter(col("h") < 8)
+    val test = Tables.parallel(emb.filter(col("h") >= 8))
+      .select(col("vec_id"), col("v").as("qv"), col("label").as("true_label"))
+    val cent = train
+      .select(col("label").as("cl"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cl"), col("pos"))
+      .agg(round(avg(col("x")), 6).as("cx"))
+      .groupBy(col("cl"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        e => e.getField("cx")).as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cl"))
+    test.join(broadcast(cent))
+      .withColumn("cos", round(Similarity.cosine(col("qv"), col("cv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("true_label"), col("cl").as("pred_label"),
+        col("cos").as("best_cos"),
+        (col("cl") === col("true_label")).as("correct"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB SQL replicating [[centroidClassifierQuery]] exactly (same md5
+    * split, same per-dim rounded centroid means in dimension order, same
+    * sequential-fold cosine, same argmax tie-break). */
+  def centroidClassifierOracleSql(dim: Int = 64): String = {
+    def fold(a: String, b: String): String =
+      s"""(list_sum(list_transform(range(1, len($a)+1), i -> $a[CAST(i AS INT)]*$b[CAST(i AS INT)])) /
+         (sqrt(list_sum(list_transform(range(1, len($a)+1), i -> $a[CAST(i AS INT)]*$a[CAST(i AS INT)]))) *
+          sqrt(list_sum(list_transform(range(1, len($b)+1), i -> $b[CAST(i AS INT)]*$b[CAST(i AS INT)])))))"""
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label,
+                   CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     % 10 AS h
+                 FROM embeddings),
+      train AS (SELECT v, label FROM e WHERE h < 8),
+      test AS (SELECT vec_id, v, label AS true_label FROM e WHERE h >= 8),
+      cent AS (SELECT cl, list(cx ORDER BY pos) AS cv FROM (
+                 SELECT label AS cl, t.i AS pos,
+                        round(avg(v[CAST(t.i AS INT)]), 6) AS cx
+                 FROM train CROSS JOIN range(1, ${dim + 1}) t(i)
+                 GROUP BY label, t.i) z GROUP BY cl),
+      sc AS (SELECT t.vec_id, t.true_label, c.cl,
+                    round(${fold("t.v", "c.cv")}, 6) AS cos
+             FROM test t CROSS JOIN cent c)
+      SELECT vec_id, true_label, cl AS pred_label, cos AS best_cos,
+             cl = true_label AS correct
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY cos DESC, cl) AS rn FROM sc) z
+      WHERE rn = 1 ORDER BY vec_id"""
+  }
+
+  /** cl06 — calibration report (the reliability diagram behind Expected
+    * Calibration Error, Guo et al. 2017): bin [[qualityClassifierQuery]]'s
+    * scores into `bins` equal-width confidence bins and compare each bin's
+    * mean confidence against its empirical accuracy — the standard audit
+    * of whether a quality filter's scores can be used as sampling weights
+    * (an uncalibrated filter silently skews the mixture when its scores
+    * feed sa10-style weighted sampling).
+    *
+    * Bins are RANGE-NORMALIZED — equal-width over [min(score), max(score)]
+    * rather than [0, 1] — because a filter whose scores concentrate near
+    * the base rate (this corpus: everything ~0.1) would collapse into one
+    * [0,1]-width bin and the diagram would audit nothing.
+    *
+    * Determinism: min/max over the 6dp-rounded scores are order-free; the
+    * bin index is floor((score-lo)/(hi-lo)*bins) — a fixed IEEE op
+    * sequence on identical doubles — clamped to bins-1 at score = hi (and
+    * 0 when the distribution is a point); accuracy is an exact integer
+    * ratio; mean confidence is an order-dependent avg → rounded 6dp; the
+    * gap is computed FROM the two rounded values, so it is a fixed op
+    * sequence both engines share.
+    *
+    * Plan shape for 100 TB: a 1-row min/max aggregate broadcast back over
+    * the score stream, then one |bins|-cell map-side-combined aggregate —
+    * on top of cl01's scoring pass (which itself is exchange-free
+    * columnar), the report adds two cheap passes and no corpus exchange. */
+  def calibrationReportQuery(s: SparkSession, dir: String, iters: Int = 8,
+      trusted: String = "src0", bins: Int = 10): DataFrame = {
+    val scored = qualityClassifierQuery(s, dir, iters, trusted)
+    val mm = scored.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+    scored.crossJoin(broadcast(mm))
+      .withColumn("bin",
+        when(col("hi") > col("lo"),
+          least(floor((col("score") - col("lo")) / (col("hi") - col("lo")) * bins),
+            lit((bins - 1).toLong)))
+          .otherwise(lit(0L)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("score")), 6).as("avg_conf"),
+        round(sum(col("label")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("accuracy"))
+      .withColumn("gap", round(abs(col("avg_conf") - col("accuracy")), 6))
+      .orderBy(col("bin"))
+  }
+
+  /** DuckDB SQL replicating [[calibrationReportQuery]] exactly: the cl01
+    * oracle (same `iters` spec) as a subquery, then the identical binning
+    * and rounded-ratio arithmetic. */
+  def calibrationOracleSql(iters: Int = 8, trusted: String = "src0",
+      bins: Int = 10): String = s"""
+      WITH q AS (${qualityClassifierOracleSql(iters, trusted)}),
+      mm AS (SELECT min(score) AS lo, max(score) AS hi FROM q),
+      b AS (SELECT CASE WHEN hi > lo
+                     THEN least(CAST(floor((score - lo) / (hi - lo) * $bins)
+                                  AS BIGINT), ${bins - 1})
+                     ELSE 0 END AS bin, label, score
+            FROM q CROSS JOIN mm)
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             round(avg(score), 6) AS avg_conf,
+             round(CAST(sum(label) AS DOUBLE) / count(*), 6) AS accuracy,
+             round(abs(round(avg(score), 6) -
+                       round(CAST(sum(label) AS DOUBLE) / count(*), 6)), 6) AS gap
+      FROM b GROUP BY bin ORDER BY bin"""
 }

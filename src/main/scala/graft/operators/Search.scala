@@ -418,4 +418,82 @@ object Search {
       FROM p WHERE pos > 0
       ORDER BY doc_id"""
   }
+
+  /** Dirichlet prior for [[lmDirichletTopK]] — small because the synthetic
+    * docs are short (avgdl ~ tens of tokens); exact in double (2^k * 25). */
+  val Mu = 100.0
+
+  /** ir08 — query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    * Lafferty 2001): score = sum_t ln((tf_t + mu*(cf_t/C)) / (dl + mu)),
+    * where cf_t is the corpus frequency of t and C the total token count —
+    * the language-modeling alternative to [[bm25TopK]]'s probabilistic
+    * ranking (it never zeroes out a document missing a term, so it is the
+    * ranker of choice for short/noisy corpora).
+    *
+    * Same determinism contract as bm25: every ln() input is built from
+    * exact integers (tf, cf, dl, C) in the same association order on both
+    * engines, so the only cross-engine wobble is ln's last ulp — absorbed
+    * by the 4dp round; ties break on doc_id.
+    *
+    * Plan shape for 100 TB: identical to bm25's — per-term TFs are
+    * columnar count-occurrence expressions (nothing explodes), the corpus
+    * statistics (per-term cf, total C) reduce to ONE row via a map-side
+    * partial aggregate, and that row broadcasts back over the corpus for
+    * scoring. Two narrow scan passes + a TakeOrderedAndProject top-k. */
+  def lmDirichletTopK(s: SparkSession, dir: String,
+      terms: Seq[String] = QueryTerms, k: Int = TopK): DataFrame = {
+    val perDoc = Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"), Text.normText(col("text")).as("t"))
+      .select(col("doc_id"), Text.tokenCount(col("t")).as("dl"),
+        Text.doubledSpaces(col("t")).as("dd"))
+      .select(Seq(col("doc_id"), col("dl")) ++ terms.map(t =>
+        Text.wordOccurrencesInDoubled(col("dd"), t).as(s"tf_$t")): _*)
+    val aggCols = Seq(sum(col("dl")).as("c_total")) ++
+      terms.map(t => sum(col(s"tf_$t")).as(s"cf_$t"))
+    val stats = perDoc.agg(aggCols.head, aggCols.tail: _*)
+    def termScore(t: String): Column =
+      log((col(s"tf_$t").cast("double") +
+        lit(Mu) * (col(s"cf_$t").cast("double") / col("c_total").cast("double"))) /
+        (col("dl").cast("double") + lit(Mu)))
+    perDoc.crossJoin(broadcast(stats))
+      .select(Seq(col("doc_id"), col("dl")) ++ terms.map(t => col(s"tf_$t")) :+
+        round(terms.map(termScore).reduce(_ + _), 4).as("lm_score"): _*)
+      .orderBy(col("lm_score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB SQL replicating [[lmDirichletTopK]] exactly (same doubled-space
+    * occurrence counting as the bm25 oracle, same integer corpus stats,
+    * same ln association order, same 4dp round + doc_id tie-break). */
+  def lmDirichletOracleSql(terms: Seq[String] = QueryTerms,
+      k: Int = TopK): String = {
+    def occ(w: String): String =
+      s"CAST((length(dd) - length(regexp_replace(dd, ' \\Q$w\\E ', '', 'g'))) / ${w.length + 2} AS BIGINT)"
+    val tfCols = terms.map(t => s"${occ(t)} AS tf_$t").mkString(",\n               ")
+    val cfCols = terms.map(t => s"CAST(sum(tf_$t) AS BIGINT) AS cf_$t")
+      .mkString(",\n               ")
+    val scoreTerms = terms.map { t =>
+      s"ln((CAST(tf_$t AS DOUBLE) + $Mu * (CAST(cf_$t AS DOUBLE) / CAST(c_total AS DOUBLE))) / " +
+        s"(CAST(dl AS DOUBLE) + $Mu))"
+    }.mkString(" + ")
+    val tfOut = terms.map(t => s"tf_$t").mkString(", ")
+    s"""
+      WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                 FROM documents),
+      d2 AS (SELECT doc_id,
+               CASE WHEN length(t) = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(length(t) - length(regexp_replace(t, ' ', '', 'g')) + 1 AS BIGINT)
+               END AS dl,
+               replace(' ' || t || ' ', ' ', '  ') AS dd
+             FROM d),
+      perdoc AS (SELECT doc_id, dl,
+               $tfCols
+             FROM d2),
+      stats AS (SELECT CAST(sum(dl) AS BIGINT) AS c_total,
+               $cfCols
+             FROM perdoc)
+      SELECT doc_id, dl, $tfOut, round($scoreTerms, 4) AS lm_score
+      FROM perdoc CROSS JOIN stats
+      ORDER BY lm_score DESC, doc_id LIMIT $k"""
+  }
 }

@@ -860,4 +860,77 @@ object Similarity {
                          f.cand_id) AS BIGINT) AS mrnk
             FROM fwd f JOIN dx USING (query_id) JOIN dy USING (cand_id)) z
       ORDER BY query_id, mrnk"""
+
+  /** sim11 — multi-vector late-interaction retrieval (ColBERT's MaxSim,
+    * Khattab & Zaharia 2020): entities are BAGS of vectors (here: document
+    * i = the `vecsPerDoc` consecutive embeddings with vec_id div
+    * vecsPerDoc = i — the passage-chunk layout a multi-vector store uses),
+    * and the score of query doc Q against candidate doc D is
+    * `sum_{q in Q} max_{d in D} cos(q, d)` — each query vector finds its
+    * best-matching candidate vector and the evidence sums, which is what
+    * lets one strongly-matching chunk pair dominate where a single pooled
+    * vector (sim01) would average it away. Emits each query doc's top-k
+    * candidate docs.
+    *
+    * Determinism: cosines round 6dp before the max; the per-(q-vector,
+    * cand-doc) max is order-free; the sum over query vectors folds in
+    * vec_id order (bounded addend count = vecsPerDoc) and rounds 6dp; the
+    * final rank ties on cand doc id.
+    *
+    * Plan shape for 100 TB: the query doc set is bounded → its vector bag
+    * broadcasts over ONE pass of the candidate vector stream (the corpus
+    * never shuffles on anything but its own partitioning); the max and the
+    * sum are two map-side-combinable aggregates whose keys shrink the
+    * stream (vectors → q-vec x cand-doc → q-doc x cand-doc), then a
+    * per-query-doc WindowGroupLimit top-k. For unbounded query sets the
+    * forward pass swaps in [[lshTopK]]'s sign-LSH bucketing per query
+    * vector (cosine is the metric), exactly the sim02 reduction. */
+  def maxSimTopK(s: SparkSession, dir: String, vecsPerDoc: Int = 5,
+      nQueryDocs: Int = 10, k: Int = 5): DataFrame = {
+    val emb = Tables.parallel(Tables.embeddings(s, dir))
+      .select((col("vec_id") / vecsPerDoc).cast("long").as("did"),
+        col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = emb.filter(col("vec_id") < vecsPerDoc.toLong * nQueryDocs)
+      .select(col("did").as("qdid"), col("vec_id").as("qid"), col("v").as("qv"))
+    val best = emb.select(col("did").as("ddid"), col("v").as("dv"))
+      .join(broadcast(q), col("qdid") =!= col("ddid"))
+      .withColumn("cos", round(cosine(col("qv"), col("dv")), 6))
+      .groupBy(col("qdid"), col("qid"), col("ddid"))
+      .agg(max(col("cos")).as("mx"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qdid")).orderBy(col("maxsim").desc, col("ddid"))
+    best.groupBy(col("qdid"), col("ddid"))
+      .agg(round(aggregate(
+        transform(array_sort(collect_list(struct(col("qid"), col("mx")))),
+          x => x.getField("mx")),
+        lit(0.0d), (a, b) => a + b), 6).as("maxsim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qdid"), col("ddid"), col("maxsim"), col("rnk"))
+      .orderBy(col("qdid"), col("rnk"))
+  }
+
+  /** DuckDB SQL replicating [[maxSimTopK]] exactly (same integer-division
+    * doc grouping, same 6dp-rounded fold cosine, same vec_id-ordered
+    * evidence fold, same tie-breaks). */
+  def maxSimOracleSql(vecsPerDoc: Int = 5, nQueryDocs: Int = 10,
+      k: Int = 5): String = s"""
+      WITH e AS (SELECT CAST(vec_id // $vecsPerDoc AS BIGINT) AS did, vec_id,
+                        CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      q AS (SELECT did AS qdid, vec_id AS qid, v AS qv FROM e
+            WHERE vec_id < ${vecsPerDoc.toLong * nQueryDocs}),
+      sc AS (SELECT q.qdid, q.qid, d.did AS ddid,
+                    round(${cosListSql("q.qv", "d.v")}, 6) AS cos
+             FROM q JOIN e d ON q.qdid <> d.did),
+      best AS (SELECT qdid, qid, ddid, max(cos) AS mx
+               FROM sc GROUP BY qdid, qid, ddid),
+      agg AS (SELECT qdid, ddid,
+                     round(list_sum(list(mx ORDER BY qid)), 6) AS maxsim
+              FROM best GROUP BY qdid, ddid)
+      SELECT qdid, ddid, maxsim, rnk FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY qdid
+                    ORDER BY maxsim DESC, ddid) AS BIGINT) AS rnk
+        FROM agg) z
+      WHERE rnk <= $k ORDER BY qdid, rnk"""
 }

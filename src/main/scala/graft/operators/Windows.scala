@@ -157,21 +157,87 @@ object Windows {
       .orderBy(col("from_type"), col("to_type"))
   }
 
-  /** DuckDB SQL replicating [[transitionsQuery]] exactly (the n/total
-    * division is one IEEE op over exact integers — no rounding needed). */
-  val transitionsOracleSql: String = """
-      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+  /** The transition-matrix CTE chain shared by the ev03 and ev11 oracles
+    * (ONE derivation, so the compositions cannot drift): `e` (events with
+    * integer microsecond timestamps), `c` (integer transition counts) and
+    * `tm` (the matrix with its exact-ratio probability). */
+  private val transitionsCtesSql: String = """e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
                  FROM events),
-      p AS (SELECT event_type AS from_type,
+      tp AS (SELECT event_type AS from_type,
                    lead(event_type, 1) OVER (PARTITION BY user_id
                      ORDER BY tus, event_id) AS to_type
             FROM e),
       c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
-            FROM p WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
-      SELECT from_type, to_type, n,
-             CAST(n AS DOUBLE) /
-               CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
-      FROM c ORDER BY from_type, to_type"""
+            FROM tp WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+      tm AS (SELECT from_type, to_type, n,
+               CAST(n AS DOUBLE) /
+                 CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+             FROM c)"""
+
+  /** DuckDB SQL replicating [[transitionsQuery]] exactly (the n/total
+    * division is one IEEE op over exact integers — no rounding needed). */
+  val transitionsOracleSql: String = s"""
+      WITH $transitionsCtesSql
+      SELECT from_type, to_type, n, p
+      FROM tm ORDER BY from_type, to_type"""
+
+  /** ev11 — Markov next-event prediction: train the first-order transition
+    * matrix ([[transitionsQuery]]'s derivation, shared code path) and
+    * predict every user's NEXT event as the argmax row of their LAST
+    * event's transition distribution — the classic "what does this user do
+    * next" scorer (and the sequence-model baseline an event pipeline ships
+    * before anything learned).
+    *
+    * Determinism: the argmax ranks on the exact integer count n (same
+    * order as p within a from_type — the denominator is shared), tie-break
+    * to_type ascending; the last event per user ranks on (tus DESC,
+    * event_id DESC) — all integer keys. The probability is the exact
+    * integer ratio ev03 emits (one IEEE division, no rounding needed).
+    *
+    * Plan shape for 100 TB: the matrix aggregate reduces to |types|² cells
+    * (map-side combined) and its argmax is a window over those cells —
+    * broadcast-sized by construction; the last-event pass reuses the ONE
+    * user-keyed exchange every ev-family query shares; the final join
+    * broadcasts the |types|-row prediction table. The event stream never
+    * shuffles twice. */
+  def markovNextQuery(s: SparkSession, dir: String): DataFrame = {
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_type")).orderBy(col("n").desc, col("to_type"))
+    val best = transitionsQuery(s, dir)
+      .withColumn("rn", row_number().over(wb))
+      .filter(col("rn") === 1)
+      .select(col("from_type"), col("to_type").as("pred_type"),
+        col("p").as("prob"))
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("tus").desc, col("event_id").desc)
+    val last = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_us").as("tus"))
+      .withColumn("rn", row_number().over(wl))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("last_type"))
+    last.join(broadcast(best), col("last_type") === col("from_type"), "left")
+      .select(col("user_id"), col("last_type"), col("pred_type"), col("prob"))
+      .orderBy(col("user_id"))
+  }
+
+  /** DuckDB SQL replicating [[markovNextQuery]] exactly (the shared
+    * [[transitionsCtesSql]] matrix, the same integer-keyed argmax and
+    * last-event windows, LEFT join for a terminal-only last type). */
+  val markovNextOracleSql: String = s"""
+      WITH $transitionsCtesSql,
+      best AS (SELECT from_type, to_type AS pred_type, p AS prob FROM (
+                 SELECT *, row_number() OVER (PARTITION BY from_type
+                   ORDER BY n DESC, to_type) AS rn FROM tm) z WHERE rn = 1),
+      last AS (SELECT user_id, event_type AS last_type FROM (
+                 SELECT user_id, event_type,
+                        row_number() OVER (PARTITION BY user_id
+                          ORDER BY tus DESC, event_id DESC) AS rn
+                 FROM e) z WHERE rn = 1)
+      SELECT l.user_id, l.last_type, b.pred_type, b.prob
+      FROM last l LEFT JOIN best b ON l.last_type = b.from_type
+      ORDER BY l.user_id"""
 
   /** Rolling z-score anomaly flags (streaming-telemetry style): each event's
     * value against the mean/stddev of the SAME USER's previous 10 events —

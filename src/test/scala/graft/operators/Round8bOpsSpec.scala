@@ -1,0 +1,227 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession.{spark, sf0001}
+
+/** Invariant checks for the round-8 second-batch additions beyond their
+  * DuckDB oracles: driver-side brute-force recomputes of ir08 (LM-Dirichlet
+  * retrieval), cl05 (nearest-centroid classifier), cl06 (calibration
+  * report), ev11 (Markov next-event), sim11 (MaxSim late interaction) and
+  * gr03 (Adamic-Adar), independent of both the Spark plans and the oracle
+  * SQL. */
+class Round8bOpsSpec extends AnyFunSuite {
+
+  private def round(x: Double, scale: Int): Double =
+    BigDecimal.valueOf(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+      .doubleValue
+  private def round6(x: Double): Double = round(x, 6)
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { // left-to-right folds, like CosineSim
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    round6(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  private def tokensOf(t: String): Seq[String] = {
+    val n = t.toLowerCase.replaceAll("\\s+", " ").trim
+    if (n.isEmpty) Seq.empty else n.split(" ", -1).toSeq
+  }
+
+  test("ir08: LM-Dirichlet top-k recomputes from a driver-side pass") {
+    val terms = Search.QueryTerms
+    val mu = Search.Mu
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        tokensOf(Option(r.getString(1)).getOrElse(""))))
+    val c = docs.map(_._2.length.toLong).sum
+    val cf = terms.map(t =>
+      t -> docs.map(_._2.count(_ == t).toLong).sum).toMap
+    val scored = docs.map { case (id, toks) =>
+      val dl = toks.length.toLong
+      val tfs = terms.map(t => toks.count(_ == t).toLong)
+      val score = round(terms.zip(tfs).map { case (t, tf) =>
+        math.log((tf.toDouble + mu * (cf(t).toDouble / c.toDouble)) /
+          (dl.toDouble + mu))
+      }.sum, 4)
+      (id, dl, tfs, score)
+    }
+    val expected = scored.sortBy { case (id, _, _, sc) => (-sc, id) }
+      .take(Search.TopK)
+      .map { case (id, dl, tfs, sc) => (id, dl, tfs(0), tfs(1), tfs(2), sc) }
+    val got = Search.lmDirichletTopK(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == expected.toSeq)
+    assert(expected.exists(e => e._3 + e._4 + e._5 > 0),
+      "no query term occurs — retrieval untested")
+    assert(expected.map(_._6).distinct.length > 1,
+      "all scores equal — ranking untested")
+  }
+
+  test("cl05: nearest-centroid predictions recompute driver-side") {
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>"),
+        col("label"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    def h(id: Long): Long = java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) % 10
+    val train = emb.filter(e => h(e._1) < 8)
+    val test0 = emb.filter(e => h(e._1) >= 8).sortBy(_._1)
+    assert(train.nonEmpty && test0.nonEmpty)
+    val cents = train.groupBy(_._3).map { case (l, vs) =>
+      val dim = vs.head._2.length
+      l -> Array.tabulate(dim) { j =>
+        round6(vs.sortBy(_._1).map(_._2(j)).sum / vs.length)
+      }
+    }
+    val expected = test0.map { case (id, v, l) =>
+      val (pl, c) = cents.toSeq
+        .map { case (cl, cv) => (cl, cos(v, cv)) }
+        .sortBy { case (cl, cc) => (-cc, cl) }.head
+      (id, l, pl, c, pl == l)
+    }
+    val got = Classifier.centroidClassifierQuery(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(got.toSeq == expected.toSeq)
+    assert(expected.map(_._3).distinct.length > 1,
+      "every test vector got the same centroid — separation untested")
+  }
+
+  test("cl06: calibration bins recompute from the cl01 score stream") {
+    val bins = 10
+    val scored = Classifier.qualityClassifierQuery(spark, sf0001).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))) // (label, score)
+    val lo = scored.map(_._2).min
+    val hi = scored.map(_._2).max
+    def binOf(s: Double): Long =
+      if (hi > lo) math.min(math.floor((s - lo) / (hi - lo) * bins).toLong,
+        (bins - 1).toLong)
+      else 0L
+    val expected = scored.groupBy(e => binOf(e._2)).toSeq.map { case (b, es) =>
+      val conf = round6(es.map(_._2).sum / es.length)
+      val acc = round6(es.map(_._1).sum.toDouble / es.length)
+      (b, es.length.toLong, conf, acc, round6(math.abs(conf - acc)))
+    }.sortBy(_._1)
+    val got = Classifier.calibrationReportQuery(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.toSeq == expected.toSeq)
+    assert(expected.length > 1, "one bin — the diagram audits nothing")
+    assert(expected.map(_._2).sum == scored.length.toLong,
+      "bins must partition the score stream")
+  }
+
+  test("ev11: Markov next-event predictions recompute driver-side") {
+    val evs = graft.core.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = evs.groupBy(_._1).view
+      .mapValues(_.sortBy(e => (e._4, e._2))).toMap
+    val trans = byUser.values.flatMap(es =>
+      es.zip(es.drop(1)).map { case (a, b) => (a._3, b._3) })
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val totals = trans.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val best = trans.keys.map(_._1).toSeq.distinct.map { f =>
+      val (to, n) = trans.collect { case ((`f`, t), c) => (t, c) }.toSeq
+        .sortBy { case (t, c) => (-c, t) }.head
+      f -> (to, n.toDouble / totals(f).toDouble)
+    }.toMap
+    val expected = byUser.toSeq.map { case (u, es) =>
+      val lastType = es.maxBy(e => (e._4, e._2))._3
+      best.get(lastType) match {
+        case Some((p, pr)) => (u, lastType, p, pr)
+        case None          => (u, lastType, null: String, Double.NaN)
+      }
+    }.sortBy(_._1)
+    val got = Windows.markovNextQuery(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3, s"row $g vs $e")
+      assert((g._4.isNaN && e._4.isNaN) || g._4 == e._4, s"prob $g vs $e")
+    }
+    assert(expected.exists(_._3 != null), "no prediction produced")
+    assert(expected.map(_._3).distinct.length > 1,
+      "constant prediction — the matrix argmax is untested")
+  }
+
+  test("sim11: MaxSim top-k recomputes from a driver-side brute force") {
+    val vecsPerDoc = 5; val nQueryDocs = 10; val k = 5
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val byDoc = emb.groupBy(e => e._1 / vecsPerDoc).view
+      .mapValues(_.sortBy(_._1)).toMap
+    val qdocs = byDoc.keys.filter(d =>
+      byDoc(d).exists(_._1 < vecsPerDoc.toLong * nQueryDocs)).toSeq.sorted
+    val expected = qdocs.flatMap { qd =>
+      val qvs = byDoc(qd).filter(_._1 < vecsPerDoc.toLong * nQueryDocs)
+      byDoc.keys.filter(_ != qd).toSeq.map { dd =>
+        val score = round6(qvs.map { case (_, qv) =>
+          byDoc(dd).map(d => cos(qv, d._2)).max
+        }.sum)
+        (qd, dd, score)
+      }.sortBy { case (_, dd, sc) => (-sc, dd) }.take(k)
+        .zipWithIndex.map { case ((q, d, sc), i) => (q, d, sc, (i + 1).toLong) }
+    }.sortBy(t => (t._1, t._4))
+    val got = Similarity.maxSimTopK(spark, sf0001, vecsPerDoc, nQueryDocs, k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq == expected)
+    // late interaction must disagree with single-vector pooling somewhere:
+    // the top-1 by MaxSim differs from the top-1 by mean-vector cosine for
+    // at least one query doc (otherwise sim11 degenerates to sim01 here)
+    val pooled = byDoc.view.mapValues { vs =>
+      val dim = vs.head._2.length
+      Array.tabulate(dim)(j => vs.map(_._2(j)).sum / vs.length)
+    }.toMap
+    val disagrees = qdocs.exists { qd =>
+      val maxsimTop = expected.filter(e => e._1 == qd && e._4 == 1L).head._2
+      val pooledTop = byDoc.keys.filter(_ != qd).toSeq
+        .map(dd => (dd, cos(pooled(qd), pooled(dd))))
+        .sortBy { case (dd, c) => (-c, dd) }.head._1
+      maxsimTop != pooledTop
+    }
+    assert(disagrees, "MaxSim never diverged from pooled cosine")
+  }
+
+  test("gr03: Adamic-Adar scores recompute from a driver-side pass") {
+    val pairs = Dedup.minhashLshPairs(spark, sf0001)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairSet = pairs.toSet
+    val nbrs = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val w = nbrs.collect { case (b, ns) if ns.length >= 2 =>
+      b -> round(1.0 / math.log(ns.length.toDouble), 8)
+    }
+    val wedges = nbrs.toSeq.flatMap { case (b, ns) =>
+      for (a <- ns; c <- ns if a < c) yield (a, c, b)
+    }
+    val expected = wedges.groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((a, c), ws) =>
+        val bs = ws.map(_._3).sorted
+        (a, c, bs.length.toLong, round6(bs.map(w).sum),
+          pairSet.contains((a, c)))
+      }.sortBy(t => (t._1, t._2))
+    val got = Graph.adamicAdarQuery(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(got.toSeq == expected)
+    assert(expected.nonEmpty, "no common-neighbor pair at sf0.001")
+  }
+}
