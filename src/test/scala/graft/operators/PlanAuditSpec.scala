@@ -664,4 +664,52 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(count(plan, "hashpartitioning\\(user_id#\\d+L?, \\d+\\)") == 1, plan)
     assert(plan.contains("partial_count"), plan)
   }
+
+  test("ir08: LM top-k is TakeOrderedAndProject; the stats row broadcasts") {
+    val plan = planOf(Search.lmDirichletTopK(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("cl05: the centroid grid broadcasts; the test stream never SMJs") {
+    val plan = planOf(Classifier.centroidClassifierQuery(spark, sf0001))
+    // |labels| x dim centroid rows join the test vectors by broadcast —
+    // the embedding stream itself must never be the build side
+    assert(plan.contains("BroadcastNestedLoopJoin BuildRight") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("cl06: the min/max row broadcasts; bins aggregate map-side") {
+    val plan = planOf(Classifier.calibrationReportQuery(spark, sf0001))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("ev11: the |types|-row prediction table joins by broadcast") {
+    val plan = planOf(Windows.markovNextQuery(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // both branches key their window exchange on user_id; the final join
+    // must never shuffle the user stream against the tiny argmax table
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("sim11: only the query bag is broadcast — the candidate vectors stream") {
+    val plan = planOf(Similarity.maxSimTopK(spark, sf0001))
+    assert(plan.contains("BroadcastNestedLoopJoin BuildRight"), plan)
+    // the broadcast subtree is the bounded vec_id slice, never the corpus
+    val bx = plan.indexOf("BroadcastExchange")
+    assert(bx >= 0 && plan.substring(bx).contains("LessThan(vec_id,50)"),
+      s"broadcast subtree is not the bounded query bag:\n$plan")
+  }
+
+  test("gr03: wedges enumerate via a center-keyed equi-join, ids only") {
+    val plan = planOf(Graph.adamicAdarQuery(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the operator never touches the corpus — no text column anywhere
+    assert(!plan.contains("text#"), plan)
+  }
 }
