@@ -188,6 +188,11 @@ object Bench {
     "ev11_markov_next",
     "sim11_maxsim",
     "gr03_adamic_adar",
+    // round-8 fourth batch: char entropy, AMS F2, cadence, video near-dup
+    "ta19_char_entropy",
+    "sk05_ams_f2",
+    "ev12_cadence",
+    "mm07_video_neardup",
   )
 
   def main(args: Array[String]): Unit = {

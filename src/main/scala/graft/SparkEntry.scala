@@ -193,6 +193,10 @@ object SparkEntry {
     "ev11_markov_next"     -> ((s: SparkSession, d: String) => Windows.markovNextQuery(s, d)),
     "sim11_maxsim"         -> ((s: SparkSession, d: String) => Similarity.maxSimTopK(s, d)),
     "gr03_adamic_adar"     -> ((s: SparkSession, d: String) => graft.operators.Graph.adamicAdarQuery(s, d)),
+    "ta19_char_entropy"    -> ((s: SparkSession, d: String) => TextAnalysis.charEntropyQuery(s, d)),
+    "sk05_ams_f2"          -> ((s: SparkSession, d: String) => graft.operators.Sketch.amsF2Query(s, d)),
+    "ev12_cadence"         -> ((s: SparkSession, d: String) => Windows.cadenceQuery(s, d)),
+    "mm07_video_neardup"   -> ((s: SparkSession, d: String) => Multimodal.videoNearDupQuery(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables, same column
@@ -759,6 +763,10 @@ object SparkEntry {
     "sim11_maxsim" -> Similarity.maxSimOracleSql(),
     "gr03_adamic_adar" ->
       graft.operators.Graph.adamicAdarOracleSql(pairsSubquerySql),
+    "ta19_char_entropy" -> TextAnalysis.charEntropyOracleSql,
+    "sk05_ams_f2" -> graft.operators.Sketch.amsF2OracleSql(),
+    "ev12_cadence" -> Windows.cadenceOracleSql,
+    "mm07_video_neardup" -> Multimodal.videoNearDupOracleSql(),
   )
 
   /** The cl03 kNN prediction derivation as a CTE chain ending in

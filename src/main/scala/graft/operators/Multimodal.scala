@@ -639,4 +639,76 @@ object Multimodal {
              CAST(sum(a * a) AS BIGINT) > count(*) * $thresholdMs AS active
       FROM lagged GROUP BY doc_id, frame_idx
       ORDER BY media_id, frame_idx"""
+
+  /** mm07 — video-level near-dup detection by frame-signature overlap: each
+    * media item reduces to its SET of frame signatures (md5 of every
+    * [[sampleFrames]] chunk — the per-frame perceptual-hash step of a video
+    * dedup pipeline, here the honest hash of the real frame bytes), and
+    * pairs whose signature-set Jaccard reaches `minJaccard` are reported —
+    * re-encoded/trimmed copies share most frames even when the container
+    * bytes differ, which is exactly what whole-file dd01 cannot see.
+    *
+    * Determinism: signatures, set sizes and intersections are exact
+    * (md5/integers); Jaccard is one IEEE division rounded 6dp before the
+    * threshold test (the sim03 rule).
+    *
+    * Plan shape for 100 TB: the payload reduces to (media_id, sig) ids
+    * IMMEDIATELY (frame bytes never reach an exchange); the intersection
+    * is the dd02 token-join — one sig-keyed equi-join whose cost is
+    * Σ df(sig)² over true frame collisions, not corpus² — and set sizes
+    * join back at pair scale. A frame shared by everything (black frame,
+    * title card) is the hot-bucket risk, the same shape dd03's star guard
+    * caps; at production scale the sig stream takes that guard unchanged. */
+  def videoNearDupQuery(s: SparkSession, dir: String, chunkSize: Int = 64,
+      minJaccard: Double = 0.5): DataFrame = {
+    val frames = sampleFrames(mediaFromDocuments(s, dir), chunkSize, stride = 1)
+    val sigs = frames
+      .select(col("media_id"), md5(col("frame_bytes")).as("sig"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sigs.groupBy(col("media_id")).agg(count(lit(1)).as("n"))
+    val ix = sigs.alias("x")
+      .join(sigs.alias("y"),
+        col("x.sig") === col("y.sig") && col("x.media_id") < col("y.media_id"))
+      .groupBy(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"))
+      .agg(count(lit(1)).as("n_common"))
+    ix.join(sizes.select(col("media_id").as("media_a"), col("n").as("n_a")),
+        "media_a")
+      .join(sizes.select(col("media_id").as("media_b"), col("n").as("n_b")),
+        "media_b")
+      .withColumn("jaccard", round(col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("media_a"), col("media_b"), col("n_a"), col("n_b"),
+        col("n_common"), col("jaccard"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  /** DuckDB SQL replicating [[videoNearDupQuery]] exactly. The oracle
+    * chunks the TEXT where the operator chunks the UTF-8 payload bytes —
+    * identical content because the fixture corpus is ASCII (length ==
+    * octet_length corpus-wide, pinned in FixturesSpec); md5(varchar)
+    * hashes the same UTF-8 bytes Spark's md5(binary) sees. */
+  def videoNearDupOracleSql(chunkSize: Int = 64,
+      minJaccard: Double = 0.5): String = s"""
+      WITH d AS (SELECT doc_id AS media_id, text FROM documents),
+      fr AS (SELECT media_id,
+               md5(substring(text, CAST(i*$chunkSize + 1 AS INT), $chunkSize)) AS sig
+             FROM (SELECT media_id, text,
+                     unnest(range(0, (length(text) + ${chunkSize - 1})//$chunkSize)) AS i
+                   FROM d) z),
+      sg AS (SELECT DISTINCT media_id, sig FROM fr),
+      sz AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n FROM sg GROUP BY media_id),
+      ix AS (SELECT x.media_id AS media_a, y.media_id AS media_b,
+               CAST(count(*) AS BIGINT) AS n_common
+             FROM sg x JOIN sg y ON x.sig = y.sig AND x.media_id < y.media_id
+             GROUP BY 1, 2)
+      SELECT media_a, media_b, a.n AS n_a, b.n AS n_b, n_common,
+             round(CAST(n_common AS DOUBLE) /
+                   CAST(a.n + b.n - n_common AS DOUBLE), 6) AS jaccard
+      FROM ix JOIN sz a ON a.media_id = media_a
+              JOIN sz b ON b.media_id = media_b
+      WHERE round(CAST(n_common AS DOUBLE) /
+                  CAST(a.n + b.n - n_common AS DOUBLE), 6) >= $minJaccard
+      ORDER BY media_a, media_b"""
 }

@@ -439,4 +439,78 @@ object Sketch {
       FROM exact e JOIN est s USING (event_type)
       ORDER BY e.event_type"""
   }
+
+  /** Sketch width for [[amsF2Query]] — 16 counters (±12% expected error on
+    * F2; the error-check column reports the realized error). */
+  val AmsCounters: Int = 16
+
+  /** sk05 — AMS second-moment (F2) sketch (Alon-Matias-Szegedy 1996),
+    * error-checked: F2 = Σ_t tf_t² over the corpus token frequencies is
+    * the self-join size of the token stream — the statistic a planner
+    * needs to cost a term-keyed join and the skew measure behind "is this
+    * vocabulary head-heavy". The sketch keeps `AmsCounters` counters
+    * c_i = Σ_t sign_i(t)·tf_t (four-universal signs here md5-derived per
+    * (i, term) — deterministic AND engine-portable, the sk01/sk03 recipe)
+    * and estimates F2 = mean(c_i²). The EXACT branch runs beside it and
+    * the relative error is a reported column — the same contract as
+    * sk01/sk02/sk04 (an approximation you can't error-check is a number,
+    * not an operator).
+    *
+    * Determinism: tf, signs, counters and their squares are ALL exact
+    * integers; the only division is the final /16 and the error ratio —
+    * fixed IEEE ops both engines share (round 6dp on the ratio).
+    *
+    * Plan shape for 100 TB: ONE term-keyed map-side-combined exchange
+    * builds the tf table; the 17 aggregates (exact + 16 counters) ride a
+    * single 1-row reduce over it. The sketch's whole point at scale: the
+    * counters merge associatively across any partitioning (each partial
+    * is 16 longs), so the same query runs as a streaming accumulator —
+    * this batch form IS the mergeable-state shape. */
+  def amsF2Query(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.parallel(Tables.documents(s, dir))
+      .select(explode(split(graft.functions.Text.normText(col("text")), " "))
+        .as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    def sign(i: Int): Column =
+      when(conv(substring(md5(concat(lit(s"$i:"), col("term"))), 1, 1),
+        16, 10).cast("int") % 2 === 0, lit(1L)).otherwise(lit(-1L))
+    val aggs = sum(col("tf") * col("tf")).as("f2_exact") +:
+      (0 until AmsCounters).map(i => sum(sign(i) * col("tf")).as(s"c$i"))
+    val sq = (0 until AmsCounters).map(i => col(s"c$i") * col(s"c$i"))
+      .reduce(_ + _)
+    tf.agg(aggs.head, aggs.tail: _*)
+      .select(col("f2_exact"),
+        (sq.cast("double") / AmsCounters.toDouble).as("f2_est"))
+      .select(col("f2_exact"), col("f2_est"),
+        round(abs(col("f2_est") - col("f2_exact").cast("double")) /
+          col("f2_exact").cast("double"), 6).as("rel_err"))
+  }
+
+  /** DuckDB SQL replicating [[amsF2Query]] exactly (same md5-parity signs
+    * generated from the same counter spec, same all-integer arithmetic,
+    * same two final divisions). */
+  def amsF2OracleSql(counters: Int = AmsCounters): String = {
+    val cs = (0 until counters).map { i =>
+      s"""CAST(sum(CASE WHEN CAST(concat('0x', substr(md5(concat('$i:', term)), 1, 1)) AS BIGINT) % 2 = 0
+                   THEN tf ELSE -tf END) AS BIGINT) AS c$i"""
+    }.mkString(",\n               ")
+    val sq = (0 until counters).map(i => s"c$i*c$i").mkString(" + ")
+    s"""
+      WITH d AS (SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                 FROM documents),
+      toks AS (SELECT unnest(string_split(t, ' ')) AS term FROM d),
+      tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf
+             FROM toks WHERE length(term) > 0 GROUP BY term),
+      agg AS (SELECT CAST(sum(tf*tf) AS BIGINT) AS f2_exact,
+               $cs
+              FROM tf),
+      est AS (SELECT f2_exact,
+                CAST($sq AS DOUBLE) / $counters.0 AS f2_est
+              FROM agg)
+      SELECT f2_exact, f2_est,
+             round(abs(f2_est - CAST(f2_exact AS DOUBLE)) /
+                   CAST(f2_exact AS DOUBLE), 6) AS rel_err
+      FROM est"""
+  }
 }

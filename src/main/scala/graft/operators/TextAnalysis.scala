@@ -917,4 +917,79 @@ object TextAnalysis {
              round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
                AS intercept
       FROM sums ORDER BY source"""
+
+  /** ta19 — per-document character-level Shannon entropy: H = -Σ_c p_c·ln(p_c)
+    * over the normalized text's character distribution — the classic
+    * gibberish/compressibility signal (binary spew and base64 blobs score
+    * near-uniform-high, keyboard mashing and repeated-char runs score low;
+    * natural language sits in a tight band), used as a cheap quality-filter
+    * feature next to ta02's ratio features.
+    *
+    * Determinism: character counts are exact integers; the entropy folds
+    * term-by-term over the SORTED distinct characters (the same
+    * left-to-right sequence as the oracle's list_transform over
+    * list_sort), each p an int/int IEEE division; ln's last ulp is
+    * absorbed by the 6dp round.
+    *
+    * Plan shape for 100 TB: a ZERO-exchange columnar pass (the ta01
+    * class) — the census runs as the native codegen'd
+    * [[graft.functions.CharEntropy]] expression (ONE primitive pass per
+    * row; the interpreted HOF spec below is O(distinct·len) lambda calls —
+    * ~30x slower at sf0.01 — and kept only as the executable
+    * cross-validation spec, the CosineSim pattern); nothing explodes into
+    * the shuffle and the only exchange is the output sort. */
+  def charEntropyQuery(s: SparkSession, dir: String): DataFrame = {
+    val t = graft.functions.Text.normText(col("text"))
+    Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        when(length(t) > 0, length(t).cast("long")).otherwise(0L).as("n_chars"),
+        when(length(t) > 0,
+          graft.functions.CharDistinctCount.charDistinctCount(t)).otherwise(0L)
+          .as("n_distinct"),
+        when(length(t) > 0,
+          round(-graft.functions.CharEntropy.charEntropyNeg(t), 6))
+          .otherwise(0.0d).as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The interpreted HOF census — the executable spec for
+    * [[graft.functions.CharEntropy]]/[[graft.functions.CharDistinctCount]],
+    * cross-validated bit-for-bit in Round8bOpsSpec (never shipped in a
+    * query: O(distinct·len) interpreted lambdas per row). Returns
+    * (doc_id, n_chars, n_distinct, entropy) like [[charEntropyQuery]]. */
+  private[operators] def charEntropyHof(s: SparkSession, dir: String): DataFrame = {
+    val t = graft.functions.Text.normText(col("text"))
+    val chars = transform(sequence(lit(1), length(t)), i => t.substr(i, lit(1)))
+    val cd = array_sort(array_distinct(chars))
+    val entropy = aggregate(cd, lit(0.0d), (acc, c) => {
+      val p = size(filter(chars, x => x === c)) / size(chars)
+      acc + p * log(p)
+    })
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(length(t) > 0, length(t).cast("long")).otherwise(0L).as("n_chars"),
+        when(length(t) > 0, size(cd).cast("long")).otherwise(0L)
+          .as("n_distinct"),
+        when(length(t) > 0, round(-entropy, 6)).otherwise(0.0d).as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB SQL replicating [[charEntropyQuery]] exactly (same sorted
+    * distinct-char fold, same int/int divisions, same 6dp round). */
+  val charEntropyOracleSql: String = """
+      WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                 FROM documents),
+      c AS (SELECT doc_id, t, string_split(t, '') AS chars,
+                   list_sort(list_distinct(string_split(t, ''))) AS cd
+            FROM d)
+      SELECT doc_id,
+             CASE WHEN length(t) > 0 THEN CAST(length(t) AS BIGINT)
+                  ELSE 0 END AS n_chars,
+             CASE WHEN length(t) > 0 THEN CAST(len(cd) AS BIGINT)
+                  ELSE 0 END AS n_distinct,
+             CASE WHEN length(t) > 0 THEN round(-list_sum(list_transform(cd,
+               c2 -> (len(list_filter(chars, x -> x = c2)) / len(chars)) *
+                     ln(len(list_filter(chars, x -> x = c2)) / len(chars)))), 6)
+                  ELSE 0.0 END AS entropy
+      FROM c ORDER BY doc_id"""
 }

@@ -239,6 +239,62 @@ object Windows {
       FROM last l LEFT JOIN best b ON l.last_type = b.from_type
       ORDER BY l.user_id"""
 
+  /** ev12 — per-user event cadence: count, LOWER-median / max / mean
+    * inter-event gap in microseconds — the activity-rhythm profile behind
+    * engagement scoring and bot detection (a human's median gap is minutes
+    * to hours; a scripted client's collapses toward a constant). The
+    * median is the lower median (element ceil(n/2) of the sorted gaps) so
+    * it stays an EXACT integer — no cross-engine averaging of middles.
+    *
+    * Determinism: gaps are exact integer differences of the (tus,
+    * event_id)-ordered stream; median/max index into the sorted gap list
+    * (integer arithmetic); the mean folds the sorted list into an exact
+    * integer sum, then ONE IEEE division. Nothing rounds.
+    *
+    * Plan shape for 100 TB: the ONE user-keyed exchange every ev-family
+    * query shares — the lag and the gap aggregate both ride it; per-user
+    * state is the user's own gap list (bounded by per-user activity, the
+    * same bound sessionization already carries). */
+  def cadenceQuery(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val gs = col("gs")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us").as("tus"))
+      .withColumn("gap", col("tus") - lag(col("tus"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(col("gap"))).as("gs"))
+      .select(col("user_id"), col("n_events"),
+        when(size(gs) > 0,
+          element_at(gs, ((size(gs) + 1) / 2).cast("int"))).as("median_gap_us"),
+        when(size(gs) > 0, element_at(gs, size(gs))).as("max_gap_us"),
+        when(size(gs) > 0,
+          aggregate(gs, lit(0L), (a, x) => a + x).cast("double") /
+            size(gs).cast("double")).as("mean_gap_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** DuckDB SQL replicating [[cadenceQuery]] exactly (same ordered gap
+    * stream, same lower-median index arithmetic, same exact-sum mean). */
+  val cadenceOracleSql: String = """
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+      g AS (SELECT user_id,
+                   tus - lag(tus, 1) OVER (PARTITION BY user_id
+                     ORDER BY tus, event_id) AS gap
+            FROM e),
+      a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   list(gap ORDER BY gap) FILTER (WHERE gap IS NOT NULL) AS gs
+            FROM g GROUP BY user_id)
+      SELECT user_id, n_events,
+             CASE WHEN len(gs) > 0
+                  THEN gs[CAST((len(gs) + 1) // 2 AS INT)] END AS median_gap_us,
+             CASE WHEN len(gs) > 0 THEN gs[len(gs)] END AS max_gap_us,
+             CASE WHEN len(gs) > 0
+                  THEN CAST(list_sum(gs) AS DOUBLE) / CAST(len(gs) AS DOUBLE)
+             END AS mean_gap_us
+      FROM a ORDER BY user_id"""
+
   /** Rolling z-score anomaly flags (streaming-telemetry style): each event's
     * value against the mean/stddev of the SAME USER's previous 10 events —
     * the trailing frame deliberately excludes the current row, so the

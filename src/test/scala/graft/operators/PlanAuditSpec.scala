@@ -712,4 +712,27 @@ class PlanAuditSpec extends AnyFunSuite {
     // the operator never touches the corpus — no text column anywhere
     assert(!plan.contains("text#"), plan)
   }
+
+  test("ta19: char entropy is a zero-exchange columnar pass") {
+    val plan = planOf(TextAnalysis.charEntropyQuery(spark, sf0001).limit(1))
+    assert(!plan.contains("hashpartitioning"), plan)
+  }
+
+  test("sk05: ONE term-keyed exchange; counters combine map-side") {
+    val plan = planOf(Sketch.amsF2Query(spark, sf0001))
+    assert(count(plan, "hashpartitioning") == 1, plan)
+    assert(plan.contains("partial_sum"), plan)
+  }
+
+  test("ev12: ONE user-keyed exchange serves lag and the gap aggregate") {
+    val plan = planOf(Windows.cadenceQuery(spark, sf0001))
+    assert(count(plan, "hashpartitioning\\(user_id#\\d+L?, \\d+\\)") == 1, plan)
+  }
+
+  test("mm07: frame bytes never reach an exchange — sigs only") {
+    val plan = planOf(Multimodal.videoNearDupQuery(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("hashpartitioning(frame_bytes"), plan)
+    assert(!plan.contains("hashpartitioning(bytes"), plan)
+  }
 }

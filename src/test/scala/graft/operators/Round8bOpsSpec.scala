@@ -199,6 +199,109 @@ class Round8bOpsSpec extends AnyFunSuite {
     assert(disagrees, "MaxSim never diverged from pooled cosine")
   }
 
+  test("ta19: char entropy recomputes from a driver-side census") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")
+        .toLowerCase.replaceAll("\\s+", " ").trim))
+    val expected = docs.map { case (id, t) =>
+      if (t.isEmpty) (id, 0L, 0L, 0.0)
+      else {
+        val chars = t.toCharArray.map(_.toString)
+        val cd = chars.distinct.sorted
+        val len = chars.length
+        val h = cd.map { c =>
+          val p = chars.count(_ == c).toDouble / len.toDouble
+          p * math.log(p)
+        }.sum
+        (id, len.toLong, cd.length.toLong, round6(-h))
+      }
+    }.sortBy(_._1)
+    val got = TextAnalysis.charEntropyQuery(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == expected.toSeq)
+    assert(expected.map(_._4).distinct.length > 1, "constant entropy")
+    // the native CharEntropy expression must equal the interpreted HOF
+    // spec bit-for-bit (the CosineSim cross-validation contract)
+    val hof = TextAnalysis.charEntropyHof(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(hof.toSeq == got.toSeq)
+  }
+
+  test("sk05: AMS F2 estimate recomputes from a driver-side census") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select(col("text")).collect()
+      .map(r => Option(r.getString(0)).getOrElse(""))
+    val tf = docs.flatMap(t => tokensOf(t)).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val exact = tf.values.map(c => c * c).sum
+    val counters = (0 until Sketch.AmsCounters).map { i =>
+      tf.map { case (term, c) =>
+        val d = Integer.parseInt(md5hex(s"$i:$term").take(1), 16)
+        if (d % 2 == 0) c else -c
+      }.sum
+    }
+    val est = counters.map(c => c * c).sum.toDouble / Sketch.AmsCounters
+    val relErr = round6(math.abs(est - exact.toDouble) / exact.toDouble)
+    val got = Sketch.amsF2Query(spark, sf0001).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == exact)
+    assert(got(0).getDouble(1) == est)
+    assert(got(0).getDouble(2) == relErr)
+    // the sketch must be an estimate that is actually in the ballpark
+    // (counters=16 => expected relative error sqrt(2/16) ~ 35%)
+    assert(relErr < 1.0, s"AMS estimate off by ${relErr * 100}%")
+  }
+
+  test("ev12: cadence stats recompute from a driver-side walk") {
+    val evs = graft.core.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), col("ts_us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = evs.groupBy(_._1).toSeq.map { case (u, es) =>
+      val ts = es.sortBy(e => (e._3, e._2)).map(_._3)
+      val gaps = ts.zip(ts.drop(1)).map { case (a, b) => b - a }.sorted
+      if (gaps.isEmpty) (u, es.length.toLong, None, None, None)
+      else (u, es.length.toLong, Some(gaps((gaps.length + 1) / 2 - 1)),
+        Some(gaps.last), Some(gaps.sum.toDouble / gaps.length.toDouble))
+    }.sortBy(_._1)
+    val got = Windows.cadenceQuery(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(got.toSeq == expected.toSeq)
+    assert(expected.exists(_._3.isDefined), "no user has a gap")
+  }
+
+  test("mm07: frame-set Jaccard recomputes from a driver-side chunking") {
+    val chunkSize = 64
+    val minJ = 0.5
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .filter(!_.isNullAt(1))
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sigs = docs.map { case (id, t) =>
+      id -> t.getBytes("UTF-8").grouped(chunkSize)
+        .map(ch => md5hex(new String(ch, "UTF-8"))).toSet
+    }.toMap
+    val expected = (for {
+      (a, sa) <- sigs.toSeq; (b, sb) <- sigs.toSeq if a < b
+      ix = (sa & sb).size if ix > 0
+      j = round6(ix.toDouble / (sa.size + sb.size - ix).toDouble)
+      if j >= minJ
+    } yield (a, b, sa.size.toLong, sb.size.toLong, ix.toLong, j))
+      .sortBy(t => (t._1, t._2))
+    val got = Multimodal.videoNearDupQuery(spark, sf0001, chunkSize, minJ)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == expected)
+    assert(expected.nonEmpty, "no near-dup media pair at sf0.001")
+    // the operator must see PARTIAL overlap, not just exact copies
+    assert(expected.exists(_._6 < 1.0),
+      "every pair is an exact frame-set copy — Jaccard untested")
+  }
+
   test("gr03: Adamic-Adar scores recompute from a driver-side pass") {
     val pairs = Dedup.minhashLshPairs(spark, sf0001)
       .select(col("doc_a"), col("doc_b")).collect()
