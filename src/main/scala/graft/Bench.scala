@@ -193,6 +193,8 @@ object Bench {
     "sk05_ams_f2",
     "ev12_cadence",
     "mm07_video_neardup",
+    "ir09_ann_recall",
+    "dq06_ref_integrity",
   )
 
   def main(args: Array[String]): Unit = {

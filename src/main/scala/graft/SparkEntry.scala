@@ -197,6 +197,8 @@ object SparkEntry {
     "sk05_ams_f2"          -> ((s: SparkSession, d: String) => graft.operators.Sketch.amsF2Query(s, d)),
     "ev12_cadence"         -> ((s: SparkSession, d: String) => Windows.cadenceQuery(s, d)),
     "mm07_video_neardup"   -> ((s: SparkSession, d: String) => Multimodal.videoNearDupQuery(s, d)),
+    "ir09_ann_recall"      -> ((s: SparkSession, d: String) => Similarity.annRecallQuery(s, d)),
+    "dq06_ref_integrity"   -> ((s: SparkSession, d: String) => graft.operators.DataQuality.refIntegrityQuery(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables, same column
@@ -584,19 +586,9 @@ object SparkEntry {
     "ev02_retention" -> Windows.retentionOracleSql,
     "ev03_transitions" -> Windows.transitionsOracleSql,
     "ev04_rolling_zscore" -> Windows.rollingZscoreOracleSql,
-    "sim01_cosine_topk" -> """
-      WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-                 FROM embeddings WHERE vec_id < 100),
-      c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
-      p AS (SELECT query_id, cand_id,
-              round(list_sum(list_transform(range(1, len(qv)+1), i -> qv[CAST(i AS INT)]*cv[CAST(i AS INT)])) /
-                (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[CAST(i AS INT)]*qv[CAST(i AS INT)]))) *
-                 sqrt(list_sum(list_transform(range(1, len(cv)+1), i -> cv[CAST(i AS INT)]*cv[CAST(i AS INT)])))), 6) AS cos
-            FROM q, c WHERE query_id <> cand_id)
-      SELECT query_id, cand_id, cos, rnk FROM (
-        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
-        FROM p) t
-      WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    // sim01: shared definition in Similarity (ir09's recall oracle
+    // composes the same SQL, so the two cannot drift)
+    "sim01_cosine_topk" -> Similarity.bruteForceTopKOracleSql(),
     // sim04: IVF is deterministic by construction (fixed centroids, argmax
     // assignment, exact top-k within probed lists) — the whole ANN structure
     // is re-derived in SQL and hash-compared, unlike probabilistic LSH
@@ -767,6 +759,8 @@ object SparkEntry {
     "sk05_ams_f2" -> graft.operators.Sketch.amsF2OracleSql(),
     "ev12_cadence" -> Windows.cadenceOracleSql,
     "mm07_video_neardup" -> Multimodal.videoNearDupOracleSql(),
+    "ir09_ann_recall" -> Similarity.annRecallOracleSql(),
+    "dq06_ref_integrity" -> graft.operators.DataQuality.refIntegrityOracleSql,
   )
 
   /** The cl03 kNN prediction derivation as a CTE chain ending in

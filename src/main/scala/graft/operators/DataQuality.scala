@@ -270,4 +270,68 @@ object DataQuality {
              CASE WHEN sd > 0 THEN abs((CAST(c AS DOUBLE) - mu) / sd) > 2.0
                   ELSE FALSE END AS is_anomaly
       FROM r ORDER BY event_type, day"""
+
+  /** The foreign-key topology of the TPC-H-ish star — (child table, FK
+    * column, parent table, PK column). ONE declaration drives both the
+    * query and the oracle, so a relationship cannot be audited on one
+    * side only. */
+  val ForeignKeys: Seq[(String, String, String, String)] = Seq(
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"))
+
+  /** dq06 — referential-integrity audit: for every declared FK
+    * relationship, the child row count, NULL-FK count and ORPHAN count
+    * (FK values with no matching parent key) — the join-safety report a
+    * warehouse runs before trusting any query that assumes the star is
+    * closed (an orphan silently drops rows from every inner join built
+    * on it).
+    *
+    * Determinism: all counts are exact integers; output ordering is the
+    * declared relationship order (by child, fk).
+    *
+    * Plan shape for 100 TB: each relationship is one aggregate over the
+    * child keyed by nothing (three counts fused map-side) plus one
+    * LEFT ANTI join against the DISTINCT parent keys — dimension parents
+    * broadcast; the one fact-to-fact edge (lineitem→orders) shuffles
+    * ids-only on the join key. Child fact tables are scanned once per
+    * relationship with ONLY the FK column read (column pruning). */
+  def refIntegrityQuery(s: SparkSession, dir: String): DataFrame = {
+    val rows = ForeignKeys.map { case (child, fk, parent, pk) =>
+      val c = Tables.load(s, dir, child).select(col(fk))
+      val p = Tables.load(s, dir, parent).select(col(pk)).distinct()
+      val orphans = c.filter(col(fk).isNotNull)
+        .join(p, c(fk) === p(pk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      val base = c.agg(count(lit(1)).as("n_rows"),
+        sum(when(col(fk).isNull, 1L).otherwise(0L)).as("n_null_fk"))
+      base.crossJoin(orphans)
+        .select(lit(child).as("child"), lit(fk).as("fk"),
+          lit(parent).as("parent"),
+          col("n_rows"), col("n_null_fk"), col("n_orphans"))
+    }
+    rows.reduce(_ unionByName _).orderBy(col("child"), col("fk"))
+  }
+
+  /** DuckDB SQL replicating [[refIntegrityQuery]] exactly — generated from
+    * the same [[ForeignKeys]] declaration. */
+  def refIntegrityOracleSql: String = {
+    val blocks = ForeignKeys.map { case (child, fk, parent, pk) =>
+      s"""SELECT '$child' AS child, '$fk' AS fk, '$parent' AS parent,
+             CAST((SELECT count(*) FROM $child) AS BIGINT) AS n_rows,
+             CAST((SELECT count(*) FROM $child WHERE $fk IS NULL) AS BIGINT) AS n_null_fk,
+             CAST((SELECT count(*) FROM $child c
+                   WHERE c.$fk IS NOT NULL
+                     AND NOT EXISTS (SELECT 1 FROM $parent p
+                                     WHERE p.$pk = c.$fk)) AS BIGINT) AS n_orphans"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+      SELECT * FROM (
+      $blocks
+      ) z ORDER BY child, fk"""
+  }
 }

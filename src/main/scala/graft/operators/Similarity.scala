@@ -128,6 +128,21 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** DuckDB SQL replicating [[bruteForceTopK]] exactly (formerly inline in
+    * SparkEntry; a method here so ir09's recall oracle composes the SAME
+    * definition and cannot drift). */
+  def bruteForceTopKOracleSql(k: Int = 5, nQueries: Int = 100): String = s"""
+      WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id < $nQueries),
+      c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      p AS (SELECT query_id, cand_id,
+              round(${cosListSql("qv", "cv")}, 6) AS cos
+            FROM q, c WHERE query_id <> cand_id)
+      SELECT query_id, cand_id, cos, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+        FROM p) t
+      WHERE rnk <= $k ORDER BY query_id, rnk"""
+
   /** DuckDB list-cosine with the same left-to-right fold as
     * [[graft.functions.CosineSim]] (proven bit-exact by sim01). */
   private def cosListSql(a: String, b: String): String =
@@ -933,4 +948,70 @@ object Similarity {
                     ORDER BY maxsim DESC, ddid) AS BIGINT) AS rnk
         FROM agg) z
       WHERE rnk <= $k ORDER BY qdid, rnk"""
+
+  /** ir09 — ANN recall report: per query, how much of the EXACT cosine
+    * top-k ([[bruteForceTopK]]) the sign-LSH index ([[lshTopK]]) actually
+    * returned — recall@k plus the reciprocal rank of the true nearest
+    * neighbor in the ANN list. This is the eval harness every ANN
+    * deployment runs before trusting an index: the bucketed path's recall
+    * is corpus-dependent (SimilaritySpec asserts a floor; THIS op makes
+    * the number a first-class, oracle-checked output a pipeline can gate
+    * on).
+    *
+    * Determinism: overlap counts are exact integers; recall = n/k and
+    * rr = 1/rank are single IEEE divisions of exact integers.
+    *
+    * Plan shape for 100 TB: composes the two audited retrieval plans
+    * (their own pins apply) and then joins k-row-per-query result sets —
+    * the evaluation itself is query-scale, never corpus-scale. */
+  def annRecallQuery(s: SparkSession, dir: String, k: Int = 5,
+      planes: Int = 8, nQueries: Int = 100): DataFrame = {
+    val ex = bruteForceTopK(s, dir, k, nQueries)
+    val ls = lshTopK(s, dir, k, planes, nQueries)
+    val ov = ex.select(col("query_id"), col("cand_id"))
+      .join(ls.select(col("query_id"), col("cand_id")),
+        Seq("query_id", "cand_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+    val nn = ex.filter(col("rnk") === 1)
+      .select(col("query_id"), col("cand_id"))
+      .join(ls.select(col("query_id"), col("cand_id"),
+        col("rnk").as("nn_rnk")), Seq("query_id", "cand_id"), "left")
+      .select(col("query_id"),
+        coalesce(lit(1.0d) / col("nn_rnk").cast("double"), lit(0.0d)).as("rr"))
+    ex.select(col("query_id")).distinct()
+      .join(ov, Seq("query_id"), "left")
+      .join(nn, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("recall"),
+        coalesce(col("rr"), lit(0.0d)).as("rr"))
+      .orderBy(col("query_id"))
+  }
+
+  /** DuckDB SQL replicating [[annRecallQuery]] exactly — the sim01 and
+    * sim02 oracles as subqueries (the SAME shared definitions those
+    * queries check), then the identical overlap/rank arithmetic. */
+  def annRecallOracleSql(k: Int = 5, planes: Int = 8, dim: Int = 64,
+      nQueries: Int = 100): String = s"""
+      WITH ex AS (${bruteForceTopKOracleSql(k, nQueries)}),
+      ls AS (${lshTopKOracleSql(k, planes, dim, nQueries)}),
+      ov AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+             FROM ex e JOIN ls l
+               ON e.query_id = l.query_id AND e.cand_id = l.cand_id
+             GROUP BY e.query_id),
+      nn AS (SELECT e.query_id,
+               CASE WHEN l.rnk IS NULL THEN 0.0
+                    ELSE 1.0 / CAST(l.rnk AS DOUBLE) END AS rr
+             FROM ex e LEFT JOIN ls l
+               ON e.query_id = l.query_id AND e.cand_id = l.cand_id
+             WHERE e.rnk = 1)
+      SELECT q.query_id,
+             coalesce(ov.n_overlap, 0) AS n_overlap,
+             CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / $k.0 AS recall,
+             coalesce(nn.rr, 0.0) AS rr
+      FROM (SELECT DISTINCT query_id FROM ex) q
+      LEFT JOIN ov ON ov.query_id = q.query_id
+      LEFT JOIN nn ON nn.query_id = q.query_id
+      ORDER BY q.query_id"""
 }

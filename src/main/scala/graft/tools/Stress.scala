@@ -107,9 +107,17 @@ object Stress {
       // the amplified corpus multiplies every segment's doc count, and the
       // margin miner's reverse pass must stay bounded by k*|Q|
       "dd17_boilerplate_strip", "sim10_margin_mining",
-      "dd18_semantic_decontam", "sa10_weighted_sample")
-    // q39/q40 read lineitem, which the stress corpus does not amplify —
-    // they rehearse under Bench at sf0.1 instead
+      "dd18_semantic_decontam", "sa10_weighted_sample",
+      // round-8 third/fourth batches: retrieval + eval + census passes
+      // (ta19's native census must stay scan-shaped; mm07's sig join must
+      // track frame collisions, not corpus²; ir09 composes two audited
+      // retrieval plans over the amplified candidate stream)
+      "ir08_lm_dirichlet", "cl05_centroid_classifier", "cl06_calibration",
+      "ev11_markov_next", "sim11_maxsim", "gr03_adamic_adar",
+      "ta19_char_entropy", "sk05_ams_f2", "ev12_cadence",
+      "mm07_video_neardup", "ir09_ann_recall")
+    // q39/q40 and dq06 read lineitem/the TPC-H star, which the stress
+    // corpus does not amplify — they rehearse under Bench at sf0.1 instead
     val dedupSubset = Seq("dd01_exact_dedup", "dd03_minhash_lsh",
       "dd05_dup_clusters", "dd06_dedup_apply", "dd12_streaming_neardup")
     var failed = false

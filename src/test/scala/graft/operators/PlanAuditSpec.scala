@@ -735,4 +735,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("hashpartitioning(frame_bytes"), plan)
     assert(!plan.contains("hashpartitioning(bytes"), plan)
   }
+
+  test("ir09: the eval composes the audited retrieval plans — no cartesian") {
+    val plan = planOf(Similarity.annRecallQuery(spark, sf0001, nQueries = 10))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the sim01 broadcast-direction contract must survive the composition
+    assert(plan.contains("BroadcastNestedLoopJoin BuildRight"), plan)
+  }
+
+  test("dq06: child scans read ONLY the FK column; dims join broadcast") {
+    val plan = planOf(DataQuality.refIntegrityQuery(spark, sf0001))
+    // column pruning: the lineitem scans must not read beyond the FK
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint>"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }

@@ -302,6 +302,53 @@ class Round8bOpsSpec extends AnyFunSuite {
       "every pair is an exact frame-set copy — Jaccard untested")
   }
 
+  test("ir09: ANN recall report recomputes from the two retrieval outputs") {
+    val k = 5
+    val ex = Similarity.bruteForceTopK(spark, sf0001, k, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val ls = Similarity.lshTopK(spark, sf0001, k, 8, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val lsByQ = ls.groupBy(_._1)
+    val expected = ex.map(_._1).distinct.sorted.map { q =>
+      val exact = ex.filter(_._1 == q)
+      val got = lsByQ.getOrElse(q, Array.empty).map(_._2).toSet
+      val overlap = exact.count(e => got(e._2)).toLong
+      val nn = exact.find(_._3 == 1L).get._2
+      val rr = lsByQ.getOrElse(q, Array.empty).find(_._2 == nn)
+        .map(t => 1.0 / t._3.toDouble).getOrElse(0.0)
+      (q, overlap, overlap.toDouble / k.toDouble, rr)
+    }
+    val got = Similarity.annRecallQuery(spark, sf0001, k, 8, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == expected.toSeq)
+    // the report must measure something: the ANN index misses at least
+    // one exact neighbor on this corpus (otherwise eval is vacuous)
+    assert(expected.exists(_._3 < 1.0), "LSH recall is perfect — untested")
+  }
+
+  test("dq06: orphan counts recompute from driver-side key sets") {
+    def keys(t: String, c: String): Array[Long] =
+      graft.core.Tables.load(spark, sf0001, t).select(col(c)).collect()
+        .filter(!_.isNullAt(0))
+        .map(r => r.get(0) match {
+          case l: java.lang.Long    => l.longValue
+          case i: java.lang.Integer => i.longValue
+        })
+    val expected = DataQuality.ForeignKeys.map { case (child, fk, parent, pk) =>
+      val cks = keys(child, fk)
+      val pset = keys(parent, pk).toSet
+      val nRows = graft.core.Tables.load(spark, sf0001, child).count()
+      (child, fk, parent, nRows, nRows - cks.length,
+        cks.count(!pset(_)).toLong)
+    }.sortBy(t => (t._1, t._2))
+    val got = DataQuality.refIntegrityQuery(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == expected)
+    assert(expected.map(_._4).distinct.length > 1,
+      "all children same size — counts untested")
+  }
+
   test("gr03: Adamic-Adar scores recompute from a driver-side pass") {
     val pairs = Dedup.minhashLshPairs(spark, sf0001)
       .select(col("doc_a"), col("doc_b")).collect()
