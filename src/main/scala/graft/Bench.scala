@@ -256,6 +256,7 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.maxPlanStringLength", "4194304")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

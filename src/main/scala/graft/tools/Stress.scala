@@ -46,7 +46,8 @@ object Stress {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.maxPlanStringLength", "4194304").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def amplify(df: DataFrame, idCol: String, textCol: Option[String]): DataFrame = {

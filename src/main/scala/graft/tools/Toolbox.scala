@@ -245,7 +245,8 @@ object ToolboxCli {
     val spark =
       if (needsSpark) Some(org.apache.spark.sql.SparkSession.builder()
         .master("local[4]").appName("graft-toolbox")
-        .config("spark.ui.enabled", "false").getOrCreate())
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.maxPlanStringLength", "4194304").getOrCreate())
       else None
     println(run(args, new InMemoryAdmin, spark))
     spark.foreach(_.stop())

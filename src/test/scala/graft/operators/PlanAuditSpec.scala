@@ -14,6 +14,22 @@ class PlanAuditSpec extends AnyFunSuite {
   private def planOf(df: DataFrame): String = {
     df.queryExecution.executedPlan.toString
   }
+
+  /** Every physical node reachable from `p`, descending through AQE
+    * wrappers, cached-relation inner plans, and subquery plans — a tree
+    * walk, so it stays sound even when the plan STRING is truncated by
+    * `spark.sql.maxPlanStringLength`. */
+  private def allPhysicalNodes(p: SparkPlan): Iterator[SparkPlan] = {
+    val inner: Seq[SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        Seq(s.relation.cachedPlan)
+      case _ => Nil
+    }
+    Iterator(p) ++
+      (p.children ++ p.subqueries ++ inner).iterator.flatMap(allPhysicalNodes)
+  }
   private def count(plan: String, op: String): Int =
     op.r.findAllMatchIn(plan).length
 
@@ -71,8 +87,9 @@ class PlanAuditSpec extends AnyFunSuite {
       val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
         .flatMap { case (name, f) =>
           try {
-            val plan = planOf(f(spark, sf0001))
-            if (plan.contains("CartesianProduct")) Some(name) else None
+            val cartesian = allPhysicalNodes(f(spark, sf0001).queryExecution.executedPlan)
+              .exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec])
+            if (cartesian) Some(name) else None
           } catch {
             case t: Throwable => Some(s"$name (plan failed: ${t.getMessage})")
           }
