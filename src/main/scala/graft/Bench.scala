@@ -195,6 +195,12 @@ object Bench {
     "mm07_video_neardup",
     "ir09_ann_recall",
     "dq06_ref_integrity",
+    // round-8 fifth batch: completeness audit, conversion lag, RRF, ROUGE
+    "dq05_completeness",
+    "ev13_conversion_lag",
+    "ir10_rank_fusion",
+    "ta20_rouge_overlap",
+    "ir11_query_expansion",
   )
 
   def main(args: Array[String]): Unit = {

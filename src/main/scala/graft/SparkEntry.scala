@@ -199,6 +199,11 @@ object SparkEntry {
     "mm07_video_neardup"   -> ((s: SparkSession, d: String) => Multimodal.videoNearDupQuery(s, d)),
     "ir09_ann_recall"      -> ((s: SparkSession, d: String) => Similarity.annRecallQuery(s, d)),
     "dq06_ref_integrity"   -> ((s: SparkSession, d: String) => graft.operators.DataQuality.refIntegrityQuery(s, d)),
+    "dq05_completeness"    -> ((s: SparkSession, d: String) => graft.operators.DataQuality.completenessQuery(s, d)),
+    "ev13_conversion_lag"  -> ((s: SparkSession, d: String) => Windows.conversionLagQuery(s, d)),
+    "ir10_rank_fusion"     -> ((s: SparkSession, d: String) => Search.rrfFusionTopK(s, d)),
+    "ta20_rouge_overlap"   -> ((s: SparkSession, d: String) => TextAnalysis.rougeQuery(s, d)),
+    "ir11_query_expansion" -> ((s: SparkSession, d: String) => Search.queryExpansionTerms(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables, same column
@@ -761,6 +766,11 @@ object SparkEntry {
     "mm07_video_neardup" -> Multimodal.videoNearDupOracleSql(),
     "ir09_ann_recall" -> Similarity.annRecallOracleSql(),
     "dq06_ref_integrity" -> graft.operators.DataQuality.refIntegrityOracleSql,
+    "dq05_completeness" -> graft.operators.DataQuality.completenessOracleSql,
+    "ev13_conversion_lag" -> Windows.conversionLagOracleSql,
+    "ir10_rank_fusion" -> Search.rrfFusionOracleSql(),
+    "ta20_rouge_overlap" -> TextAnalysis.rougeOracleSql,
+    "ir11_query_expansion" -> Search.queryExpansionOracleSql(),
   )
 
   /** The cl03 kNN prediction derivation as a CTE chain ending in

@@ -334,4 +334,60 @@ object DataQuality {
       $blocks
       ) z ORDER BY child, fk"""
   }
+
+  /** dq05 — per-source completeness/consistency audit of the document
+    * corpus (the per-feed ingest gate a crawl pipeline runs before a feed's
+    * batch is admitted): row count, empty/whitespace-only text count, null
+    * language count, declared-vs-actual length mismatches
+    * (`n_chars != length(text)`), distinct language count and the n_chars
+    * range, with a per-source pass verdict (all defect counts zero).
+    *
+    * Determinism: every column is an exact integer or a boolean of exact
+    * integers; output ordered by source.
+    *
+    * Plan shape for 100 TB: ONE corpus pass — all defect counters are
+    * map-side partial sums fused into a single source-keyed aggregate
+    * (source cardinality is feed-count, thousands at most, so the final
+    * exchange is tiny); the distinct-language count rides the same
+    * aggregate (bounded expansion: languages-per-source). No joins, no
+    * second scan. */
+  def completenessQuery(s: SparkSession, dir: String): DataFrame = {
+    Tables.parallel(Tables.documents(s, dir))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("text").isNull || trim(col("text")) === "", 1L)
+          .otherwise(0L)).as("n_empty_text"),
+        sum(when(col("lang").isNull || col("lang") === "", 1L)
+          .otherwise(0L)).as("n_null_lang"),
+        sum(when(col("n_chars") =!= length(col("text")), 1L)
+          .otherwise(0L)).as("n_len_mismatch"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .withColumn("passed",
+        col("n_empty_text") === 0L && col("n_null_lang") === 0L &&
+          col("n_len_mismatch") === 0L)
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB SQL replicating [[completenessQuery]] exactly. */
+  val completenessOracleSql: String = """
+      WITH a AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1
+                             ELSE 0 END) AS BIGINT) AS n_empty_text,
+               CAST(sum(CASE WHEN lang IS NULL OR lang = '' THEN 1
+                             ELSE 0 END) AS BIGINT) AS n_null_lang,
+               CAST(sum(CASE WHEN n_chars != length(text) THEN 1
+                             ELSE 0 END) AS BIGINT) AS n_len_mismatch,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars
+        FROM documents GROUP BY source)
+      SELECT source, n_rows, n_empty_text, n_null_lang, n_len_mismatch,
+             n_langs, min_chars, max_chars,
+             (n_empty_text = 0 AND n_null_lang = 0 AND n_len_mismatch = 0)
+               AS passed
+      FROM a ORDER BY source"""
 }

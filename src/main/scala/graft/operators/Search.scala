@@ -496,4 +496,153 @@ object Search {
       FROM perdoc CROSS JOIN stats
       ORDER BY lm_score DESC, doc_id LIMIT $k"""
   }
+
+  /** Reciprocal-rank-fusion constant (Cormack/Clarke/Buettcher 2009's
+    * k=60 — dampens the top-rank dominance of either system). */
+  val RrfK = 60.0
+  /** Fused-list size for [[rrfFusionTopK]]. */
+  val RrfOut = 25
+
+  /** ir10 — reciprocal rank fusion of the two retrieval systems this
+    * engine ships: [[bm25TopK]] (probabilistic) and [[lmDirichletTopK]]
+    * (language-modeling), both over the same fixed query. Each system
+    * contributes 1/(k + rank) for documents in its top-[[TopK]] list (0
+    * when absent); the fused ranking is the standard way to combine
+    * retrieval signals without score calibration.
+    *
+    * Determinism: ranks are integer row numbers over each system's already
+    * 4dp-rounded, doc_id-tie-broken ordering; the fused score is a sum of
+    * two IEEE divisions of exact integers in fixed order, identical bit
+    * patterns on both engines; ties break on doc_id.
+    *
+    * Plan shape for 100 TB: both base rankings end in a
+    * TakeOrderedAndProject top-k, so each input here is k rows. The rank
+    * row_number windows and the full-outer join run on 2×k rows — driver
+    * scale by construction (the deliberate single-partition window is over
+    * a top-k result, never the corpus). Corpus cost = the two base scans,
+    * which share plan shape (no index, no explode). */
+  def rrfFusionTopK(s: SparkSession, dir: String, k: Int = TopK,
+      out: Int = RrfOut): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bm = bm25TopK(s, dir, k = k).select(col("doc_id"),
+      row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+        .cast("long").as("bm25_rank"))
+    val lm = lmDirichletTopK(s, dir, k = k).select(col("doc_id"),
+      row_number().over(Window.orderBy(col("lm_score").desc, col("doc_id")))
+        .cast("long").as("lm_rank"))
+    def part(r: Column): Column =
+      coalesce(lit(1.0) / (lit(RrfK) + r.cast("double")), lit(0.0))
+    bm.join(lm, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("bm25_rank"), col("lm_rank"),
+        round(part(col("bm25_rank")) + part(col("lm_rank")), 6)
+          .as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(out)
+  }
+
+  /** DuckDB SQL replicating [[rrfFusionTopK]] exactly — the two base
+    * rankings are embedded as subqueries of the bm25/LM oracles (same
+    * 4dp rounds, same tie-breaks), so the fusion oracle stays in lockstep
+    * with the systems it fuses. */
+  def rrfFusionOracleSql(out: Int = RrfOut): String = s"""
+      WITH bm AS (SELECT doc_id,
+                    row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                      AS bm25_rank
+                  FROM ($bm25OracleSql) bmb),
+      lm AS (SELECT doc_id,
+               row_number() OVER (ORDER BY lm_score DESC, doc_id) AS lm_rank
+             FROM (${lmDirichletOracleSql()}) lmb)
+      SELECT COALESCE(bm.doc_id, lm.doc_id) AS doc_id,
+             bm25_rank, lm_rank,
+             round(COALESCE(1.0 / ($RrfK + CAST(bm25_rank AS DOUBLE)), 0.0) +
+                   COALESCE(1.0 / ($RrfK + CAST(lm_rank AS DOUBLE)), 0.0), 6)
+               AS rrf_score
+      FROM bm FULL OUTER JOIN lm ON bm.doc_id = lm.doc_id
+      ORDER BY rrf_score DESC, doc_id LIMIT $out"""
+
+  /** Feedback-set size for [[queryExpansionTerms]] (top of the bm25
+    * ranking treated as pseudo-relevant). */
+  val PrfDocs = 10
+  /** Expansion terms emitted by [[queryExpansionTerms]]. */
+  val PrfTerms = 15
+
+  /** ir11 — pseudo-relevance-feedback query expansion (Robertson/Sparck
+    * Jones): treat the bm25 top-[[PrfDocs]] as relevant, score every corpus
+    * term by offer weight = r * RSJ, where r is the term's document
+    * frequency INSIDE the feedback set and RSJ is the relevance-smoothed
+    * idf ln(((r+0.5)/(R-r+0.5)) / ((df-r+0.5)/(N-R-df+r+0.5))); emit the
+    * top-[[PrfTerms]] terms excluding the original query. The classic
+    * second-pass retrieval move (RM3/Rocchio family) — and at corpus scale
+    * the way a curation pipeline discovers "what else is this topic
+    * called".
+    *
+    * Determinism: r, R, df, N are exact integers; the ln argument is built
+    * in the same association order on both engines; 4dp round on the offer
+    * weight; ties break on term.
+    *
+    * Plan shape for 100 TB: the feedback set is [[PrfDocs]] ids —
+    * broadcast. Corpus term stats are the ir02 explode + map-side-combined
+    * (term, doc) aggregate (the ONE vocabulary-scale shuffle); r rides the
+    * same pass as a conditional count against the broadcast id set, so
+    * feedback stats add ZERO extra exchanges. TakeOrderedAndProject
+    * top-k on the term table. */
+  def queryExpansionTerms(s: SparkSession, dir: String,
+      terms: Seq[String] = QueryTerms, r0: Int = PrfDocs,
+      out: Int = PrfTerms): DataFrame = {
+    val fb = bm25TopK(s, dir, k = r0).select(col("doc_id"))
+    val n = Tables.parallel(Tables.documents(s, dir))
+      .agg(count(lit(1)).as("n_docs"))
+    val perTerm = tokens(s, dir)
+      .join(broadcast(fb.withColumn("in_fb", lit(1L))), Seq("doc_id"),
+        "left_outer")
+      .groupBy(col("term"), col("doc_id"))
+      .agg(max(coalesce(col("in_fb"), lit(0L))).as("in_fb"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("in_fb")).as("r"))
+    val rsjNum = (col("r").cast("double") + 0.5) /
+      (lit(r0.toDouble) - col("r").cast("double") + 0.5)
+    val rsjDen = (col("df").cast("double") - col("r").cast("double") + 0.5) /
+      (col("n_docs").cast("double") - lit(r0.toDouble) -
+        col("df").cast("double") + col("r").cast("double") + 0.5)
+    perTerm.crossJoin(broadcast(n))
+      .filter(col("r") > 0 && !col("term").isin(terms: _*))
+      .select(col("term"), col("df"), col("r"),
+        round(col("r").cast("double") * log(rsjNum / rsjDen), 4)
+          .as("offer_weight"))
+      .orderBy(col("offer_weight").desc, col("term"))
+      .limit(out)
+  }
+
+  /** DuckDB SQL replicating [[queryExpansionTerms]] exactly — the feedback
+    * set is the bm25 oracle's top-[[PrfDocs]] as a subquery, so expansion
+    * stays in lockstep with the ranking it feeds back. */
+  def queryExpansionOracleSql(terms: Seq[String] = QueryTerms,
+      r0: Int = PrfDocs, out: Int = PrfTerms): String = {
+    val exclude = terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    s"""
+      WITH fb AS (SELECT doc_id FROM ($bm25OracleSql) b
+                  ORDER BY bm25 DESC, doc_id LIMIT $r0),
+      d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+            FROM documents),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d),
+      toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM d),
+      td AS (SELECT term, doc_id,
+                    max(CASE WHEN doc_id IN (SELECT doc_id FROM fb)
+                             THEN 1 ELSE 0 END) AS in_fb
+             FROM toks GROUP BY term, doc_id),
+      pt AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+                    CAST(sum(in_fb) AS BIGINT) AS r
+             FROM td GROUP BY term)
+      SELECT term, df, r,
+             round(CAST(r AS DOUBLE) * ln(
+               ((CAST(r AS DOUBLE) + 0.5) /
+                (CAST($r0 AS DOUBLE) - CAST(r AS DOUBLE) + 0.5)) /
+               ((CAST(df AS DOUBLE) - CAST(r AS DOUBLE) + 0.5) /
+                (CAST(n_docs AS DOUBLE) - CAST($r0 AS DOUBLE) -
+                 CAST(df AS DOUBLE) + CAST(r AS DOUBLE) + 0.5))), 4)
+               AS offer_weight
+      FROM pt CROSS JOIN n
+      WHERE r > 0 AND term NOT IN ($exclude)
+      ORDER BY offer_weight DESC, term LIMIT $out"""
+  }
 }

@@ -992,4 +992,120 @@ object TextAnalysis {
                      ln(len(list_filter(chars, x -> x = c2)) / len(chars)))), 6)
                   ELSE 0.0 END AS entropy
       FROM c ORDER BY doc_id"""
+
+  /** ta20 — ROUGE-style n-gram overlap of every document against its
+    * source's head document (min doc_id per source, the "reference"): for
+    * gram orders 1 and 2, the candidate gram count, reference gram count,
+    * CLIPPED match count (per gram, min of the two multiplicities — the
+    * ROUGE counting rule), and precision / recall / F1. The per-pair eval
+    * primitive behind summarization scoring and reference-overlap audits —
+    * dd02's Jaccard treats grams as a SET; ROUGE's clipped counts respect
+    * multiplicity, which is what penalizes degenerate repetition.
+    *
+    * Determinism: all counts are exact integers; P and R are single IEEE
+    * divisions; F1 = (2*P*R)/(P+R) in the same association order on both
+    * engines (identical bit patterns from identical integer inputs);
+    * 6dp round on output only.
+    *
+    * Plan shape for 100 TB: gram counting is ONE explode + map-side
+    * combined aggregate (the ir02 inverted-index shape). The reference
+    * side is one head document per source — bounded by feed count — so
+    * its gram table broadcasts; the clip join never shuffles the corpus
+    * on gram. Final assembly joins doc-level totals (one row per doc per
+    * order) against the tiny per-source reference totals. */
+  def rougeQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"), col("source"),
+        split(Text.normText(col("text")), " ").as("toks"))
+    val uni = docs.select(col("doc_id"), col("source"), lit(1L).as("g"),
+      explode(col("toks")).as("gram"))
+    // guarded: Spark's sequence(1, 0) counts DOWN, so short docs must map
+    // to an empty bigram list explicitly
+    val bi = docs.select(col("doc_id"), col("source"), lit(2L).as("g"),
+      explode(when(size(col("toks")) > 1,
+        expr("transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+    val cnt = uni.unionByName(bi)
+      .groupBy(col("doc_id"), col("source"), col("g"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    val heads = docs.groupBy(col("source")).agg(min(col("doc_id")).as("ref_id"))
+    // doc_id functionally determines source, so the head join needs only the
+    // id key (a source equality here would be a trivially-true self-compare:
+    // heads shares cnt's lineage)
+    val refc = cnt.join(broadcast(heads.select(col("ref_id"))),
+        cnt("doc_id") === col("ref_id"))
+      .select(col("source"), col("g"), col("gram"), col("c").as("rc"))
+    val cand = cnt.join(broadcast(heads), Seq("source"))
+      .filter(col("doc_id") =!= col("ref_id"))
+    val candtot = cand
+      .groupBy(col("doc_id"), col("ref_id"), col("source"), col("g"))
+      .agg(sum(col("c")).as("n_cand"))
+    val reftot = refc.groupBy(col("source"), col("g"))
+      .agg(sum(col("rc")).as("n_ref"))
+    val clip = cand.join(broadcast(refc), Seq("source", "g", "gram"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(sum(least(col("c"), col("rc"))).as("n_clip0"))
+    val joined = candtot
+      .join(broadcast(reftot), Seq("source", "g"))
+      .join(clip, Seq("doc_id", "g"), "left_outer")
+      .withColumn("n_clip", coalesce(col("n_clip0"), lit(0L)))
+    val p = col("n_clip").cast("double") / col("n_cand").cast("double")
+    val r = col("n_clip").cast("double") / col("n_ref").cast("double")
+    joined.select(col("doc_id"), col("ref_id"), col("g").as("gram_order"),
+        col("n_cand"), col("n_ref"), col("n_clip"),
+        round(p, 6).as("rouge_p"), round(r, 6).as("rouge_r"),
+        round(when(col("n_clip") > 0, lit(2.0) * p * r / (p + r))
+          .otherwise(0.0), 6).as("rouge_f"))
+      .orderBy(col("doc_id"), col("gram_order"))
+  }
+
+  /** DuckDB SQL replicating [[rougeQuery]] exactly (same normalization and
+    * gram streams, same clipped-min counting, same division order). */
+  val rougeOracleSql: String = """
+      WITH d AS (SELECT doc_id, source,
+                        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                 FROM documents),
+      tk AS (SELECT doc_id, source, string_split(t, ' ') AS toks FROM d),
+      g1 AS (SELECT doc_id, source, CAST(1 AS BIGINT) AS g,
+                    unnest(toks) AS gram FROM tk),
+      g2 AS (SELECT doc_id, source, CAST(2 AS BIGINT) AS g,
+                    unnest(list_transform(range(1, len(toks)),
+                                          i -> toks[i] || ' ' || toks[i + 1]))
+                      AS gram
+             FROM tk),
+      gr AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+      cnt AS (SELECT doc_id, source, g, gram, CAST(count(*) AS BIGINT) AS c
+              FROM gr GROUP BY doc_id, source, g, gram),
+      heads AS (SELECT source, min(doc_id) AS ref_id FROM d GROUP BY source),
+      refc AS (SELECT c.source, c.g, c.gram, c.c AS rc
+               FROM cnt c JOIN heads h
+                 ON c.source = h.source AND c.doc_id = h.ref_id),
+      cand AS (SELECT c.doc_id, h.ref_id, c.source, c.g, c.gram, c.c
+               FROM cnt c JOIN heads h ON c.source = h.source
+               WHERE c.doc_id <> h.ref_id),
+      candtot AS (SELECT doc_id, ref_id, source, g,
+                         CAST(sum(c) AS BIGINT) AS n_cand
+                  FROM cand GROUP BY doc_id, ref_id, source, g),
+      reftot AS (SELECT source, g, CAST(sum(rc) AS BIGINT) AS n_ref
+                 FROM refc GROUP BY source, g),
+      clip AS (SELECT cand.doc_id, cand.g,
+                      CAST(sum(least(cand.c, refc.rc)) AS BIGINT) AS n_clip0
+               FROM cand JOIN refc ON cand.source = refc.source
+                 AND cand.g = refc.g AND cand.gram = refc.gram
+               GROUP BY cand.doc_id, cand.g),
+      j AS (SELECT t.doc_id, t.ref_id, t.g, t.n_cand, r.n_ref,
+                   COALESCE(cl.n_clip0, CAST(0 AS BIGINT)) AS n_clip
+            FROM candtot t
+            JOIN reftot r ON t.source = r.source AND t.g = r.g
+            LEFT JOIN clip cl ON t.doc_id = cl.doc_id AND t.g = cl.g),
+      x AS (SELECT *,
+                   CAST(n_clip AS DOUBLE) / CAST(n_cand AS DOUBLE) AS p,
+                   CAST(n_clip AS DOUBLE) / CAST(n_ref AS DOUBLE) AS rr
+            FROM j)
+      SELECT doc_id, ref_id, g AS gram_order, n_cand, n_ref, n_clip,
+             round(p, 6) AS rouge_p, round(rr, 6) AS rouge_r,
+             round(CASE WHEN n_clip > 0 THEN 2.0 * p * rr / (p + rr)
+                        ELSE 0.0 END, 6) AS rouge_f
+      FROM x ORDER BY doc_id, gram_order"""
 }

@@ -295,6 +295,73 @@ object Windows {
              END AS mean_gap_us
       FROM a ORDER BY user_id"""
 
+  /** ev13 — time-to-convert by acquisition cohort: for every user whose
+    * first purchase follows their first view, the lag between the two, then
+    * per cohort day (the date of the first view) the converting-user count
+    * and the exact lower-median / max / mean lag. The funnel (ev01) says
+    * WHETHER users convert; this says HOW FAST, per cohort — the curve a
+    * growth dashboard plots.
+    *
+    * Determinism: first-view/first-purchase are integer mins; lag is
+    * integer; median/max index into the sorted lag list (integer
+    * arithmetic); the mean folds the sorted list to an exact integer sum
+    * then does ONE IEEE division. Cohort day = UTC date of the first-view
+    * micros on both engines.
+    *
+    * Plan shape for 100 TB: ONE user-keyed exchange (the same one the
+    * whole ev family rides) with map-side partial min aggregation — the
+    * conditional firsts need no window — then a cohort-day aggregate over
+    * one row per converting user (users × ~16 bytes, trivially small).
+    * Per-cohort state is the lag list, bounded by converters-per-day. */
+  def conversionLagQuery(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts_us"))).as("fv_us"),
+        min(when(col("event_type") === "purchase", col("ts_us"))).as("fp_us"))
+      .filter(col("fv_us").isNotNull && col("fp_us").isNotNull &&
+        col("fp_us") >= col("fv_us"))
+      .select(
+        to_date(timestamp_micros(col("fv_us"))).as("cohort_day"),
+        (col("fp_us") - col("fv_us")).as("lag_us"))
+    val gs = col("gs")
+    perUser.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("n_converted"),
+        sort_array(collect_list(col("lag_us"))).as("gs"))
+      .select(col("cohort_day"), col("n_converted"),
+        element_at(gs, ((size(gs) + 1) / 2).cast("int")).as("median_lag_us"),
+        element_at(gs, size(gs)).as("max_lag_us"),
+        (aggregate(gs, lit(0L), (a, x) => a + x).cast("double") /
+          size(gs).cast("double")).as("mean_lag_us"))
+      .orderBy(col("cohort_day"))
+  }
+
+  /** DuckDB SQL replicating [[conversionLagQuery]] exactly (same integer
+    * firsts, same lower-median index arithmetic, same exact-sum mean;
+    * `make_timestamp(us)` is UTC like Spark's `timestamp_micros` under the
+    * session's UTC timezone). */
+  val conversionLagOracleSql: String = """
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus
+                 FROM events WHERE event_type IN ('view', 'purchase')),
+      u AS (SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN tus END) AS fv_us,
+                   min(CASE WHEN event_type = 'purchase' THEN tus END) AS fp_us
+            FROM e GROUP BY user_id),
+      c AS (SELECT CAST(make_timestamp(fv_us) AS DATE) AS cohort_day,
+                   fp_us - fv_us AS lag_us
+            FROM u
+            WHERE fv_us IS NOT NULL AND fp_us IS NOT NULL AND fp_us >= fv_us),
+      a AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_converted,
+                   list(lag_us ORDER BY lag_us) AS gs
+            FROM c GROUP BY cohort_day)
+      SELECT cohort_day, n_converted,
+             gs[CAST((len(gs) + 1) // 2 AS INT)] AS median_lag_us,
+             gs[len(gs)] AS max_lag_us,
+             CAST(list_sum(gs) AS DOUBLE) / CAST(len(gs) AS DOUBLE)
+               AS mean_lag_us
+      FROM a ORDER BY cohort_day"""
+
   /** Rolling z-score anomaly flags (streaming-telemetry style): each event's
     * value against the mean/stddev of the SAME USER's previous 10 events —
     * the trailing frame deliberately excludes the current row, so the

@@ -116,7 +116,14 @@ object Stress {
       "ir08_lm_dirichlet", "cl05_centroid_classifier", "cl06_calibration",
       "ev11_markov_next", "sim11_maxsim", "gr03_adamic_adar",
       "ta19_char_entropy", "sk05_ams_f2", "ev12_cadence",
-      "mm07_video_neardup", "ir09_ann_recall")
+      "mm07_video_neardup", "ir09_ann_recall",
+      // round-8 fifth batch: dq05's fused audit and ev13's conditional
+      // firsts must stay single-exchange; ir10/ir11 compose the audited
+      // retrieval scans; ta20's clip join must stay bounded by the
+      // broadcast per-source reference grams when duplication multiplies
+      // the candidate side
+      "dq05_completeness", "ev13_conversion_lag", "ir10_rank_fusion",
+      "ta20_rouge_overlap", "ir11_query_expansion")
     // q39/q40 and dq06 read lineitem/the TPC-H star, which the stress
     // corpus does not amplify — they rehearse under Bench at sf0.1 instead
     val dedupSubset = Seq("dd01_exact_dedup", "dd03_minhash_lsh",

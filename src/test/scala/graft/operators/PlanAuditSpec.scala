@@ -766,4 +766,43 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<l_orderkey:bigint>"), plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("dq05: one fused source-keyed aggregate — no joins, no second scan") {
+    val plan = planOf(DataQuality.completenessQuery(spark, sf0001))
+    assert(!plan.contains("Join"), plan)
+    // exactly one source-only exchange (the distinct-lang expand adds a
+    // (source, lang)-keyed one, which the source-only pattern must not count)
+    assert(count(plan, "hashpartitioning\\(source#\\d+, \\d+\\)") == 1, plan)
+    assert(count(plan, "FileScan parquet") == 1, plan)
+  }
+
+  test("ev13: conditional firsts ride ONE user exchange — no window") {
+    val plan = planOf(Windows.conversionLagQuery(spark, sf0001))
+    assert(count(plan, "hashpartitioning\\(user_id#\\d+L?, \\d+\\)") == 1, plan)
+    assert(!plan.contains("Window"), plan.take(4000))
+  }
+
+  test("ir10: fusion runs on top-k results — the corpus is never joined") {
+    val plan = planOf(Search.rrfFusionTopK(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // both base rankings keep their TakeOrderedAndProject top-k shape
+    assert(count(plan, "TakeOrderedAndProject") >= 2, plan)
+  }
+
+  test("ir11: feedback ids broadcast onto the ONE vocabulary-scale pass") {
+    val plan = planOf(Search.queryExpansionTerms(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the feedback set joins broadcast; the (term, doc) aggregate is the
+    // only corpus-keyed exchange family
+    assert(count(plan, "BroadcastHashJoin") >= 1, plan)
+    assert(count(plan, "TakeOrderedAndProject") >= 2, plan)
+  }
+
+  test("ta20: reference grams broadcast — no corpus shuffle keyed on gram alone") {
+    val plan = planOf(TextAnalysis.rougeQuery(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // heads, refc and reftot are all per-source-bounded: broadcast joins
+    assert(count(plan, "BroadcastHashJoin") >= 3, plan)
+    assert(count(plan, "hashpartitioning\\(gram#\\d+, \\d+\\)") == 0, plan)
+  }
 }
