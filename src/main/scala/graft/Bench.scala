@@ -201,6 +201,20 @@ object Bench {
     "ir10_rank_fusion",
     "ta20_rouge_overlap",
     "ir11_query_expansion",
+    // round-8 sixth batch: readability, decayed engagement, k-core, KMV
+    // set ops, NDCG eval
+    "ta21_readability",
+    "ev14_decay_engagement",
+    "gr04_kcore",
+    "sk06_kmv_setops",
+    "ir12_ndcg_eval",
+    // round-8 seventh batch: containment dedup, trigram novelty, snapshot
+    // diff, CUSUM changepoint, BM25F
+    "dd19_containment",
+    "ta22_novelty",
+    "dq07_snapshot_diff",
+    "ev15_cusum",
+    "ir13_bm25f",
   )
 
   def main(args: Array[String]): Unit = {

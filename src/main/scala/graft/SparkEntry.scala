@@ -204,6 +204,16 @@ object SparkEntry {
     "ir10_rank_fusion"     -> ((s: SparkSession, d: String) => Search.rrfFusionTopK(s, d)),
     "ta20_rouge_overlap"   -> ((s: SparkSession, d: String) => TextAnalysis.rougeQuery(s, d)),
     "ir11_query_expansion" -> ((s: SparkSession, d: String) => Search.queryExpansionTerms(s, d)),
+    "ta21_readability"     -> ((s: SparkSession, d: String) => TextAnalysis.readabilityQuery(s, d)),
+    "ev14_decay_engagement" -> ((s: SparkSession, d: String) => Windows.decayEngagementQuery(s, d)),
+    "gr04_kcore"           -> ((s: SparkSession, d: String) => graft.operators.Graph.kcoreQuery(s, d)),
+    "sk06_kmv_setops"      -> ((s: SparkSession, d: String) => graft.operators.Sketch.kmvSetOpsQuery(s, d)),
+    "ir12_ndcg_eval"       -> ((s: SparkSession, d: String) => Search.ndcgEvalQuery(s, d)),
+    "dd19_containment"     -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
+    "ta22_novelty"         -> ((s: SparkSession, d: String) => TextAnalysis.noveltyQuery(s, d)),
+    "dq07_snapshot_diff"   -> ((s: SparkSession, d: String) => graft.operators.DataQuality.snapshotDiffQuery(s, d)),
+    "ev15_cusum"           -> ((s: SparkSession, d: String) => Windows.cusumQuery(s, d)),
+    "ir13_bm25f"           -> ((s: SparkSession, d: String) => Search.bm25fTopK(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables, same column
@@ -771,6 +781,16 @@ object SparkEntry {
     "ir10_rank_fusion" -> Search.rrfFusionOracleSql(),
     "ta20_rouge_overlap" -> TextAnalysis.rougeOracleSql,
     "ir11_query_expansion" -> Search.queryExpansionOracleSql(),
+    "ta21_readability" -> TextAnalysis.readabilityOracleSql,
+    "ev14_decay_engagement" -> Windows.decayEngagementOracleSql,
+    "gr04_kcore" -> graft.operators.Graph.kcoreOracleSql(pairsSubquerySql),
+    "sk06_kmv_setops" -> graft.operators.Sketch.kmvSetOpsOracleSql(),
+    "ir12_ndcg_eval" -> Search.ndcgEvalOracleSql(),
+    "dd19_containment" -> Dedup.containmentOracleSql(),
+    "ta22_novelty" -> TextAnalysis.noveltyOracleSql,
+    "dq07_snapshot_diff" -> graft.operators.DataQuality.snapshotDiffOracleSql,
+    "ev15_cusum" -> Windows.cusumOracleSql,
+    "ir13_bm25f" -> Search.bm25fOracleSql(),
   )
 
   /** The cl03 kNN prediction derivation as a CTE chain ending in

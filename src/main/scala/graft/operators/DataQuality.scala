@@ -390,4 +390,70 @@ object DataQuality {
              (n_empty_text = 0 AND n_null_lang = 0 AND n_len_mismatch = 0)
                AS passed
       FROM a ORDER BY source"""
+
+  /** Snapshot watermarks for [[snapshotDiffQuery]] — two cutoffs inside
+    * the synthetic order-date range (1995-01 .. 2001-08), placed so all
+    * three change classes are populated at every scale factor. */
+  val SnapOld = "1998-01-01"
+  val SnapNew = "2000-01-01"
+
+  /** dq07 — derived-state snapshot diff (the CDC/SCD reconciliation
+    * audit): per customer, compare the order-count/spend state as of
+    * [[SnapOld]] against the state as of [[SnapNew]] and classify
+    * `added` (customer first appears between the watermarks), `changed`
+    * (existing customer gained orders) or `unchanged`. This is the audit
+    * a changelog pipeline runs to certify that an incremental refresh of
+    * a state table equals a from-scratch rebuild — q38 materializes the
+    * latest snapshot, this RECONCILES two of them.
+    *
+    * Determinism: counts are exact integers; change classification uses
+    * ONLY the integer counts (orders are append-only, so spend changed ⟺
+    * count changed — no float compare gates a row); the spend sums are
+    * informational, round-2 like every order-dependent money sum (q01).
+    *
+    * Plan shape for 100 TB: NO join — both snapshots are conditional
+    * aggregates fused into ONE map-side-combined custkey exchange over
+    * one pruned scan (o_custkey, o_orderdate, o_totalprice). The
+    * two-sided compare never materializes two tables. */
+  def snapshotDiffQuery(s: SparkSession, dir: String): DataFrame = {
+    val oldP = col("o_orderdate") < SnapOld
+    val newP = col("o_orderdate") < SnapNew
+    Tables.orders(s, dir)
+      .filter(newP)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(
+        sum(when(oldP, 1L).otherwise(0L)).as("n_orders_old"),
+        count(lit(1)).as("n_orders_new"),
+        round(sum(when(oldP, col("o_totalprice")).otherwise(0.0)), 2)
+          .as("spend_old"),
+        round(sum(col("o_totalprice")), 2).as("spend_new"))
+      .withColumn("change_type",
+        when(col("n_orders_old") === 0L, "added")
+          .when(col("n_orders_new") > col("n_orders_old"), "changed")
+          .otherwise("unchanged"))
+      .select(col("custkey"), col("change_type"), col("n_orders_old"),
+        col("n_orders_new"), col("spend_old"), col("spend_new"))
+      .orderBy(col("custkey"))
+  }
+
+  /** DuckDB SQL replicating [[snapshotDiffQuery]] exactly (same fused
+    * conditional aggregates, same integer-only classification, same
+    * round-2 money sums). */
+  def snapshotDiffOracleSql: String = s"""
+      WITH a AS (
+        SELECT o_custkey AS custkey,
+               CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '$SnapOld'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_orders_old,
+               CAST(count(*) AS BIGINT) AS n_orders_new,
+               round(sum(CASE WHEN o_orderdate < TIMESTAMP '$SnapOld'
+                              THEN o_totalprice ELSE 0.0 END), 2) AS spend_old,
+               round(sum(o_totalprice), 2) AS spend_new
+        FROM orders WHERE o_orderdate < TIMESTAMP '$SnapNew'
+        GROUP BY o_custkey)
+      SELECT custkey,
+             CASE WHEN n_orders_old = 0 THEN 'added'
+                  WHEN n_orders_new > n_orders_old THEN 'changed'
+                  ELSE 'unchanged' END AS change_type,
+             n_orders_old, n_orders_new, spend_old, spend_new
+      FROM a ORDER BY custkey"""
 }

@@ -1092,4 +1092,107 @@ object Dedup {
       SELECT a.vec_id, a.max_cos, n.nearest_bench_id, a.n_hits,
              (a.max_cos >= $threshold) AS contaminated
       FROM agg a JOIN nearest n USING (vec_id) ORDER BY a.vec_id"""
+
+  /** Containment threshold for [[containmentPairs]]. */
+  val ContainTau = 0.9
+  /** Minimum contained-side token count for [[containmentPairs]] — kills
+    * the trivially-contained tiny-doc noise. */
+  val ContainMinTokens = 5
+
+  /** dd19 — asymmetric token-set containment pairs: ordered (contained,
+    * container) doc pairs where |A∩B| / |A| ≥ [[ContainTau]] and |A| ≥
+    * [[ContainMinTokens]] over distinct word sets. Jaccard (dd02/dd03) is
+    * symmetric and misses INCLUSION — a document quoted whole inside a
+    * larger one scores low Jaccard but containment ≈ 1; this is the
+    * quote/subset detector a dedup cascade runs after the symmetric pass
+    * (and the document-level cousin of dd11's substring containment).
+    *
+    * Determinism: all censuses are exact integer distinct-counts; the
+    * score is ONE division, threshold-compared unrounded on both engines
+    * (identical IEEE bit pattern), 6dp round on output only.
+    *
+    * Plan shape for 100 TB: canonicalize-first (the dd03/er01 pattern —
+    * md5 of the NORMALIZED text, which fully determines the token set)
+    * collapses exact copies before any pairing, so the token self-join
+    * runs on DISTINCT texts: Σ df(token)²/2 over the deduplicated corpus,
+    * the same cost envelope the dd02/dd05 oracles carry since the round-7
+    * rewrite. Within-group pairs expand through the membership table at
+    * exactly 1.0 — no recomputation, output-sensitive. Stopword df² is
+    * the dominant term at corpus scale; a production caller bounds it the
+    * ir02 way (cap or drop top-df tokens) at a documented recall cost —
+    * uncapped here, where the oracle must match exactly. */
+  def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    val fpDocs = Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"), Text.normText(col("text")).as("t"))
+      .withColumn("fp", md5(col("t")))
+    val groups = fpDocs.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("rep"), max(col("t")).as("t"))
+    val mem = fpDocs.select(col("doc_id"), col("fp"))
+      .join(groups.select(col("fp"), col("rep")), "fp")
+      .select(col("rep"), col("doc_id"))
+    val tok = groups
+      .select(col("rep").as("doc"), explode(split(col("t"), " ")).as("w"))
+      .distinct()
+    val sizes = tok.groupBy(col("doc")).agg(count(lit(1)).as("n_tok"))
+    // unordered intersection counts once, emitted in both directions:
+    // half the join work of an ordered enumeration
+    val interU = tok.alias("x")
+      .join(tok.alias("y"),
+        col("x.w") === col("y.w") && col("x.doc") < col("y.doc"))
+      .groupBy(col("x.doc").as("r1"), col("y.doc").as("r2"))
+      .agg(count(lit(1)).as("n_shared"))
+    val inter = interU.select(col("r1").as("ra"), col("r2").as("rb"), col("n_shared"))
+      .unionByName(interU.select(col("r2").as("ra"), col("r1").as("rb"), col("n_shared")))
+    val repPairs = inter
+      .join(sizes.select(col("doc").as("ra"), col("n_tok").as("n_a")), "ra")
+      .join(sizes.select(col("doc").as("rb"), col("n_tok").as("n_b")), "rb")
+      .withColumn("c", col("n_shared").cast("double") / col("n_a").cast("double"))
+      .filter(col("n_a") >= ContainMinTokens && col("c") >= ContainTau)
+    // bytewise-equal normalized texts have identical token sets: cross-group
+    // pairs inherit their representatives' counts and score; within-group
+    // ordered pairs are exactly |A|/|A| = 1.0
+    val cross = repPairs
+      .join(mem.select(col("rep").as("ra"), col("doc_id").as("da")), "ra")
+      .join(mem.select(col("rep").as("rb"), col("doc_id").as("db")), "rb")
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("n_a"), col("n_b"), col("n_shared"), col("c"))
+    val within = mem.alias("x")
+      .join(mem.alias("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.rep").as("doc"), col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"))
+      .join(sizes, "doc")
+      .filter(col("n_tok") >= ContainMinTokens)
+      .select(col("doc_a"), col("doc_b"), col("n_tok").as("n_a"),
+        col("n_tok").as("n_b"), col("n_tok").as("n_shared"),
+        lit(1.0d).as("c"))
+    cross.unionByName(within)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("n_shared"), round(col("c"), 6).as("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB SQL replicating [[containmentPairs]] exactly — brute-force
+    * token join over ALL docs (no canonicalization): the expansion path
+    * and the direct path must produce byte-identical rows, which is the
+    * same equivalence the dd03 oracle proves for Jaccard. */
+  def containmentOracleSql(tau: Double = ContainTau,
+      minTok: Int = ContainMinTokens): String = s"""
+      WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                 FROM documents),
+      tok AS (SELECT DISTINCT doc_id, unnest(string_split(t, ' ')) AS w FROM d),
+      sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM tok GROUP BY doc_id),
+      iu AS (SELECT x.doc_id AS r1, y.doc_id AS r2, CAST(count(*) AS BIGINT) AS n_shared
+             FROM tok x JOIN tok y ON x.w = y.w AND x.doc_id < y.doc_id
+             GROUP BY 1, 2),
+      i2 AS (SELECT r1 AS ra, r2 AS rb, n_shared FROM iu
+             UNION ALL SELECT r2, r1, n_shared FROM iu)
+      SELECT ra AS doc_a, rb AS doc_b, a.n_tok AS n_a, b.n_tok AS n_b,
+             n_shared,
+             round(CAST(n_shared AS DOUBLE) / CAST(a.n_tok AS DOUBLE), 6)
+               AS containment
+      FROM i2 JOIN sz a ON a.doc_id = ra JOIN sz b ON b.doc_id = rb
+      WHERE a.n_tok >= $minTok
+        AND CAST(n_shared AS DOUBLE) / CAST(a.n_tok AS DOUBLE) >= $tau
+      ORDER BY doc_a, doc_b"""
 }

@@ -331,4 +331,83 @@ object Graph {
       FROM fl JOIN wdeg wd ON wd.b = fl.b
       GROUP BY a, c
       ORDER BY doc_a, doc_b"""
+
+  val KCoreK = 2
+  val KCorePeels = 3
+
+  /** gr04 — fixed-round k-core peel over the verified near-dup graph
+    * ([[KCorePeels]] synchronous peels at k = [[KCoreK]]): repeatedly drop
+    * every node whose CURRENT degree is below k, restricting the edge set
+    * to survivors each round. What survives separates the DENSE dup
+    * communities (template farms, mirror rings — the structures worth a
+    * template-strip rule) from the chains and stars the peel dissolves;
+    * gr02's clustering coefficient grades single neighborhoods, the core
+    * grades global cohesion. Output per original node: its original
+    * degree, whether it survived all peels, and its residual in-core
+    * degree (0 for a survivor whose neighbors were all peeled in the last
+    * round; NULL for peeled nodes).
+    *
+    * Determinism: every quantity is an exact integer census or a set
+    * membership — no floats anywhere.
+    *
+    * Plan shape for 100 TB: each peel is a node-scale degree aggregate
+    * plus two ids-only semi-join restrictions of the collision-bounded
+    * edge set — the [[Dedup.distributedLabels]] iteration shape; under
+    * the driver bound [[Dedup.boundedPairs]] localizes the pair set so
+    * every join broadcasts. The corpus never participates — only ids. */
+  def kcoreQuery(s: SparkSession, dir: String): DataFrame = {
+    val p = Dedup.boundedPairs(s, dir)
+    val e0 = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    def degOf(e: DataFrame): DataFrame =
+      e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val deg0 = degOf(e0)
+    var edges = e0
+    var keep: DataFrame = null
+    for (_ <- 1 to KCorePeels) {
+      keep = degOf(edges).filter(col("deg") >= KCoreK).select(col("src"))
+      edges = edges
+        .join(keep, "src")
+        .join(keep.select(col("src").as("dst")), "dst")
+        .select(col("src"), col("dst"))
+    }
+    val degF = degOf(edges).select(col("src"), col("deg").as("core_deg"))
+    deg0.select(col("src"), col("deg"))
+      .join(keep.select(col("src"), lit(true).as("in_core")), Seq("src"), "left")
+      .join(degF, Seq("src"), "left")
+      .select(col("src").as("doc_id"), col("deg").as("degree"),
+        coalesce(col("in_core"), lit(false)).as("in_core"),
+        when(col("in_core"), coalesce(col("core_deg"), lit(0L)))
+          .as("core_degree"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB SQL replicating [[kcoreQuery]] exactly: the peel unrolled into
+    * generated CTE blocks from the same (k, peels) spec (the gr01 oracle
+    * pattern), over the shared verified-pair subquery. */
+  def kcoreOracleSql(pairsSql: String): String = {
+    val blocks = (1 to KCorePeels).map { i =>
+      s"""
+      k$i AS (SELECT src FROM (SELECT src, count(*) AS deg
+                FROM e${i - 1} GROUP BY src) z WHERE deg >= $KCoreK),
+      e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+                JOIN k$i a ON a.src = e.src
+                JOIN k$i b ON b.src = e.dst)"""
+    }.mkString(",")
+    s"""
+      WITH pairs AS MATERIALIZED ($pairsSql),
+      e0 AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+             UNION ALL SELECT doc_b, doc_a FROM pairs),
+      d0 AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e0 GROUP BY src),
+      $blocks,
+      df AS (SELECT src, CAST(count(*) AS BIGINT) AS core_deg
+             FROM e$KCorePeels GROUP BY src)
+      SELECT d0.src AS doc_id, d0.deg AS degree,
+             k.src IS NOT NULL AS in_core,
+             CASE WHEN k.src IS NOT NULL
+                  THEN coalesce(df.core_deg, CAST(0 AS BIGINT)) END AS core_degree
+      FROM d0 LEFT JOIN k$KCorePeels k ON k.src = d0.src
+        LEFT JOIN df ON df.src = d0.src
+      ORDER BY doc_id"""
+  }
 }

@@ -645,4 +645,226 @@ object Search {
       WHERE r > 0 AND term NOT IN ($exclude)
       ORDER BY offer_weight DESC, term LIMIT $out"""
   }
+
+  /** NDCG cutoffs reported by [[ndcgEvalQuery]]. */
+  val NdcgCutoffs: Seq[Int] = Seq(1, 3, 5, 10)
+  /** Positional discounts 1/log2(i+1) for ranks 1..max cutoff, computed
+    * ONCE here and injected as literal doubles into BOTH the Spark plan
+    * and the oracle SQL (round-trip decimal form), so the transcendental
+    * never runs on either engine — bit-identical discounts by
+    * construction. */
+  val NdcgDiscounts: Seq[Double] =
+    (1 to NdcgCutoffs.max).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+
+  /** ir12 — graded NDCG@n of the LM-Dirichlet ranking judged against
+    * bm25-derived relevance grades (gold rank 1–3 → grade 3, 4–10 → 2,
+    * rest of the top-[[TopK]] → 1, unretrieved → 0): for each cutoff in
+    * [[NdcgCutoffs]], DCG = Σ_{i≤n} (2^grade_i − 1)·disc(i) over the
+    * system ranking, IDCG the same sum over the grade multiset sorted
+    * descending, NDCG their ratio. The standard graded retrieval-eval
+    * metric — ir09 grades ANN recall against exact kNN the same way; this
+    * grades one audited ranking against another, the harness a pipeline
+    * uses to A/B retrieval variants before swapping them into curation.
+    *
+    * Determinism: grades and gains (2^g − 1 ∈ {0,1,3,7}) are exact;
+    * discounts are shared literal doubles (see [[NdcgDiscounts]]); each
+    * term is ONE multiply; both folds run in ascending position order
+    * (the gr01 ordered-fold recipe, `list_sum(list(... ORDER BY ...))` on
+    * the oracle side); 6dp round on output only.
+    *
+    * Plan shape for 100 TB: both base rankings end in
+    * TakeOrderedAndProject top-k, so everything downstream — grade join,
+    * cutoff cross join, folds — runs on ≤ 4·k rows (driver scale by
+    * construction). Corpus cost = the two base scans, unchanged from
+    * ir03/ir08. */
+  def ndcgEvalQuery(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxCut = NdcgCutoffs.max
+    val gold = bm25TopK(s, dir).select(col("doc_id"),
+      row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+        .as("grank"))
+      .select(col("doc_id"),
+        when(col("grank") <= 3, 3).when(col("grank") <= 10, 2).otherwise(1)
+          .as("grade"))
+    val sys = lmDirichletTopK(s, dir).select(col("doc_id"),
+      row_number().over(Window.orderBy(col("lm_score").desc, col("doc_id")))
+        .as("srank"))
+    val disc = array(NdcgDiscounts.map(lit): _*)
+    val cuts = s.range(1, maxCut + 1L).select(col("id").as("n"))
+      .filter(col("n").isin(NdcgCutoffs.map(_.toLong): _*))
+    def orderedFold(pos: Column, term: Column): Column =
+      aggregate(
+        transform(array_sort(collect_list(struct(pos.as("p"), term.as("t")))),
+          x => x.getField("t")),
+        lit(0.0d), (acc, x) => acc + x)
+    val sterms = sys.join(gold, Seq("doc_id"), "left")
+      .filter(col("srank") <= maxCut)
+      .select(col("srank"),
+        ((pow(lit(2.0), coalesce(col("grade"), lit(0)).cast("double")) -
+          lit(1.0)) * element_at(disc, col("srank"))).as("term"))
+    val dcg = cuts.join(broadcast(sterms), col("srank") <= col("n"))
+      .groupBy(col("n")).agg(orderedFold(col("srank"), col("term")).as("dcg"))
+    val iterms = gold
+      .select(row_number().over(
+        Window.orderBy(col("grade").desc, col("doc_id"))).as("ipos"),
+        col("grade"))
+      .filter(col("ipos") <= maxCut)
+      .select(col("ipos"),
+        ((pow(lit(2.0), col("grade").cast("double")) - lit(1.0)) *
+          element_at(disc, col("ipos"))).as("term"))
+    val idcg = cuts.join(broadcast(iterms), col("ipos") <= col("n"))
+      .groupBy(col("n")).agg(orderedFold(col("ipos"), col("term")).as("idcg"))
+    dcg.join(idcg, Seq("n"))
+      .select(col("n"), round(col("dcg"), 6).as("dcg"),
+        round(col("idcg"), 6).as("idcg"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg"))
+      .orderBy(col("n"))
+  }
+
+  /** DuckDB SQL replicating [[ndcgEvalQuery]] exactly — the two base
+    * rankings embed as subqueries of the bm25/LM oracles (the ir10
+    * pattern), the discounts arrive as the SAME literal doubles the Spark
+    * plan carries, and both folds order by position. */
+  def ndcgEvalOracleSql(): String = {
+    val maxCut = NdcgCutoffs.max
+    val discRows = NdcgDiscounts.zipWithIndex
+      .map { case (d, i) => s"(${i + 1}, $d)" }.mkString(", ")
+    val cutRows = NdcgCutoffs.map(n => s"($n)").mkString(", ")
+    s"""
+      WITH gold AS (SELECT doc_id,
+                      row_number() OVER (ORDER BY bm25 DESC, doc_id) AS grank
+                    FROM ($bm25OracleSql) bmb),
+      grades AS (SELECT doc_id,
+                   CASE WHEN grank <= 3 THEN 3 WHEN grank <= 10 THEN 2
+                        ELSE 1 END AS grade
+                 FROM gold),
+      sys AS (SELECT doc_id,
+                row_number() OVER (ORDER BY lm_score DESC, doc_id) AS srank
+              FROM (${lmDirichletOracleSql()}) lmb),
+      disc AS (SELECT * FROM (VALUES $discRows) AS t(pos, d)),
+      cuts AS (SELECT CAST(n AS BIGINT) AS n
+               FROM (VALUES $cutRows) AS c(n)),
+      sterms AS (SELECT s.srank,
+                   (pow(2.0, CAST(coalesce(g.grade, 0) AS DOUBLE)) - 1.0) * t.d
+                     AS term
+                 FROM sys s LEFT JOIN grades g USING (doc_id)
+                   JOIN disc t ON t.pos = s.srank
+                 WHERE s.srank <= $maxCut),
+      dcg AS (SELECT n, list_sum(list(term ORDER BY srank)) AS dcg
+              FROM cuts JOIN sterms ON srank <= n GROUP BY n),
+      ideal AS (SELECT row_number() OVER (ORDER BY grade DESC, doc_id)
+                         AS ipos, grade
+                FROM grades),
+      iterms AS (SELECT ipos,
+                   (pow(2.0, CAST(grade AS DOUBLE)) - 1.0) * t.d AS term
+                 FROM ideal JOIN disc t ON t.pos = ipos
+                 WHERE ipos <= $maxCut),
+      idcg AS (SELECT n, list_sum(list(term ORDER BY ipos)) AS idcg
+               FROM cuts JOIN iterms ON ipos <= n GROUP BY n)
+      SELECT n, round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
+             round(dcg / idcg, 6) AS ndcg
+      FROM dcg JOIN idcg USING (n) ORDER BY n"""
+  }
+
+  /** Title-field weight for [[bm25fTopK]] (body weight is 1). Integer so
+    * the weighted tf/length stay exact. */
+  val TitleWeight = 2L
+
+  /** ir13 — BM25F fielded retrieval: documents carry no explicit title, so
+    * the field split is deterministic structure — title = the first
+    * sentence (prefix through the first `[.!?]+` run of the normalized
+    * text), body = the remainder. Per term, the weighted tf is
+    * [[TitleWeight]]·tf_title + tf_body and the weighted length is
+    * [[TitleWeight]]·len_title + len_body (the simple-BM25F/field-weight
+    * formulation); df and the scoring then run exactly as ir01's BM25 on
+    * the weighted quantities. A match in the opening sentence outranks the
+    * same match buried mid-document — the structure-aware ranking ir01
+    * cannot express.
+    *
+    * Determinism: weighted tf/length are exact integers (integer weight),
+    * df/N exact counts, avgdl an exact-integer-sum ratio; the score is the
+    * ir01 association order — ln()'s last ulp absorbed by the 4dp round;
+    * ties break on doc_id.
+    *
+    * Plan shape for 100 TB: identical to ir01 — field extraction and
+    * per-field TFs are per-row columnar expressions on the scan (nothing
+    * explodes), stats reduce to ONE broadcast row, TakeOrderedAndProject
+    * top-k. */
+  def bm25fTopK(s: SparkSession, dir: String,
+      terms: Seq[String] = QueryTerms, k: Int = TopK): DataFrame = {
+    val W = TitleWeight
+    val fields = Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"), Text.normText(col("text")).as("t"))
+      .withColumn("title", regexp_extract(col("t"), "^[^.!?]*[.!?]*", 0))
+      .withColumn("body", trim(expr("substr(t, length(title) + 1)")))
+    val perDoc = fields
+      .select(Seq(col("doc_id"),
+        (lit(W) * Text.tokenCount(col("title")) + Text.tokenCount(col("body")))
+          .as("dlw"),
+        Text.doubledSpaces(col("title")).as("ddt"),
+        Text.doubledSpaces(col("body")).as("ddb")): _*)
+      .select(Seq(col("doc_id"), col("dlw")) ++ terms.map(t =>
+        (lit(W) * Text.wordOccurrencesInDoubled(col("ddt"), t) +
+          Text.wordOccurrencesInDoubled(col("ddb"), t)).as(s"tfw_$t")): _*)
+    val aggCols = Seq(count(lit(1)).as("n_docs"), avg(col("dlw")).as("avgdl")) ++
+      terms.map(t => sum(when(col(s"tfw_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = perDoc.agg(aggCols.head, aggCols.tail: _*)
+    def termScore(t: String): Column = {
+      val tf = col(s"tfw_$t").cast("double")
+      val df = col(s"df_$t").cast("double")
+      val idf = log((col("n_docs").cast("double") - df + 0.5) / (df + 0.5) + 1.0)
+      idf * (tf * (K1 + 1.0)) /
+        (tf + lit(K1) * (lit(1.0 - B) + lit(B) * col("dlw").cast("double") / col("avgdl")))
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .select(Seq(col("doc_id")) ++ terms.map(t => col(s"tfw_$t")) :+
+        round(terms.map(termScore).reduce(_ + _), 4).as("bm25f"): _*)
+      .orderBy(col("bm25f").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB SQL replicating [[bm25fTopK]] exactly (same regex field split,
+    * same doubled-space occurrence counting per field, same exact-integer
+    * weighted quantities, same ln association order and 4dp round). */
+  def bm25fOracleSql(terms: Seq[String] = QueryTerms, k: Int = TopK): String = {
+    val W = TitleWeight
+    def occ(dd: String, w: String): String =
+      s"CAST((length($dd) - length(regexp_replace($dd, ' \\Q$w\\E ', '', 'g'))) / ${w.length + 2} AS BIGINT)"
+    def tokCount(x: String): String =
+      s"CASE WHEN length($x) = 0 THEN CAST(0 AS BIGINT) " +
+        s"ELSE CAST(length($x) - length(replace($x, ' ', '')) + 1 AS BIGINT) END"
+    val tfCols = terms.map(t =>
+      s"$W * ${occ("ddt", t)} + ${occ("ddb", t)} AS tfw_$t")
+      .mkString(",\n               ")
+    val dfCols = terms.map(t =>
+      s"CAST(sum(CASE WHEN tfw_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
+      .mkString(",\n               ")
+    val scoreTerms = terms.map { t =>
+      val idf = s"ln((CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5) + 1.0)"
+      s"$idf * (CAST(tfw_$t AS DOUBLE) * ${K1 + 1.0}) / " +
+        s"(CAST(tfw_$t AS DOUBLE) + $K1 * ((1.0 - $B) + $B * CAST(dlw AS DOUBLE) / avgdl))"
+    }.mkString(" + ")
+    val tfOut = terms.map(t => s"tfw_$t").mkString(", ")
+    s"""
+      WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                 FROM documents),
+      fld AS (SELECT doc_id, regexp_extract(t, '^[^.!?]*[.!?]*') AS title,
+                trim(substr(t, length(regexp_extract(t, '^[^.!?]*[.!?]*')) + 1))
+                  AS body
+              FROM d),
+      f2 AS (SELECT doc_id,
+               CAST($W * ${tokCount("title")} + ${tokCount("body")} AS BIGINT) AS dlw,
+               replace(' ' || title || ' ', ' ', '  ') AS ddt,
+               replace(' ' || body || ' ', ' ', '  ') AS ddb
+             FROM fld),
+      perdoc AS (SELECT doc_id, dlw,
+               $tfCols
+             FROM f2),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dlw) AS avgdl,
+               $dfCols
+             FROM perdoc)
+      SELECT doc_id, $tfOut, round($scoreTerms, 4) AS bm25f
+      FROM perdoc CROSS JOIN stats
+      ORDER BY bm25f DESC, doc_id LIMIT $k"""
+  }
 }

@@ -513,4 +513,147 @@ object Sketch {
                    CAST(f2_exact AS DOUBLE), 6) AS rel_err
       FROM est"""
   }
+
+  /** sk06 — KMV set operations per source pair (the theta-sketch use case:
+    * set expressions over sketches instead of data): for every pair of
+    * sources, the UNION distinct-vocabulary estimate from the MERGED
+    * bottom-K sketch — merging two KMV sketches is taking the K smallest
+    * of their union, which is EXACTLY the union's own sketch, the
+    * mergeability that makes KMV deployable as a 100 TB partial aggregate —
+    * and the INTERSECTION estimate by inclusion–exclusion
+    * (est_a + est_b − est_union), each beside its exact count so the
+    * estimator's error is itself oracle-checked. This answers "how much
+    * vocabulary do two crawls share?" from K·|sources| numbers instead of
+    * a pairwise token join — sk01 measures one source, this measures the
+    * pairwise overlap structure.
+    *
+    * Determinism: hashes are md5-exact; the kth-hash choice is integer
+    * ranking with a word tie-break; estimates are the sk01 two-division
+    * sequence; inclusion–exclusion is one fixed a + b − u sequence; 4dp
+    * round on output only. Small-set fallback: a merged sketch holding
+    * fewer than K distinct elements IS the whole union (the merged
+    * bottom-Ks always contain the union's true bottom-K), so it reports
+    * exactly.
+    *
+    * Plan shape for 100 TB: the sketch branch touches the corpus ONCE —
+    * the (source, word) distinct pass + per-source bottom-K (the sk01
+    * WindowGroupLimit cut); everything pairwise then runs on sketch rows
+    * (K·|sources|, broadcast-scale by construction). The exact branch —
+    * the self-check a production run drops — is the word-keyed self-join
+    * (Σ df² with df ≤ |sources|). */
+  def kmvSetOpsQuery(s: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val norm = 1152921504606846976.0d // 2^60
+    val dt = Tables.parallel(Tables.documents(s, dir))
+      .select(col("source"),
+        explode(split(Text.normText(col("text")), " ")).as("word"))
+      .distinct()
+    val hashed = dt.withColumn("h",
+      conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"), col("word"))
+    val bk = hashed.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k).select(col("source"), col("word"), col("h"))
+    val st = bk.groupBy(col("source"))
+      .agg(max(col("h")).as("kth"), count(lit(1)).as("n_in"))
+    val ex = dt.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+    val ps = ex.join(st, Seq("source"), "left")
+      .select(col("source"), col("n_exact"),
+        when(col("n_in") === k,
+          lit((k - 1).toDouble) / (col("kth").cast("double") / lit(norm)))
+          .otherwise(col("n_exact").cast("double")).as("est"))
+    val grid = ps.select(col("source").as("src_a"), col("n_exact").as("n_a"),
+        col("est").as("est_a"))
+      .join(ps.select(col("source").as("src_b"), col("n_exact").as("n_b"),
+        col("est").as("est_b")), col("src_a") < col("src_b"))
+    // merged sketch rows: both sources' bottom-Ks, deduped by word — a
+    // broadcast-scale nested-loop against the K·|sources|-row sketch table
+    val mrows = grid.select(col("src_a"), col("src_b"))
+      .join(broadcast(bk),
+        bk("source") === col("src_a") || bk("source") === col("src_b"))
+      .groupBy(col("src_a"), col("src_b"), col("word"))
+      .agg(min(col("h")).as("h"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src_a"), col("src_b")).orderBy(col("h"), col("word"))
+    val us = mrows.withColumn("rnk", row_number().over(wp))
+      .filter(col("rnk") <= k)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(max(col("h")).as("kthU"), count(lit(1)).as("nU"))
+    val it = dt.alias("x")
+      .join(dt.alias("y"),
+        col("x.word") === col("y.word") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("n_int"))
+    grid.join(us, Seq("src_a", "src_b"))
+      .join(it, Seq("src_a", "src_b"), "left")
+      .withColumn("n_int", coalesce(col("n_int"), lit(0L)))
+      .withColumn("est_u",
+        when(col("nU") === k,
+          lit((k - 1).toDouble) / (col("kthU").cast("double") / lit(norm)))
+          .otherwise(col("nU").cast("double")))
+      .select(col("src_a"), col("src_b"),
+        (col("n_a") + col("n_b") - col("n_int")).as("n_exact_union"),
+        round(col("est_u"), 4).as("est_union"),
+        col("n_int").as("n_exact_inter"),
+        round(col("est_a") + col("est_b") - col("est_u"), 4).as("est_inter"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** DuckDB SQL replicating [[kmvSetOpsQuery]] exactly (same md5 60-bit
+    * hashes, same merged bottom-K, same estimator sequences, same 4dp
+    * rounds). */
+  def kmvSetOpsOracleSql(k: Int = 16): String = s"""
+      WITH d AS (SELECT source, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                 FROM documents),
+      dt AS (SELECT DISTINCT source, unnest(string_split(t, ' ')) AS word FROM d),
+      hashed AS (SELECT source, word,
+                   CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) AS h
+                 FROM dt),
+      bk AS (SELECT source, word, h
+             FROM (SELECT source, word, h,
+                     row_number() OVER (PARTITION BY source ORDER BY h, word) AS rnk
+                   FROM hashed) z WHERE rnk <= $k),
+      st AS (SELECT source, CAST(max(h) AS BIGINT) AS kth,
+                    CAST(count(*) AS BIGINT) AS n_in
+             FROM bk GROUP BY source),
+      ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact
+             FROM dt GROUP BY source),
+      ps AS (SELECT source, n_exact,
+               CASE WHEN n_in = $k
+                    THEN ${(k - 1).toDouble} /
+                         (CAST(kth AS DOUBLE) / 1152921504606846976.0)
+                    ELSE CAST(n_exact AS DOUBLE) END AS est
+             FROM ex LEFT JOIN st USING (source)),
+      grid AS (SELECT a.source AS src_a, b.source AS src_b,
+                      a.n_exact AS n_a, b.n_exact AS n_b,
+                      a.est AS est_a, b.est AS est_b
+               FROM ps a JOIN ps b ON a.source < b.source),
+      mrows AS (SELECT g.src_a, g.src_b, k2.word, min(k2.h) AS h
+                FROM grid g JOIN bk k2
+                  ON k2.source = g.src_a OR k2.source = g.src_b
+                GROUP BY g.src_a, g.src_b, k2.word),
+      us AS (SELECT src_a, src_b, CAST(max(h) AS BIGINT) AS kthU,
+                    CAST(count(*) AS BIGINT) AS nU
+             FROM (SELECT src_a, src_b, word, h,
+                     row_number() OVER (PARTITION BY src_a, src_b
+                       ORDER BY h, word) AS rnk
+                   FROM mrows) z WHERE rnk <= $k GROUP BY src_a, src_b),
+      it AS (SELECT x.source AS src_a, y.source AS src_b,
+                    CAST(count(*) AS BIGINT) AS n_int
+             FROM dt x JOIN dt y
+               ON x.word = y.word AND x.source < y.source
+             GROUP BY x.source, y.source),
+      u AS (SELECT g.src_a, g.src_b, g.n_a, g.n_b, g.est_a, g.est_b,
+                   coalesce(it.n_int, CAST(0 AS BIGINT)) AS n_int,
+                   CASE WHEN us.nU = $k
+                        THEN ${(k - 1).toDouble} /
+                             (CAST(us.kthU AS DOUBLE) / 1152921504606846976.0)
+                        ELSE CAST(us.nU AS DOUBLE) END AS est_u
+            FROM grid g JOIN us USING (src_a, src_b)
+              LEFT JOIN it USING (src_a, src_b))
+      SELECT src_a, src_b,
+             CAST(n_a + n_b - n_int AS BIGINT) AS n_exact_union,
+             round(est_u, 4) AS est_union,
+             n_int AS n_exact_inter,
+             round(est_a + est_b - est_u, 4) AS est_inter
+      FROM u ORDER BY src_a, src_b"""
 }

@@ -1108,4 +1108,140 @@ object TextAnalysis {
              round(CASE WHEN n_clip > 0 THEN 2.0 * p * rr / (p + rr)
                         ELSE 0.0 END, 6) AS rouge_f
       FROM x ORDER BY doc_id, gram_order"""
+
+  /** ta21 — Flesch reading-ease per document: 206.835 − 1.015·(W/S) −
+    * 84.6·(Syl/W) over exact integer word / sentence / syllable censuses —
+    * the classic readability gate a curation cascade runs next to ta02's
+    * ratio features (legalese and run-on spam score deep negative, simple
+    * prose scores 60–100). Syllables use the standard vowel-group heuristic:
+    * per word, the number of maximal `[aeiouy]+` runs, floored at 1 (every
+    * word carries at least one spoken syllable); sentences are maximal
+    * `[.!?]+` runs, floored at 1 for non-empty text.
+    *
+    * Determinism: all three censuses are exact integers (the syllable fold
+    * is an integer sum — order-free); the score is ONE fixed IEEE sequence
+    * (two divisions, two multiplies, two subtractions, identical
+    * association on both engines), rounded 4dp.
+    *
+    * Plan shape for 100 TB: a ZERO-exchange columnar pass (the ta01/ta19
+    * class) — censuses are per-row expressions over the normalized text,
+    * nothing explodes into a shuffle, and the only exchange is the output
+    * sort. */
+  def readabilityQuery(s: SparkSession, dir: String): DataFrame = {
+    val t = graft.functions.Text.normText(col("text"))
+    val words = split(t, " ")
+    val nWords = size(words).cast("long")
+    val nSents = greatest(lit(1L), regexp_count(t, lit("[.!?]+")).cast("long"))
+    val nSyll = aggregate(words, lit(0L),
+      (acc, w) => acc + greatest(lit(1), regexp_count(w, lit("[aeiouy]+"))))
+    Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        when(length(t) > 0, nWords).otherwise(0L).as("n_words"),
+        when(length(t) > 0, nSents).otherwise(0L).as("n_sentences"),
+        when(length(t) > 0, nSyll).otherwise(0L).as("n_syllables"),
+        when(length(t) > 0, round(
+          lit(206.835) -
+            lit(1.015) * (nWords.cast("double") / nSents.cast("double")) -
+            lit(84.6) * (nSyll.cast("double") / nWords.cast("double")), 4))
+          .as("flesch"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB SQL replicating [[readabilityQuery]] exactly (same vowel-group
+    * and sentence-run regexes, same min-1 floors, same IEEE sequence and
+    * 4dp round). */
+  val readabilityOracleSql: String = """
+      WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                 FROM documents),
+      c AS (SELECT doc_id, t,
+                   CAST(len(string_split(t, ' ')) AS BIGINT) AS nw,
+                   CAST(greatest(1, len(regexp_extract_all(t, '[.!?]+'))) AS BIGINT) AS ns,
+                   CAST(list_sum(list_transform(string_split(t, ' '),
+                     w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))) AS BIGINT) AS sy
+            FROM d)
+      SELECT doc_id,
+             CASE WHEN length(t) > 0 THEN nw ELSE 0 END AS n_words,
+             CASE WHEN length(t) > 0 THEN ns ELSE 0 END AS n_sentences,
+             CASE WHEN length(t) > 0 THEN sy ELSE 0 END AS n_syllables,
+             CASE WHEN length(t) > 0 THEN round(
+               206.835 - 1.015 * (CAST(nw AS DOUBLE) / CAST(ns AS DOUBLE))
+                       - 84.6 * (CAST(sy AS DOUBLE) / CAST(nw AS DOUBLE)), 4)
+             END AS flesch
+      FROM c ORDER BY doc_id"""
+
+  /** ta22 — per-document n-gram novelty in ingestion order: the fraction
+    * of a doc's DISTINCT word trigrams whose first corpus occurrence (min
+    * doc_id) is this document. The "what does this doc add" curation
+    * signal — boilerplate and templated spam score near 0 because their
+    * trigrams arrived earlier, fresh prose scores near 1; curation
+    * cascades use it to cap template families without a full dedup pass
+    * (and it is the doc-grain dual of dd17's corpus-level boilerplate
+    * census).
+    *
+    * Determinism: first-occurrence is an integer min; censuses are exact
+    * distinct counts; the ratio is ONE division, 6dp round. Docs with
+    * fewer than 3 tokens (or null text) have no trigrams: 0 counts, null
+    * novelty.
+    *
+    * Plan shape for 100 TB: ONE gram-keyed corpus exchange serves both
+    * the first-occurrence min (window over gram) and, after the doc-keyed
+    * regroup, the per-doc censuses; gram-less docs are restored by a
+    * doc_id-only left join whose scan prunes to a single column. No
+    * quadratic anywhere — cost is the vocabulary-scale shuffle ir02/ta13
+    * already pay. */
+  def noveltyQuery(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"), split(Text.normText(col("text")), " ").as("toks"))
+    val grams = docs.select(col("doc_id"),
+      explode(when(size(col("toks")) > 2,
+        expr("transform(sequence(1, size(toks) - 2), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), " +
+          "' ', element_at(toks, i + 2)))"))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+      .distinct()
+    val firsts = grams
+      .withColumn("first_id", min(col("doc_id")).over(
+        Window.partitionBy(col("gram"))))
+    val counted = firsts.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(counted, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_grams").isNotNull,
+          round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6))
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB SQL replicating [[noveltyQuery]] exactly (same distinct
+    * trigram sets, same min-doc_id first-occurrence, same ratio and 6dp
+    * round, same null for gram-less docs). */
+  val noveltyOracleSql: String = """
+      WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                 FROM documents),
+      tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM d),
+      g AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                i -> concat(toks[CAST(i AS INT)], ' ', toks[CAST(i + 1 AS INT)],
+                            ' ', toks[CAST(i + 2 AS INT)]))) AS gram
+            FROM tk),
+      f AS (SELECT doc_id, gram,
+              min(doc_id) OVER (PARTITION BY gram) AS first_id
+            FROM g),
+      o AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+              CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_novel
+            FROM f GROUP BY doc_id)
+      SELECT d.doc_id,
+             coalesce(o.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+             coalesce(o.n_novel, CAST(0 AS BIGINT)) AS n_novel,
+             CASE WHEN o.n_grams IS NOT NULL THEN
+               round(CAST(o.n_novel AS DOUBLE) / CAST(o.n_grams AS DOUBLE), 6)
+             END AS novelty
+      FROM d LEFT JOIN o USING (doc_id) ORDER BY doc_id"""
 }

@@ -820,4 +820,128 @@ object Windows {
              round((CAST(sum_dur_us AS DOUBLE) / CAST(n_sessions AS DOUBLE))
                / 1000000.0, 6) AS avg_duration_secs
       FROM agg ORDER BY entry_type"""
+
+  /** ev14 — exponentially time-decayed engagement score per user: each
+    * event contributes weight(type) · 2^(−age_days), age measured in whole
+    * days back from the corpus' most recent event — the recency-weighted
+    * "how alive is this user" signal behind churn models and audience
+    * ranking (a purchase last night outscores ten views last month).
+    * Weights: purchase 5, signup 3, click 2, view 1, error 0.
+    *
+    * Determinism: age_days is exact integer division of microsecond longs;
+    * 2^(−n) is a power of two — EXACTLY representable in IEEE and computed
+    * exactly by both engines' pow — so each term is exact; the per-user sum
+    * folds terms in ascending (ts, event_id) order (the gr01 ordered-fold
+    * recipe: the identical IEEE sequence as the oracle's
+    * `list_sum(list(... ORDER BY ...))`), 6dp round on output only.
+    *
+    * Plan shape for 100 TB: the reference time is a 1-row max broadcast
+    * back onto the scan (no second shuffle of the corpus); then ONE
+    * user-keyed exchange serves the count, the last-seen min and the
+    * ordered fold. Per-user state is that user's event list — the same
+    * bound every ev-family aggregate carries. */
+  def decayEngagementQuery(s: SparkSession, dir: String): DataFrame = {
+    val w = when(col("event_type") === "purchase", 5)
+      .when(col("event_type") === "signup", 3)
+      .when(col("event_type") === "click", 2)
+      .when(col("event_type") === "view", 1)
+      .otherwise(0)
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us").as("tus"),
+        w.cast("double").as("w"))
+    val mx = e.agg(max(col("tus")).as("mt"))
+    val terms = e.join(broadcast(mx))
+      .withColumn("age_days", expr("(mt - tus) div 86400000000"))
+      .withColumn("term",
+        col("w") * pow(lit(2.0), -col("age_days").cast("double")))
+    terms.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("age_days")).as("days_since_last"),
+        aggregate(
+          transform(array_sort(collect_list(
+            struct(col("tus"), col("event_id"), col("term")))),
+            x => x.getField("term")),
+          lit(0.0d), (acc, x) => acc + x).as("raw"))
+      .select(col("user_id"), col("n_events"), col("days_since_last"),
+        round(col("raw"), 6).as("engagement"))
+      .orderBy(col("user_id"))
+  }
+
+  /** DuckDB SQL replicating [[decayEngagementQuery]] exactly (same integer
+    * day ages, same exact 2^(−n) terms, same ascending-(ts, event_id) fold
+    * order, same 6dp round). */
+  val decayEngagementOracleSql: String = """
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+                   CAST(CASE event_type WHEN 'purchase' THEN 5
+                     WHEN 'signup' THEN 3 WHEN 'click' THEN 2
+                     WHEN 'view' THEN 1 ELSE 0 END AS DOUBLE) AS w
+                 FROM events),
+      mx AS (SELECT max(tus) AS mt FROM e),
+      t AS (SELECT user_id, event_id, tus, (mt - tus) // 86400000000 AS age_days,
+                   w * pow(2.0, -CAST((mt - tus) // 86400000000 AS DOUBLE)) AS term
+            FROM e, mx)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(min(age_days) AS BIGINT) AS days_since_last,
+             round(list_sum(list(term ORDER BY tus, event_id)), 6) AS engagement
+      FROM t GROUP BY user_id ORDER BY user_id"""
+
+  /** ev15 — one-sided CUSUM changepoint detection over daily event volumes
+    * per event type: with slack k = the type's mean daily count, the
+    * classic recursion S_i = max(0, S_{i-1} + (x_i − k)) accumulates only
+    * SUSTAINED above-average runs (a single spike decays, a level shift
+    * ramps); alarm when S_i > 3k. The standard sequential drift detector —
+    * where dq04 z-scores each day in isolation, CUSUM catches the slow
+    * ingest regression that never produces one outlier day. Days with zero
+    * events carry no row (CUSUM over observed days — documented contract).
+    *
+    * Determinism: daily counts are exact integers, so the full-partition
+    * mean is exact-sum/n in ANY order; the recursion is computed in closed
+    * form S_i = P_i − min(0, min_{j≤i} P_j) from the prefix sums P of
+    * (x − k), and BOTH engines stream the cumulative ROWS frame in the
+    * identical day order (the q06 running-balance precedent) — one IEEE
+    * sequence; 6dp round on output, alarm compared on the unrounded value.
+    *
+    * Plan shape for 100 TB: the corpus collapses at the (type, day)
+    * aggregate — map-side combined, day-grain output bounded by calendar ×
+    * |types|, NOT by corpus size; both windows then run on that tiny
+    * table. One corpus exchange total. */
+  def cusumQuery(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val pt = Window.partitionBy(col("event_type"))
+    val po = pt.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("k", avg(col("n_events").cast("double")).over(pt))
+      .withColumn("p", sum(col("n_events").cast("double") - col("k")).over(po))
+      .withColumn("s", col("p") - least(min(col("p")).over(po), lit(0.0)))
+      .select(col("event_type"), col("day"), col("n_events"),
+        round(col("s"), 6).as("cusum"),
+        (col("s") > lit(3.0) * col("k")).as("alarm"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** DuckDB SQL replicating [[cusumQuery]] exactly (same exact-integer
+    * mean, same closed-form prefix recursion over the same day-ordered
+    * cumulative frames, same 6dp round and unrounded alarm compare). */
+  val cusumOracleSql: String = """
+      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(count(*) AS BIGINT) AS n_events
+                     FROM events GROUP BY 1, 2),
+      w AS (SELECT event_type, day, n_events,
+              avg(CAST(n_events AS DOUBLE)) OVER (PARTITION BY event_type) AS k
+            FROM daily),
+      p AS (SELECT *, sum(CAST(n_events AS DOUBLE) - k) OVER
+              (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+            FROM w),
+      sx AS (SELECT *, pp - least(min(pp) OVER
+               (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS s
+             FROM p)
+      SELECT event_type, day, n_events, round(s, 6) AS cusum,
+             s > 3.0 * k AS alarm
+      FROM sx ORDER BY event_type, day"""
 }

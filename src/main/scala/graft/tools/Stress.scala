@@ -123,7 +123,19 @@ object Stress {
       // broadcast per-source reference grams when duplication multiplies
       // the candidate side
       "dq05_completeness", "ev13_conversion_lag", "ir10_rank_fusion",
-      "ta20_rouge_overlap", "ir11_query_expansion")
+      "ta20_rouge_overlap", "ir11_query_expansion",
+      // round-8 sixth batch: ta21 must stay a zero-exchange columnar pass
+      // under the amplified corpus; ev14 one user exchange; gr04 peels on
+      // the collision-bounded pair set; sk06's sketch branch one corpus
+      // pass (its exact self-check branch is the only quadratic and is
+      // df-bounded); ir12 composes the audited retrieval scans
+      "ta21_readability", "ev14_decay_engagement", "gr04_kcore",
+      "sk06_kmv_setops", "ir12_ndcg_eval",
+      // round-8 seventh batch: dd19's canonicalize-first must keep the
+      // token join at distinct-text cost under the 10x copy flood; ta22's
+      // gram window and ev15's day-grain windows must not blow up; ir13
+      // stays the ir01 columnar shape
+      "dd19_containment", "ta22_novelty", "ev15_cusum", "ir13_bm25f")
     // q39/q40 and dq06 read lineitem/the TPC-H star, which the stress
     // corpus does not amplify — they rehearse under Bench at sf0.1 instead
     val dedupSubset = Seq("dd01_exact_dedup", "dd03_minhash_lsh",

@@ -805,4 +805,85 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(count(plan, "BroadcastHashJoin") >= 3, plan)
     assert(count(plan, "hashpartitioning\\(gram#\\d+, \\d+\\)") == 0, plan)
   }
+
+  test("ta21: readability is a zero-exchange columnar pass") {
+    val plan = planOf(TextAnalysis.readabilityQuery(spark, sf0001).limit(1))
+    assert(!plan.contains("Join"), plan)
+    assert(count(plan, "FileScan parquet") == 1, plan)
+    // the only allowed exchange family is the output sort, never a hash
+    assert(count(plan, "hashpartitioning") == 0, plan)
+  }
+
+  test("ev14: decay terms ride ONE user exchange; reference time broadcasts") {
+    val plan = planOf(Windows.decayEngagementQuery(spark, sf0001))
+    assert(count(plan, "hashpartitioning\\(user_id#\\d+L?, \\d+\\)") == 1, plan)
+    // the 1-row max joins back as a broadcast, never a shuffle of events
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("gr04: k-core peels run on ids only — the corpus never joins") {
+    val plan = planOf(Graph.kcoreQuery(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("text#"), plan)
+  }
+
+  test("sk06: pairwise set ops run on sketch rows; merged bottom-K broadcasts") {
+    val plan = planOf(Sketch.kmvSetOpsQuery(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the OR-membership expansion against the K-per-source sketch table is
+    // the broadcast nested loop the scaladoc promises — sketch-scale rows
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("ir12: NDCG folds run on top-k rows — corpus cost is the two base scans") {
+    val plan = planOf(Search.ndcgEvalQuery(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(count(plan, "TakeOrderedAndProject") >= 2, plan)
+    // gold is consumed twice (grade join + ideal fold) and each base
+    // ranking pays its stats+scoring double scan, so the STATIC plan shows
+    // 6 scans; at runtime AQE's exchange reuse collapses the duplicated
+    // subtrees (measured: 4 ReusedExchange nodes in the executed plan)
+    assert(count(plan, "FileScan parquet") <= 6, plan)
+  }
+
+  test("dd19: containment joins on tokens of DISTINCT texts — no cartesian") {
+    val plan = planOf(Dedup.containmentPairs(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the intersection count is a token-keyed EQUI-join (Σ df²/2), never a
+    // pairwise doc join — broadcast at tiny SF, shuffle at scale
+    assert(count(plan,
+      "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[w#\\d+") >= 1, plan)
+  }
+
+  test("ta22: one gram-keyed corpus exchange; the restore join prunes to doc_id") {
+    val plan = planOf(TextAnalysis.noveltyQuery(spark, sf0001))
+    assert(count(plan, "hashpartitioning\\(gram#\\d+, \\d+\\)") == 1, plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"), plan)
+  }
+
+  test("dq07: snapshot diff is ONE fused custkey aggregate — no join, pruned scan") {
+    val plan = planOf(DataQuality.snapshotDiffQuery(spark, sf0001))
+    assert(!plan.contains("Join"), plan)
+    assert(count(plan, "FileScan parquet") == 1, plan)
+    // both snapshots read the same pruned columns; no status/priority
+    assert(!plan.contains("o_orderstatus") && !plan.contains("o_orderpriority"),
+      plan)
+  }
+
+  test("ev15: corpus collapses at the (type, day) aggregate; windows run day-grain") {
+    val plan = planOf(Windows.cusumQuery(spark, sf0001))
+    assert(count(plan, "hashpartitioning") == 2, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("ir13: BM25F keeps ir01's columnar shape — no explode, stats broadcast, top-k") {
+    val plan = planOf(Search.bm25fTopK(spark, sf0001))
+    assert(!plan.contains("Generate"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
 }
