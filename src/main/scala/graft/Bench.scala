@@ -215,6 +215,12 @@ object Bench {
     "dq07_snapshot_diff",
     "ev15_cusum",
     "ir13_bm25f",
+    // round-8 eighth batch: A/B test, classifier ensemble, hamming sweep,
+    // snippets
+    "ev16_ab_test",
+    "cl07_ensemble",
+    "dd20_hamming_sweep",
+    "ir14_snippets",
   )
 
   def main(args: Array[String]): Unit = {

@@ -214,6 +214,10 @@ object SparkEntry {
     "dq07_snapshot_diff"   -> ((s: SparkSession, d: String) => graft.operators.DataQuality.snapshotDiffQuery(s, d)),
     "ev15_cusum"           -> ((s: SparkSession, d: String) => Windows.cusumQuery(s, d)),
     "ir13_bm25f"           -> ((s: SparkSession, d: String) => Search.bm25fTopK(s, d)),
+    "ev16_ab_test"         -> ((s: SparkSession, d: String) => Windows.abTestQuery(s, d)),
+    "cl07_ensemble"        -> ((s: SparkSession, d: String) => graft.operators.Classifier.ensembleQuery(s, d)),
+    "dd20_hamming_sweep"   -> ((s: SparkSession, d: String) => Dedup.hammingSweepQuery(s, d)),
+    "ir14_snippets"        -> ((s: SparkSession, d: String) => Search.snippetQuery(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables, same column
@@ -791,7 +795,35 @@ object SparkEntry {
     "dq07_snapshot_diff" -> graft.operators.DataQuality.snapshotDiffOracleSql,
     "ev15_cusum" -> Windows.cusumOracleSql,
     "ir13_bm25f" -> Search.bm25fOracleSql(),
+    "ev16_ab_test" -> Windows.abTestOracleSql,
+    "cl07_ensemble" -> ensembleOracleSql,
+    "dd20_hamming_sweep" -> Dedup.hammingSweepOracleSql,
+    "ir14_snippets" -> Search.snippetOracleSql(),
   )
+
+  /** The cl07 ensemble oracle: two independently-prefixed kNN prediction
+    * chains (k=5 and k=1) joined with the embedded cl05 centroid oracle,
+    * then the same closed-form three-voter majority the Spark side
+    * computes. Lives here because it composes [[knnPredCtesSql]]. */
+  private def ensembleOracleSql: String = s"""
+      WITH ${knnPredCtesSql(5, "a_")},
+      ${knnPredCtesSql(1, "b_")},
+      cj AS (SELECT a.vec_id, a.true_label, a.pred_label AS knn5,
+                    b.pred_label AS knn1, c.pred_label AS centroid
+             FROM a_pred a JOIN b_pred b USING (vec_id)
+               JOIN (SELECT vec_id, pred_label FROM
+                 (${graft.operators.Classifier.centroidClassifierOracleSql()}) cz)
+                 c USING (vec_id))
+      SELECT vec_id, true_label, knn5, knn1, centroid,
+             CASE WHEN knn1 = centroid AND knn1 <> knn5 THEN knn1
+                  ELSE knn5 END AS ensemble_label,
+             CAST(CASE WHEN knn5 = knn1 AND knn1 = centroid THEN 3
+                       WHEN knn5 = knn1 OR knn5 = centroid
+                            OR knn1 = centroid THEN 2
+                       ELSE 1 END AS BIGINT) AS n_agree,
+             (CASE WHEN knn1 = centroid AND knn1 <> knn5 THEN knn1
+                   ELSE knn5 END) = true_label AS correct
+      FROM cj ORDER BY vec_id"""
 
   /** The cl03 kNN prediction derivation as a CTE chain ending in
     * `pred(vec_id, true_label, pred_label, n_votes, correct)` — ONE
@@ -800,26 +832,26 @@ object SparkEntry {
     * parameter the Spark side defaults (Classifier.knnClassifierQuery),
     * interpolated rather than hardcoded so a k change cannot silently
     * desynchronize the oracle. */
-  private def knnPredCtesSql(k: Int = 5): String = s"""
-      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label,
+  private def knnPredCtesSql(k: Int = 5, p: String = ""): String = s"""
+      ${p}e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label,
                    CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
                      % 10 AS h
                  FROM embeddings),
-      train AS (SELECT vec_id AS cand_id, v, label AS cand_label FROM e WHERE h < 8),
-      test AS (SELECT vec_id, v, label AS true_label FROM e WHERE h >= 8),
-      sc AS (SELECT t.vec_id, t.true_label, c.cand_id, c.cand_label,
+      ${p}train AS (SELECT vec_id AS cand_id, v, label AS cand_label FROM ${p}e WHERE h < 8),
+      ${p}test AS (SELECT vec_id, v, label AS true_label FROM ${p}e WHERE h >= 8),
+      ${p}sc AS (SELECT t.vec_id, t.true_label, c.cand_id, c.cand_label,
                round(${cosSql("t.v", "c.v")}, 6) AS cos
-             FROM test t CROSS JOIN train c),
-      rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-               ORDER BY cos DESC, cand_id) AS rnk FROM sc),
-      votes AS (SELECT vec_id, true_label, cand_label,
+             FROM ${p}test t CROSS JOIN ${p}train c),
+      ${p}rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY cos DESC, cand_id) AS rnk FROM ${p}sc),
+      ${p}votes AS (SELECT vec_id, true_label, cand_label,
                   CAST(count(*) AS BIGINT) AS n_votes
-                FROM rk WHERE rnk <= $k GROUP BY 1, 2, 3),
-      win AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-                ORDER BY n_votes DESC, cand_label) AS vr FROM votes),
-      pred AS (SELECT vec_id, true_label, cand_label AS pred_label, n_votes,
+                FROM ${p}rk WHERE rnk <= $k GROUP BY 1, 2, 3),
+      ${p}win AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY n_votes DESC, cand_label) AS vr FROM ${p}votes),
+      ${p}pred AS (SELECT vec_id, true_label, cand_label AS pred_label, n_votes,
                       cand_label = true_label AS correct
-               FROM win WHERE vr = 1)"""
+               FROM ${p}win WHERE vr = 1)"""
 
   /** DuckDB sequential-fold cosine of two DOUBLE[] columns — bit-identical
     * to [[graft.functions.CosineSim]] (left-to-right summation both sides;

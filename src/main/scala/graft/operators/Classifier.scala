@@ -569,4 +569,43 @@ object Classifier {
              round(abs(round(avg(score), 6) -
                        round(CAST(sum(label) AS DOUBLE) / count(*), 6)), 6) AS gap
       FROM b GROUP BY bin ORDER BY bin"""
+
+  /** cl07 — classifier ensemble over the shared train/test split: majority
+    * vote of three label predictors on the embedding task — kNN at k=5
+    * (cl03), its 1-NN variant, and the nearest-centroid probe (cl05).
+    * With three voters the vote reduces to a closed form: if the two
+    * secondary voters agree AGAINST the primary, they win 2–1; every
+    * other configuration (3–0, any 2–1 including the primary, or a
+    * three-way split) resolves to the primary kNN-5 prediction — the
+    * deterministic tie-break. Reports each voter's label, the ensemble
+    * label, the agreement count and correctness: the standard cheap
+    * accuracy lift (and disagreement AUDIT — rows with n_agree = 1 are
+    * exactly the examples worth human review).
+    *
+    * Determinism: every voter is an already-oracle-checked deterministic
+    * query; the vote is integer CASE logic on their labels.
+    *
+    * Plan shape for 100 TB: composes the audited cl03/cl05 plans (the
+    * ir10/pl03 composition pattern — each component honestly re-pays its
+    * pass); the ensemble joins run on the TEST split only (20% of vec
+    * ids, ids+labels — never vectors). */
+  def ensembleQuery(s: SparkSession, dir: String): DataFrame = {
+    val k5 = knnPredictions(s, dir, 5)
+      .select(col("vec_id"), col("true_label"), col("pred_label").as("knn5"))
+    val k1 = knnPredictions(s, dir, 1)
+      .select(col("vec_id"), col("pred_label").as("knn1"))
+    val ce = centroidClassifierQuery(s, dir)
+      .select(col("vec_id"), col("pred_label").as("centroid"))
+    val j = k5.join(k1, "vec_id").join(ce, "vec_id")
+    val ens = when(col("knn1") === col("centroid") &&
+      col("knn1") =!= col("knn5"), col("knn1")).otherwise(col("knn5"))
+    j.select(col("vec_id"), col("true_label"), col("knn5"), col("knn1"),
+        col("centroid"), ens.as("ensemble_label"),
+        when(col("knn5") === col("knn1") && col("knn1") === col("centroid"), 3L)
+          .when(col("knn5") === col("knn1") || col("knn5") === col("centroid") ||
+            col("knn1") === col("centroid"), 2L)
+          .otherwise(1L).as("n_agree"),
+        (ens === col("true_label")).as("correct"))
+      .orderBy(col("vec_id"))
+  }
 }

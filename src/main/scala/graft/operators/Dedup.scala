@@ -1195,4 +1195,52 @@ object Dedup {
       WHERE a.n_tok >= $minTok
         AND CAST(n_shared AS DOUBLE) / CAST(a.n_tok AS DOUBLE) >= $tau
       ORDER BY doc_a, doc_b"""
+
+  /** dd20 — near-dup threshold sweep (the tuning report behind picking a
+    * dedup radius): for every simhash hamming radius 0..3, the pair count
+    * and the count of documents touched by at least one pair at that
+    * radius. One run answers "how aggressive does the dedup get as the
+    * threshold loosens" — the density curve an operator reads BEFORE
+    * committing a radius to dd04's production pass (radius 0 ≈ exact
+    * fingerprint dups; each +1 admits looser matches).
+    *
+    * Determinism: everything is an integer census over dd04's
+    * deterministic pair stream.
+    *
+    * Plan shape for 100 TB: the pair stream is computed ONCE by dd04's
+    * banded equi-join (recall-exact for hamming ≤ 3 by pigeonhole); the
+    * sweep is conditional counting against a 4-row broadcast radius grid
+    * on pair-scale rows. No recomputation per threshold — the whole point
+    * of sweeping on the pair stream instead of re-running dedup. */
+  def hammingSweepQuery(s: SparkSession, dir: String): DataFrame = {
+    val p = simhashPairs(s, dir)
+    val radii = s.range(0, 4).select(col("id").as("radius"))
+    val docs = p.select(explode(array(col("doc_a"), col("doc_b"))).as("doc"),
+      col("hamming"))
+    val np = radii.join(broadcast(p.select(col("hamming"))),
+        col("hamming") <= col("radius"), "left")
+      .groupBy(col("radius")).agg(count(col("hamming")).as("n_pairs"))
+    val nd = radii.join(broadcast(docs),
+        col("hamming") <= col("radius"), "left")
+      .groupBy(col("radius"))
+      .agg(countDistinct(col("doc")).as("n_docs_with_dup"))
+    np.join(nd, Seq("radius")).orderBy(col("radius"))
+  }
+
+  /** DuckDB SQL replicating [[hammingSweepQuery]] exactly — the radius
+    * grid swept over the same brute-force pair stream the dd04 oracle
+    * derives. */
+  def hammingSweepOracleSql: String = s"""
+      WITH sp AS ($simhashOracleSql),
+      r AS (SELECT CAST(x AS BIGINT) AS radius
+            FROM (VALUES (0), (1), (2), (3)) t(x)),
+      d AS (SELECT doc_a AS doc, hamming FROM sp
+            UNION ALL SELECT doc_b, hamming FROM sp),
+      np AS (SELECT radius, CAST(count(hamming) AS BIGINT) AS n_pairs
+             FROM r LEFT JOIN sp ON hamming <= radius GROUP BY radius),
+      nd AS (SELECT radius, CAST(count(DISTINCT doc) AS BIGINT)
+                      AS n_docs_with_dup
+             FROM r LEFT JOIN d ON hamming <= radius GROUP BY radius)
+      SELECT radius, n_pairs, n_docs_with_dup
+      FROM np JOIN nd USING (radius) ORDER BY radius"""
 }

@@ -867,4 +867,81 @@ object Search {
       FROM perdoc CROSS JOIN stats
       ORDER BY bm25f DESC, doc_id LIMIT $k"""
   }
+
+  /** Snippet window length (tokens) for [[snippetQuery]]. */
+  val SnippetWindow = 15
+  /** Result size for [[snippetQuery]]. */
+  val SnippetDocs = 10
+
+  /** ir14 — result snippet extraction: for each of the bm25 top-
+    * [[SnippetDocs]] documents, the [[SnippetWindow]]-token window with
+    * the most query-term hits (earliest window on ties) plus its hit
+    * count. The "why did this match" display primitive next to ir07's
+    * KWIC — KWIC shows every occurrence of ONE term, the snippet picks
+    * the single densest multi-term region.
+    *
+    * Determinism: hit counts are integer folds over token windows; argmax
+    * is first-index (array_position/list_position, both 1-based,
+    * first-match); the snippet is a pure slice of the normalized tokens.
+    *
+    * Plan shape for 100 TB: the top-k ids broadcast onto one pruned
+    * corpus pass; window scoring is per-row HOF arithmetic on the
+    * [[SnippetDocs]] surviving rows only (the join precedes
+    * tokenization), so the O(len·window) scan cost is paid by k docs,
+    * not the corpus. */
+  def snippetQuery(s: SparkSession, dir: String,
+      terms: Seq[String] = QueryTerms): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = SnippetWindow
+    val ranked = bm25TopK(s, dir, k = SnippetDocs).select(col("doc_id"),
+      row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+        .cast("long").as("rank"))
+    val termList = terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    Tables.documents(s, dir).join(broadcast(ranked), "doc_id")
+      .withColumn("toks", split(Text.normText(col("text")), " "))
+      .withColumn("hits", expr(
+        s"transform(toks, t -> CASE WHEN t IN ($termList) THEN 1 ELSE 0 END)"))
+      .withColumn("cnts", expr(
+        s"transform(sequence(1, greatest(size(toks) - ${w - 1}, 1)), " +
+          s"i -> aggregate(slice(hits, i, $w), 0, (a, x) -> a + x))"))
+      .withColumn("best", array_max(col("cnts")))
+      .withColumn("pos", array_position(col("cnts"), col("best")))
+      .select(col("doc_id"), col("rank"), col("best").cast("long").as("n_hits"),
+        array_join(slice(col("toks"), col("pos").cast("int"), lit(w)), " ")
+          .as("snippet"))
+      .orderBy(col("rank"))
+  }
+
+  /** DuckDB SQL replicating [[snippetQuery]] exactly (same bm25 top-k,
+    * same token windows, same integer window sums, same first-index
+    * argmax and slice). */
+  def snippetOracleSql(terms: Seq[String] = QueryTerms): String = {
+    val w = SnippetWindow
+    val termList = terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    s"""
+      WITH top AS (SELECT doc_id,
+                     row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+                   FROM (SELECT * FROM ($bm25OracleSql) bb
+                         ORDER BY bm25 DESC, doc_id LIMIT $SnippetDocs) tb),
+      t2 AS (SELECT d.doc_id, top.rank,
+               string_split(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')), ' ')
+                 AS toks
+             FROM documents d JOIN top ON top.doc_id = d.doc_id),
+      h AS (SELECT doc_id, rank, toks,
+              list_transform(toks, t -> CASE WHEN t IN ($termList)
+                THEN 1 ELSE 0 END) AS hits
+            FROM t2),
+      c AS (SELECT doc_id, rank, toks,
+              list_transform(range(1, greatest(len(toks) - ${w - 1}, 1) + 1),
+                i -> list_sum(list_slice(hits, CAST(i AS INT),
+                       CAST(i + ${w - 1} AS INT)))) AS cnts
+            FROM h)
+      SELECT doc_id, CAST(rank AS BIGINT) AS rank,
+             CAST(list_max(cnts) AS BIGINT) AS n_hits,
+             array_to_string(list_slice(toks,
+               CAST(list_position(cnts, list_max(cnts)) AS INT),
+               CAST(list_position(cnts, list_max(cnts)) + ${w - 1} AS INT)),
+               ' ') AS snippet
+      FROM c ORDER BY rank"""
+  }
 }

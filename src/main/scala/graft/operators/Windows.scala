@@ -944,4 +944,102 @@ object Windows {
       SELECT event_type, day, n_events, round(s, 6) AS cusum,
              s > 3.0 * k AS alarm
       FROM sx ORDER BY event_type, day"""
+
+  /** Goal event types evaluated by [[abTestQuery]]. */
+  val AbGoals: Seq[String] = Seq("click", "purchase", "signup")
+
+  /** ev16 — two-proportion A/B test per conversion goal: users split into
+    * arms by id parity (the deterministic stand-in for an assignment
+    * column), per goal the arms' user-level conversion rates are compared
+    * with the pooled two-proportion z statistic, significant at |z| > 1.96
+    * (two-sided 5%). The experimentation primitive an event pipeline runs
+    * continuously; ev01's funnel measures a flow, this DECIDES between
+    * two populations.
+    *
+    * Determinism: user counts and converter counts are exact integers;
+    * p̂/pooled-p̂ are single divisions; the standard error is one fixed
+    * IEEE sequence ending in sqrt — which IEEE 754 requires correctly
+    * rounded, so it is bit-identical cross-engine; z is one subtraction
+    * and one division; 6dp round on output, significance compared on the
+    * unrounded z. Degenerate arms (se = 0) report NULL z, not-significant.
+    *
+    * Plan shape for 100 TB: ONE user-keyed corpus exchange produces the
+    * per-user conversion flags; the goal expansion and arm aggregation run
+    * on user-scale rows (3 per user), collapsing to |goals| rows. No
+    * joins. */
+  def abTestQuery(s: SparkSession, dir: String): DataFrame = {
+    val flags = AbGoals.map(g =>
+      max(when(col("event_type") === g, 1).otherwise(0)).as(s"f_$g"))
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(flags.head, flags.tail: _*)
+      .withColumn("arm",
+        when(col("user_id") % 2 === 0, "A").otherwise("B"))
+    val goalMap = map(AbGoals.flatMap(g =>
+      Seq(lit(g), col(s"f_$g"))): _*)
+    val goals = perUser.select(col("arm"),
+      explode(goalMap).as(Seq("goal", "flag")))
+    val agg = goals.groupBy(col("goal")).agg(
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === "A", col("flag").cast("long")).otherwise(0L))
+        .as("conv_a"),
+      sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === "B", col("flag").cast("long")).otherwise(0L))
+        .as("conv_b"))
+    val p1 = col("conv_a").cast("double") / col("n_a").cast("double")
+    val p2 = col("conv_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a").cast("double") +
+        lit(1.0) / col("n_b").cast("double")))
+    agg.select(col("goal"), col("n_a"), col("conv_a"), col("n_b"),
+        col("conv_b"),
+        round(p1, 6).as("p_a"), round(p2, 6).as("p_b"),
+        when(se > 0, round((p1 - p2) / se, 6)).as("z"),
+        when(se > 0, abs((p1 - p2) / se) > 1.96).otherwise(false)
+          .as("significant"))
+      .orderBy(col("goal"))
+  }
+
+  /** DuckDB SQL replicating [[abTestQuery]] exactly (same parity arms,
+    * same exact-integer conversion censuses, same IEEE sequence through
+    * the correctly-rounded sqrt, same 6dp rounds and unrounded
+    * significance compare). */
+  def abTestOracleSql: String = {
+    val flagCols = AbGoals.map(g =>
+      s"max(CASE WHEN event_type = '$g' THEN 1 ELSE 0 END) AS f_$g")
+      .mkString(",\n               ")
+    val goalRows = AbGoals.map(g =>
+      s"SELECT arm, '$g' AS goal, f_$g AS flag FROM a").mkString(
+      "\n             UNION ALL ")
+    s"""
+      WITH pu AS (SELECT user_id,
+               $flagCols
+             FROM events GROUP BY user_id),
+      a AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+                   ${AbGoals.map(g => s"f_$g").mkString(", ")}
+            FROM pu),
+      g AS ($goalRows),
+      ag AS (SELECT goal,
+               CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN arm = 'A' THEN flag ELSE 0 END) AS BIGINT) AS conv_a,
+               CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN arm = 'B' THEN flag ELSE 0 END) AS BIGINT) AS conv_b
+             FROM g GROUP BY goal),
+      x AS (SELECT *,
+              CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p1,
+              CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p2,
+              CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
+            FROM ag),
+      y AS (SELECT *, sqrt(pp * (1.0 - pp) *
+              (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS se
+            FROM x)
+      SELECT goal, n_a, conv_a, n_b, conv_b,
+             round(p1, 6) AS p_a, round(p2, 6) AS p_b,
+             CASE WHEN se > 0 THEN round((p1 - p2) / se, 6) END AS z,
+             CASE WHEN se > 0 THEN abs((p1 - p2) / se) > 1.96
+                  ELSE false END AS significant
+      FROM y ORDER BY goal"""
+  }
 }

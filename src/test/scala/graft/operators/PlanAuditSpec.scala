@@ -886,4 +886,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastExchange"), plan)
   }
+
+  test("ev16: per-user flags ride ONE user exchange — no join anywhere") {
+    val plan = planOf(Windows.abTestQuery(spark, sf0001))
+    assert(count(plan, "hashpartitioning\\(user_id#\\d+L?, \\d+\\)") == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("cl07: the ensemble composes embedding-side plans — never the corpus") {
+    val plan = planOf(Classifier.ensembleQuery(spark, sf0001))
+    assert(!plan.contains("text#"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the kNN voters keep their WindowGroupLimit neighbor cut
+    assert(count(plan, "WindowGroupLimit") >= 2, plan)
+  }
+
+  test("dd20: the sweep never recomputes dedup per radius — grid joins broadcast") {
+    val plan = planOf(Dedup.hammingSweepQuery(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the radius comparisons are broadcast nested loops against a 4-row grid
+    assert(count(plan, "BroadcastNestedLoopJoin") >= 2, plan)
+  }
+
+  test("ir14: snippet scoring is confined to the broadcast top-k docs") {
+    val plan = planOf(Search.snippetQuery(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(count(plan, "BroadcastHashJoin") >= 1, plan)
+    // window scoring is HOF arithmetic, not an explode of the corpus
+    assert(!plan.contains("Generate"), plan)
+  }
 }
