@@ -221,6 +221,9 @@ object Bench {
     "cl07_ensemble",
     "dd20_hamming_sweep",
     "ir14_snippets",
+    // round-8 ninth batch: BPE merge induction, key-uniqueness audit
+    "ta23_bpe_merges",
+    "dq08_key_uniqueness",
   )
 
   def main(args: Array[String]): Unit = {

@@ -218,6 +218,8 @@ object SparkEntry {
     "cl07_ensemble"        -> ((s: SparkSession, d: String) => graft.operators.Classifier.ensembleQuery(s, d)),
     "dd20_hamming_sweep"   -> ((s: SparkSession, d: String) => Dedup.hammingSweepQuery(s, d)),
     "ir14_snippets"        -> ((s: SparkSession, d: String) => Search.snippetQuery(s, d)),
+    "ta23_bpe_merges"      -> ((s: SparkSession, d: String) => TextAnalysis.bpeMergesQuery(s, d)),
+    "dq08_key_uniqueness"  -> ((s: SparkSession, d: String) => graft.operators.DataQuality.keyUniquenessQuery(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables, same column
@@ -799,6 +801,8 @@ object SparkEntry {
     "cl07_ensemble" -> ensembleOracleSql,
     "dd20_hamming_sweep" -> Dedup.hammingSweepOracleSql,
     "ir14_snippets" -> Search.snippetOracleSql(),
+    "ta23_bpe_merges" -> TextAnalysis.bpeMergesOracleSql,
+    "dq08_key_uniqueness" -> graft.operators.DataQuality.keyUniquenessOracleSql,
   )
 
   /** The cl07 ensemble oracle: two independently-prefixed kNN prediction

@@ -456,4 +456,66 @@ object DataQuality {
                   ELSE 'unchanged' END AS change_type,
              n_orders_old, n_orders_new, spend_old, spend_new
       FROM a ORDER BY custkey"""
+
+  /** Declared key per audited table — ONE declaration drives both the
+    * Spark audit and its oracle (the dq06 FK-topology move), so the two
+    * sides cannot silently diverge on which key a table is supposed to be
+    * unique on. Lineitem's key is composite. */
+  val KeyTopology: Seq[(String, Seq[String])] = Seq(
+    "customer" -> Seq("c_custkey"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"),
+    "events" -> Seq("event_id"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+    "orders" -> Seq("o_orderkey"),
+    "part" -> Seq("p_partkey"),
+    "supplier" -> Seq("s_suppkey"))
+
+  /** dq08 — key-uniqueness audit across the whole catalog: for every
+    * table in [[KeyTopology]], row count, distinct declared-key count,
+    * duplicated-key count and the worst multiplicity, plus the pass/fail
+    * verdict. The ingest gate that catches a double-loaded partition or a
+    * broken upsert BEFORE joins silently fan out downstream — dq06 audits
+    * edges between tables, this audits each table's own identity.
+    *
+    * Determinism: pure integer censuses.
+    *
+    * Plan shape for 100 TB: per table, ONE map-side-combined key-grouped
+    * aggregate (duplicate keys collapse before the exchange) reduced to a
+    * single stats row — scans prune to the key columns; the union is
+    * |tables| rows. */
+  def keyUniquenessQuery(s: SparkSession, dir: String): DataFrame = {
+    val perTable = KeyTopology.map { case (t, keys) =>
+      val kc = Tables.load(s, dir, t)
+        .groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      kc.agg(sum(col("n")).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_keys"),
+          max(col("n")).as("max_multiplicity"))
+        .select(lit(t).as("table_name"),
+          lit(keys.mkString(",")).as("key_cols"),
+          col("n_rows"), col("n_keys"), col("n_dup_keys"),
+          col("max_multiplicity"),
+          (col("n_dup_keys") === 0L).as("is_unique"))
+    }
+    perTable.reduce(_ unionByName _).orderBy(col("table_name"))
+  }
+
+  /** DuckDB SQL replicating [[keyUniquenessQuery]] exactly — generated
+    * from the same [[KeyTopology]] declaration. */
+  def keyUniquenessOracleSql: String = {
+    val blocks = KeyTopology.map { case (t, keys) =>
+      val kl = keys.mkString(", ")
+      s"""SELECT '$t' AS table_name, '${keys.mkString(",")}' AS key_cols,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+             CAST(max(n) AS BIGINT) AS max_multiplicity,
+             sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) = 0 AS is_unique
+      FROM (SELECT $kl, count(*) AS n FROM $t GROUP BY $kl) k_$t"""
+    }.mkString("\n      UNION ALL ")
+    s"""
+      $blocks
+      ORDER BY table_name"""
+  }
 }

@@ -1113,15 +1113,23 @@ object Dedup {
     *
     * Plan shape for 100 TB: canonicalize-first (the dd03/er01 pattern —
     * md5 of the NORMALIZED text, which fully determines the token set)
-    * collapses exact copies before any pairing, so the token self-join
-    * runs on DISTINCT texts: Σ df(token)²/2 over the deduplicated corpus,
-    * the same cost envelope the dd02/dd05 oracles carry since the round-7
-    * rewrite. Within-group pairs expand through the membership table at
-    * exactly 1.0 — no recomputation, output-sensitive. Stopword df² is
-    * the dominant term at corpus scale; a production caller bounds it the
-    * ir02 way (cap or drop top-df tokens) at a documented recall cost —
-    * uncapped here, where the oracle must match exactly. */
+    * collapses exact copies before any pairing; candidate generation is a
+    * LOSSLESS PREFIX FILTER (the SSJoin/PPJoin family — Chaudhuri et al.
+    * ICDE'06, Xiao et al. WWW'08): with tokens globally ordered by
+    * (df ASC, token), a pair with containment ≥ τ MUST share one of the
+    * contained side's first n_a − ⌊τ·n_a⌋ + 2 rarest tokens (if B misses
+    * that whole prefix, shared ≤ ⌊τ·n_a⌋ − 2 < τ·n_a; the +2 slack
+    * absorbs the float ⌊⌋ against the exact final compare, making the
+    * filter conservative by a full integer). So the candidate join runs
+    * prefix(A) ⋈ tok(B): Σ_w df_prefix(w)·df(w), and a stopword is almost
+    * never in a rarest-10% prefix — the Σdf² blowup of a naive token
+    * self-join never happens. Verification then counts |A∩B| exactly with
+    * doc-keyed equi-joins restricted to the surviving candidates
+    * (output-sensitive), and the final threshold compare is the same
+    * single IEEE division the oracle runs. Within-group pairs expand
+    * through the membership table at exactly 1.0 — no recomputation. */
   def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val fpDocs = Tables.parallel(Tables.documents(s, dir))
       .select(col("doc_id"), Text.normText(col("text")).as("t"))
       .withColumn("fp", md5(col("t")))
@@ -1130,19 +1138,34 @@ object Dedup {
     val mem = fpDocs.select(col("doc_id"), col("fp"))
       .join(groups.select(col("fp"), col("rep")), "fp")
       .select(col("rep"), col("doc_id"))
+    // the token table feeds prefix ranking, candidate join and two
+    // verification joins: persist it once (the dd03 staging-table move;
+    // the session cache-clear between queries releases it)
     val tok = groups
       .select(col("rep").as("doc"), explode(split(col("t"), " ")).as("w"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = tok.groupBy(col("doc")).agg(count(lit(1)).as("n_tok"))
-    // unordered intersection counts once, emitted in both directions:
-    // half the join work of an ordered enumeration
-    val interU = tok.alias("x")
-      .join(tok.alias("y"),
-        col("x.w") === col("y.w") && col("x.doc") < col("y.doc"))
-      .groupBy(col("x.doc").as("r1"), col("y.doc").as("r2"))
-      .agg(count(lit(1)).as("n_shared"))
-    val inter = interU.select(col("r1").as("ra"), col("r2").as("rb"), col("n_shared"))
-      .unionByName(interU.select(col("r2").as("ra"), col("r1").as("rb"), col("n_shared")))
+    // contained-side prefix: the n − ⌊τ·n⌋ + 2 globally-rarest tokens
+    val prefix = tok
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("w"))))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc")).orderBy(col("df"), col("w"))))
+      .join(sizes, "doc")
+      .filter(col("n_tok") >= ContainMinTokens)
+      .filter(col("rnk") <=
+        col("n_tok") - floor(lit(ContainTau) * col("n_tok")).cast("long") + 2L)
+      .select(col("doc").as("ra"), col("w"))
+    val cand = prefix
+      .join(tok.select(col("doc").as("rb"), col("w")), "w")
+      .filter(col("ra") =!= col("rb"))
+      .select(col("ra"), col("rb")).distinct()
+    // exact |A ∩ B| for candidates only: expand by A's tokens, keep those
+    // also in B — doc-keyed equi-joins, output-sensitive
+    val inter = cand
+      .join(tok.select(col("doc").as("ra"), col("w")), "ra")
+      .join(tok.select(col("doc").as("rb"), col("w")), Seq("rb", "w"))
+      .groupBy(col("ra"), col("rb")).agg(count(lit(1)).as("n_shared"))
     val repPairs = inter
       .join(sizes.select(col("doc").as("ra"), col("n_tok").as("n_a")), "ra")
       .join(sizes.select(col("doc").as("rb"), col("n_tok").as("n_b")), "rb")

@@ -1244,4 +1244,105 @@ object TextAnalysis {
                round(CAST(o.n_novel AS DOUBLE) / CAST(o.n_grams AS DOUBLE), 6)
              END AS novelty
       FROM d LEFT JOIN o USING (doc_id) ORDER BY doc_id"""
+
+  /** Merge rounds performed by [[bpeMergesQuery]]. */
+  val BpeMerges = 3
+
+  /** ta23 — BPE tokenizer induction, [[BpeMerges]] merge rounds (Sennrich
+    * et al. 2016): from the frequency-weighted word vocabulary spelled as
+    * character symbols, each round counts adjacent symbol pairs weighted
+    * by word frequency, picks the most frequent pair (tie → lexicographic)
+    * and merges its occurrences left-to-right in every word. Emits the
+    * merge table — (step, pair, merged symbol, support) — the artifact a
+    * tokenizer TRAINS: ta13 counts the raw pair statistics of round one;
+    * this actually iterates the merge, which is tokenizer training.
+    *
+    * Determinism: supports are exact integer sums; ties break on the pair
+    * string; the merge apply is a literal (non-regex) left-to-right
+    * replace over doubled-space symbol strings — the ir01 doubled-space
+    * trick, so adjacent occurrences ("a a a a" under merge "a a") never
+    * share a delimiter and both engines produce the identical greedy
+    * merge. Symbols never contain spaces, so multi-char patterns stay
+    * unambiguous across rounds.
+    *
+    * Plan shape for 100 TB: the corpus is touched ONCE (the word-count
+    * vocabulary aggregate — the exchange ta03 already pays) and persisted;
+    * every round then runs at VOCABULARY scale — a pair-keyed map-side-
+    * combined count, a 1-row TakeOrdered best pair broadcast back onto
+    * the vocab, and a per-row string rewrite. Iteration cost is bounded
+    * by |vocab|, not the corpus — the property that makes map-reduce BPE
+    * training deployable. */
+  def bpeMergesQuery(s: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.parallel(Tables.documents(s, dir))
+      .select(explode(split(Text.normText(col("text")), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("sym"),
+        col("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cur = vocab
+    val steps = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    for (step <- 1 to BpeMerges) {
+      val best = cur
+        .withColumn("arr", split(col("sym"), " "))
+        .filter(size(col("arr")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(arr) - 1), " +
+            "i -> concat(element_at(arr, i), ' ', element_at(arr, i + 1)))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("support"))
+        .orderBy(col("support").desc, col("pair")).limit(1)
+        .withColumn("step", lit(step.toLong))
+      steps += best
+      cur = cur.join(broadcast(best.select(col("pair").as("bp"))))
+        .withColumn("d",
+          regexp_replace(concat(lit(" "), col("sym"), lit(" ")), " ", "  "))
+        .withColumn("m", expr(
+          "replace(d, concat(' ', replace(bp, ' ', '  '), ' '), " +
+            "concat(' ', replace(bp, ' ', ''), ' '))"))
+        .select(trim(regexp_replace(col("m"), " +", " ")).as("sym"),
+          col("freq"))
+    }
+    steps.reduce(_ unionByName _)
+      .select(col("step"), col("pair"),
+        expr("replace(pair, ' ', '')").as("merged"), col("support"))
+      .orderBy(col("step"))
+  }
+
+  /** DuckDB SQL replicating [[bpeMergesQuery]] exactly — the merge loop
+    * unrolled into generated CTE rounds from the same round count (the
+    * gr04 pattern): identical pair statistics, identical tie-breaks,
+    * identical doubled-space literal replace. */
+  def bpeMergesOracleSql: String = {
+    val rounds = (1 to BpeMerges).map { i =>
+      s"""
+      p$i AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS support FROM (
+               SELECT freq, unnest(list_transform(range(1, len(arr)),
+                 j -> concat(arr[CAST(j AS INT)], ' ', arr[CAST(j + 1 AS INT)])))
+                 AS pair
+               FROM (SELECT string_split(sym, ' ') AS arr, freq FROM s${i - 1}) z
+               WHERE len(arr) >= 2) q GROUP BY pair),
+      b$i AS (SELECT pair, support FROM p$i
+              ORDER BY support DESC, pair LIMIT 1),
+      s$i AS (SELECT trim(regexp_replace(
+                replace(replace(' ' || sym || ' ', ' ', '  '),
+                        ' ' || replace(b.pair, ' ', '  ') || ' ',
+                        ' ' || replace(b.pair, ' ', '') || ' '),
+                ' +', ' ', 'g')) AS sym, freq
+              FROM s${i - 1}, b$i b)"""
+    }.mkString(",")
+    val out = (1 to BpeMerges).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, pair, replace(pair, ' ', '') AS merged, support FROM b$i")
+      .mkString("\n      UNION ALL ")
+    s"""
+      WITH d AS (SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                 FROM documents),
+      v AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(string_split(t, ' ')) AS w FROM d) z
+            GROUP BY w),
+      s0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym, freq
+             FROM v),
+      $rounds
+      $out
+      ORDER BY step"""
+  }
 }

@@ -135,11 +135,14 @@ object Stress {
       // token join at distinct-text cost under the 10x copy flood; ta22's
       // gram window and ev15's day-grain windows must not blow up; ir13
       // stays the ir01 columnar shape
-      "ta22_novelty", "ev15_cusum", "ir13_bm25f",
+      "dd19_containment", "ta22_novelty", "ev15_cusum", "ir13_bm25f",
       // round-8 eighth batch: ev16 one user exchange; dd20 sweeps dd04's
       // banded pair stream (never recomputes per radius); ir14's window
       // scoring must stay confined to the broadcast top-k docs
-      "ev16_ab_test", "dd20_hamming_sweep", "ir14_snippets")
+      "ev16_ab_test", "dd20_hamming_sweep", "ir14_snippets",
+      // round-8 ninth batch: ta23's merge rounds must stay vocab-scale
+      // (one corpus pass) under the amplified corpus
+      "ta23_bpe_merges")
     // q39/q40 and dq06 read lineitem/the TPC-H star, which the stress
     // corpus does not amplify — they rehearse under Bench at sf0.1 instead
     val dedupSubset = Seq("dd01_exact_dedup", "dd03_minhash_lsh",

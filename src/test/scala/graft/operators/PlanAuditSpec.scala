@@ -915,4 +915,20 @@ class PlanAuditSpec extends AnyFunSuite {
     // window scoring is HOF arithmetic, not an explode of the corpus
     assert(!plan.contains("Generate"), plan)
   }
+
+  test("ta23: merge rounds run on the persisted vocabulary, best pairs top-1") {
+    val plan = planOf(TextAnalysis.bpeMergesQuery(spark, sf0001))
+    // the corpus word-count aggregate is cached once; rounds re-read the
+    // cache, never the parquet
+    assert(plan.contains("InMemoryTableScan"), plan)
+    assert(count(plan, "TakeOrderedAndProject") >= 3, plan)
+  }
+
+  test("dq08: per-table audits are join-free and prune to the key columns") {
+    val plan = planOf(DataQuality.keyUniquenessQuery(spark, sf0001))
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint>"), plan)
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int>"),
+      plan)
+  }
 }
