@@ -224,6 +224,10 @@ object Bench {
     // round-8 ninth batch: BPE merge induction, key-uniqueness audit
     "ta23_bpe_merges",
     "dq08_key_uniqueness",
+    // round-8 tenth batch: salted join, audio near-dup, langid agreement
+    "q43_salted_join",
+    "mm08_audio_neardup",
+    "cl08_langid_agreement",
   )
 
   def main(args: Array[String]): Unit = {

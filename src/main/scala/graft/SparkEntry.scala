@@ -220,6 +220,9 @@ object SparkEntry {
     "ir14_snippets"        -> ((s: SparkSession, d: String) => Search.snippetQuery(s, d)),
     "ta23_bpe_merges"      -> ((s: SparkSession, d: String) => TextAnalysis.bpeMergesQuery(s, d)),
     "dq08_key_uniqueness"  -> ((s: SparkSession, d: String) => graft.operators.DataQuality.keyUniquenessQuery(s, d)),
+    "q43_salted_join"      -> ((s: SparkSession, d: String) => Relational.saltedJoinQuery(s, d)),
+    "mm08_audio_neardup"   -> ((s: SparkSession, d: String) => Multimodal.audioNearDupQuery(s, d)),
+    "cl08_langid_agreement" -> ((s: SparkSession, d: String) => graft.operators.Classifier.langAgreementQuery(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables, same column
@@ -803,6 +806,9 @@ object SparkEntry {
     "ir14_snippets" -> Search.snippetOracleSql(),
     "ta23_bpe_merges" -> TextAnalysis.bpeMergesOracleSql,
     "dq08_key_uniqueness" -> graft.operators.DataQuality.keyUniquenessOracleSql,
+    "q43_salted_join" -> Relational.saltedJoinOracleSql,
+    "mm08_audio_neardup" -> Multimodal.audioNearDupOracleSql(),
+    "cl08_langid_agreement" -> graft.operators.Classifier.langAgreementOracleSql,
   )
 
   /** The cl07 ensemble oracle: two independently-prefixed kNN prediction

@@ -608,4 +608,52 @@ object Classifier {
         (ens === col("true_label")).as("correct"))
       .orderBy(col("vec_id"))
   }
+
+  /** cl08 — cross-model language-ID agreement matrix: ta01's n-gram
+    * heuristic vs cl02's naive-Bayes, bucketed by (heuristic prediction,
+    * NB prediction) with each cell's doc count and both models'
+    * declared-label hit counts. The disagreement AUDIT a curation
+    * pipeline reads before trusting either filter — cells off the
+    * diagonal are exactly the documents worth a better model, and the
+    * per-cell correctness counts say which model to believe there.
+    *
+    * Determinism: composes two oracle-checked deterministic predictions;
+    * the matrix is integer censuses.
+    *
+    * Plan shape for 100 TB: ta01 is a zero-exchange columnar pass and
+    * cl02 a vocabulary-scale NB; the agreement join is doc-keyed
+    * (ids+labels, never text) and the output is |langs|² rows. */
+  def langAgreementQuery(s: SparkSession, dir: String): DataFrame = {
+    val h = TextAnalysis.langIdQuery(s, dir)
+      .select(col("doc_id"), col("pred_lang").as("heuristic_lang"),
+        col("declared_lang"))
+    val nb = naiveBayesLangQuery(s, dir).filter(col("predicted"))
+      .select(col("doc_id"), col("cand_lang").as("nb_lang"))
+    h.join(nb, "doc_id")
+      .groupBy(col("heuristic_lang"), col("nb_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("heuristic_lang") === col("declared_lang"), 1L)
+          .otherwise(0L)).as("n_heuristic_correct"),
+        sum(when(col("nb_lang") === col("declared_lang"), 1L).otherwise(0L))
+          .as("n_nb_correct"))
+      .withColumn("agree", col("heuristic_lang") === col("nb_lang"))
+      .orderBy(col("heuristic_lang"), col("nb_lang"))
+  }
+
+  /** DuckDB SQL replicating [[langAgreementQuery]] exactly — both
+    * predictions embedded as the SHARED ta01/cl02 oracle definitions. */
+  def langAgreementOracleSql: String = s"""
+      WITH h AS (SELECT doc_id, pred_lang AS heuristic_lang, declared_lang
+                 FROM (${TextAnalysis.langIdOracleSql}) hz),
+      nb AS (SELECT doc_id, cand_lang AS nb_lang
+             FROM (${naiveBayesLangOracleSql()}) nz WHERE predicted)
+      SELECT heuristic_lang, nb_lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN heuristic_lang = declared_lang THEN 1
+                           ELSE 0 END) AS BIGINT) AS n_heuristic_correct,
+             CAST(sum(CASE WHEN nb_lang = declared_lang THEN 1
+                           ELSE 0 END) AS BIGINT) AS n_nb_correct,
+             heuristic_lang = nb_lang AS agree
+      FROM h JOIN nb USING (doc_id)
+      GROUP BY heuristic_lang, nb_lang
+      ORDER BY heuristic_lang, nb_lang"""
 }

@@ -1127,7 +1127,15 @@ object Dedup {
     * doc-keyed equi-joins restricted to the surviving candidates
     * (output-sensitive), and the final threshold compare is the same
     * single IEEE division the oracle runs. Within-group pairs expand
-    * through the membership table at exactly 1.0 — no recomputation. */
+    * through the membership table at exactly 1.0 — no recomputation.
+    *
+    * Regime caveat (measured on the 10x stress corpus): the prefix filter
+    * presumes a Zipfian vocabulary — each document owns SOME rare tokens.
+    * On a corpus with a small uniform vocabulary every token is common,
+    * any token-based candidate filter degenerates to Σdf², and the true
+    * containment pair listing is itself near-quadratic; there the
+    * membership-shaped dd03/dd05 operators are the scale path and this
+    * exact listing is a diagnostic to run on a sample. */
   def containmentPairs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val fpDocs = Tables.parallel(Tables.documents(s, dir))

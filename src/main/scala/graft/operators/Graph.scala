@@ -366,10 +366,17 @@ object Graph {
     var keep: DataFrame = null
     for (_ <- 1 to KCorePeels) {
       keep = degOf(edges).filter(col("deg") >= KCoreK).select(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // persist each round's survivor edge set: round r feeds r+1's degree
+      // aggregate AND r+1's two restriction joins AND (last round) degF —
+      // without the cut every consumer re-derives the whole peel chain
+      // from the pair set. The lazy-query persists release at the session
+      // cache-clear, the dd03 convention.
       edges = edges
         .join(keep, "src")
         .join(keep.select(col("src").as("dst")), "dst")
         .select(col("src"), col("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     val degF = degOf(edges).select(col("src"), col("deg").as("core_deg"))
     deg0.select(col("src"), col("deg"))

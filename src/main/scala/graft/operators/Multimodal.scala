@@ -711,4 +711,88 @@ object Multimodal {
       WHERE round(CAST(n_common AS DOUBLE) /
                   CAST(a.n + b.n - n_common AS DOUBLE), 6) >= $minJaccard
       ORDER BY media_a, media_b"""
+
+  /** mm08 — audio-level near-dup detection by decoded-frame-signature
+    * overlap: every WAV payload is decoded to PCM through the REAL JDK
+    * codec ([[AudioDecoder]] — the mm06 honest-decode path), the sample
+    * stream cuts into [[audioFramesQuery]]'s frames, each frame reduces
+    * to the md5 of its decoded sample sequence, and pairs are reported by
+    * signature-set Jaccard — the audio twin of mm07: re-CONTAINERED
+    * copies (same PCM, different WAV header layout) hash identically
+    * here because the signature is of the DECODED samples, not the file
+    * bytes, which is exactly what whole-file dd01 cannot see.
+    *
+    * Determinism: the decoded samples are exact integers (16-bit PCM is
+    * lossless), signatures/censuses are md5/integers, Jaccard is one IEEE
+    * division rounded 6dp before the threshold (the sim03 rule).
+    *
+    * Plan shape for 100 TB: decode + framing + hashing run inside ONE
+    * flatMap on the scan — payloads never shuffle, each frame leaves the
+    * map side as (id, 32-char sig); the pairing is mm07's sig-keyed
+    * token join (Σ df(sig)² over true frame collisions), with the same
+    * hot-sig (silence frame) guard story as dd03's star cap. */
+  def audioNearDupQuery(s: SparkSession, dir: String, frameLen: Int = 64,
+      minJaccard: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val frames = audioMediaFromDocuments(s, dir)
+      .flatMap { m =>
+        val samples = AudioDecoder.pcm(m.bytes)
+        (0 until (samples.length + frameLen - 1) / frameLen).map { fi =>
+          val from = fi * frameLen
+          val until = math.min(from + frameLen, samples.length)
+          (m.media_id, samples.slice(from, until).mkString(","))
+        }
+      }
+      .toDF("media_id", "fs")
+    val sigs = frames.select(col("media_id"), md5(col("fs")).as("sig"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sigs.groupBy(col("media_id")).agg(count(lit(1)).as("n"))
+    val ix = sigs.alias("x")
+      .join(sigs.alias("y"),
+        col("x.sig") === col("y.sig") && col("x.media_id") < col("y.media_id"))
+      .groupBy(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"))
+      .agg(count(lit(1)).as("n_common"))
+    ix.join(sizes.select(col("media_id").as("media_a"), col("n").as("n_a")),
+        "media_a")
+      .join(sizes.select(col("media_id").as("media_b"), col("n").as("n_b")),
+        "media_b")
+      .withColumn("jaccard", round(col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("media_a"), col("media_b"), col("n_a"), col("n_b"),
+        col("n_common"), col("jaccard"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  /** DuckDB SQL replicating [[audioNearDupQuery]] exactly: the decoded
+    * sample stream re-derived positionally from the text via the fixture
+    * sample function (16-bit PCM is lossless, so decode(encode(text)) ==
+    * the function — the mm06 oracle contract), frames re-assembled in
+    * position order, then the mm07 Jaccard pipeline. */
+  def audioNearDupOracleSql(frameLen: Int = 64,
+      minJaccard: Double = 0.5): String = s"""
+      WITH d AS (SELECT doc_id, text AS t FROM documents),
+      pos AS (SELECT doc_id, t, unnest(range(1, length(t)+1)) AS i FROM d),
+      amp AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+                     CAST((i - 1) // $frameLen AS BIGINT) AS frame_idx,
+                     ((ord(substr(t, CAST(i AS INT), 1)) * 131 + i * 31) % 257) - 128 AS a
+              FROM pos),
+      fr AS (SELECT doc_id AS media_id,
+               md5(array_to_string(list(a ORDER BY i), ',')) AS sig
+             FROM amp GROUP BY doc_id, frame_idx),
+      sg AS (SELECT DISTINCT media_id, sig FROM fr),
+      sz AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n FROM sg GROUP BY media_id),
+      ix AS (SELECT x.media_id AS media_a, y.media_id AS media_b,
+               CAST(count(*) AS BIGINT) AS n_common
+             FROM sg x JOIN sg y ON x.sig = y.sig AND x.media_id < y.media_id
+             GROUP BY 1, 2)
+      SELECT media_a, media_b, a.n AS n_a, b.n AS n_b, n_common,
+             round(CAST(n_common AS DOUBLE) /
+                   CAST(a.n + b.n - n_common AS DOUBLE), 6) AS jaccard
+      FROM ix JOIN sz a ON a.media_id = media_a
+              JOIN sz b ON b.media_id = media_b
+      WHERE round(CAST(n_common AS DOUBLE) /
+                  CAST(a.n + b.n - n_common AS DOUBLE), 6) >= $minJaccard
+      ORDER BY media_a, media_b"""
 }

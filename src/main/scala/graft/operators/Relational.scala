@@ -731,4 +731,42 @@ object Relational {
       ORDER BY o_orderkey
     """)
   }
+
+  /** q43 — the skew-resistant salted equi-join, oracle-checked end to
+    * end: lineitem joins orders through [[SkewJoin.saltedEquiJoin]]
+    * (left rows salted by xxhash64(key, uniquifier) mod 16, right rows
+    * replicated 16×, join key widened to (key, salt)) and the revenue
+    * aggregate must equal the plain join the oracle runs. Salting is
+    * SEMANTICS-PRESERVING — this query pins that claim with a DuckDB
+    * hash-match instead of a unit test, so the skew machinery itself sits
+    * behind the same gate as every operator that would reach for it.
+    *
+    * Determinism: the salt affects partitioning only; counts are exact
+    * and the money sum carries the standard round-2 (q01).
+    *
+    * Plan shape for 100 TB: the whole point — a hot orderkey spreads over
+    * 16 reducers instead of one; the right side replicates 16×, which is
+    * the documented trade (replicate the SMALL side) and why the helper
+    * takes the dimension on the right. */
+  def saltedJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+      col("l_linenumber"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val os = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    SkewJoin.saltedEquiJoin(li, os, "l_orderkey", "o_orderkey",
+        col("l_linenumber"), 16)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("rev")), 2).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** DuckDB SQL replicating [[saltedJoinQuery]] — the PLAIN join: the
+    * hash-match proves salting changed nothing but the partitioning. */
+  val saltedJoinOracleSql: String = """
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 }

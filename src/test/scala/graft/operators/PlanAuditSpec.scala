@@ -931,4 +931,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int>"),
       plan)
   }
+
+  test("q43: the salt is in the plan — hashed spread left, replicated right") {
+    val plan = planOf(Relational.saltedJoinQuery(spark, sf0001))
+    assert(plan.contains("xxhash64"), plan)
+    // the right side replicates via explode (sequence(0, buckets-1) may be
+    // constant-folded to an array literal), and the join key carries the salt
+    assert(plan.contains("explode("), plan)
+    assert(plan.contains("__salt"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("mm08: payloads reduce to signatures before any join; sig equi-join only") {
+    val plan = planOf(Multimodal.audioNearDupQuery(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("md5"), plan)
+  }
+
+  test("cl08: the agreement join is doc-keyed ids+labels — no cartesian") {
+    val plan = planOf(Classifier.langAgreementQuery(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
