@@ -1093,19 +1093,27 @@ object Dedup {
              (a.max_cos >= $threshold) AS contaminated
       FROM agg a JOIN nearest n USING (vec_id) ORDER BY a.vec_id"""
 
-  /** Containment threshold for [[containmentPairs]]. */
-  val ContainTau = 0.9
-  /** Minimum contained-side token count for [[containmentPairs]] — kills
-    * the trivially-contained tiny-doc noise. */
-  val ContainMinTokens = 5
+  /** Containment threshold for [[containmentPairs]] — deliberately below
+    * the 0.8 Jaccard bar: the operator's value is the pairs Jaccard
+    * CANNOT see (small A inside big B scores low Jaccard but high
+    * containment), and on this corpus τ = 0.7 is where genuinely
+    * one-directional inclusions appear. */
+  val ContainTau = 0.7
+  /** Minimum contained-side shingle count for [[containmentPairs]] —
+    * kills the trivially-contained tiny-doc noise. */
+  val ContainMinTokens = 20
 
-  /** dd19 — asymmetric token-set containment pairs: ordered (contained,
+  /** dd19 — asymmetric shingle-set containment pairs: ordered (contained,
     * container) doc pairs where |A∩B| / |A| ≥ [[ContainTau]] and |A| ≥
-    * [[ContainMinTokens]] over distinct word sets. Jaccard (dd02/dd03) is
-    * symmetric and misses INCLUSION — a document quoted whole inside a
-    * larger one scores low Jaccard but containment ≈ 1; this is the
-    * quote/subset detector a dedup cascade runs after the symmetric pass
-    * (and the document-level cousin of dd11's substring containment).
+    * [[ContainMinTokens]] over the DISTINCT [[ShingleSize]]-char shingle
+    * sets of the raw text (dd02/dd03's unit — shingles, not word tokens:
+    * this corpus's word vocabulary is ~31 terms, a degenerate space where
+    * every doc "contains" every other; shingles carry position structure
+    * and a Zipfian-ish df distribution). Jaccard (dd02/dd03) is symmetric
+    * and misses INCLUSION — a document quoted whole inside a larger one
+    * scores low Jaccard but containment ≈ 1; this is the quote/subset
+    * detector a dedup cascade runs after the symmetric pass (and the
+    * document-level cousin of dd11's substring containment).
     *
     * Determinism: all censuses are exact integer distinct-counts; the
     * score is ONE division, threshold-compared unrounded on both engines
@@ -1139,21 +1147,23 @@ object Dedup {
   def containmentPairs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val fpDocs = Tables.parallel(Tables.documents(s, dir))
-      .select(col("doc_id"), Text.normText(col("text")).as("t"))
-      .withColumn("fp", md5(col("t")))
+      .select(col("doc_id"), col("text"))
+      .withColumn("fp", md5(col("text")))
     val groups = fpDocs.groupBy(col("fp"))
-      .agg(min(col("doc_id")).as("rep"), max(col("t")).as("t"))
+      .agg(min(col("doc_id")).as("rep"), max(col("text")).as("text"))
     val mem = fpDocs.select(col("doc_id"), col("fp"))
       .join(groups.select(col("fp"), col("rep")), "fp")
       .select(col("rep"), col("doc_id"))
-    // the token table feeds prefix ranking, candidate join and two
+    // the shingle table feeds prefix ranking, candidate join and two
     // verification joins: persist it once (the dd03 staging-table move;
-    // the session cache-clear between queries releases it)
-    val tok = groups
-      .select(col("rep").as("doc"), explode(split(col("t"), " ")).as("w"))
-      .distinct()
+    // the session cache-clear between queries releases it). charShingles
+    // already emits DISTINCT shingles per doc — no extra distinct shuffle.
+    val shing = groups.select(col("rep").as("doc"),
+      graft.functions.CharShingles.charShingles(col("text"), ShingleSize)
+        .as("sh"))
+    val tok = shing.select(col("doc"), explode(col("sh")).as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = tok.groupBy(col("doc")).agg(count(lit(1)).as("n_tok"))
+    val sizes = shing.select(col("doc"), size(col("sh")).cast("long").as("n_tok"))
     // contained-side prefix: the n − ⌊τ·n⌋ + 2 globally-rarest tokens
     val prefix = tok
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("w"))))
@@ -1204,15 +1214,19 @@ object Dedup {
   }
 
   /** DuckDB SQL replicating [[containmentPairs]] exactly — brute-force
-    * token join over ALL docs (no canonicalization): the expansion path
-    * and the direct path must produce byte-identical rows, which is the
-    * same equivalence the dd03 oracle proves for Jaccard. */
+    * shingle join over ALL docs (no canonicalization, no prefix filter):
+    * the expansion path and the direct path must produce byte-identical
+    * rows, which is the same equivalence the dd03 oracle proves for
+    * Jaccard. Shingle derivation matches the dd12 oracle's (raw text,
+    * 1-based substr, short-text single shingle). */
   def containmentOracleSql(tau: Double = ContainTau,
       minTok: Int = ContainMinTokens): String = s"""
-      WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
-                 FROM documents),
-      tok AS (SELECT DISTINCT doc_id, unnest(string_split(t, ' ')) AS w FROM d),
-      sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM tok GROUP BY doc_id),
+      WITH psh AS (SELECT doc_id, list_distinct(list_transform(
+                     range(1, greatest(length(text) - ${ShingleSize - 2}, 2)),
+                     i -> substr(text, CAST(i AS INT), $ShingleSize))) AS s
+                   FROM documents),
+      tok AS (SELECT doc_id, unnest(s) AS w FROM psh),
+      sz AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_tok FROM psh),
       iu AS (SELECT x.doc_id AS r1, y.doc_id AS r2, CAST(count(*) AS BIGINT) AS n_shared
              FROM tok x JOIN tok y ON x.w = y.w AND x.doc_id < y.doc_id
              GROUP BY 1, 2),

@@ -18,15 +18,21 @@ class Round8eOpsSpec extends AnyFunSuite {
   private def norm(t: String): String =
     t.toLowerCase.replaceAll("\\s+", " ").trim
 
-  private def docTokens: Seq[(Long, Set[String])] =
+  private def docShingles: Seq[(Long, Set[String])] =
     graft.core.Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("text")).collect()
       .flatMap { r =>
-        Option(r.getString(1)).map(t => (r.getLong(0), norm(t).split(" ", -1).toSet))
+        Option(r.getString(1)).map { t =>
+          // charShingles semantics: 1-based 5-char substrings; a text
+          // shorter than the shingle yields the single (short) shingle
+          val sh = if (t.length < Dedup.ShingleSize) Set(t)
+            else t.sliding(Dedup.ShingleSize).toSet
+          (r.getLong(0), sh)
+        }
       }.toSeq
 
-  test("dd19: containment pairs recompute from driver-side token sets") {
-    val toks = docTokens
+  test("dd19: containment pairs recompute from driver-side shingle sets") {
+    val toks = docShingles
     val expected = (for {
       (a, sa) <- toks; (b, sb) <- toks
       if a != b && sa.size >= Dedup.ContainMinTokens
