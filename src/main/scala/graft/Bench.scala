@@ -208,9 +208,14 @@ object Bench {
     "gr04_kcore",
     "sk06_kmv_setops",
     "ir12_ndcg_eval",
-    // round-8 seventh batch: containment dedup, trigram novelty, snapshot
-    // diff, CUSUM changepoint, BM25F
-    "dd19_containment",
+    // round-8 seventh batch: trigram novelty, snapshot diff, CUSUM
+    // changepoint, BM25F. dd19_containment is correctness-gated at sf0.01
+    // (seconds) but EXCLUDED here: this corpus's dense shingle space (top
+    // shingles in 80% of docs) makes the exact containment listing's
+    // candidate volume near-quadratic REGARDLESS of the prefix filter —
+    // measured >10 min/attempt at sf0.1 even with the salted candidate
+    // join — the same documented regime that exempts it from Stress; the
+    // brute-force dd02 pair listing is excluded for the same reason.
     "ta22_novelty",
     "dq07_snapshot_diff",
     "ev15_cusum",

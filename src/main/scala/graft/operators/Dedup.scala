@@ -1173,9 +1173,16 @@ object Dedup {
       .filter(col("n_tok") >= ContainMinTokens)
       .filter(col("rnk") <=
         col("n_tok") - floor(lit(ContainTau) * col("n_tok")).cast("long") + 2L)
-      .select(col("doc").as("ra"), col("w"))
-    val cand = prefix
-      .join(tok.select(col("doc").as("rb"), col("w")), "w")
+      .select(col("doc").as("ra"), col("w").as("pw"))
+    // SALTED candidate join (q43's SkewJoin, semantics-preserving): a doc
+    // whose every shingle is corpus-common puts hot shingles INTO its
+    // prefix, and a plain w-keyed join then lands that shingle's whole
+    // fan-out on one task (measured: a single 10-minute partial-distinct
+    // task at sf0.1). Salting spreads each hot shingle's output over the
+    // bucket count before the distinct's partial aggregation.
+    val cand = SkewJoin.saltedEquiJoin(
+        tok.select(col("doc").as("rb"), col("w")), prefix,
+        "w", "pw", col("rb"), buckets = 32)
       .filter(col("ra") =!= col("rb"))
       .select(col("ra"), col("rb")).distinct()
     // exact |A ∩ B| for candidates only: expand by A's tokens, keep those
