@@ -233,6 +233,8 @@ object Bench {
     "q43_salted_join",
     "mm08_audio_neardup",
     "cl08_langid_agreement",
+    // round-8 eleventh batch: tokenizer application
+    "pl05_tokenizer_apply",
   )
 
   def main(args: Array[String]): Unit = {

@@ -223,6 +223,7 @@ object SparkEntry {
     "q43_salted_join"      -> ((s: SparkSession, d: String) => Relational.saltedJoinQuery(s, d)),
     "mm08_audio_neardup"   -> ((s: SparkSession, d: String) => Multimodal.audioNearDupQuery(s, d)),
     "cl08_langid_agreement" -> ((s: SparkSession, d: String) => graft.operators.Classifier.langAgreementQuery(s, d)),
+    "pl05_tokenizer_apply"  -> ((s: SparkSession, d: String) => TextAnalysis.tokenizerApplyQuery(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables, same column
@@ -809,6 +810,7 @@ object SparkEntry {
     "q43_salted_join" -> Relational.saltedJoinOracleSql,
     "mm08_audio_neardup" -> Multimodal.audioNearDupOracleSql(),
     "cl08_langid_agreement" -> graft.operators.Classifier.langAgreementOracleSql,
+    "pl05_tokenizer_apply" -> TextAnalysis.tokenizerApplyOracleSql,
   )
 
   /** The cl07 ensemble oracle: two independently-prefixed kNN prediction

@@ -1272,7 +1272,20 @@ object TextAnalysis {
     * the vocab, and a per-row string rewrite. Iteration cost is bounded
     * by |vocab|, not the corpus — the property that makes map-reduce BPE
     * training deployable. */
-  def bpeMergesQuery(s: SparkSession, dir: String): DataFrame = {
+  def bpeMergesQuery(s: SparkSession, dir: String): DataFrame =
+    bpeRounds(s, dir)._1
+      .reduce(_ unionByName _)
+      .select(col("step"), col("pair"),
+        expr("replace(pair, ' ', '')").as("merged"), col("support"))
+      .orderBy(col("step"))
+
+  /** The shared BPE training loop: per-round best-pair frames (the merge
+    * table rows) plus the FINAL symbol vocabulary after all [[BpeMerges]]
+    * rounds — one definition feeding both the ta23 merge-table query and
+    * pl05's tokenizer application (whose encoding must be exactly the
+    * trained state, not a re-derivation that could drift). */
+  private[operators] def bpeRounds(s: SparkSession, dir: String)
+      : (Seq[DataFrame], DataFrame) = {
     val vocab = Tables.parallel(Tables.documents(s, dir))
       .select(explode(split(Text.normText(col("text")), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
@@ -1302,17 +1315,17 @@ object TextAnalysis {
         .select(trim(regexp_replace(col("m"), " +", " ")).as("sym"),
           col("freq"))
     }
-    steps.reduce(_ unionByName _)
-      .select(col("step"), col("pair"),
-        expr("replace(pair, ' ', '')").as("merged"), col("support"))
-      .orderBy(col("step"))
+    (steps.toSeq, cur)
   }
 
   /** DuckDB SQL replicating [[bpeMergesQuery]] exactly — the merge loop
     * unrolled into generated CTE rounds from the same round count (the
     * gr04 pattern): identical pair statistics, identical tie-breaks,
     * identical doubled-space literal replace. */
-  def bpeMergesOracleSql: String = {
+  /** The BPE training loop as oracle CTEs (d, v, s0, p/b/s per round) —
+    * shared by the ta23 and pl05 oracles exactly as [[bpeRounds]] is
+    * shared by their queries. Interpolate after `WITH`. */
+  private def bpeCtesSql: String = {
     val rounds = (1 to BpeMerges).map { i =>
       s"""
       p$i AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS support FROM (
@@ -1330,19 +1343,86 @@ object TextAnalysis {
                 ' +', ' ', 'g')) AS sym, freq
               FROM s${i - 1}, b$i b)"""
     }.mkString(",")
-    val out = (1 to BpeMerges).map(i =>
-      s"SELECT CAST($i AS BIGINT) AS step, pair, replace(pair, ' ', '') AS merged, support FROM b$i")
-      .mkString("\n      UNION ALL ")
-    s"""
-      WITH d AS (SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+    s"""d AS (SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
                  FROM documents),
       v AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
             FROM (SELECT unnest(string_split(t, ' ')) AS w FROM d) z
             GROUP BY w),
       s0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym, freq
              FROM v),
-      $rounds
+      $rounds"""
+  }
+
+  def bpeMergesOracleSql: String = {
+    val out = (1 to BpeMerges).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, pair, replace(pair, ' ', '') AS merged, support FROM b$i")
+      .mkString("\n      UNION ALL ")
+    s"""
+      WITH $bpeCtesSql
       $out
       ORDER BY step"""
   }
+
+  /** pl05 — tokenizer application (the second half of tokenizer
+    * training): encode the corpus with the vocabulary ta23 just learned
+    * and report, per source, the word/character/symbol censuses and the
+    * compression the [[BpeMerges]] merges actually bought
+    * (symbols/character and symbols/word). This is the acceptance test a
+    * tokenizer-training pipeline runs before shipping a vocab — merges
+    * that looked frequent in training must shorten the real corpus — and
+    * it consumes the TRAINED state ([[bpeRounds]]'s final vocabulary), not
+    * a re-derivation.
+    *
+    * Determinism: all censuses are exact integers (a word's symbol count
+    * is the size of its trained symbol split); ratios are single IEEE
+    * divisions rounded 6dp.
+    *
+    * Plan shape for 100 TB: training is ta23's vocab-scale loop (corpus
+    * touched once, persisted); application is ONE word-keyed equi-join of
+    * the corpus word stream against the |vocab|-row symbol-count table,
+    * then a source-keyed aggregate. No per-document re-merging — the
+    * vocabulary IS the tokenizer. */
+  def tokenizerApplyQuery(s: SparkSession, dir: String): DataFrame = {
+    val wordSyms = bpeRounds(s, dir)._2
+      .select(expr("replace(sym, ' ', '')").as("w"),
+        size(split(col("sym"), " ")).cast("long").as("n_sym"))
+    Tables.parallel(Tables.documents(s, dir))
+      .select(col("source"),
+        explode(split(Text.normText(col("text")), " ")).as("w"))
+      .join(wordSyms, "w")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("n_chars"),
+        sum(col("n_sym")).as("n_symbols"))
+      .select(col("source"), col("n_words"), col("n_chars"), col("n_symbols"),
+        when(col("n_chars") > 0,
+          round(col("n_symbols").cast("double") / col("n_chars").cast("double"), 6))
+          .as("syms_per_char"),
+        round(col("n_symbols").cast("double") / col("n_words").cast("double"), 6)
+          .as("syms_per_word"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB SQL replicating [[tokenizerApplyQuery]] exactly — the trained
+    * vocabulary comes from the SAME [[bpeCtesSql]] rounds the ta23 oracle
+    * runs, so query and oracle apply the identical tokenizer. */
+  def tokenizerApplyOracleSql: String = s"""
+      WITH $bpeCtesSql,
+      ws AS (SELECT replace(sym, ' ', '') AS w,
+               CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_sym
+             FROM s$BpeMerges),
+      wd AS (SELECT source, unnest(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+             FROM documents),
+      ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(length(w)) AS BIGINT) AS n_chars,
+               CAST(sum(n_sym) AS BIGINT) AS n_symbols
+             FROM wd JOIN ws USING (w) GROUP BY source)
+      SELECT source, n_words, n_chars, n_symbols,
+             CASE WHEN n_chars > 0 THEN
+               round(CAST(n_symbols AS DOUBLE) / CAST(n_chars AS DOUBLE), 6)
+             END AS syms_per_char,
+             round(CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+               AS syms_per_word
+      FROM ag ORDER BY source"""
 }

@@ -953,4 +953,12 @@ class PlanAuditSpec extends AnyFunSuite {
     val plan = planOf(Classifier.langAgreementQuery(spark, sf0001))
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("pl05: application is ONE word-keyed equi-join vs the cached vocab") {
+    val plan = planOf(TextAnalysis.tokenizerApplyQuery(spark, sf0001))
+    assert(plan.contains("InMemoryTableScan"), plan)
+    assert(count(plan,
+      "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[w#\\d+") >= 1, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
