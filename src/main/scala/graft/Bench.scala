@@ -233,8 +233,9 @@ object Bench {
     "q43_salted_join",
     "mm08_audio_neardup",
     "cl08_langid_agreement",
-    // round-8 eleventh batch: tokenizer application
+    // round-8 eleventh batch: tokenizer application, temporal split
     "pl05_tokenizer_apply",
+    "sa11_temporal_split",
   )
 
   def main(args: Array[String]): Unit = {

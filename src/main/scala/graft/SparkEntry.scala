@@ -224,6 +224,7 @@ object SparkEntry {
     "mm08_audio_neardup"   -> ((s: SparkSession, d: String) => Multimodal.audioNearDupQuery(s, d)),
     "cl08_langid_agreement" -> ((s: SparkSession, d: String) => graft.operators.Classifier.langAgreementQuery(s, d)),
     "pl05_tokenizer_apply"  -> ((s: SparkSession, d: String) => TextAnalysis.tokenizerApplyQuery(s, d)),
+    "sa11_temporal_split"   -> ((s: SparkSession, d: String) => Curation.temporalSplitQuery(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables, same column
@@ -811,6 +812,7 @@ object SparkEntry {
     "mm08_audio_neardup" -> Multimodal.audioNearDupOracleSql(),
     "cl08_langid_agreement" -> graft.operators.Classifier.langAgreementOracleSql,
     "pl05_tokenizer_apply" -> TextAnalysis.tokenizerApplyOracleSql,
+    "sa11_temporal_split" -> Curation.temporalSplitOracleSql,
   )
 
   /** The cl07 ensemble oracle: two independently-prefixed kNN prediction

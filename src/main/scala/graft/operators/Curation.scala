@@ -733,4 +733,79 @@ object Curation {
       SELECT doc_id, source, weight, skey,
              CAST(row_number() OVER (ORDER BY skey DESC, doc_id) AS BIGINT) AS rnk
       FROM keyed ORDER BY skey DESC, doc_id LIMIT $n"""
+
+  /** Split cutoffs for [[temporalSplitQuery]] — hour-grain inside the
+    * first day: the synthetic user population all starts on 2024-01-01
+    * (first events cluster in the opening hours), so day-grain cutoffs
+    * would put every user in one split; these populate all three splits
+    * at every SF. */
+  val SplitCutTrain = "2024-01-01 08:00:00"
+  val SplitCutValid = "2024-01-01 16:00:00"
+
+  /** sa11 — leakage-safe temporal train/valid/test split with its audit:
+    * every USER is assigned to one split by their FIRST event time (user
+    * < [[SplitCutTrain]] → train, < [[SplitCutValid]] → valid, else
+    * test), so no user's behavior leaks across splits — the event-data
+    * analog of sa09's split-by-near-dup-cluster. The report carries, per
+    * split, the user/event censuses, the observed day span, and the
+    * FUTURE-INFORMATION census (events of the split's users that occur at
+    * or past the split's own cutoff): the quantity that is inevitably
+    * nonzero under user-level assignment and exactly what a naive
+    * event-level time split pretends is zero — reading it is how an
+    * evaluator decides whether user-level assignment is acceptable for
+    * their task.
+    *
+    * Determinism: all censuses are exact integers over timestamp
+    * comparisons; day bounds are dates of exact min/max.
+    *
+    * Plan shape for 100 TB: ONE user-keyed corpus exchange (the
+    * first-event window) serves assignment; the report is a 3-row
+    * split-keyed aggregate. No joins. */
+  def temporalSplitQuery(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"))
+      .withColumn("first_ts",
+        min(col("ts")).over(Window.partitionBy(col("user_id"))))
+      .withColumn("split",
+        when(col("first_ts") < SplitCutTrain, "train")
+          .when(col("first_ts") < SplitCutValid, "valid")
+          .otherwise("test"))
+      .withColumn("cutoff",
+        when(col("split") === "train", lit(SplitCutTrain).cast("timestamp"))
+          .when(col("split") === "valid", lit(SplitCutValid).cast("timestamp"))
+          .otherwise(lit(null).cast("timestamp")))
+      .groupBy(col("split"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("ts") >= col("cutoff"), 1L).otherwise(0L))
+          .as("n_events_past_cutoff"),
+        min(to_date(col("ts"))).as("first_day"),
+        max(to_date(col("ts"))).as("last_day"))
+      .orderBy(col("split"))
+  }
+
+  /** DuckDB SQL replicating [[temporalSplitQuery]] exactly (same
+    * first-event assignment, same cutoffs, same future-information
+    * census; NULL cutoff for the test split counts zero on both
+    * engines). */
+  def temporalSplitOracleSql: String = s"""
+      WITH f AS (SELECT user_id, ts,
+                   min(ts) OVER (PARTITION BY user_id) AS first_ts
+                 FROM events),
+      g AS (SELECT *, CASE WHEN first_ts < TIMESTAMP '$SplitCutTrain' THEN 'train'
+                           WHEN first_ts < TIMESTAMP '$SplitCutValid' THEN 'valid'
+                           ELSE 'test' END AS split
+            FROM f),
+      h AS (SELECT *, CASE split WHEN 'train' THEN TIMESTAMP '$SplitCutTrain'
+                                 WHEN 'valid' THEN TIMESTAMP '$SplitCutValid'
+                      END AS cutoff
+            FROM g)
+      SELECT split, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN ts >= cutoff THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_events_past_cutoff,
+             CAST(min(ts) AS DATE) AS first_day,
+             CAST(max(ts) AS DATE) AS last_day
+      FROM h GROUP BY split ORDER BY split"""
 }

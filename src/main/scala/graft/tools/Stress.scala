@@ -158,8 +158,9 @@ object Stress {
       // rehearses under Bench at sf0.1 like q39/q40/dq06)
       "mm08_audio_neardup", "cl08_langid_agreement",
       // round-8 eleventh batch: pl05's application join must stay
-      // word-keyed at vocab scale under the amplified corpus
-      "pl05_tokenizer_apply")
+      // word-keyed at vocab scale under the amplified corpus; sa11 one
+      // user exchange
+      "pl05_tokenizer_apply", "sa11_temporal_split")
     // q39/q40 and dq06 read lineitem/the TPC-H star, which the stress
     // corpus does not amplify — they rehearse under Bench at sf0.1 instead
     val dedupSubset = Seq("dd01_exact_dedup", "dd03_minhash_lsh",

@@ -954,6 +954,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("sa11: assignment rides ONE user exchange — no join anywhere") {
+    val plan = planOf(Curation.temporalSplitQuery(spark, sf0001))
+    assert(count(plan, "hashpartitioning\\(user_id#\\d+L?, \\d+\\)") == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("pl05: application is ONE word-keyed equi-join vs the cached vocab") {
     val plan = planOf(TextAnalysis.tokenizerApplyQuery(spark, sf0001))
     assert(plan.contains("InMemoryTableScan"), plan)

@@ -67,6 +67,37 @@ class Round8hOpsSpec extends AnyFunSuite {
     assert(expected.exists(p => p._6 < 1.0))
   }
 
+  test("sa11: the temporal split recomputes from a driver-side user fold") {
+    def utcMs(d: String): Long = java.time.LocalDateTime.parse(
+      d.replace(" ", "T")).toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val (c1, c2) = (utcMs(Curation.SplitCutTrain), utcMs(Curation.SplitCutValid))
+    val evs = graft.core.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+    val byUser = evs.groupBy(_._1)
+    val rows = byUser.toSeq.flatMap { case (u, es) =>
+      val ft = es.map(_._2).min
+      val (split, cut) =
+        if (ft < c1) ("train", Some(c1))
+        else if (ft < c2) ("valid", Some(c2)) else ("test", None)
+      es.map { case (_, ts) => (split, u, ts, cut) }
+    }
+    val expected = rows.groupBy(_._1).toSeq.map { case (split, xs) =>
+      (split, xs.map(_._2).distinct.length.toLong, xs.length.toLong,
+        xs.count(x => x._4.exists(x._3 >= _)).toLong,
+        new java.sql.Date(xs.map(_._3).min).toString,
+        new java.sql.Date(xs.map(_._3).max).toString)
+    }.sortBy(_._1)
+    val got = Curation.temporalSplitQuery(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDate(4).toString, r.getDate(5).toString))
+    assert(got.toSeq == expected)
+    // non-vacuity: all three splits populated, and the future-information
+    // census is nonzero somewhere (the reason the audit exists)
+    assert(expected.map(_._1).toSet == Set("train", "valid", "test"))
+    assert(expected.exists(_._4 > 0L))
+  }
+
   test("cl08: the agreement matrix recomputes from the two voters") {
     val h = TextAnalysis.langIdQuery(spark, sf0001)
       .select(col("doc_id"), col("pred_lang"), col("declared_lang")).collect()
