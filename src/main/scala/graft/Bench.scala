@@ -217,6 +217,11 @@ object Bench {
     // join — the same documented regime that exempts it from Stress; the
     // brute-force dd02 pair listing is excluded for the same reason.
     "ta22_novelty",
+    // round-9: the dd19-family member that IS benchable — the sampled
+    // exact containment listing (contained side = deterministic 4.3%
+    // md5(text) sample, full container side). Linear in the sample rate
+    // even in the dense-vocab regime that exempts dd19 itself.
+    "dd21_containment_sampled",
     "dq07_snapshot_diff",
     "ev15_cusum",
     "ir13_bm25f",

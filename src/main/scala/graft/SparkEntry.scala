@@ -210,6 +210,7 @@ object SparkEntry {
     "sk06_kmv_setops"      -> ((s: SparkSession, d: String) => graft.operators.Sketch.kmvSetOpsQuery(s, d)),
     "ir12_ndcg_eval"       -> ((s: SparkSession, d: String) => Search.ndcgEvalQuery(s, d)),
     "dd19_containment"     -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
+    "dd21_containment_sampled" -> ((s: SparkSession, d: String) => Dedup.containmentPairsSampled(s, d)),
     "ta22_novelty"         -> ((s: SparkSession, d: String) => TextAnalysis.noveltyQuery(s, d)),
     "dq07_snapshot_diff"   -> ((s: SparkSession, d: String) => graft.operators.DataQuality.snapshotDiffQuery(s, d)),
     "ev15_cusum"           -> ((s: SparkSession, d: String) => Windows.cusumQuery(s, d)),
@@ -798,6 +799,7 @@ object SparkEntry {
     "sk06_kmv_setops" -> graft.operators.Sketch.kmvSetOpsOracleSql(),
     "ir12_ndcg_eval" -> Search.ndcgEvalOracleSql(),
     "dd19_containment" -> Dedup.containmentOracleSql(),
+    "dd21_containment_sampled" -> Dedup.containmentSampledOracleSql(),
     "ta22_novelty" -> TextAnalysis.noveltyOracleSql,
     "dq07_snapshot_diff" -> graft.operators.DataQuality.snapshotDiffOracleSql,
     "ev15_cusum" -> Windows.cusumOracleSql,

@@ -1119,8 +1119,11 @@ object Dedup {
     * score is ONE division, threshold-compared unrounded on both engines
     * (identical IEEE bit pattern), 6dp round on output only.
     *
-    * Plan shape for 100 TB: canonicalize-first (the dd03/er01 pattern —
-    * md5 of the NORMALIZED text, which fully determines the token set)
+    * Plan shape for 100 TB: canonicalize-first (the dd03/er01 move, here
+    * keyed on md5 of the RAW text — shingles are over raw text on both
+    * engines, so the raw fingerprint is exactly what determines the
+    * shingle set; whitespace variants that would normalize together keep
+    * distinct shingle sets and MUST stay distinct reps)
     * collapses exact copies before any pairing; candidate generation is a
     * LOSSLESS PREFIX FILTER (the SSJoin/PPJoin family — Chaudhuri et al.
     * ICDE'06, Xiao et al. WWW'08): with tokens globally ordered by
@@ -1248,6 +1251,151 @@ object Dedup {
         AND CAST(n_shared AS DOUBLE) / CAST(a.n_tok AS DOUBLE) >= $tau
       ORDER BY doc_a, doc_b"""
 
+  /** Sample gate for [[containmentPairsSampled]] — a doc participates on
+    * the CONTAINED side iff the first two hex chars of md5(text) are
+    * <= this bound ("0a" → bytes 0x00..0x0a → 11/256 ≈ 4.3%). Keying the
+    * sample on the TEXT fingerprint (not doc_id) makes it atomic per
+    * canonical group: every exact copy of a sampled text is sampled, so
+    * the canonicalize-first collapse and the sample commute and the
+    * membership expansion stays total. Both engines compare the same
+    * lowercase-hex md5 prefix, and 2-char hex compares lexicographically
+    * == numerically. */
+  val ContainSampleHexMax = "0a"
+
+  /** dd21 — SAMPLED containment pairs: [[containmentPairs]] (dd19) with
+    * the contained side confined to the deterministic
+    * [[ContainSampleHexMax]] md5(text) sample — exact ordered (contained,
+    * container) pairs where the contained doc is sampled, |A∩B|/|A| ≥
+    * [[ContainTau]] and |A| ≥ [[ContainMinTokens]], against the FULL
+    * container side. This is dd19's own scaladoc advice ("on dense-vocab
+    * corpora, run the exact listing on a sample") turned into an
+    * operator: the dense-vocab regime that degenerates every token-based
+    * candidate filter to Σdf² (see SCALE.md's measured >80 GB spill at
+    * 10×) scales the sampled listing's candidate volume LINEARLY by the
+    * sample rate — prefix tokens come only from sampled reps, so the
+    * candidate join is Σ_w df_prefix_sampled(w)·df(w) ≈ rate · Σ_w
+    * df_prefix(w)·df(w) — which is what makes this the member of the
+    * dd19 family that runs at sf0.1 under Bench and at 10× under Stress.
+    * The per-sampled-doc pair density extrapolates corpus-wide by
+    * dividing by the 11/256 rate (the sample is uniform over canonical
+    * texts by md5's uniformity).
+    *
+    * Determinism: the sample gate is a pure string compare on md5 hex
+    * both engines compute identically; everything downstream is dd19's
+    * exact-integer census and single IEEE division.
+    *
+    * Plan shape for 100 TB: identical to dd19's (canonicalize-first,
+    * lossless SSJoin/PPJoin prefix filter, salted candidate join,
+    * output-sensitive verification) with three sampled-side reductions:
+    * df comes from a map-side-combined groupBy (not a full-token window
+    * — only sampled reps need ranked prefixes), the prefix ranking
+    * window runs over the sampled token subset only, and the
+    * verification expansion starts from sampled reps' tokens. The full
+    * corpus is touched exactly twice: the df census and the container
+    * side of the candidate/verify joins. */
+  def containmentPairsSampled(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fpDocs = Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"), col("text"))
+      .withColumn("fp", md5(col("text")))
+    val groups = fpDocs.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("rep"), max(col("text")).as("text"))
+    val mem = fpDocs.select(col("doc_id"), col("fp"))
+      .join(groups.select(col("fp"), col("rep")), "fp")
+      .select(col("rep"), col("doc_id"))
+    val shing = groups.select(col("rep").as("doc"),
+      (substring(col("fp"), 1, 2) <= lit(ContainSampleHexMax)).as("sampled"),
+      graft.functions.CharShingles.charShingles(col("text"), ShingleSize)
+        .as("sh"))
+    val tok = shing.select(col("doc"), explode(col("sh")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = shing.select(col("doc"), col("sampled"),
+      size(col("sh")).cast("long").as("n_tok"))
+    // global df census over ALL reps (the ranking must be corpus-global so
+    // the prefix bound stays lossless), as a map-side-combined aggregate
+    val dfTab = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    // contained-side prefix, SAMPLED reps only: the ranking window runs on
+    // the sampled token subset — rate × the dd19 window
+    val sampDocs = sizes
+      .filter(col("sampled") && col("n_tok") >= ContainMinTokens)
+      .select(col("doc"), col("n_tok"))
+    val sampTok = tok.join(sampDocs, "doc")
+    val prefix = sampTok
+      .join(dfTab, "w")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc")).orderBy(col("df"), col("w"))))
+      .filter(col("rnk") <=
+        col("n_tok") - floor(lit(ContainTau) * col("n_tok")).cast("long") + 2L)
+      .select(col("doc").as("ra"), col("w").as("pw"))
+    // salted candidate join against the FULL container token table (dd19's
+    // q43 move: a sampled doc whose prefix holds a corpus-hot shingle
+    // still fans out to that shingle's full df)
+    val cand = SkewJoin.saltedEquiJoin(
+        tok.select(col("doc").as("rb"), col("w")), prefix,
+        "w", "pw", col("rb"), buckets = 32)
+      .filter(col("ra") =!= col("rb"))
+      .select(col("ra"), col("rb")).distinct()
+    val inter = cand
+      .join(sampTok.select(col("doc").as("ra"), col("w")), "ra")
+      .join(tok.select(col("doc").as("rb"), col("w")), Seq("rb", "w"))
+      .groupBy(col("ra"), col("rb")).agg(count(lit(1)).as("n_shared"))
+    val repPairs = inter
+      .join(sampDocs.select(col("doc").as("ra"), col("n_tok").as("n_a")), "ra")
+      .join(sizes.select(col("doc").as("rb"), col("n_tok").as("n_b")), "rb")
+      .withColumn("c", col("n_shared").cast("double") / col("n_a").cast("double"))
+      .filter(col("c") >= ContainTau)
+    // expansion through membership: the sample is fp-atomic, so every
+    // member of a sampled rep is sampled — cross pairs expand totally,
+    // within-group ordered pairs of sampled reps score exactly 1.0
+    val cross = repPairs
+      .join(mem.select(col("rep").as("ra"), col("doc_id").as("da")), "ra")
+      .join(mem.select(col("rep").as("rb"), col("doc_id").as("db")), "rb")
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("n_a"), col("n_b"), col("n_shared"), col("c"))
+    val within = mem.alias("x")
+      .join(mem.alias("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.rep").as("doc"), col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"))
+      .join(sampDocs, "doc")
+      .select(col("doc_a"), col("doc_b"), col("n_tok").as("n_a"),
+        col("n_tok").as("n_b"), col("n_tok").as("n_shared"),
+        lit(1.0d).as("c"))
+    cross.unionByName(within)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("n_shared"), round(col("c"), 6).as("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB SQL replicating [[containmentPairsSampled]] exactly —
+    * brute-force ordered shingle join with the contained side gated by
+    * the same md5(text) hex-prefix sample, no canonicalization and no
+    * prefix filter (the dd19 oracle equivalence, restricted). */
+  def containmentSampledOracleSql(tau: Double = ContainTau,
+      minTok: Int = ContainMinTokens,
+      hexMax: String = ContainSampleHexMax): String = s"""
+      WITH psh AS (SELECT doc_id, text, list_distinct(list_transform(
+                     range(1, greatest(length(text) - ${ShingleSize - 2}, 2)),
+                     i -> substr(text, CAST(i AS INT), $ShingleSize))) AS s
+                   FROM documents),
+      tok AS (SELECT doc_id, unnest(s) AS w FROM psh),
+      sz AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_tok FROM psh),
+      sd AS (SELECT doc_id FROM psh WHERE substr(md5(text), 1, 2) <= '$hexMax'),
+      iu AS (SELECT x.doc_id AS ra, y.doc_id AS rb,
+                    CAST(count(*) AS BIGINT) AS n_shared
+             FROM tok x
+               JOIN sd ON sd.doc_id = x.doc_id
+               JOIN tok y ON x.w = y.w AND x.doc_id <> y.doc_id
+             GROUP BY 1, 2)
+      SELECT ra AS doc_a, rb AS doc_b, a.n_tok AS n_a, b.n_tok AS n_b,
+             n_shared,
+             round(CAST(n_shared AS DOUBLE) / CAST(a.n_tok AS DOUBLE), 6)
+               AS containment
+      FROM iu JOIN sz a ON a.doc_id = ra JOIN sz b ON b.doc_id = rb
+      WHERE a.n_tok >= $minTok
+        AND CAST(n_shared AS DOUBLE) / CAST(a.n_tok AS DOUBLE) >= $tau
+      ORDER BY doc_a, doc_b"""
+
   /** dd20 — near-dup threshold sweep (the tuning report behind picking a
     * dedup radius): for every simhash hamming radius 0..3, the pair count
     * and the count of documents touched by at least one pair at that
@@ -1260,22 +1408,35 @@ object Dedup {
     * deterministic pair stream.
     *
     * Plan shape for 100 TB: the pair stream is computed ONCE by dd04's
-    * banded equi-join (recall-exact for hamming ≤ 3 by pigeonhole); the
-    * sweep is conditional counting against a 4-row broadcast radius grid
-    * on pair-scale rows. No recomputation per threshold — the whole point
-    * of sweeping on the pair stream instead of re-running dedup. */
+    * banded equi-join (recall-exact for hamming ≤ 3 by pigeonhole), then
+    * REDUCED before any radius logic touches it: pairs collapse to a
+    * per-hamming histogram (≤ 4 rows — hamming is 0..3 by construction)
+    * and docs collapse to a per-doc min-hamming then ITS histogram (also
+    * ≤ 4 rows). The radius grid joins those two genuinely tiny aggregates
+    * — a doc with min hamming h is "touched at radius r" iff h ≤ r, so
+    * counting histogram mass below each radius equals the distinct-doc
+    * count — and the broadcast side stays O(1) no matter how many pairs
+    * the production corpus produces. No recomputation per threshold — the
+    * whole point of sweeping on the pair stream instead of re-running
+    * dedup. */
   def hammingSweepQuery(s: SparkSession, dir: String): DataFrame = {
     val p = simhashPairs(s, dir)
     val radii = s.range(0, 4).select(col("id").as("radius"))
-    val docs = p.select(explode(array(col("doc_a"), col("doc_b"))).as("doc"),
-      col("hamming"))
-    val np = radii.join(broadcast(p.select(col("hamming"))),
-        col("hamming") <= col("radius"), "left")
-      .groupBy(col("radius")).agg(count(col("hamming")).as("n_pairs"))
-    val nd = radii.join(broadcast(docs),
+    // pair-scale work ends here: two map-side-combined histograms
+    val hHist = p.groupBy(col("hamming")).agg(count(lit(1)).as("cnt"))
+    val dHist = p
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc"),
+        col("hamming"))
+      .groupBy(col("doc")).agg(min(col("hamming")).as("min_h"))
+      .groupBy(col("min_h")).agg(count(lit(1)).as("dcnt"))
+    val np = radii.join(broadcast(hHist),
         col("hamming") <= col("radius"), "left")
       .groupBy(col("radius"))
-      .agg(countDistinct(col("doc")).as("n_docs_with_dup"))
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_pairs"))
+    val nd = radii.join(broadcast(dHist),
+        col("min_h") <= col("radius"), "left")
+      .groupBy(col("radius"))
+      .agg(coalesce(sum(col("dcnt")), lit(0L)).as("n_docs_with_dup"))
     np.join(nd, Seq("radius")).orderBy(col("radius"))
   }
 

@@ -131,10 +131,8 @@ object Stress {
       // df-bounded); ir12 composes the audited retrieval scans
       "ta21_readability", "ev14_decay_engagement", "gr04_kcore",
       "sk06_kmv_setops", "ir12_ndcg_eval",
-      // round-8 seventh batch: dd19's canonicalize-first must keep the
-      // token join at distinct-text cost under the 10x copy flood; ta22's
-      // gram window and ev15's day-grain windows must not blow up; ir13
-      // stays the ir01 columnar shape
+      // round-8 seventh batch: ta22's gram window and ev15's day-grain
+      // windows must not blow up; ir13 stays the ir01 columnar shape.
       // dd19 is exempt: the amplified corpus has a small UNIFORM vocabulary
       // (no rare tokens), the one regime where every token-based candidate
       // filter — including dd19's lossless prefix filter — degenerates to
@@ -142,12 +140,18 @@ object Stress {
       // where the true containment pair LISTING is itself ~10M rows. On
       // Zipfian real-text vocabularies the prefix filter is the published
       // scale path (Xiao et al. WWW'08); for dense-vocab corpora the
-      // membership-shaped dd03/dd05 operators are the answer. dd19
-      // rehearses at sf0.1 under Bench instead.
-      "ta22_novelty", "ev15_cusum", "ir13_bm25f",
+      // sampled listing dd21 is the diagnostic that DOES run at scale —
+      // it stresses here and benches at sf0.1 — while the full exact
+      // listing stays correctness-gated at sf0.01 under Verify.
+      "ta22_novelty", "ev15_cusum", "ir13_bm25f", "dd21_containment_sampled",
       // round-8 eighth batch: ev16 one user exchange; dd20 sweeps dd04's
-      // banded pair stream (never recomputes per radius); ir14's window
-      // scoring must stay confined to the broadcast top-k docs
+      // banded pair stream (never recomputes per radius, and the radius
+      // grid joins ≤4-row histograms, never raw pairs); ir14's window
+      // scoring must stay confined to the broadcast top-k docs.
+      // cl07 is exempt like dd19/q43: its kNN member runs the test×train
+      // scorer that is quadratic on the amplified copy-flood corpus (the
+      // IVF guard routes on corpus size, and the flood multiplies both
+      // sides); cl07 rehearses under Bench at sf0.1 where cl03 is timed.
       "ev16_ab_test", "dd20_hamming_sweep", "ir14_snippets",
       // round-8 ninth batch: ta23's merge rounds must stay vocab-scale
       // (one corpus pass) under the amplified corpus
