@@ -1262,6 +1262,13 @@ object Dedup {
     * == numerically. */
   val ContainSampleHexMax = "0a"
 
+  /** Size guard for [[containmentPairsSampled]]'s fused join: broadcast
+    * the sampled token table when it holds at most this many rows (a
+    * (long, 5-char) row hashes at ~50–100 B, so 1M rows ≈ 50–100 MB —
+    * comfortable on production executors); above it, fall back to the
+    * salted shuffle join. The dd05 size-guarded-hybrid move. */
+  val ContainBroadcastMaxTokens = 1000000L
+
   /** dd21 — SAMPLED containment pairs: [[containmentPairs]] (dd19) with
     * the contained side confined to the deterministic
     * [[ContainSampleHexMax]] md5(text) sample — exact ordered (contained,
@@ -1271,30 +1278,43 @@ object Dedup {
     * corpora, run the exact listing on a sample") turned into an
     * operator: the dense-vocab regime that degenerates every token-based
     * candidate filter to Σdf² (see SCALE.md's measured >80 GB spill at
-    * 10×) scales the sampled listing's candidate volume LINEARLY by the
-    * sample rate — prefix tokens come only from sampled reps, so the
-    * candidate join is Σ_w df_prefix_sampled(w)·df(w) ≈ rate · Σ_w
-    * df_prefix(w)·df(w) — which is what makes this the member of the
-    * dd19 family that runs at sf0.1 under Bench and at 10× under Stress.
-    * The per-sampled-doc pair density extrapolates corpus-wide by
-    * dividing by the 11/256 rate (the sample is uniform over canonical
-    * texts by md5's uniformity).
+    * 10×) scales the sampled listing's join volume LINEARLY by the
+    * sample rate — the fused join below is Σ_w df_sampled(w)·df(w) ≈
+    * rate·Σdf² (measured at sf0.1: 69.2M vs Σdf² = 1.54G) — which is
+    * what makes this the member of the dd19 family that runs at sf0.1
+    * under Bench and at 10× under Stress. The per-sampled-doc pair
+    * density extrapolates corpus-wide by dividing by the 11/256 rate
+    * (the sample is uniform over canonical texts by md5's uniformity).
     *
     * Determinism: the sample gate is a pure string compare on md5 hex
     * both engines compute identically; everything downstream is dd19's
     * exact-integer census and single IEEE division.
     *
-    * Plan shape for 100 TB: identical to dd19's (canonicalize-first,
-    * lossless SSJoin/PPJoin prefix filter, salted candidate join,
-    * output-sensitive verification) with three sampled-side reductions:
-    * df comes from a map-side-combined groupBy (not a full-token window
-    * — only sampled reps need ranked prefixes), the prefix ranking
-    * window runs over the sampled token subset only, and the
-    * verification expansion starts from sampled reps' tokens. The full
-    * corpus is touched exactly twice: the df census and the container
-    * side of the candidate/verify joins. */
-  def containmentPairsSampled(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    * Plan shape for 100 TB: canonicalize-first like dd19, then ONE FUSED
+    * candidate+verify join. Shingles are DISTINCT per doc (charShingles
+    * emits sets), so grouping the sampled⋈full token equi-join by the
+    * doc pair and counting rows IS |A∩B| — dd19's prefix filter,
+    * candidate distinct and verification re-expansion all collapse into
+    * a single join + partial-aggregated count. That matters twice over:
+    * on a Zipfian corpus the join volume is output-sensitive (rare
+    * tokens dominate sampled prefixes), and on THIS dense-vocab corpus
+    * the prefix filter prunes nothing anyway, so the fused join's
+    * rate·Σdf² volume is the floor for an exact listing and every stage
+    * dd19 runs on top of it is pure overhead (measured: 119 s → seconds
+    * at sf0.1). The sampled side is tiny by construction (rate × corpus
+    * tokens), so a size-guarded hybrid picks the join strategy: at or
+    * under [[ContainBroadcastMaxTokens]] rows it broadcasts — the
+    * container table never shuffles at all and the fan-out feeds the
+    * count's partial aggregation inside the same stage; above the bound
+    * it salts the container side ([[SkewJoin.saltedEquiJoin]], dd19's
+    * q43 move) so a corpus-hot shingle spreads over the bucket count.
+    * The full corpus is touched exactly once past canonicalization.
+    *
+    * `broadcastMaxTokens` overrides [[ContainBroadcastMaxTokens]] so the
+    * branch-equivalence spec can force the salted-shuffle path on a tiny
+    * corpus; production callers use the default. */
+  def containmentPairsSampled(s: SparkSession, dir: String,
+      broadcastMaxTokens: Long = ContainBroadcastMaxTokens): DataFrame = {
     val fpDocs = Tables.parallel(Tables.documents(s, dir))
       .select(col("doc_id"), col("text"))
       .withColumn("fp", md5(col("text")))
@@ -1307,37 +1327,34 @@ object Dedup {
       (substring(col("fp"), 1, 2) <= lit(ContainSampleHexMax)).as("sampled"),
       graft.functions.CharShingles.charShingles(col("text"), ShingleSize)
         .as("sh"))
+    // the shingle table feeds both sides of the fused join (and the size
+    // guard's count): persist it once — the dd03/dd19 staging-table move;
+    // the session cache-clear between queries releases it, so embedders
+    // who reuse a session should clear the cache after their final action
     val tok = shing.select(col("doc"), explode(col("sh")).as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = shing.select(col("doc"), col("sampled"),
       size(col("sh")).cast("long").as("n_tok"))
-    // global df census over ALL reps (the ranking must be corpus-global so
-    // the prefix bound stays lossless), as a map-side-combined aggregate
-    val dfTab = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    // contained-side prefix, SAMPLED reps only: the ranking window runs on
-    // the sampled token subset — rate × the dd19 window
     val sampDocs = sizes
       .filter(col("sampled") && col("n_tok") >= ContainMinTokens)
       .select(col("doc"), col("n_tok"))
-    val sampTok = tok.join(sampDocs, "doc")
-    val prefix = sampTok
-      .join(dfTab, "w")
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("doc")).orderBy(col("df"), col("w"))))
-      .filter(col("rnk") <=
-        col("n_tok") - floor(lit(ContainTau) * col("n_tok")).cast("long") + 2L)
+    val sampSide = tok.join(sampDocs.select(col("doc")), "doc")
       .select(col("doc").as("ra"), col("w").as("pw"))
-    // salted candidate join against the FULL container token table (dd19's
-    // q43 move: a sampled doc whose prefix holds a corpus-hot shingle
-    // still fans out to that shingle's full df)
-    val cand = SkewJoin.saltedEquiJoin(
-        tok.select(col("doc").as("rb"), col("w")), prefix,
+    // size-guarded hybrid: ONE driver-side count of the sampled tokens
+    // decides broadcast vs salted shuffle (see scaladoc)
+    val nSampTok = sampDocs
+      .agg(coalesce(sum(col("n_tok")), lit(0L)).as("n")).head().getLong(0)
+    val joined =
+      if (nSampTok <= broadcastMaxTokens)
+        tok.select(col("doc").as("rb"), col("w"))
+          .join(broadcast(sampSide), col("w") === col("pw"))
+      else SkewJoin.saltedEquiJoin(
+        tok.select(col("doc").as("rb"), col("w")), sampSide,
         "w", "pw", col("rb"), buckets = 32)
+    // FUSED candidate+verify: per-doc-distinct shingles make the pairwise
+    // row count of the token equi-join exactly |A∩B|
+    val inter = joined
       .filter(col("ra") =!= col("rb"))
-      .select(col("ra"), col("rb")).distinct()
-    val inter = cand
-      .join(sampTok.select(col("doc").as("ra"), col("w")), "ra")
-      .join(tok.select(col("doc").as("rb"), col("w")), Seq("rb", "w"))
       .groupBy(col("ra"), col("rb")).agg(count(lit(1)).as("n_shared"))
     val repPairs = inter
       .join(sampDocs.select(col("doc").as("ra"), col("n_tok").as("n_a")), "ra")

@@ -960,6 +960,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("dd21: fused sampled containment — one token equi-join, no window, no re-expansion") {
+    val plan = planOf(Dedup.containmentPairsSampled(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // fused candidate+verify: dd19's prefix-ranking window is GONE — the
+    // pair count IS the intersection census
+    assert(!plan.contains("row_number"), plan)
+    // under the size guard the sampled tokens broadcast, so the container
+    // token table reaches the census without a keyed exchange of its own
+    assert(count(plan,
+      "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[w#\\d+") >= 1,
+      plan)
+  }
+
+  test("dd21: above the size guard the container side salts — hash spread + replicate") {
+    val plan = planOf(
+      Dedup.containmentPairsSampled(spark, sf0001, broadcastMaxTokens = 0L))
+    assert(plan.contains("xxhash64"), plan)
+    assert(plan.contains("__salt"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("pl05: application is ONE word-keyed equi-join vs the cached vocab") {
     val plan = planOf(TextAnalysis.tokenizerApplyQuery(spark, sf0001))
     assert(plan.contains("InMemoryTableScan"), plan)

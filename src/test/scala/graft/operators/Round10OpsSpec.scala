@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession.spark
+
+/** Round-10 checks for dd21 (sampled containment), closing the gap the
+  * round-9 verdict named: the sf0.01 oracle gate matched on only 3 rows,
+  * leaving the sample-atomicity (within-group 1.0) branch and the md5
+  * "0a"/"0b" boundary unexercised. A crafted corpus straddles the sample
+  * gate with exact-duplicate groups on BOTH sides of the boundary, and a
+  * driver-side brute-force recompute (independent of the Spark plan and
+  * of the DuckDB oracle SQL) pins the full semantics. */
+class Round10OpsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def md5hex(t: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(
+      t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def sampled(t: String): Boolean =
+    md5hex(t).substring(0, 2) <= Dedup.ContainSampleHexMax
+
+  /** Deterministically search a numeric suffix until md5(text) lands in
+    * the wanted sample band ("0a"-or-below vs strictly above). */
+  private def craft(base: String, wantSampled: Boolean): String =
+    Iterator.from(0).map(i => s"$base variant $i")
+      .find(t => sampled(t) == wantSampled).get
+
+  private def shinglesOf(t: String): Set[String] =
+    if (t.length < Dedup.ShingleSize) Set(t)
+    else t.sliding(Dedup.ShingleSize).toSet
+
+  private def roundAt(x: Double, dp: Int): Double =
+    BigDecimal.valueOf(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
+      .doubleValue
+
+  // crafted corpus: two exact-duplicate groups straddling the md5 sample
+  // boundary, one asymmetric inclusion with a SAMPLED contained side and
+  // an UNSAMPLED container, one unsampled-contained inclusion (must not
+  // surface), and a sampled short doc under the token floor
+  private lazy val (dir, docs) = {
+    val g1 = craft("the quick brown fox jumps over the lazy dog and then " +
+      "naps in the warm afternoon sun beside the river", wantSampled = true)
+    val g2 = craft("an entirely different story about compilers lowering " +
+      "relational plans into vectorized loops over columnar batches",
+      wantSampled = false)
+    val contained = craft("a sampled page quoting spark catalyst rules for " +
+      "predicate pushdown and column pruning across scans", wantSampled = true)
+    // container = contained text plus a short suffix: shingle containment of
+    // the contained side stays ≥ τ while the container's own containment in
+    // the contained doc falls below τ (and it is unsampled anyway)
+    val container = {
+      val c = contained + " with a long stretch of extra commentary " +
+        "appended at the end so that the container is big enough that its " +
+        "own shingles are nowhere near contained in the smaller quoted page"
+      assert(!sampled(c)); c
+    }
+    val revContained = craft("an unsampled page describing shuffle hash " +
+      "joins and sort merge joins and broadcast variants", wantSampled = false)
+    val revContainer = {
+      val c = revContained + " padded with a comparably long unsampled " +
+        "trailing clause carrying plenty of shingles of its own so the " +
+        "reverse direction cannot sneak past the containment threshold"
+      assert(!sampled(c)); c
+    }
+    val short = craft("tiny doc", wantSampled = true)
+    assert(shinglesOf(short).size < Dedup.ContainMinTokens)
+    val sh = shinglesOf(contained); val shB = shinglesOf(container)
+    assert((sh & shB).size.toDouble / sh.size >= Dedup.ContainTau)
+    assert((sh & shB).size.toDouble / shB.size < Dedup.ContainTau)
+
+    val rows: Seq[(Long, String)] = Seq(
+      1L -> g1, 2L -> g1, 3L -> g1,
+      4L -> g2, 5L -> g2, 6L -> g2,
+      10L -> contained, 11L -> container,
+      20L -> revContained, 21L -> revContainer,
+      30L -> short)
+    val d = java.nio.file.Files.createTempDirectory("graft_dd21").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("crafted"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    (d, rows)
+  }
+
+  private def recompute: Seq[(Long, Long, Long, Long, Long, Double)] = {
+    val toks = docs.map { case (id, t) => (id, t, shinglesOf(t)) }
+    (for {
+      (a, ta, sa) <- toks; (b, _, sb) <- toks
+      if a != b && sampled(ta) && sa.size >= Dedup.ContainMinTokens
+      shared = (sa & sb).size
+      c = shared.toDouble / sa.size.toDouble
+      if c >= Dedup.ContainTau
+    } yield (a, b, sa.size.toLong, sb.size.toLong, shared.toLong,
+      roundAt(c, 6))).sortBy(p => (p._1, p._2))
+  }
+
+  private def run(broadcastMaxTokens: Long): Seq[(Long, Long, Long, Long, Long, Double)] =
+    Dedup.containmentPairsSampled(spark, dir, broadcastMaxTokens).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+
+  test("dd21: driver recompute on a corpus straddling the md5 sample boundary") {
+    val expected = recompute
+    val got = run(Dedup.ContainBroadcastMaxTokens)
+    assert(got == expected)
+
+    val pairs = got.map(p => (p._1, p._2)).toSet
+    // sample atomicity: the SAMPLED exact-dup group is all-in — every
+    // ordered within pair at exactly 1.0 — and the UNSAMPLED group is
+    // all-out on the contained side (the all-in/all-out gate the fp-keyed
+    // sample guarantees; a doc_id-keyed sample would split the group)
+    val g1 = Seq(1L, 2L, 3L)
+    for (a <- g1; b <- g1 if a != b) {
+      assert(pairs.contains((a, b)))
+      assert(got.find(p => p._1 == a && p._2 == b).get._6 == 1.0)
+    }
+    assert(!got.exists(p => Seq(4L, 5L, 6L).contains(p._1)))
+    // asymmetric inclusion: sampled-contained pair surfaces, its reverse
+    // does not, and the unsampled-contained inclusion stays invisible
+    assert(pairs.contains((10L, 11L)) && !pairs.contains((11L, 10L)))
+    assert(!got.exists(p => p._1 == 20L || p._1 == 21L))
+    // the short sampled doc is under the token floor
+    assert(!got.exists(p => p._1 == 30L))
+  }
+
+  test("dd21: broadcast and salted-shuffle branches agree row for row") {
+    assert(run(0L) == run(Dedup.ContainBroadcastMaxTokens))
+  }
+}
