@@ -21,8 +21,13 @@ import graft.core.Message
   *     a batch retried after a partial write) rewrites the same data
   *     instead of appending it twice;
   *   - a downstream Kafka consumer gets the same guarantee by keying on the
-  *     guid header (idempotent consumption), which is the documented delta
-  *     vs the reference's broker-side transactions.
+  *     guid header (idempotent consumption).
+  *
+  * The STRICT broker-side form — consumed offsets committed inside the
+  * producer transaction, with the reference's retriable/fatal/timeout
+  * classification — lives in [[Transactions]]; this file remains the
+  * pragmatic file-sink path for pipelines that land in storage rather
+  * than Kafka.
   */
 object Eos {
 

@@ -1,0 +1,241 @@
+package graft.sinks
+
+import graft.core.Message
+import org.apache.spark.sql.Dataset
+
+/** Strict transactional exactly-once produce (SURVEY.md §2.2 K2 / §2.9 X1,
+  * strict form — the broker-side guarantee, not the guid-idempotence delta
+  * [[Eos]] documents).
+  *
+  * The reference's EOS loop commits the CONSUMED OFFSETS inside the
+  * producer transaction, so outputs and consumption progress land (or
+  * vanish) atomically: offsets ride `send_offsets_to_transaction` before
+  * `commit_transaction` (reference: fluvii/apps/transactions/
+  * consumer.py:94-107, 147-152), produce auto-begins a transaction
+  * (producer.py:27-31), abort rolls back both producer buffer and consumer
+  * position (transaction.py:79-93, consumer.py:136-145), and every
+  * KafkaException is classified retriable-vs-abort-vs-timeout
+  * (transaction.py:12-25).
+  *
+  * This file re-expresses that protocol against an injectable client
+  * contract ([[TxProducerClient]] — the librdkafka transactional API
+  * surface), because this environment ships no Kafka broker or client jar:
+  * a production deployment binds the trait to a real transactional
+  * producer per executor; the test suite binds it to an in-memory
+  * transactional broker double and proves commit atomicity, abort
+  * rollback, zombie fencing and crash-replay dedupe against it.
+  *
+  * Spark mapping (how the reference's single-process loop distributes):
+  * one transaction per input partition per microbatch, driven from
+  * `foreachPartition` — begin/produce/offsets/commit all executor-local,
+  * no driver coordination, so 1000 executors run 1000 independent
+  * transactions (exactly how Kafka Streams EOS shards by task). A
+  * GRACEFUL (retriable) commit failure retries the commit in place, the
+  * reference's `_app_batch_run_loop` recursion (fluvii_app.py:67-69); a
+  * FATAL (txn-requires-abort) failure aborts and rethrows — Spark's task
+  * retry then replays the partition, which IS the reference's
+  * "abort and reset consumer state" (fluvii_app.py:70-72): the aborted
+  * transaction's records stay invisible to read_committed consumers and
+  * the offsets never moved, so the replay is exactly-once, not
+  * at-least-once. A timeout propagates unretried, like the reference's
+  * uncaught `TransactionTimeout` (transaction.py:19-20) — the restart
+  * path's `init_transactions` fences the zombie.
+  */
+object Transactions {
+
+  /** A consumed source coordinate riding with an output record — what
+    * `send_offsets_to_transaction` commits (as offset + 1, the
+    * next-to-read convention of consumer.py:148-149). */
+  final case class SourceOffset(topic: String, partition: Int, offset: Long)
+
+  /** foreachBatch body: strict transactional produce of a microbatch.
+    * Each row is (output record, the source coordinate it was derived
+    * from); each task runs ONE transaction via a producer the registered
+    * factory constructs executor-side.
+    *
+    * Offset ownership invariant: `send_offsets_to_transaction` OVERWRITES
+    * the group offset, so all rows of one source (topic, partition) must
+    * commit from ONE task — otherwise two racing transactions could land
+    * a lower offset last and re-deliver. The Kafka source's native layout
+    * already satisfies this (one split per topic-partition): callers that
+    * preserved it pass `alignPartitions = false` and pay no exchange; the
+    * default repartitions by source coordinate — one shuffle, the price
+    * of the invariant for arbitrary upstream plans. */
+  def writeBatchTransactional(
+      batch: Dataset[(Message, SourceOffset)],
+      factoryName: String,
+      groupId: String,
+      maxCommitAttempts: Int = 5,
+      alignPartitions: Boolean = true): Unit = {
+    import org.apache.spark.sql.functions.col
+    val aligned =
+      if (alignPartitions)
+        batch.repartition(col("_2.topic"), col("_2.partition"))
+      else batch
+    aligned.foreachPartition { (it: Iterator[(Message, SourceOffset)]) =>
+      if (it.hasNext) {
+        val producer = TxProducers.create(factoryName)
+        producer.initTransactions()
+        val txn = new KafkaTransaction(producer, groupId)
+        try {
+          it.foreach { case (m, src) =>
+            txn.markConsumed(src.topic, src.partition, src.offset)
+            txn.produce(m.topic, m.partition, m.key, m.value, m.headers)
+          }
+          commitWithRetries(txn, maxCommitAttempts)
+        } finally producer.close()
+      }
+    }
+  }
+
+  /** The reference's app-level retry policy (fluvii_app.py:60-72):
+    * graceful failures re-enter the commit, fatal failures abort and
+    * rethrow (Spark's task retry = the reference's reprocess), timeouts
+    * and everything else propagate. */
+  def commitWithRetries(txn: KafkaTransaction, maxAttempts: Int): Unit = {
+    var attempt = 1
+    var done = false
+    while (!done) {
+      try { txn.commit(); done = true }
+      catch {
+        case _: GracefulTransactionFailure if attempt < maxAttempts =>
+          attempt += 1
+        case e: FatalTransactionFailure =>
+          txn.abortTransaction()
+          throw e
+      }
+    }
+  }
+}
+
+/** The minimal librdkafka transactional-producer surface the protocol
+  * drives (confluent_kafka.Producer with a transactional.id — reference:
+  * fluvii/apps/transactions/producer.py:13-41). Implementations: a real
+  * Kafka client on a cluster; [[graft.sinks]]' in-memory broker double in
+  * tests. */
+trait TxProducerClient {
+  /** Registers the transactional.id and fences prior incarnations
+    * (producer.py:18-20). */
+  def initTransactions(): Unit
+  def beginTransaction(): Unit
+  def produce(topic: String, partition: Int, key: String, value: String,
+      headers: Map[String, String]): Unit
+  /** Offsets are NEXT-TO-READ (already +1) keyed by (topic, partition). */
+  def sendOffsetsToTransaction(offsets: Map[(String, Int), Long],
+      groupId: String): Unit
+  def commitTransaction(timeoutSecs: Int): Unit
+  def abortTransaction(timeoutSecs: Int): Unit
+  def close(): Unit = ()
+}
+
+/** A Kafka client error with librdkafka's classification bits — what
+  * `handle_kafka_exception` reads off the KafkaException
+  * (transaction.py:12-25). */
+final case class TxClientError(code: String, retriable: Boolean,
+    txnRequiresAbort: Boolean) extends RuntimeException(code)
+
+/** Commit can be retried in place; transaction state is intact
+  * (reference: fluvii/exceptions.py GracefulTransactionFailure). */
+final class GracefulTransactionFailure(cause: TxClientError)
+  extends RuntimeException(cause.code, cause)
+/** The transaction must be aborted and the batch reprocessed
+  * (exceptions.py FatalTransactionFailure). */
+final class FatalTransactionFailure(cause: TxClientError)
+  extends RuntimeException(cause.code, cause)
+/** `_TIMED_OUT` — propagates unretried; restart fences the zombie
+  * (transaction.py:19-20). */
+final class TransactionTimeout(cause: TxClientError)
+  extends RuntimeException(cause.code, cause)
+/** Abort itself failed (transaction.py:80-85). */
+final class FailedAbort(cause: Throwable) extends RuntimeException(cause)
+/** Commit called with nothing to commit (consumer.py:110-112). */
+final class TransactionNotRequired extends RuntimeException
+
+object TxErrors {
+  /** transaction.py:12-25 verbatim semantics: timeout first, then
+    * retriable → graceful, then txn_requires_abort → fatal, else PASS
+    * (the reference deliberately swallows errors that are neither). */
+  def classify(e: TxClientError): Unit = {
+    if (e.code == "_TIMED_OUT") throw new TransactionTimeout(e)
+    if (e.retriable) throw new GracefulTransactionFailure(e)
+    else if (e.txnRequiresAbort) throw new FatalTransactionFailure(e)
+  }
+}
+
+/** The reference `Transaction` state machine over any [[TxProducerClient]]
+  * (transaction.py:28-110): produce auto-begins, consumed offsets are
+  * tracked batch-start/batch-end per (topic, partition) and committed
+  * INSIDE the transaction as offset + 1, abort rolls back both sides. */
+final class KafkaTransaction(producer: TxProducerClient, groupId: String) {
+  private var active = false
+  private var committed = false
+  private val offsetEnds =
+    scala.collection.mutable.Map.empty[(String, Int), Long]
+
+  def activeTransaction: Boolean = active
+  /** transaction.py:53-55. */
+  def hasOutstandingUpdates: Boolean = active || offsetEnds.nonEmpty
+
+  /** consumer.py:83-89 (_mark_offset_end): highest consumed offset per
+    * source (topic, partition). */
+  def markConsumed(topic: String, partition: Int, offset: Long): Unit = {
+    val k = (topic, partition)
+    offsetEnds(k) = math.max(offset, offsetEnds.getOrElse(k, -1L))
+  }
+
+  /** producer.py:27-31: begin lazily on first produce. */
+  def produce(topic: String, partition: Int, key: String, value: String,
+      headers: Map[String, String]): Unit = {
+    if (!active) { producer.beginTransaction(); active = true }
+    producer.produce(topic, partition, key, value, headers)
+  }
+
+  /** consumer.py:94-112 + transaction.py:99-103: offsets ride the
+    * transaction, then commit; KafkaExceptions classified. Safe against
+    * double-commit like the reference (state resets on success). */
+  def commit(): Unit = {
+    try {
+      if (offsetEnds.nonEmpty) {
+        if (!active) { producer.beginTransaction(); active = true }
+        producer.sendOffsetsToTransaction(
+          offsetEnds.map { case (k, o) => (k, o + 1) }.toMap, groupId)
+      }
+      if (active) {
+        producer.commitTransaction(30)
+        active = false
+        committed = true
+        offsetEnds.clear()
+      } else throw new TransactionNotRequired
+    } catch {
+      case e: TxClientError => TxErrors.classify(e)
+    }
+  }
+
+  /** transaction.py:79-93: drop pending consumption state, abort the
+    * open producer transaction; an abort failure is FailedAbort. */
+  def abortTransaction(): Unit = {
+    offsetEnds.clear()
+    if (active) {
+      try { producer.abortTransaction(10); active = false }
+      catch { case e: Throwable => throw new FailedAbort(e) }
+    }
+  }
+
+  def wasCommitted: Boolean = committed
+}
+
+/** Executor-side producer construction: `foreachPartition` closures carry
+  * a factory NAME, not a client (clients aren't serializable), and
+  * resolve it here — the MemoryStream-style static registry. A cluster
+  * deployment registers a factory building real transactional producers
+  * (unique transactional.id per task, Kafka Streams convention); tests
+  * register the in-memory broker double. */
+object TxProducers {
+  private val factories =
+    scala.collection.concurrent.TrieMap.empty[String, () => TxProducerClient]
+  def register(name: String, f: () => TxProducerClient): Unit =
+    factories.put(name, f)
+  def create(name: String): TxProducerClient =
+    factories.getOrElse(name,
+      throw new IllegalStateException(s"no TxProducer factory '$name'"))()
+}

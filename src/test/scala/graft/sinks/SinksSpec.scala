@@ -36,6 +36,146 @@ class SinksSpec extends AnyFunSuite {
     assert(compacted == Map("k1" -> "s1v2", "k3" -> "s3v1")) // k2 tombstoned
   }
 
+  // ---------------- strict transactional EOS (K2/X1, strict form) -------
+
+  private def newTxn(broker: InMemoryTxBroker, txId: String, group: String) = {
+    val p = broker.producer(txId)
+    p.initTransactions()
+    (p, new KafkaTransaction(p, group))
+  }
+
+  test("strict EOS: records and offsets commit atomically — both or neither") {
+    val broker = new InMemoryTxBroker
+    val (_, txn) = newTxn(broker, "tx-a", "g")
+    txn.markConsumed("in", 0, 4L)
+    txn.markConsumed("in", 1, 9L)
+    txn.produce("out", 0, "k1", "v1", Map.empty)
+    txn.produce("out", 1, "k2", "v2", Map.empty)
+    // nothing visible before commit: no records, no offsets
+    assert(broker.readCommitted("out").isEmpty)
+    assert(broker.committedOffset("g", "in", 0).isEmpty)
+    txn.commit()
+    assert(broker.readCommitted("out").map(r => (r.partition, r.key, r.value))
+      == Seq((0, "k1", "v1"), (1, "k2", "v2")))
+    // offsets landed as next-to-read (end + 1), with the records
+    assert(broker.committedOffset("g", "in", 0).contains(5L))
+    assert(broker.committedOffset("g", "in", 1).contains(10L))
+  }
+
+  test("strict EOS: abort rolls back records AND consumption state") {
+    val broker = new InMemoryTxBroker
+    val (_, txn) = newTxn(broker, "tx-a", "g")
+    txn.markConsumed("in", 0, 7L)
+    txn.produce("out", 0, "k", "doomed", Map.empty)
+    txn.abortTransaction()
+    assert(broker.readCommitted("out").isEmpty)
+    assert(broker.committedOffset("g", "in", 0).isEmpty)
+    assert(!txn.hasOutstandingUpdates)
+    // the aborted record still OCCUPIES offset 0 (real-broker semantics);
+    // a follow-up transaction lands after it, invisible gap preserved
+    val (_, txn2) = newTxn(broker, "tx-a", "g")
+    txn2.produce("out", 0, "k", "survives", Map.empty)
+    txn2.commit()
+    assert(broker.readCommitted("out").map(r => (r.offset, r.value))
+      == Seq((1L, "survives")))
+    assert(broker.allSlots("out", 0).map(_._2.toString).head == "Aborted")
+  }
+
+  test("strict EOS: retriable commit failure retries gracefully, no duplicates") {
+    val broker = new InMemoryTxBroker
+    val (_, txn) = newTxn(broker, "tx-a", "g")
+    txn.markConsumed("in", 0, 0L)
+    txn.produce("out", 0, "k", "v", Map.empty)
+    broker.failNext("commit",
+      TxClientError("_TRANSPORT", retriable = true, txnRequiresAbort = false))
+    Transactions.commitWithRetries(txn, maxAttempts = 3)
+    assert(broker.readCommitted("out").map(_.value) == Seq("v"))
+    assert(broker.committedOffset("g", "in", 0).contains(1L))
+  }
+
+  test("strict EOS: timeout classification propagates unretried") {
+    val broker = new InMemoryTxBroker
+    val (_, txn) = newTxn(broker, "tx-a", "g")
+    txn.produce("out", 0, "k", "v", Map.empty)
+    broker.failNext("commit",
+      TxClientError("_TIMED_OUT", retriable = true, txnRequiresAbort = false))
+    intercept[TransactionTimeout] { Transactions.commitWithRetries(txn, 3) }
+    assert(broker.readCommitted("out").isEmpty)
+  }
+
+  test("strict EOS: fatal failure aborts; replaying the batch lands exactly once") {
+    val broker = new InMemoryTxBroker
+    (0L to 2L).foreach(i => broker.produceRaw("in", 0, s"k$i", s"v$i"))
+    var incarnation = 0
+    // one reference-style app pass: consume from committed offsets,
+    // transform, produce + offsets in one transaction
+    def appPass(): Unit = {
+      incarnation += 1
+      val (_, txn) = newTxn(broker, "tx-app", "g")
+      val consumed = broker.consumeCommitted("g", "in")
+      consumed.foreach { r =>
+        txn.markConsumed(r.topic, r.partition, r.offset)
+        txn.produce("out", r.partition, r.key, r.value.toUpperCase, Map.empty)
+      }
+      // the reference app treats an empty batch's TransactionNotRequired
+      // as "no message" and idles (fluvii_app.py:65-66)
+      try Transactions.commitWithRetries(txn, 3)
+      catch { case _: TransactionNotRequired => () }
+    }
+    broker.failNext("commit",
+      TxClientError("_FATAL", retriable = false, txnRequiresAbort = true))
+    intercept[FatalTransactionFailure] { appPass() } // aborted + rethrown
+    assert(broker.readCommitted("out").isEmpty)
+    assert(broker.committedOffset("g", "in", 0).isEmpty)
+    appPass() // the task replay: re-consumes the SAME offsets
+    assert(broker.readCommitted("out").map(_.value).sorted
+      == Seq("V0", "V1", "V2"))
+    assert(broker.committedOffset("g", "in", 0).contains(3L))
+    appPass() // nothing left to consume — idempotent
+    assert(broker.readCommitted("out").size == 3)
+  }
+
+  test("strict EOS: a fenced zombie's records never become visible") {
+    val broker = new InMemoryTxBroker
+    val (_, zombie) = newTxn(broker, "tx-a", "g")
+    zombie.produce("out", 0, "k", "zombie", Map.empty)
+    // a new incarnation of the same transactional.id fences the old one
+    val (_, fresh) = newTxn(broker, "tx-a", "g")
+    fresh.produce("out", 0, "k", "fresh", Map.empty)
+    // the zombie's commit hits _FENCED — neither retriable nor
+    // abort-required, which the reference classification deliberately
+    // swallows (transaction.py:22-25); its records stay invisible
+    zombie.commit()
+    fresh.commit()
+    assert(broker.readCommitted("out").map(_.value) == Seq("fresh"))
+  }
+
+  test("strict EOS: writeBatchTransactional microbatch loop is exactly-once (K2/X1)") {
+    val broker = new InMemoryTxBroker
+    for (p <- 0 to 2; i <- 0 to 2)
+      broker.produceRaw("in", p, s"k$p-$i", s"v$p-$i")
+    val txSeq = new java.util.concurrent.atomic.AtomicInteger
+    TxProducers.register("spec-eos",
+      () => broker.producer(s"eos-task-${txSeq.incrementAndGet()}"))
+    def microbatch(): Unit = {
+      val rows = broker.consumeCommitted("g", "in").map { r =>
+        (Message(r.key, r.value.toUpperCase, Map.empty[String, String],
+          "out", r.partition, 0L, new Timestamp(1700000000000L)),
+          Transactions.SourceOffset(r.topic, r.partition, r.offset))
+      }
+      Transactions.writeBatchTransactional(rows.toDS(), "spec-eos", "g")
+    }
+    microbatch()
+    val out = broker.readCommitted("out")
+    assert(out.size == 9)
+    assert(out.map(_.value).toSet == (for (p <- 0 to 2; i <- 0 to 2)
+      yield s"V$p-$i").toSet)
+    (0 to 2).foreach(p =>
+      assert(broker.committedOffset("g", "in", p).contains(3L)))
+    microbatch() // replay tick: offsets already committed → consumes nothing
+    assert(broker.readCommitted("out").size == 9)
+  }
+
   test("multi-message bulk transform sees the whole batch in order (T2)") {
     import graft.state.GraftTableApp
     val msgs = Seq(msg("a", 2, "g2"), msg("a", 0, "g0"), msg("a", 1, "g1")).toDS()
