@@ -185,7 +185,12 @@ object TextAnalysis {
     * The token stream is deliberately recomputed from the scan, not
     * persisted: at scale the exploded tokens are ~20x the corpus. Mean is
     * rounded 4dp (order-dependent double agg, per the oracle policy). */
-  def unigramLogProbQuery(s: SparkSession, dir: String): DataFrame = {
+  /** The ONE scored-tokens derivation ta07 and ta17 share — per document,
+    * token count and 4dp-rounded mean corpus-relative unigram
+    * log-probability. A single definition (mirrored by
+    * [[unigramScoredCte]] on the oracle side) so the two operators'
+    * semantics cannot drift. */
+  private[operators] def unigramScored(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.parallel(Tables.documents(s, dir))
       .select(col("doc_id"), explode(split(Text.normText(col("text")), " ")).as("word"))
     val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("c"))
@@ -198,21 +203,30 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"),
         round(avg(log(col("c").cast("double") / col("t").cast("double"))), 4)
           .as("avg_logprob"))
-      .orderBy(col("doc_id"))
   }
+
+  /** DuckDB twin of [[unigramScored]] — the shared CTE block both oracles
+    * open with. */
+  private[operators] val unigramScoredCte: String = """
+      d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+            FROM documents),
+      toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS word FROM d),
+      cnt AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
+      tot AS (SELECT count(*) AS t FROM toks),
+      scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(avg(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))), 4)
+                     AS avg_logprob
+                 FROM toks JOIN cnt USING (word) CROSS JOIN tot
+                 GROUP BY doc_id)"""
+
+  def unigramLogProbQuery(s: SparkSession, dir: String): DataFrame =
+    unigramScored(s, dir).orderBy(col("doc_id"))
 
   /** DuckDB oracle for [[unigramLogProbQuery]]: same tokenization, same
     * corpus-relative unigram probabilities, same 4dp-rounded mean. */
-  def unigramLogProbOracleSql: String = """
-      WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
-                 FROM documents),
-      toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS word FROM d),
-      cnt AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
-      tot AS (SELECT count(*) AS t FROM toks)
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-             round(avg(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))), 4) AS avg_logprob
-      FROM toks JOIN cnt USING (word) CROSS JOIN tot
-      GROUP BY doc_id ORDER BY doc_id"""
+  def unigramLogProbOracleSql: String = s"""
+      WITH $unigramScoredCte
+      SELECT doc_id, n_tokens, avg_logprob FROM scored ORDER BY doc_id"""
 
   /** Bigram LM quality score — the conditional-probability refinement of
     * [[unigramLogProbQuery]] (one step closer to the KenLM perplexity
@@ -804,16 +818,7 @@ object TextAnalysis {
     * ntile for percentile thresholds from a sample to avoid the giant
     * per-language sort; the per-language window IS the semantic spec. */
   def pplBucketsQuery(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.parallel(Tables.documents(s, dir))
-      .select(col("doc_id"), explode(split(Text.normText(col("text")), " ")).as("word"))
-    val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("c"))
-    val total = toks.agg(count(lit(1)).as("t"))
-    val scored = toks
-      .join(vocab, "word")
-      .crossJoin(total)
-      .groupBy(col("doc_id"))
-      .agg(round(avg(log(col("c").cast("double") / col("t").cast("double"))), 4)
-        .as("avg_logprob"))
+    val scored = unigramScored(s, dir).select(col("doc_id"), col("avg_logprob"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"))
       .orderBy(col("avg_logprob").desc, col("doc_id"))
@@ -828,17 +833,8 @@ object TextAnalysis {
 
   /** DuckDB SQL replicating [[pplBucketsQuery]] exactly (same 4dp-rounded
     * score, same per-language ntile with doc_id tiebreak). */
-  val pplBucketsOracleSql: String = """
-      WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
-                 FROM documents),
-      toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS word FROM d),
-      cnt AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
-      tot AS (SELECT count(*) AS t FROM toks),
-      scored AS (SELECT doc_id,
-                   round(avg(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))), 4)
-                     AS avg_logprob
-                 FROM toks JOIN cnt USING (word) CROSS JOIN tot
-                 GROUP BY doc_id),
+  val pplBucketsOracleSql: String = s"""
+      WITH $unigramScoredCte,
       tiled AS (SELECT doc_id, lang, avg_logprob,
                   ntile(3) OVER (PARTITION BY lang
                     ORDER BY avg_logprob DESC, doc_id) AS tile

@@ -982,6 +982,49 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("window audit: every unpartitioned Window sits above a bounded-cardinality input") {
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    // Queries ALLOWED an unpartitioned window, each with the bound that
+    // makes the single-partition sort safe at 100 TB. Anything else that
+    // plans a WindowExec/WindowGroupLimit with an empty partitionSpec
+    // fails this sweep — the one-task global sort is the classic silent
+    // scale-killer. (Spark still logs its "No Partition Defined" warning
+    // for the exempted ones; this names and bounds each.)
+    val exempt: Map[String, String] = Map(
+      "ir10_rank_fusion" ->
+        "row_number over the two top-k ranking tables (TakeOrderedAndProject, k rows each)",
+      "ir12_ndcg_eval" ->
+        "ideal-DCG rank over the gold top-k grade set (k rows)",
+      "ir14_snippets" ->
+        "ranking over the broadcast top-k snippet candidates (k rows)",
+      "pl03_training_weights" ->
+        "temperature-share windows over the |sources|-row count table (sa07's shape)",
+      "sa07_temperature_mix" ->
+        "total/normalizer windows over the |sources|-row count table",
+      "sa08_epoch_plan" ->
+        "same |sources|-row temperature-share table as sa07",
+      "sa10_weighted_sample" ->
+        "row_number over the n-row E-S winner set (limit n precedes the window)",
+      "ta08_vocab_encode" ->
+        "prefix-sum over the per-range-partition count table (<= shuffle-partition-count rows)",
+      "ta11_pack_windows" ->
+        "prefix-sum over the bucket-offset table (corpus/docsPerBucket rows, sized to stay broadcastable)")
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, q) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val plan = q(spark, sf0001).queryExecution.executedPlan
+      val unpartitioned = allPhysicalNodes(plan).exists {
+        case w: WindowExec           => w.partitionSpec.isEmpty
+        case w: WindowGroupLimitExec => w.partitionSpec.isEmpty
+        case _                       => false
+      }
+      if (unpartitioned && !exempt.contains(name)) offenders += name
+      spark.sharedState.cacheManager.clearCache()
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned Window in: ${offenders.mkString(", ")} — " +
+        "bound the input and exempt it with a reason, or partition the window")
+  }
+
   test("pl05: application is ONE word-keyed equi-join vs the cached vocab") {
     val plan = planOf(TextAnalysis.tokenizerApplyQuery(spark, sf0001))
     assert(plan.contains("InMemoryTableScan"), plan)
