@@ -222,6 +222,9 @@ object Bench {
     // md5(text) sample, full container side). Linear in the sample rate
     // even in the dense-vocab regime that exempts dd19 itself.
     "dd21_containment_sampled",
+    // round-10: the containment family's sketch screen — one linear
+    // corpus pass + a broadcast reference join, benchable at any SF
+    "dd22_sketch_containment",
     "dq07_snapshot_diff",
     "ev15_cusum",
     "ir13_bm25f",

@@ -1413,6 +1413,133 @@ object Dedup {
         AND CAST(n_shared AS DOUBLE) / CAST(a.n_tok AS DOUBLE) >= $tau
       ORDER BY doc_a, doc_b"""
 
+  /** Bottom-k sketch size for [[sketchContainmentQuery]] — k = 64 keeps
+    * the Jaccard estimator's std error ≈ 1/√k ≈ 12.5%, plenty for a
+    * screen at τ = [[SketchTau]]. */
+  val SketchK = 64
+  /** Screen threshold — deliberately permissive (a screen feeds the exact
+    * dd19/dd21 listing, so false positives cost a re-check, false
+    * negatives cost a leak). */
+  val SketchTau = 0.5
+  /** Deterministic stand-in for the external reference list: docs with
+    * id % mod == 0 and id <= maxId. Bounded BY CONTRACT — the real-world
+    * reference set is a benchmark/eval suite, not a corpus slice — so the
+    * broadcast side stays fixed as the corpus grows. */
+  val SketchRefMod = 97
+  val SketchRefMaxId = 10000L
+
+  /** dd22 — sketch-containment screen: for every (reference doc A, corpus
+    * doc B) pair, an ESTIMATE of containment |A∩B| / |A| from bottom-k
+    * (KMV) sketches of their shingle sets, kept where the estimate ≥
+    * [[SketchTau]]. This is the SCALE PATH for the containment family on
+    * corpora where the exact listing is inherently near-quadratic (the
+    * dense-vocab regime that exempts dd19 and rate-limits dd21): the
+    * sketches are one linear corpus pass, the reference side is bounded
+    * by contract, and the screen's survivors are the only pairs the exact
+    * listing ever needs to verify — the dd16-bloom-before-dd08 pattern,
+    * applied to containment. Estimator: KMV union sketch (Beyer et al.
+    * SIGMOD'07; Broder's MinHash resemblance) — merge the two bottom-k
+    * sets, re-cut to k, Ĵ = |merged ∩ S_A ∩ S_B| / |merged|; containment
+    * then follows from the exact set sizes (which ARE known — they ride
+    * the same scan): ĉ = Ĵ·(n_A + n_B) / ((1 + Ĵ)·n_A).
+    *
+    * Determinism: hashes are the sk01 60-bit md5-prefix (engine-portable,
+    * no RNG); bottom-k membership is (h, shingle)-ordered; the estimate
+    * is one fixed IEEE expression, threshold-compared UNROUNDED on both
+    * engines, 6dp-rounded on output only.
+    *
+    * Plan shape for 100 TB: the per-doc sketch is a doc-keyed window that
+    * InferWindowGroupLimit cuts to k rows per map task BEFORE the doc
+    * exchange (the sk01 shape, pinned); reference sketches broadcast
+    * (bounded by contract); the pair pass is a broadcast join whose
+    * per-row work is O(k·|refs|) array arithmetic inside codegen — the
+    * corpus is scanned once past the sketch build and NOTHING corpus×
+    * corpus is ever formed. */
+  def sketchContainmentQuery(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.parallel(Tables.documents(s, dir))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val shing = docs.select(col("doc_id"),
+      graft.functions.CharShingles.charShingles(col("text"), ShingleSize)
+        .as("sh"))
+    val tok = shing.select(col("doc_id"), explode(col("sh")).as("w"))
+      .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10)
+        .cast("long"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("h"), col("w"))
+    val sketches = tok
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= SketchK)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("h"))).as("sk"))
+    val sizes = shing.select(col("doc_id"),
+      size(col("sh")).cast("long").as("n_tok"))
+    val docSk = sketches.join(sizes, "doc_id")
+    val refs = docSk
+      .filter(col("doc_id") % SketchRefMod === 0 &&
+        col("doc_id") <= SketchRefMaxId &&
+        col("n_tok") >= ContainMinTokens)
+      .select(col("doc_id").as("ref_id"), col("sk").as("ska"),
+        col("n_tok").as("n_ref"))
+    // [m, inter] via the native two-pointer merge ([[graft.functions
+    // .KmvMergeCounts]]): the equivalent HOF chain (array_union → sort →
+    // slice → contains-filter) is CodegenFallback — interpreted per PAIR
+    // with allocations — and measured 49 s at sf0.1 / 632 s at the 100×
+    // rehearsal's 52M pair-estimates; the expression is O(k) primitive
+    // compares, no allocation
+    docSk.join(broadcast(refs), col("doc_id") =!= col("ref_id"))
+      .withColumn("mi", graft.functions.KmvMergeCounts.kmvMergeCounts(
+        col("ska"), col("sk"), SketchK))
+      .withColumn("est_j",
+        element_at(col("mi"), 2).cast("double") /
+          element_at(col("mi"), 1).cast("double"))
+      .withColumn("c",
+        (col("est_j") * (col("n_ref") + col("n_tok")).cast("double")) /
+          ((lit(1.0d) + col("est_j")) * col("n_ref").cast("double")))
+      .filter(col("c") >= SketchTau)
+      .select(col("ref_id"), col("doc_id"), col("n_ref"), col("n_tok"),
+        round(col("est_j"), 6).as("est_jaccard"),
+        round(col("c"), 6).as("est_containment"))
+      .orderBy(col("ref_id"), col("doc_id"))
+  }
+
+  /** DuckDB SQL replicating [[sketchContainmentQuery]] exactly — same
+    * 60-bit md5-prefix hashes, same (h, shingle)-ordered bottom-k, same
+    * merge-and-recut estimator, same unrounded threshold compare. */
+  def sketchContainmentOracleSql(k: Int = SketchK, tau: Double = SketchTau,
+      refMod: Int = SketchRefMod, refMaxId: Long = SketchRefMaxId,
+      minTok: Int = ContainMinTokens): String = s"""
+      WITH psh AS (SELECT doc_id, list_distinct(list_transform(
+                     range(1, greatest(length(text) - ${ShingleSize - 2}, 2)),
+                     i -> substr(text, CAST(i AS INT), $ShingleSize))) AS s
+                   FROM documents WHERE text IS NOT NULL),
+      sz AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_tok FROM psh),
+      tok AS (SELECT doc_id, unnest(s) AS w FROM psh),
+      hashed AS (SELECT doc_id, w,
+                   CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
+                 FROM tok),
+      sk AS (SELECT doc_id, (list(h ORDER BY h, w))[1:$k] AS sk
+             FROM hashed GROUP BY doc_id),
+      ds AS (SELECT doc_id, sk, n_tok FROM sk JOIN sz USING (doc_id)),
+      refs AS (SELECT doc_id AS ref_id, sk AS ska, n_tok AS n_ref FROM ds
+               WHERE doc_id % $refMod = 0 AND doc_id <= $refMaxId
+                 AND n_tok >= $minTok),
+      est AS (SELECT ref_id, doc_id, n_ref, n_tok,
+                CAST(len(list_filter(m, x -> list_contains(ska, x)
+                       AND list_contains(sk, x))) AS DOUBLE) /
+                  CAST(len(m) AS DOUBLE) AS j
+              FROM (SELECT *,
+                      (list_sort(list_distinct(ska || sk)))[1:$k] AS m
+                    FROM refs, ds WHERE ds.doc_id <> refs.ref_id) z),
+      scr AS (SELECT *,
+                (j * CAST(n_ref + n_tok AS DOUBLE)) /
+                  ((1.0 + j) * CAST(n_ref AS DOUBLE)) AS c
+              FROM est)
+      SELECT ref_id, doc_id, n_ref, n_tok,
+             round(j, 6) AS est_jaccard, round(c, 6) AS est_containment
+      FROM scr WHERE c >= $tau
+      ORDER BY ref_id, doc_id"""
+
   /** dd20 — near-dup threshold sweep (the tuning report behind picking a
     * dedup radius): for every simhash hamming radius 0..3, the pair count
     * and the count of documents touched by at least one pair at that

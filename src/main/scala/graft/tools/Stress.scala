@@ -17,10 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object Stress {
   def main(args: Array[String]): Unit = {
-    // strict arg parse: `[copies] [exact]` in any order — an unrecognized
-    // or malformed arg must not silently run the default amplification
-    // and produce success-looking SCALE evidence for the wrong corpus
-    val (flagArgs, numArgs) = args.partition(_ == "exact")
+    // strict arg parse: `[copies] [exact] [query...]` in any order — an
+    // unrecognized or malformed arg must not silently run the default
+    // amplification and produce success-looking SCALE evidence for the
+    // wrong corpus. Query names (anything containing '_') restrict the
+    // run to that subset — the 100x rehearsal times the top scalable
+    // operators without paying the full ~90-query sweep.
+    val (nameArgs, rest) = args.partition(_.contains("_"))
+    val (flagArgs, numArgs) = rest.partition(_ == "exact")
     val copies = numArgs match {
       case Array() => 10
       case Array(n) =>
@@ -144,6 +148,10 @@ object Stress {
       // it stresses here and benches at sf0.1 — while the full exact
       // listing stays correctness-gated at sf0.01 under Verify.
       "ta22_novelty", "ev15_cusum", "ir13_bm25f", "dd21_containment_sampled",
+      // round-10: dd22 is the containment family's LINEAR member — the
+      // sketch build is one corpus pass and the reference side is bounded
+      // by contract, so it stresses at any amplification
+      "dd22_sketch_containment",
       // round-8 eighth batch: ev16 one user exchange; dd20 sweeps dd04's
       // banded pair stream (never recomputes per radius, and the radius
       // grid joins ≤4-row histograms, never raw pairs); ir14's window
@@ -169,8 +177,17 @@ object Stress {
     // corpus does not amplify — they rehearse under Bench at sf0.1 instead
     val dedupSubset = Seq("dd01_exact_dedup", "dd03_minhash_lsh",
       "dd05_dup_clusters", "dd06_dedup_apply", "dd12_streaming_neardup")
+    val unknownNames =
+      nameArgs.toSeq.filterNot((queries ++ dedupSubset).contains)
+    if (unknownNames.nonEmpty)
+      sys.error(s"unknown/non-stress queries: ${unknownNames.mkString(", ")}")
+    val selected =
+      if (nameArgs.nonEmpty)
+        (queries ++ dedupSubset).distinct.filter(nameArgs.contains)
+      else if (exactCopies) dedupSubset
+      else queries
     var failed = false
-    (if (exactCopies) dedupSubset else queries).foreach { name =>
+    selected.foreach { name =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try {

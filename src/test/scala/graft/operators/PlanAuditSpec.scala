@@ -982,6 +982,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("dd22: sketch screen — bottom-k group-limit cut, refs broadcast, no corpus pairing") {
+    val plan = planOf(Dedup.sketchContainmentQuery(spark, sf0001))
+    // the per-doc bottom-k is cut to k rows per map task BEFORE the doc
+    // exchange (sk01's InferWindowGroupLimit shape)
+    assert(plan.contains("WindowGroupLimit"), plan)
+    // reference sketches ride a broadcast; the corpus is never paired
+    // with itself
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("window audit: every unpartitioned Window sits above a bounded-cardinality input") {
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
     // Queries ALLOWED an unpartitioned window, each with the bound that

@@ -129,4 +129,94 @@ class Round10OpsSpec extends AnyFunSuite {
   test("dd21: broadcast and salted-shuffle branches agree row for row") {
     assert(run(0L) == run(Dedup.ContainBroadcastMaxTokens))
   }
+
+  // ----------------------- dd22 sketch containment ----------------------
+
+  private def hash60(w: String): Long =
+    java.lang.Long.parseLong(md5hex(w).substring(0, 15), 16)
+
+  private def sketchOf(sh: Set[String]): Seq[Long] =
+    sh.toSeq.map(w => (hash60(w), w)).sortBy(identity)
+      .take(Dedup.SketchK).map(_._1).sorted
+
+  /** Independent reimplementation of the KMV merge-and-recut estimator. */
+  private def sketchRecompute(
+      docs: Seq[(Long, String)]): Seq[(Long, Long, Long, Long, Double, Double)] = {
+    val ds = docs.map { case (id, t) =>
+      val sh = shinglesOf(t); (id, sh.size.toLong, sketchOf(sh))
+    }
+    val refs = ds.filter { case (id, n, _) =>
+      id % Dedup.SketchRefMod == 0 && id <= Dedup.SketchRefMaxId &&
+        n >= Dedup.ContainMinTokens
+    }
+    (for {
+      (ra, na, ska) <- refs; (b, nb, skb) <- ds
+      if b != ra
+      merged = (ska ++ skb).distinct.sorted.take(Dedup.SketchK)
+      inter = merged.count(x => ska.contains(x) && skb.contains(x))
+      j = inter.toDouble / merged.size.toDouble
+      c = (j * (na + nb).toDouble) / ((1.0d + j) * na.toDouble)
+      if c >= Dedup.SketchTau
+    } yield (ra, b, na, nb, roundAt(j, 6), roundAt(c, 6)))
+      .sortBy(p => (p._1, p._2))
+  }
+
+  private def sketchRun(d: String): Seq[(Long, Long, Long, Long, Double, Double)] =
+    Dedup.sketchContainmentQuery(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+
+  test("KmvMergeCounts: native expression equals the merged-recut reference on edge shapes") {
+    def ref(a: Seq[Long], b: Seq[Long], k: Int): (Long, Long) = {
+      val m = (a ++ b).distinct.sorted.take(k)
+      (m.size.toLong, m.count(x => a.contains(x) && b.contains(x)).toLong)
+    }
+    val rnd = new scala.util.Random(7)
+    val cases = Seq(
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(1L, 2L, 3L), Seq.empty[Long]),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      (Seq(1L, 3L, 5L), Seq(2L, 4L, 6L))) ++
+      (1 to 20).map(_ => (
+        Seq.fill(rnd.nextInt(80))(math.abs(rnd.nextLong()) % 1000L)
+          .distinct.sorted,
+        Seq.fill(rnd.nextInt(80))(math.abs(rnd.nextLong()) % 1000L)
+          .distinct.sorted))
+    for ((a, b) <- cases; k <- Seq(1, 4, 64)) {
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(graft.functions.KmvMergeCounts
+          .kmvMergeCounts(col("a"), col("b"), k).as("mi"))
+        .collect()(0).getSeq[Long](0)
+      assert((got(0), got(1)) == ref(a, b, k), s"a=$a b=$b k=$k")
+    }
+  }
+
+  test("dd22: sketch screen recomputes from a driver-side KMV estimator (sf0.001)") {
+    val corpus = graft.core.Tables.documents(spark, graft.SparkTestSession.sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap(r => Option(r.getString(1)).map(t => (r.getLong(0), t))).toSeq
+    assert(sketchRun(graft.SparkTestSession.sf0001) == sketchRecompute(corpus))
+  }
+
+  test("dd22: exact copies score 1.0, inclusions pass the screen, unrelated docs do not") {
+    val ref = "a reference benchmark passage about catalyst optimizer rules " +
+      "and vectorized parquet readers used for decontamination screening"
+    val container = ref + " quoted verbatim inside a longer page with extra " +
+      "surrounding commentary that roughly doubles the shingle population"
+    val unrelated = "completely different material on kafka transactions " +
+      "offsets consumer groups and idempotent producers with no overlap"
+    val docs = Seq(0L -> ref, 1L -> ref, 2L -> unrelated, 3L -> container)
+    val d = java.nio.file.Files.createTempDirectory("graft_dd22").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("crafted"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = sketchRun(d)
+    assert(got == sketchRecompute(docs))
+    val byDoc = got.map(p => p._2 -> p._6).toMap
+    assert(byDoc(1L) == 1.0)          // identical sketches ⇒ ĉ exactly 1
+    assert(byDoc.contains(3L))        // the inclusion survives the screen
+    assert(!byDoc.contains(2L))       // unrelated text is screened out
+  }
 }
