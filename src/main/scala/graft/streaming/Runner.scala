@@ -27,6 +27,56 @@ object Runner {
   def trigger(c: Configs.ConsumerConfig): Trigger =
     Trigger.ProcessingTime(c.batchConsumeMaxTimeSeconds * 1000L)
 
+  /** X2, strict form — the reference's lag-gated consume-mode switch as a
+    * run loop: the query starts with the policy's current per-trigger
+    * offset cap; each poll feeds observed lag (message age) and batch
+    * size into the [[LagBatchPolicy]]; when the mode FLIPS, the query is
+    * stopped and restarted with the new cap. A restart against the same
+    * checkpoint resumes from the offset WAL, so the switch is
+    * exactly-once — Spark's restart idiom standing in for the
+    * reference's in-place batch-state mutation
+    * (fluvii/apps/transactions/consumer.py:22-75).
+    *
+    * `mkQuery` receives the offsets-per-trigger cap and must start a
+    * query on the SAME checkpoint each time (thread the cap into the
+    * source's maxOffsetsPerTrigger). `ageOf` extracts the newest
+    * message's age from the running query ([[lastEventAgeSeconds]] reads
+    * it off progress event-time; tests inject a fake). `until` bounds
+    * the loop (production passes the shutdown flag). */
+  def runAdaptive(
+      mkQuery: Long => StreamingQuery,
+      policy: LagBatchPolicy,
+      until: () => Boolean,
+      pollMillis: Long = 500,
+      ageOf: StreamingQuery => Option[Double] = lastEventAgeSeconds): StreamingQuery = {
+    var q = mkQuery(policy.offsetsPerTrigger)
+    var mode = policy.batchMode
+    while (!until()) {
+      Thread.sleep(pollMillis)
+      Option(q.lastProgress).foreach(p => policy.observeBatchSize(p.numInputRows))
+      ageOf(q).foreach(policy.observeMessageAge)
+      if (policy.batchMode != mode) {
+        q.stop()
+        q = mkQuery(policy.offsetsPerTrigger)
+        mode = policy.batchMode
+      }
+    }
+    q
+  }
+
+  /** Newest-message age from query progress: trigger timestamp minus
+    * event-time max — the same derivation the metrics listener publishes
+    * as seconds_behind (consumer.py:94's semantics). */
+  def lastEventAgeSeconds(q: StreamingQuery): Option[Double] =
+    for {
+      p <- Option(q.lastProgress)
+      et <- Option(p.eventTime) if et.containsKey("max")
+      age <- try Some(
+        (java.time.Instant.parse(p.timestamp).toEpochMilli -
+          java.time.Instant.parse(et.get("max")).toEpochMilli) / 1000.0)
+      catch { case _: Exception => None }
+    } yield age
+
   /** Start a query with checkpointing + graceful-shutdown hook. */
   def start[T](
       out: Dataset[T],
@@ -43,6 +93,31 @@ object Runner {
     sys.addShutdownHook { if (q.isActive) q.stop() }
     q
   }
+}
+
+/** The reference's batch-consume state machine, clock-free
+  * (fluvii/apps/transactions/consumer.py:22-75): a consumed message older
+  * than `triggerAgeSeconds` (batch_consume_trigger_message_age_seconds)
+  * flips BATCH mode ON — the app is behind, stop optimizing latency and
+  * catch up in bulk; a batch that arrives UNDER `maxCount`
+  * (batch_consume_max_count, compared UNMULTIPLIED like
+  * `_refresh_batch_consume_status`) means the app has caught up and
+  * flips batch mode OFF. In batch mode the per-trigger offset cap is
+  * `maxCount * batchMultiplier` (the reference's consume_multiplier). */
+final class LagBatchPolicy(
+    val triggerAgeSeconds: Double,
+    val maxCount: Long,
+    val batchMultiplier: Long = 10) {
+  @volatile private var batch = false
+  def batchMode: Boolean = batch
+  /** consumer.py:60-69 (_requires_batch_consuming). */
+  def observeMessageAge(ageSeconds: Double): Unit =
+    if (!batch && ageSeconds > triggerAgeSeconds) batch = true
+  /** consumer.py:22-31 (_refresh_batch_consume_status). */
+  def observeBatchSize(rows: Long): Unit =
+    if (batch && rows < maxCount) batch = false
+  def offsetsPerTrigger: Long =
+    if (batch) maxCount * batchMultiplier else maxCount
 }
 
 /** Prometheus-style counters with the reference's metric names
