@@ -194,8 +194,84 @@ object Graph {
     * orientation joins and the wedge joins all broadcast; above the bound
     * the same joins run as distributed equi-joins keyed by the shared
     * endpoints, with the √E out-degree bound capping wedge skew. */
+  /** Driver bound for [[localTriangles]]: the fold is O(E·√E) wedge
+    * checks (√E from the degree-ordered orientation), ≈ 1.3e8 primitive
+    * ops at this bound — tens of milliseconds on the driver — while the
+    * distributed wedge plan's ~10 tiny-data stages cost a constant
+    * ~1.5 s of pure scheduling at bench pair counts (measured: gr02 sat
+    * 1.4 s above dd03, the shared LSH floor, with single-digit-thousands
+    * of pairs). Same size-guarded-hybrid contract as
+    * [[Dedup.DriverCcMaxPairs]]/[[localRanks]], equality-tested in
+    * GraphSpec. */
+  val TriangleDriverMaxPairs = 262144L
+
   def triangleCountQuery(s: SparkSession, dir: String): DataFrame = {
-    val p = Dedup.boundedPairs(s, dir)
+    val (pairsCached, nPairs) = Dedup.materializedVerifiedPairs(s, dir)
+    if (nPairs <= TriangleDriverMaxPairs) {
+      import s.implicits._
+      val local = pairsCached.select(col("doc_a"), col("doc_b"))
+        .as[(Long, Long)].collect().toSeq
+      pairsCached.unpersist(blocking = false)
+      localTriangles(s, local)
+    } else distributedTriangles(pairsCached)
+    // (distributed path: the pair cache lives until eviction — the
+    // documented oversized-graph trade of Dedup.boundedPairs)
+  }
+
+  /** Driver fold twin of [[distributedTriangles]] — identical
+    * (degree, id)-rank orientation, wedge enumeration at the low vertex,
+    * oriented closing-edge lookup, and the same IEEE clustering division
+    * (integer products, one double divide, HALF_UP 6dp). */
+  private[operators] def localTriangles(s: SparkSession,
+      pairs: Seq[(Long, Long)]): DataFrame = {
+    val deg = scala.collection.mutable.HashMap.empty[Long, Long]
+    pairs.foreach { case (a, b) =>
+      deg(a) = deg.getOrElse(a, 0L) + 1L
+      deg(b) = deg.getOrElse(b, 0L) + 1L
+    }
+    def lt(u: Long, v: Long): Boolean = {
+      val du = deg(u); val dv = deg(v)
+      du < dv || (du == dv && u < v)
+    }
+    val out = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    val oriented = scala.collection.mutable.HashSet.empty[(Long, Long)]
+    pairs.foreach { case (a, b) =>
+      val (lo, hi) = if (lt(a, b)) (a, b) else (b, a)
+      out.getOrElseUpdate(lo,
+        scala.collection.mutable.ArrayBuffer.empty[Long]) += hi
+      oriented += ((lo, hi))
+    }
+    val tri = scala.collection.mutable.HashMap.empty[Long, Long]
+    def bump(v: Long): Unit = tri(v) = tri.getOrElse(v, 0L) + 1L
+    out.foreach { case (lo, hs) =>
+      val tips = hs.sortWith(lt).toArray // rank order = the tipOrdered cut
+      var i = 0
+      while (i < tips.length) {
+        var j = i + 1
+        while (j < tips.length) {
+          // rank(u) < rank(v): the closing edge, if present, is oriented
+          // u -> v by construction
+          if (oriented.contains((tips(i), tips(j)))) {
+            bump(lo); bump(tips(i)); bump(tips(j))
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    val rows = deg.keys.toSeq.sorted.map { v =>
+      val d = deg(v); val t = tri.getOrElse(v, 0L)
+      val cc = if (d >= 2) r((2L * t).toDouble / (d * (d - 1L)).toDouble, 6)
+        else 0.0
+      (v, d, t, cc)
+    }
+    s.createDataFrame(rows)
+      .toDF("doc_id", "degree", "n_triangles", "clustering")
+  }
+
+  /** Distributed wedge-join path (the > [[TriangleDriverMaxPairs]] case). */
+  private[operators] def distributedTriangles(p: DataFrame): DataFrame = {
     // the degree table feeds BOTH orientation joins and the final output
     // join, and the oriented edge set feeds all three legs of the wedge
     // join: persist each once (node- and edge-scale respectively) instead

@@ -24,6 +24,23 @@ class GraphSpec extends AnyFunSuite {
     } finally pairs.unpersist(blocking = false)
   }
 
+  test("gr02: driver triangle fold equals the distributed wedge join") {
+    val (pairs, _) = Dedup.materializedVerifiedPairs(spark, sf0001)
+    try {
+      import spark.implicits._
+      val local = Graph.localTriangles(spark,
+          pairs.select(col("doc_a"), col("doc_b")).as[(Long, Long)]
+            .collect().toSeq)
+        .orderBy(col("doc_id")).collect().map(_.toSeq)
+      val dist = Graph.distributedTriangles(pairs)
+        .orderBy(col("doc_id")).collect().map(_.toSeq)
+      assert(local.length == dist.length && local.length > 0)
+      assert(local.sameElements(dist))
+      // non-vacuity: the graph must actually close some triangle
+      assert(dist.exists(r => r(2).asInstanceOf[Long] > 0L))
+    } finally pairs.unpersist(blocking = false)
+  }
+
   test("gr01: degrees match the pair multiset; total rank is conserved") {
     val rows = Graph.dupHubRankQuery(spark, sf0001).collect()
     assert(rows.nonEmpty)

@@ -641,10 +641,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("hashpartitioning"), plan)
   }
 
-  test("gr02: oriented triangle joins broadcast; no cartesian") {
-    val plan = planOf(Graph.triangleCountQuery(spark, sf0001))
-    assert(!plan.contains("CartesianProduct"), plan)
-    assert(plan.contains("BroadcastHashJoin"), plan)
+  test("gr02: oriented triangle joins broadcast; no cartesian (distributed path)") {
+    // sf0.001's pair count routes through the driver fold, so pin the
+    // distributed internals directly (the gr01 convention)
+    val (pairs, _) = Dedup.materializedVerifiedPairs(spark, sf0001)
+    try {
+      val plan = planOf(Graph.distributedTriangles(pairs))
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(plan.contains("BroadcastHashJoin"), plan)
+    } finally pairs.unpersist(blocking = false)
   }
 
   test("q41: multiset ops plan as count aggregates, no pairwise join blowup") {
