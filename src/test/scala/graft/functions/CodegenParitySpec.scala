@@ -107,6 +107,18 @@ class CodegenParitySpec extends AnyFunSuite {
     run(Md5SimHash60(toks), rows)
   }
 
+  test("KmvMergeCounts compiled == interpreted (incl. empty, disjoint, null)") {
+    val a = BoundReference(0, lArr, nullable = true)
+    val b = BoundReference(1, lArr, nullable = true)
+    val rows = Seq(
+      row2(larr(1L, 2L, 3L), larr(2L, 3L, 4L)),
+      row2(larr(), larr()),
+      row2(larr(1L, 3L, 5L), larr(2L, 4L, 6L)),
+      row2(larr(1L, 2L, 3L, 4L, 5L), larr(1L, 2L, 3L, 4L, 5L)),
+      row2(null, larr(1L)), row2(larr(1L), null))
+    for (k <- Seq(1, 3, 64)) run(KmvMergeCounts(a, b, k), rows)
+  }
+
   test("AvroEncode / AvroDecode compiled == interpreted (framed + raw)") {
     import graft.avro.{AvroDecode, AvroEncode}
     val schemaJson =
