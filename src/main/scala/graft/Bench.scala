@@ -223,8 +223,10 @@ object Bench {
     // even in the dense-vocab regime that exempts dd19 itself.
     "dd21_containment_sampled",
     // round-10: the containment family's sketch screen — one linear
-    // corpus pass + a broadcast reference join, benchable at any SF
+    // corpus pass + a broadcast reference join, benchable at any SF —
+    // and the token-budget mixer cut (columnar pass + one source window)
     "dd22_sketch_containment",
+    "sa12_token_budget",
     "dq07_snapshot_diff",
     "ev15_cusum",
     "ir13_bm25f",

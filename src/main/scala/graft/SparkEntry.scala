@@ -212,6 +212,7 @@ object SparkEntry {
     "dd19_containment"     -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
     "dd21_containment_sampled" -> ((s: SparkSession, d: String) => Dedup.containmentPairsSampled(s, d)),
     "dd22_sketch_containment" -> ((s: SparkSession, d: String) => Dedup.sketchContainmentQuery(s, d)),
+    "sa12_token_budget" -> ((s: SparkSession, d: String) => Curation.tokenBudgetQuery(s, d)),
     "ta22_novelty"         -> ((s: SparkSession, d: String) => TextAnalysis.noveltyQuery(s, d)),
     "dq07_snapshot_diff"   -> ((s: SparkSession, d: String) => graft.operators.DataQuality.snapshotDiffQuery(s, d)),
     "ev15_cusum"           -> ((s: SparkSession, d: String) => Windows.cusumQuery(s, d)),
@@ -802,6 +803,7 @@ object SparkEntry {
     "dd19_containment" -> Dedup.containmentOracleSql(),
     "dd21_containment_sampled" -> Dedup.containmentSampledOracleSql(),
     "dd22_sketch_containment" -> Dedup.sketchContainmentOracleSql(),
+    "sa12_token_budget" -> Curation.tokenBudgetOracleSql,
     "ta22_novelty" -> TextAnalysis.noveltyOracleSql,
     "dq07_snapshot_diff" -> graft.operators.DataQuality.snapshotDiffOracleSql,
     "ev15_cusum" -> Windows.cusumOracleSql,

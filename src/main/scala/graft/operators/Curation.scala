@@ -808,4 +808,105 @@ object Curation {
              CAST(min(ts) AS DATE) AS first_day,
              CAST(max(ts) AS DATE) AS last_day
       FROM h GROUP BY split ORDER BY split"""
+
+  /** Global token budget for [[tokenBudgetQuery]] as a corpus fraction:
+    * floor(total_tokens / divisor). A fraction, not an absolute constant,
+    * so the operator exercises its budget cut at every SF. */
+  val BudgetDivisor = 4.0
+
+  /** sa12 — token-budget curation: the step a data mixer actually runs
+    * after scoring — each source gets a token budget from its temperature
+    * share of a global budget (floor(share · floor(total/·)), the sa07/
+    * sa08 share recipe), and documents are admitted per source in quality
+    * order (here the ta02 stopword-density proxy, desc, doc_id tiebreak)
+    * while the tokens admitted BEFORE a document stay under the budget —
+    * the standard greedy prefix cut, so the last admitted document may
+    * overflow its budget but none after it enters. Output: the admitted
+    * documents with their score, budget and prior-cumulative tokens.
+    *
+    * Determinism: token counts are the exact length-arithmetic census;
+    * the score is one IEEE division of integers (ordered desc with doc_id
+    * tiebreak — a total order both engines compute identically); budgets
+    * are floor() of the 8dp-share product; the cumulative sum is exact
+    * integer arithmetic over that total order.
+    *
+    * Plan shape for 100 TB: one columnar corpus pass computes tokens +
+    * score (no exchange); the census/budget table is |sources|-scale and
+    * broadcasts back; admission is ONE source-keyed window over
+    * (id, counts) rows — never text. Like ta17, a true 100 TB run would
+    * replace the per-source sort with sampled score thresholds (admit
+    * score > t_src with t_src from a quantile sketch); the window IS the
+    * semantic spec the threshold form approximates. */
+  def tokenBudgetQuery(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val txt = graft.functions.Text.normText(col("text"))
+    val docs = Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"), col("source"), txt.as("t"))
+      .select(col("doc_id"), col("source"),
+        graft.functions.Text.tokenCount(col("t")).as("n_tokens"),
+        graft.functions.Text.doubledSpaces(col("t")).as("dd"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (graft.functions.Text.wordOccurrencesInDoubled(col("dd"), "the")
+          .cast("double") / col("n_tokens").cast("double")).as("score"))
+    val budgets = temperatureShareCols(
+        docs.groupBy(col("source")).agg(sum(col("n_tokens")).as("n_tokens_src")),
+        "n_tokens_src")
+      .select(col("source"),
+        floor(col("share") *
+          floor(col("total").cast("double") / lit(BudgetDivisor))
+            .cast("double")).as("budget_tokens"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.join(broadcast(budgets), "source")
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("cum_before") < col("budget_tokens"))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        round(col("score"), 6).as("score"),
+        col("budget_tokens"), col("cum_before"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB SQL replicating [[tokenBudgetQuery]] exactly (ta02's token
+    * and stopword-count derivations, the sa07/sa08 share recipe, the same
+    * floor/window/threshold sequence). */
+  def tokenBudgetOracleSql: String = s"""
+      WITH d AS (SELECT doc_id, source,
+                        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                 FROM documents),
+      c AS (SELECT doc_id, source,
+              CASE WHEN length(t) = 0 THEN CAST(0 AS BIGINT)
+                   ELSE CAST(length(t) - length(regexp_replace(t, ' ', '', 'g')) + 1 AS BIGINT)
+              END AS n_tokens,
+              replace(' ' || t || ' ', ' ', '  ') AS dd
+            FROM d),
+      sc AS (SELECT doc_id, source, n_tokens,
+               CAST(CAST((length(dd) - length(regexp_replace(dd, ' \\Qthe\\E ', '', 'g'))) / 5 AS BIGINT) AS DOUBLE) /
+                 CAST(n_tokens AS DOUBLE) AS score
+             FROM c WHERE n_tokens > 0),
+      cen AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n_tokens_src
+              FROM sc GROUP BY source),
+      b AS (SELECT source, n_tokens_src,
+              CAST(sum(n_tokens_src) OVER () AS BIGINT) AS total
+            FROM cen),
+      b2 AS (SELECT *, round(sqrt(CAST(n_tokens_src AS DOUBLE) /
+                                  CAST(total AS DOUBLE)), 8) AS w
+             FROM b),
+      b3 AS (SELECT *, round(sum(w) OVER (), 8) AS z FROM b2),
+      bud AS (SELECT source,
+                CAST(floor((w / z) *
+                  floor(CAST(total AS DOUBLE) / $BudgetDivisor)) AS BIGINT)
+                  AS budget_tokens
+              FROM b3),
+      adm AS (SELECT sc.*, budget_tokens,
+                coalesce(sum(n_tokens) OVER (PARTITION BY sc.source
+                  ORDER BY score DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  CAST(0 AS BIGINT)) AS cum_before
+              FROM sc JOIN bud ON bud.source = sc.source)
+      SELECT source, doc_id, n_tokens, round(score, 6) AS score,
+             budget_tokens, CAST(cum_before AS BIGINT) AS cum_before
+      FROM adm WHERE cum_before < budget_tokens
+      ORDER BY doc_id"""
 }

@@ -150,8 +150,9 @@ object Stress {
       "ta22_novelty", "ev15_cusum", "ir13_bm25f", "dd21_containment_sampled",
       // round-10: dd22 is the containment family's LINEAR member — the
       // sketch build is one corpus pass and the reference side is bounded
-      // by contract, so it stresses at any amplification
-      "dd22_sketch_containment",
+      // by contract, so it stresses at any amplification; sa12's
+      // admission must stay one source-keyed window over counts
+      "dd22_sketch_containment", "sa12_token_budget",
       // round-8 eighth batch: ev16 one user exchange; dd20 sweeps dd04's
       // banded pair stream (never recomputes per radius, and the radius
       // grid joins ≤4-row histograms, never raw pairs); ir14's window

@@ -999,6 +999,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("sa12: budgets broadcast; admission rides source-keyed exchanges; no text, no pairing") {
+    val plan = planOf(Curation.tokenBudgetQuery(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the admission window and the census are the only source-keyed
+    // exchanges — corpus text never shuffles
+    val k = count(plan, "hashpartitioning\\(source#\\d+, \\d+\\)")
+    assert(k >= 1 && k <= 2, s"source exchanges = $k\n$plan")
+    assert(!plan.contains("Generate"), plan)
+  }
+
   test("window audit: every unpartitioned Window sits above a bounded-cardinality input") {
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
     // Queries ALLOWED an unpartitioned window, each with the bound that
@@ -1022,6 +1033,8 @@ class PlanAuditSpec extends AnyFunSuite {
         "same |sources|-row temperature-share table as sa07",
       "sa10_weighted_sample" ->
         "row_number over the n-row E-S winner set (limit n precedes the window)",
+      "sa12_token_budget" ->
+        "temperature-share windows over the |sources|-row census (sa07's shape); admission itself is source-partitioned",
       "ta08_vocab_encode" ->
         "prefix-sum over the per-range-partition count table (<= shuffle-partition-count rows)",
       "ta11_pack_windows" ->

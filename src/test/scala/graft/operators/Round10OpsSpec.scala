@@ -219,4 +219,53 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(byDoc.contains(3L))        // the inclusion survives the screen
     assert(!byDoc.contains(2L))       // unrelated text is screened out
   }
+
+  // ------------------------- sa12 token budget --------------------------
+
+  test("sa12: admission recomputes from a driver-side greedy budget fold (sf0.001)") {
+    def normT(t: String): String =
+      t.toLowerCase.replaceAll("\\s+", " ").trim
+    def tokens(t: String): Long =
+      if (t.isEmpty) 0L else (t.length - t.replace(" ", "").length + 1).toLong
+    def theCount(t: String): Long = {
+      val dd = (" " + t + " ").replace(" ", "  ")
+      ((dd.length - dd.replaceAll(" \\Qthe\\E ", "").length) / 5).toLong
+    }
+    val docs = graft.core.Tables.documents(spark, graft.SparkTestSession.sf0001)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .flatMap(r => Option(r.getString(2)).map(t =>
+        (r.getLong(0), r.getString(1), normT(t))))
+      .map { case (id, src, t) => (id, src, tokens(t), theCount(t)) }
+      .filter(_._3 > 0L)
+      .map { case (id, src, n, c) => (id, src, n, c.toDouble / n.toDouble) }
+      .toSeq
+    val census = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val total = census.values.sum
+    val ws = census.toSeq.sortBy(_._1)
+      .map { case (s, n) => s -> roundAt(math.sqrt(n.toDouble / total.toDouble), 8) }
+    val z = roundAt(ws.map(_._2).sum, 8)
+    val budget = ws.map { case (s, w) =>
+      s -> math.floor((w / z) *
+        math.floor(total.toDouble / Curation.BudgetDivisor)).toLong
+    }.toMap
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      val ordered = ds.sortBy(d => (-d._4, d._1))
+      var cum = 0L
+      ordered.flatMap { case (id, _, n, sc) =>
+        val admit = cum < budget(src)
+        val row = if (admit)
+          Some((src, id, n, roundAt(sc, 6), budget(src), cum)) else None
+        cum += n
+        row
+      }
+    }.sortBy(_._2)
+    val got = Curation.tokenBudgetQuery(spark, graft.SparkTestSession.sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    // non-vacuity: the budget actually CUTS (some doc rejected in some
+    // source) and more than one source is represented
+    assert(expected.size < docs.size)
+    assert(expected.map(_._1).distinct.size > 1)
+  }
 }
