@@ -227,6 +227,7 @@ object Bench {
     // and the token-budget mixer cut (columnar pass + one source window)
     "dd22_sketch_containment",
     "sa12_token_budget",
+    "cl09_threshold_sweep",
     "dq07_snapshot_diff",
     "ev15_cusum",
     "ir13_bm25f",

@@ -213,6 +213,7 @@ object SparkEntry {
     "dd21_containment_sampled" -> ((s: SparkSession, d: String) => Dedup.containmentPairsSampled(s, d)),
     "dd22_sketch_containment" -> ((s: SparkSession, d: String) => Dedup.sketchContainmentQuery(s, d)),
     "sa12_token_budget" -> ((s: SparkSession, d: String) => Curation.tokenBudgetQuery(s, d)),
+    "cl09_threshold_sweep" -> ((s: SparkSession, d: String) => graft.operators.Classifier.thresholdSweepQuery(s, d)),
     "ta22_novelty"         -> ((s: SparkSession, d: String) => TextAnalysis.noveltyQuery(s, d)),
     "dq07_snapshot_diff"   -> ((s: SparkSession, d: String) => graft.operators.DataQuality.snapshotDiffQuery(s, d)),
     "ev15_cusum"           -> ((s: SparkSession, d: String) => Windows.cusumQuery(s, d)),
@@ -804,6 +805,7 @@ object SparkEntry {
     "dd21_containment_sampled" -> Dedup.containmentSampledOracleSql(),
     "dd22_sketch_containment" -> Dedup.sketchContainmentOracleSql(),
     "sa12_token_budget" -> Curation.tokenBudgetOracleSql,
+    "cl09_threshold_sweep" -> graft.operators.Classifier.thresholdSweepOracleSql(),
     "ta22_novelty" -> TextAnalysis.noveltyOracleSql,
     "dq07_snapshot_diff" -> graft.operators.DataQuality.snapshotDiffOracleSql,
     "ev15_cusum" -> Windows.cusumOracleSql,

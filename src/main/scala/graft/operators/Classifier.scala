@@ -656,4 +656,94 @@ object Classifier {
       FROM h JOIN nb USING (doc_id)
       GROUP BY heuristic_lang, nb_lang
       ORDER BY heuristic_lang, nb_lang"""
+
+  /** Threshold-grid resolution for [[thresholdSweepQuery]]: 21 operating
+    * points at 0.05 steps. Membership is evaluated on the score BIN
+    * (floor(score·20) ≥ j ⟺ score ≥ j/20 exactly, since j is an
+    * integer), so the grid compare is pure integer arithmetic. */
+  val SweepSteps = 20
+
+  /** cl09 — operating-point sweep (the PR curve behind choosing cl01's
+    * production threshold): precision / recall / F1 of the quality
+    * classifier at every threshold j/20, j = 0..20 — the report an
+    * operator reads BEFORE committing the 0.5 default cl04 evaluates at
+    * a single point. The dd20 sweep discipline applied to a classifier:
+    * scores are computed ONCE (the cl01 pass, weights as literals), then
+    * REDUCED to a ≤ 2·(steps+1)-row (bin, label) histogram before any
+    * threshold logic — the grid joins that tiny aggregate, never the
+    * corpus, so sweeping 21 points costs the same one scan as scoring.
+    *
+    * Determinism: scores are cl01's 6dp-rounded sigmoids; bins and all
+    * tp/fp/fn are exact integers; precision/recall/F1 are guarded IEEE
+    * divisions rounded 6dp (the cl04 formula sequence).
+    *
+    * Plan shape for 100 TB: cl01's columnar scoring scan → map-side
+    * combined (bin, label) count (≤ 42 rows) → broadcast nested-loop
+    * against the 21-row grid. Nothing downstream of the histogram scales
+    * with the corpus. */
+  def thresholdSweepQuery(s: SparkSession, dir: String): DataFrame = {
+    val scored = qualityClassifierQuery(s, dir)
+      .select(col("label"), floor(col("score") * SweepSteps).as("bin"))
+    val hist = scored.groupBy(col("bin"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = s.range(0, SweepSteps + 1).select(col("id").as("j"))
+    val joined = grid.join(broadcast(hist), col("bin") >= col("j"), "left")
+    val swept = joined.groupBy(col("j"))
+      .agg(
+        coalesce(sum(when(col("label") === 1L, col("cnt"))), lit(0L)).as("tp"),
+        coalesce(sum(when(col("label") === 0L, col("cnt"))), lit(0L)).as("fp"))
+    val pos = hist.filter(col("label") === 1L)
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_pos"))
+    swept.crossJoin(broadcast(pos))
+      .select(col("j"), col("tp"), col("fp"),
+        (col("n_pos") - col("tp")).as("fn"))
+      .withColumn("threshold",
+        round(col("j").cast("double") / SweepSteps, 2))
+      .withColumn("precision",
+        when(col("tp") + col("fp") > 0, round(col("tp").cast("double") /
+          (col("tp") + col("fp")).cast("double"), 6)))
+      .withColumn("recall",
+        when(col("tp") + col("fn") > 0, round(col("tp").cast("double") /
+          (col("tp") + col("fn")).cast("double"), 6)))
+      .withColumn("f1",
+        when(col("precision").isNotNull && col("recall").isNotNull &&
+            col("precision") + col("recall") > 0.0,
+          round(lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall")), 6)))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        col("precision"), col("recall"), col("f1"))
+      .orderBy(col("threshold"))
+  }
+
+  /** DuckDB SQL replicating [[thresholdSweepQuery]] exactly — the shared
+    * cl01 oracle as the scored subquery, the same bin histogram, grid
+    * compare and guarded ratio sequence. */
+  def thresholdSweepOracleSql(iters: Int = 8): String = s"""
+      WITH cl01 AS (SELECT * FROM (${qualityClassifierOracleSql(iters)})),
+      hist AS (SELECT CAST(floor(score * $SweepSteps) AS BIGINT) AS bin,
+                      label, CAST(count(*) AS BIGINT) AS cnt
+               FROM cl01 GROUP BY 1, 2),
+      grid AS (SELECT CAST(x AS BIGINT) AS j
+               FROM range(0, ${SweepSteps + 1}) t(x)),
+      swept AS (SELECT j,
+                  CAST(coalesce(sum(CASE WHEN label = 1 THEN cnt END), 0) AS BIGINT) AS tp,
+                  CAST(coalesce(sum(CASE WHEN label = 0 THEN cnt END), 0) AS BIGINT) AS fp
+                FROM grid LEFT JOIN hist ON bin >= j GROUP BY j),
+      pos AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_pos
+              FROM hist WHERE label = 1),
+      base AS (SELECT j, tp, fp, n_pos - tp AS fn,
+                 round(CAST(j AS DOUBLE) / $SweepSteps, 2) AS threshold,
+                 CASE WHEN tp + fp > 0
+                      THEN round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+                 END AS precision,
+                 CASE WHEN tp + (n_pos - tp) > 0
+                      THEN round(CAST(tp AS DOUBLE) / CAST(tp + (n_pos - tp) AS DOUBLE), 6)
+                 END AS recall
+               FROM swept CROSS JOIN pos)
+      SELECT threshold, tp, fp, fn, precision, recall,
+             CASE WHEN precision IS NOT NULL AND recall IS NOT NULL
+                       AND precision + recall > 0.0
+                  THEN round(2.0 * precision * recall / (precision + recall), 6)
+             END AS f1
+      FROM base ORDER BY threshold"""
 }

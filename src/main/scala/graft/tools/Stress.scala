@@ -153,6 +153,9 @@ object Stress {
       // by contract, so it stresses at any amplification; sa12's
       // admission must stay one source-keyed window over counts
       "dd22_sketch_containment", "sa12_token_budget",
+      // cl09 sweeps cl01's scored pass through a ≤42-row histogram — the
+      // grid work is corpus-independent by construction
+      "cl09_threshold_sweep",
       // round-8 eighth batch: ev16 one user exchange; dd20 sweeps dd04's
       // banded pair stream (never recomputes per radius, and the radius
       // grid joins ≤4-row histograms, never raw pairs); ir14's window

@@ -1010,6 +1010,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Generate"), plan)
   }
 
+  test("cl09: the sweep grid joins the tiny bin histogram — never the corpus") {
+    val plan = planOf(Classifier.thresholdSweepQuery(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // dd20's discipline: threshold comparisons are broadcast nested loops
+    // against the ≤42-row (bin, label) histogram / 1-row positives count
+    assert(count(plan, "BroadcastNestedLoopJoin") >= 2, plan)
+  }
+
   test("window audit: every unpartitioned Window sits above a bounded-cardinality input") {
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
     // Queries ALLOWED an unpartitioned window, each with the bound that

@@ -268,4 +268,42 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(expected.size < docs.size)
     assert(expected.map(_._1).distinct.size > 1)
   }
+
+  // ----------------------- cl09 threshold sweep -------------------------
+
+  test("cl09: PR sweep recomputes from cl01's scored output (sf0.001)") {
+    val scored = Classifier
+      .qualityClassifierQuery(spark, graft.SparkTestSession.sf0001)
+      .select(col("label"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val nPos = scored.count(_._1 == 1L).toLong
+    def r6(x: Double) = roundAt(x, 6)
+    val expected = (0 to Classifier.SweepSteps).map { j =>
+      val predPos = scored.filter(d => math.floor(d._2 * Classifier.SweepSteps) >= j)
+      val tp = predPos.count(_._1 == 1L).toLong
+      val fp = predPos.count(_._1 == 0L).toLong
+      val fn = nPos - tp
+      val p = if (tp + fp > 0) Some(r6(tp.toDouble / (tp + fp).toDouble)) else None
+      val rc = if (tp + fn > 0) Some(r6(tp.toDouble / (tp + fn).toDouble)) else None
+      val f1 = (p, rc) match {
+        case (Some(pp), Some(rr)) if pp + rr > 0.0 =>
+          Some(r6(2.0 * pp * rr / (pp + rr)))
+        case _ => None
+      }
+      (roundAt(j.toDouble / Classifier.SweepSteps, 2), tp, fp, fn, p, rc, f1)
+    }
+    val got = Classifier
+      .thresholdSweepQuery(spark, graft.SparkTestSession.sf0001).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toSeq
+    assert(got == expected)
+    // non-vacuity: threshold 0 admits everything (recall 1); recall is
+    // monotone non-increasing; and the sweep actually separates somewhere
+    assert(got.head._5.isDefined && got.head._6.contains(1.0))
+    val recalls = got.flatMap(_._6)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b <= a })
+    assert(got.exists(g => g._6.exists(r => r > 0.0 && r < 1.0)))
+  }
 }
