@@ -443,22 +443,38 @@ object Bench {
     spark.stop()
 
     // ONE compact JSON line on stdout, printed LAST (after spark.stop(), so
-    // no shutdown logging can land beyond it in a combined capture). Keys
-    // are each query's family code (the unique prefix before the first '_',
-    // e.g. dd03_minhash_lsh -> dd03); values are seconds with trailing
-    // zeros stripped, and attempts/loadavg live only in the file artifact —
-    // at 140 queries the line must stay well inside the driver's ~2 KB
-    // capture window (BENCH_r05's "parsed":null lesson). Full names live
-    // in the file artifact above.
+    // no shutdown logging can land beyond it in a combined capture). The
+    // driver keeps only a ~2000-char stdout TAIL (and sbt's own final
+    // "[success]" line eats ~75 of it), so the per-query timings are encoded
+    // as FAMILY ARRAYS instead of a flat 185-key map, which outgrew the
+    // window at round 10 (145 of 185 keys captured, "parsed":null):
+    // queries.<fam>[i] is the min seconds for query number i+1 of that
+    // family (queries.dd[2] = dd03_minhash_lsh); -1 marks a number with no
+    // headline entry (dd02/dd19/sim03, the documented brute-force
+    // exclusions). ~1.3 KB for all 185 queries, self-described by "enc".
+    // Full names + every attempt live in the file artifact above.
     def rShort(v: Double): String =
       if (v < 0) "-1"
       else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
         .bigDecimal.stripTrailingZeros.toPlainString
-    val qsShort = results.map { case (k, v, _) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + rShort(v)
+    val famNum = "([a-z]+)([0-9]+)".r
+    val byFam = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.Map[Int, Double]]
+    results.foreach { case (k, v, _) =>
+      k.takeWhile(_ != '_') match {
+        case famNum(fam, num) =>
+          byFam.getOrElseUpdate(fam,
+            scala.collection.mutable.Map.empty[Int, Double])(num.toInt) = v
+        case other =>
+          System.err.println(s"[bench] unencodable query code: $other")
+      }
+    }
+    val qsShort = byFam.toSeq.sortBy(_._1).map { case (fam, m) =>
+      val arr = (1 to m.keys.max).map(i => rShort(m.getOrElse(i, -1.0)))
+      "\"" + fam + "\":[" + arr.mkString(",") + "]"
     }.mkString("{", ",", "}")
     val shortLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"contended":$contended,"foreign_cores":${r3(foreignCores)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"enc":"queries.<fam>[i] = seconds for query <fam><i+1, zero-padded>; -1 = not benched","queries":$qsShort,"contended":$contended,"foreign_cores":${r3(foreignCores)},"sf":"$sfDir","artifact":"$outPath"}"""
     if (shortLine.length > 1900)
       System.err.println(s"[bench] WARNING: stdout line ${shortLine.length} chars " +
         "- approaching the driver capture window; trim the headline encoding")

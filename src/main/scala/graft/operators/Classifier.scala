@@ -65,35 +65,68 @@ object Classifier {
 
   private def sigmoid(zc: Column): Column = lit(1.0) / (lit(1.0) + exp(-zc))
 
-  /** Train the classifier (`iters` full-batch GD steps, lr = 1.0) and score
-    * every document: (doc_id, label, score, predicted). */
+  /** Session-level trained-model memo, keyed by (application, corpus,
+    * spec). The round-10 finding: cl06 and cl09 each re-ran cl01's full
+    * 8-iteration GD chain — 27 corpus-linear scans across the three
+    * queries where 9 suffice. The model is FIVE DOUBLES, so the
+    * scale-correct sharing unit is the weight vector, NOT a persisted
+    * corpus-scale scored frame (at 100 TB that cache would pin the
+    * working set; the scoring pass it saves is an exchange-free columnar
+    * scan, the cheapest thing in the pipeline). Training is
+    * deterministic (6dp-rounded gradients, fixed lr), so a memo hit
+    * reproduces bit-identical scores to a fresh train — the cl01/cl06/
+    * cl09 oracles cannot observe the reuse. Keyed by applicationId so a
+    * new session (new data) always retrains; [[clearModelCache]] is the
+    * explicit escape for same-session data changes. */
+  private val modelCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Int, String), Array[Double]]
+
+  def clearModelCache(): Unit = modelCache.clear()
+
+  /** The `iters` full-batch GD steps (lr = 1.0) behind cl01/cl06/cl09 —
+    * run once per (session, corpus, spec) and memoized. A TrieMap race
+    * can at worst train twice; both runs produce the same deterministic
+    * weights. */
+  private[operators] def trainedWeights(s: SparkSession, dir: String,
+      iters: Int, trusted: String): Array[Double] =
+    modelCache.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir, iters, trusted), {
+        val f = features(s, dir, trusted)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val w = Array.fill(5)(0.0)
+          for (_ <- 1 to iters) {
+            val e = sigmoid(z(w)) - col("y")
+            val g = f.agg(
+              round(avg(e), 6), round(avg(e * col("x1")), 6),
+              round(avg(e * col("x2")), 6), round(avg(e * col("x3")), 6),
+              round(avg(e * col("x4")), 6)).head()
+            for (j <- 0 until 5) w(j) -= g.getDouble(j)
+          }
+          w
+        } finally {
+          // the cache exists FOR the `iters` training actions above, which
+          // have all run by now; dropping it here means no RDD blocks
+          // outlive the call (round-5 review: at 100 TB a leaked cache
+          // evicts working state). Cost: scoring passes recompute the
+          // columnar feature scan from source.
+          f.unpersist(blocking = false)
+        }
+      }).clone()
+
+  /** Train the classifier (`iters` full-batch GD steps, lr = 1.0, memoized
+    * per session — see [[trainedWeights]]) and score every document:
+    * (doc_id, label, score, predicted). */
   def qualityClassifierQuery(s: SparkSession, dir: String, iters: Int = 8,
       trusted: String = "src0"): DataFrame = {
-    val f = features(s, dir, trusted)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val w = Array.fill(5)(0.0)
-      for (_ <- 1 to iters) {
-        val e = sigmoid(z(w)) - col("y")
-        val g = f.agg(
-          round(avg(e), 6), round(avg(e * col("x1")), 6),
-          round(avg(e * col("x2")), 6), round(avg(e * col("x3")), 6),
-          round(avg(e * col("x4")), 6)).head()
-        for (j <- 0 until 5) w(j) -= g.getDouble(j)
-      }
-      // trained weights re-embedded as literals; the returned scoring pass
-      // recomputes the (columnar, exchange-free) feature scan from source
-      f.select(col("doc_id"), col("y").cast("long").as("label"),
-          round(sigmoid(z(w)), 6).as("score"))
-        .withColumn("predicted", col("score") >= 0.5)
-        .orderBy(col("doc_id"))
-    } finally {
-      // the cache exists FOR the `iters` training actions above, which have
-      // all run by now; dropping it here means no RDD blocks outlive the
-      // call (round-5 review: at 100 TB a leaked cache evicts working
-      // state). Cost: the one scoring pass recomputes the feature scan.
-      f.unpersist(blocking = false)
-    }
+    val w = trainedWeights(s, dir, iters, trusted)
+    // trained weights re-embedded as literals; the returned scoring pass
+    // is one (columnar, exchange-free) feature scan from source
+    features(s, dir, trusted)
+      .select(col("doc_id"), col("y").cast("long").as("label"),
+        round(sigmoid(z(w)), 6).as("score"))
+      .withColumn("predicted", col("score") >= 0.5)
+      .orderBy(col("doc_id"))
   }
 
   /** DuckDB SQL replicating [[qualityClassifierQuery]] exactly — the GD loop
@@ -531,7 +564,9 @@ object Classifier {
     * Plan shape for 100 TB: a 1-row min/max aggregate broadcast back over
     * the score stream, then one |bins|-cell map-side-combined aggregate —
     * on top of cl01's scoring pass (which itself is exchange-free
-    * columnar), the report adds two cheap passes and no corpus exchange. */
+    * columnar), the report adds two cheap passes and no corpus exchange.
+    * The GD training chain is paid once per session ([[trainedWeights]]
+    * memo), not re-derived here. */
   def calibrationReportQuery(s: SparkSession, dir: String, iters: Int = 8,
       trusted: String = "src0", bins: Int = 10): DataFrame = {
     val scored = qualityClassifierQuery(s, dir, iters, trusted)
@@ -678,25 +713,35 @@ object Classifier {
     * divisions rounded 6dp (the cl04 formula sequence).
     *
     * Plan shape for 100 TB: cl01's columnar scoring scan → map-side
-    * combined (bin, label) count (≤ 42 rows) → broadcast nested-loop
-    * against the 21-row grid. Nothing downstream of the histogram scales
-    * with the corpus. */
+    * combined (bin, label) count, COLLECTED — the histogram is bounded by
+    * CONSTRUCTION at 2·(steps+1) = 42 rows (bin ∈ [0, steps] because the
+    * sigmoid score ∈ [0,1]; label ∈ {0,1}), so this is a counted driver
+    * fold like [[Dedup]]'s, not a data-dependent one — and re-emitted as
+    * a LocalRelation. The ONE action behind the collect is the only
+    * corpus scan the sweep ever runs (round-10 advice: the grid join and
+    * the n_pos reduction each re-ran the full scoring pass); the RETURNED
+    * plan reads only the 42-row local histogram and the 21-row grid —
+    * corpus-free, which PlanAuditSpec pins. n_pos folds on the driver
+    * from the same histogram. */
   def thresholdSweepQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val scored = qualityClassifierQuery(s, dir)
       .select(col("label"), floor(col("score") * SweepSteps).as("bin"))
-    val hist = scored.groupBy(col("bin"), col("label"))
+    val histRows = scored.groupBy(col("bin"), col("label"))
       .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val hist = histRows.toDF("bin", "label", "cnt")
+    val nPos = histRows.collect { case (_, 1L, c) => c }.sum
     val grid = s.range(0, SweepSteps + 1).select(col("id").as("j"))
     val joined = grid.join(broadcast(hist), col("bin") >= col("j"), "left")
     val swept = joined.groupBy(col("j"))
       .agg(
         coalesce(sum(when(col("label") === 1L, col("cnt"))), lit(0L)).as("tp"),
         coalesce(sum(when(col("label") === 0L, col("cnt"))), lit(0L)).as("fp"))
-    val pos = hist.filter(col("label") === 1L)
-      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_pos"))
-    swept.crossJoin(broadcast(pos))
+    swept
       .select(col("j"), col("tp"), col("fp"),
-        (col("n_pos") - col("tp")).as("fn"))
+        (lit(nPos) - col("tp")).as("fn"))
       .withColumn("threshold",
         round(col("j").cast("double") / SweepSteps, 2))
       .withColumn("precision",

@@ -831,12 +831,18 @@ object Curation {
     * integer arithmetic over that total order.
     *
     * Plan shape for 100 TB: one columnar corpus pass computes tokens +
-    * score (no exchange); the census/budget table is |sources|-scale and
-    * broadcasts back; admission is ONE source-keyed window over
-    * (id, counts) rows — never text. Like ta17, a true 100 TB run would
-    * replace the per-source sort with sampled score thresholds (admit
-    * score > t_src with t_src from a quantile sketch); the window IS the
-    * semantic spec the threshold form approximates. */
+    * score into a PERSISTED (doc_id, source, n_tokens, score) frame —
+    * ints and one double per doc, ~32 B/row, orders of magnitude under
+    * the text it summarizes — which both consumers (the source census
+    * and the admission stream) read, so the TEXT is scanned exactly once
+    * (round-10 advice: the census and admission each re-ran the text
+    * pass). The cache is released by the session's cache-clear between
+    * queries, like the dd03 intermediates. The census/budget table is
+    * |sources|-scale and broadcasts back; admission is ONE source-keyed
+    * window over (id, counts) rows — never text. Like ta17, a true
+    * 100 TB run would replace the per-source sort with sampled score
+    * thresholds (admit score > t_src with t_src from a quantile sketch);
+    * the window IS the semantic spec the threshold form approximates. */
   def tokenBudgetQuery(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val txt = graft.functions.Text.normText(col("text"))
@@ -849,6 +855,7 @@ object Curation {
       .select(col("doc_id"), col("source"), col("n_tokens"),
         (graft.functions.Text.wordOccurrencesInDoubled(col("dd"), "the")
           .cast("double") / col("n_tokens").cast("double")).as("score"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val budgets = temperatureShareCols(
         docs.groupBy(col("source")).agg(sum(col("n_tokens")).as("n_tokens_src")),
         "n_tokens_src")

@@ -37,17 +37,83 @@ object Dedup {
     * hot bucket are the only ones not emitted from that bucket (they may
     * still surface via a colder band); the star still (a) connects the whole
     * group into one component for [[dupClusters]] and (b) marks every
-    * non-min member as a duplicate for [[dedupApply]]. The cap is far above
-    * any bucket the test corpus produces, so the oracle-checked pair set is
-    * unaffected; the guard exists for adversarial/production skew, and the
-    * cap is a parameter on each operator so an exact (cap-disabled) run is
-    * one argument away. */
+    * non-min member as a duplicate for [[dedupApply]].
+    *
+    * This value is the CEILING. The effective cap is DUPLICATION-ADAPTIVE
+    * (round-10 scale lesson, SCALE.md 100×: a fixed cap is only correct
+    * while expected duplication ≪ cap — at 100× near-copy flood the
+    * mid-band buckets inflated ~100× yet stayed under 1024, and their
+    * within-bucket all-pairs verification spilled >75 GB to an ENOSPC
+    * kill). Exact copies never reach the buckets (canonicalize-first
+    * collapses them), so the only observable signal of NEAR-copy
+    * duplication is the bucket-population census itself — the effective
+    * cap is derived from it per run: the largest cap ≤ this ceiling whose
+    * cumulative within-bucket all-pairs candidate mass stays inside the
+    * corpus-proportional [[hotPairBudget]] (see [[splitHotBuckets]]).
+    * Buckets ≤ [[HotBucketCapFloor]] are never starred — their per-bucket
+    * work is constant-bounded, so their total is corpus-linear. The test
+    * corpora sit far under the budget (sf0.1: 263k candidate mass from
+    * buckets over the floor vs a ≥1M budget; sf0.01: no bucket over the
+    * floor at all — measured, pinned by DedupSpec), so every
+    * oracle/bench-checked pair set still runs the exact path; the
+    * adaptivity exists for production duplication, where it engages
+    * WITHOUT the operator knowing its copy rate. An explicit cap argument
+    * (e.g. [[minhashLshPairsCapped]]) bypasses the adaptive derivation
+    * entirely — a forced-exact or forced-star run stays one argument
+    * away. */
   val HotBucketCap = 1024
+
+  /** Buckets at or under this population always run all-pairs: a bucket of
+    * ≤64 members contributes ≤ 2016 candidate pairs — per-bucket constant,
+    * corpus-linear in total — so starring them would trade exactness for
+    * nothing. The adaptive cap never drops below this floor. */
+  val HotBucketCapFloor = 64
+
+  /** Within-bucket all-pairs candidate budget for the adaptive cap, as a
+    * function of (deduplicated) corpus size: ~20 candidate pairs per
+    * document, floored at 1M for small corpora. Proportional to the
+    * corpus — i.e. to the cluster a production run sizes for that
+    * corpus — NOT a global constant, so a 1000-executor run is allowed
+    * 1000× the verification work of a laptop run; what it bounds is the
+    * per-document blow-up that duplication causes (a 100× copy-flood
+    * demands ~100× pairs per doc and is pushed to the star fallback). */
+  def hotPairBudget(nDocs: Long): Long = math.max(1000000L, 20L * nDocs)
 
   /** Broadcast budget for the signature prefilter join: above this estimated
     * size the broadcast hint hard-fails (Spark's 8 GB limit) or OOMs the
     * driver, so the operator switches to distinct()+shuffle automatically. */
   val MaxSigBroadcastBytes: Long = 512L * 1024 * 1024
+
+  /** The duplication-adaptive effective cap: the largest cap in
+    * (floor, ceil] whose cumulative within-bucket all-pairs candidate
+    * mass — Σ n_buckets(c)·c·(c−1)/2 over bucket sizes c ≤ cap, sizes
+    * ascending — stays within `budgetPairs`; `floor` if even the smallest
+    * over-floor size class blows the budget, `ceil` if everything fits.
+    * The reduction is one aggregate over the (already computed) census
+    * restricted to sizes in (floor, ceil] — at most ceil − floor rows BY
+    * CONSTRUCTION, a counted driver fold like [[DriverCcMaxPairs]]'s. */
+  private def adaptiveCap(census: DataFrame, floor: Int, ceil: Int,
+      budgetPairs: Long): Int = {
+    if (ceil <= floor) return ceil
+    val hist = census
+      .filter(col("count") > floor && col("count") <= ceil)
+      .groupBy(col("count")).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    var remaining = budgetPairs
+    var cap = floor
+    var i = 0
+    while (i < hist.length) {
+      val (c, n) = hist(i)
+      val pairs = n * (c * (c - 1) / 2)
+      if (pairs > remaining) return cap
+      remaining -= pairs
+      cap = c.toInt
+      i += 1
+    }
+    ceil
+  }
 
   /** Skew guard for an LSH band self-join: splits band rows into
     * (cold rows, hot-bucket rows) by bucket population. The population count
@@ -55,25 +121,46 @@ object Dedup {
     * table; its result is tiny (one row per HOT bucket only), so checking it
     * on the driver costs one cheap job and lets us skip the guard joins
     * entirely in the overwhelmingly common no-skew case. The persisted hot
-    * set (if any) is returned so the caller can release it. */
+    * set (if any) is returned so the caller can release it.
+    *
+    * `cap` is the ceiling; when `adaptiveBudgetPairs` is set (the DEFAULT
+    * operator entries pass [[hotPairBudget]]; explicit-cap entries pass
+    * None, preserving forced behavior exactly) the effective cap is
+    * [[adaptiveCap]] of the census under that budget — the round-10 fix
+    * making the guard engage at production duplication without the
+    * operator knowing its copy rate. Returns the effective cap so callers
+    * can log it. */
   private def splitHotBuckets(
-      bands: DataFrame, keys: Seq[String], cap: Int)
-      : (DataFrame, DataFrame, Long, Option[DataFrame]) = {
-    val hot = bands.groupBy(keys.map(col): _*).count()
-      .filter(col("count") > cap)
+      bands: DataFrame, keys: Seq[String], cap: Int,
+      adaptiveBudgetPairs: Option[Long] = None)
+      : (DataFrame, DataFrame, Long, Option[DataFrame], Int) = {
+    val census = bands.groupBy(keys.map(col): _*).count()
+    val capEff = adaptiveBudgetPairs match {
+      case Some(budget) =>
+        val floor = math.min(HotBucketCapFloor, cap)
+        val a = adaptiveCap(census, floor, cap, budget)
+        if (a < cap)
+          log.warn(s"splitHotBuckets: bucket census exceeds the all-pairs " +
+            s"budget ($budget candidate pairs); adaptive cap $a (ceiling $cap) " +
+            "— the corpus carries heavy near-copy duplication")
+        a
+      case None => cap
+    }
+    val hot = census
+      .filter(col("count") > capEff)
       .select(keys.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nHot = hot.count()
     if (nHot == 0L) {
       hot.unpersist(blocking = false)
-      (bands, null, 0L, None)
+      (bands, null, 0L, None, capEff)
     } else {
       // hot is one row per overloaded bucket — broadcastable unless the skew
       // is itself pathological, in which case fall back to a shuffle join.
       val hotSide = if (nHot <= 100000L) broadcast(hot) else hot
       val cold  = bands.join(hotSide, keys, "left_anti")
       val inHot = bands.join(hotSide, keys, "left_semi")
-      (cold, inHot, nHot, Some(hot))
+      (cold, inHot, nHot, Some(hot), capEff)
     }
   }
 
@@ -166,7 +253,7 @@ object Dedup {
     * production caller tunes when its boilerplate density differs from the
     * default contract. */
   def minhashLshPairsCapped(s: SparkSession, dir: String, hotBucketCap: Int): DataFrame =
-    minhashLshPairsTracked(s, dir, hotBucketCap)._1
+    minhashLshPairsTracked(s, dir, hotBucketCap, adaptive = false)._1
 
   /** [[minhashLshPairs]] plus the list of frames it persisted, so a caller
     * that materializes a derivative (see [[dupClusters]], [[dedupApply]])
@@ -175,7 +262,9 @@ object Dedup {
     * (the plain query path) leave the persists in place — they are released
     * by the session's cache-clear between queries. */
   private[operators] def minhashLshPairsTracked(
-      s: SparkSession, dir: String, hotBucketCap: Int = HotBucketCap)
+      s: SparkSession, dir: String, hotBucketCap: Int = HotBucketCap,
+      adaptive: Boolean = true,
+      capObserver: Int => Unit = _ => ())
       : (DataFrame, Seq[DataFrame]) = {
     val caches = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def cached(df: DataFrame): DataFrame = {
@@ -219,24 +308,31 @@ object Dedup {
         explode(Text.lshBands(col("sig"), SigK, Bands)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh")))
 
+    // deduplicated corpus size: sizes the adaptive hot-bucket budget AND
+    // decides the prefilter join strategy below (docs is persisted; one
+    // cheap job that also materializes the signature cache up front)
+    val nDocs = docs.count()
+
     // hot-bucket skew guard: all-pairs only inside buckets below the cap;
-    // oversized buckets emit linear star candidates instead (see HotBucketCap)
-    val (cold, inHot, nHot, hotFrame) =
-      splitHotBuckets(bands, Seq("band", "bh"), hotBucketCap)
+    // oversized buckets emit linear star candidates instead. The DEFAULT
+    // entry derives the effective cap from the bucket census under the
+    // corpus-proportional pair budget (see HotBucketCap); an explicit cap
+    // (minhashLshPairsCapped) is honored verbatim.
+    val (cold, inHot, nHot, hotFrame, capEff) =
+      splitHotBuckets(bands, Seq("band", "bh"), hotBucketCap,
+        if (adaptive) Some(hotPairBudget(nDocs)) else None)
+    capObserver(capEff)
     hotFrame.foreach(caches += _)
     if (nHot > 0)
-      log.warn(s"minhashLshPairs: $nHot LSH bucket(s) exceed $hotBucketCap members; " +
+      log.warn(s"minhashLshPairs: $nHot LSH bucket(s) exceed $capEff members; " +
         "emitting star + identical-signature candidates for those buckets " +
         "instead of all-pairs — non-min/non-min pairs with differing " +
         "signatures in hot buckets are dropped (see HotBucketCap contract)")
 
     // broadcast-vs-shuffle choice for the signature prefilter join: the sig
-    // table is doc_id + SigK longs per doc; docs is already persisted (and
-    // materialized by the skew audit above), so the count is one cheap
-    // cached-scan job. Above the budget the broadcast hint would hard-fail
-    // (8 GB limit) — switch to distinct()-then-shuffle so the join carries
-    // the deduplicated pair set instead.
-    val nDocs = docs.count()
+    // table is doc_id + SigK longs per doc. Above the budget the broadcast
+    // hint would hard-fail (8 GB limit) — switch to distinct()-then-shuffle
+    // so the join carries the deduplicated pair set instead.
     val sigBytes = nDocs * (8L * SigK + 64L)
     val broadcastSigs = sigBytes <= MaxSigBroadcastBytes
     if (!broadcastSigs)
@@ -268,10 +364,15 @@ object Dedup {
         // buckets are (near-)identical; star them per signature group so
         // every identical pair reaches the exact-verification stage. Groups
         // keyed by hash(sig): a hash collision only adds a candidate, which
-        // exact verification then rejects — still linear per bucket.
+        // exact verification then rejects — still linear per bucket. The
+        // hash is computed ON THE JOIN PROJECTION so the window exchange
+        // carries an 8-byte key, never the SigK-long signature array (at
+        // 100× duplication the hot set is ~all band rows — full signatures
+        // through this exchange would be tens of GB).
         val wfp = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("bh"), hash(col("sig")))
-        val fpStar = inHot.join(docs, "doc_id")
+          .partitionBy(col("band"), col("bh"), col("sigh"))
+        val fpStar = inHot
+          .join(docs.select(col("doc_id"), hash(col("sig")).as("sigh")), "doc_id")
           .withColumn("fp_min", min(col("doc_id")).over(wfp))
           .filter(col("doc_id") > col("fp_min"))
           .select(col("fp_min").as("doc_a"), col("doc_id").as("doc_b"))
@@ -877,9 +978,10 @@ object Dedup {
     * produces no hot bucket, so the brute-force oracle compares against the
     * exact path; pass a larger cap to force exactness on a skewed corpus. */
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
-    simhashPairs(s, dir, HotBucketCap)
+    simhashPairs(s, dir, HotBucketCap, adaptive = true)
 
-  def simhashPairs(s: SparkSession, dir: String, hotBucketCap: Int): DataFrame = {
+  def simhashPairs(s: SparkSession, dir: String, hotBucketCap: Int,
+      adaptive: Boolean = false): DataFrame = {
     val docs = Tables.parallel(Tables.documents(s, dir))
       .select(col("doc_id"),
         graft.functions.Md5SimHash60.md5Simhash60(
@@ -896,11 +998,15 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // same hot-bucket guard as the MinHash path: a boilerplate-heavy corpus
-    // drops thousands of near-identical fingerprints into one 16-bit bucket
-    val (cold, inHot, nHot, _) =
-      splitHotBuckets(banded, Seq("band", "bandval"), hotBucketCap)
+    // drops thousands of near-identical fingerprints into one 16-bit bucket.
+    // No canonicalize stage here (simhash buckets the full doc set), so the
+    // budget is sized on the raw doc count.
+    val nDocs = docs.count()
+    val (cold, inHot, nHot, _, capEff) =
+      splitHotBuckets(banded, Seq("band", "bandval"), hotBucketCap,
+        if (adaptive) Some(hotPairBudget(nDocs)) else None)
     if (nHot > 0)
-      log.warn(s"simhashPairs: $nHot simhash band bucket(s) exceed $hotBucketCap members; " +
+      log.warn(s"simhashPairs: $nHot simhash band bucket(s) exceed $capEff members; " +
         "emitting star + identical-fingerprint candidates for those buckets " +
         "instead of all-pairs — non-min/non-min pairs with differing " +
         "fingerprints in hot buckets are dropped (see HotBucketCap contract)")

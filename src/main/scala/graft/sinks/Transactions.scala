@@ -36,10 +36,26 @@ import org.apache.spark.sql.Dataset
   * retry then replays the partition, which IS the reference's
   * "abort and reset consumer state" (fluvii_app.py:70-72): the aborted
   * transaction's records stay invisible to read_committed consumers and
-  * the offsets never moved, so the replay is exactly-once, not
+  * the offsets never moved, so the abort-path replay is exactly-once, not
   * at-least-once. A timeout propagates unretried, like the reference's
   * uncaught `TransactionTimeout` (transaction.py:19-20) — the restart
   * path's `init_transactions` fences the zombie.
+  *
+  * POST-COMMIT replay (round-10 advice): a Spark task can also be retried
+  * or speculatively re-attempted AFTER commitTransaction succeeded — and
+  * unlike the reference, whose restart re-consumes from the committed
+  * broker offsets and therefore never re-reads the committed rows, the
+  * retried task replays the partition from the Dataset. The protocol
+  * closes that window the same way the reference does, by consulting the
+  * group's committed position: at task start each source (topic,
+  * partition)'s committed NEXT-TO-READ offset is fetched once
+  * ([[TxProducerClient.committedOffset]]) and rows whose SourceOffset is
+  * below it are SKIPPED — they can only be below it because a transaction
+  * carrying them already committed, so re-producing them would duplicate.
+  * If every row of the task is skipped, no transaction is begun at all.
+  * A binding whose client cannot read group offsets returns None and
+  * falls back to at-least-once on this window only — stated here rather
+  * than papered over.
   */
 object Transactions {
 
@@ -77,12 +93,27 @@ object Transactions {
         val producer = TxProducers.create(factoryName)
         producer.initTransactions()
         val txn = new KafkaTransaction(producer, groupId)
+        // post-commit replay filter: the group's committed next-to-read
+        // offset per source partition, fetched once per key at first
+        // encounter; a row below it was produced by an already-committed
+        // transaction (this task's prior attempt) and must not re-produce
+        val committedAtStart =
+          scala.collection.mutable.Map.empty[(String, Int), Long]
         try {
           it.foreach { case (m, src) =>
-            txn.markConsumed(src.topic, src.partition, src.offset)
-            txn.produce(m.topic, m.partition, m.key, m.value, m.headers)
+            val floor = committedAtStart.getOrElseUpdate(
+              (src.topic, src.partition),
+              producer.committedOffset(groupId, src.topic, src.partition)
+                .getOrElse(0L))
+            if (src.offset >= floor) {
+              txn.markConsumed(src.topic, src.partition, src.offset)
+              txn.produce(m.topic, m.partition, m.key, m.value, m.headers)
+            }
           }
-          commitWithRetries(txn, maxCommitAttempts)
+          // a fully-skipped task (pure post-commit replay) has no
+          // transaction to commit — committing would throw
+          // TransactionNotRequired, and beginning one would be noise
+          if (txn.hasOutstandingUpdates) commitWithRetries(txn, maxCommitAttempts)
         } finally producer.close()
       }
     }
@@ -125,6 +156,14 @@ trait TxProducerClient {
       groupId: String): Unit
   def commitTransaction(timeoutSecs: Int): Unit
   def abortTransaction(timeoutSecs: Int): Unit
+  /** The group's committed NEXT-TO-READ offset for a source partition
+    * (Consumer#committed on a real client; the reference reads the same
+    * position implicitly by resuming its read_committed consumer there).
+    * [[Transactions.writeBatchTransactional]] uses it to skip rows an
+    * already-committed prior task attempt produced. None = the binding
+    * cannot read group offsets; the post-commit replay window then
+    * degrades to at-least-once (documented in the object scaladoc). */
+  def committedOffset(groupId: String, topic: String, partition: Int): Option[Long] = None
   def close(): Unit = ()
 }
 

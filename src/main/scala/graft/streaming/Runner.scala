@@ -53,6 +53,15 @@ object Runner {
     var mode = policy.batchMode
     while (!until()) {
       Thread.sleep(pollMillis)
+      // a dead query must surface, not be polled forever: rethrow its
+      // failure (the reference's consume loop likewise lets the fatal
+      // exception propagate to the app runner rather than spinning). A
+      // query that stopped WITHOUT an exception (external stop) just ends
+      // the loop — restarting on top of whoever stopped it would race.
+      if (!q.isActive) {
+        q.exception.foreach(throw _)
+        return q
+      }
       Option(q.lastProgress).foreach(p => policy.observeBatchSize(p.numInputRows))
       ageOf(q).foreach(policy.observeMessageAge)
       if (policy.batchMode != mode) {

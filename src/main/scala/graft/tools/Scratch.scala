@@ -19,6 +19,7 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.contains("dd03stages")) { dd03Stages(spark, dir); spark.stop(); return }
+    if (args.contains("bucketcensus")) { bucketCensus(spark, dir); spark.stop(); return }
     names.foreach { name =>
       val q = graft.SparkEntry.queries(name)
       if (verbose) q(spark, dir).explain("formatted")
@@ -30,6 +31,50 @@ object Scratch {
       }
     }
     spark.stop()
+  }
+
+  /** LSH bucket-population census for dd03 (band,bh) and dd04
+    * (band,bandval): per-size bucket counts and the within-bucket
+    * all-pairs candidate mass — the numbers the adaptive hot-bucket cap
+    * budget is tuned against. */
+  private def bucketCensus(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.core.Tables
+    import graft.functions.Text
+    def report(label: String, census: org.apache.spark.sql.DataFrame): Unit = {
+      val h = census.groupBy(col("count")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val totalPairs = h.map { case (c, n) => n * c * (c - 1) / 2 }.sum
+      val over64 = h.filter(_._1 > 64)
+      val over64Pairs = over64.map { case (c, n) => n * c * (c - 1) / 2 }.sum
+      println(s"[census] $label: maxBucket=${h.lastOption.map(_._1).getOrElse(0L)} " +
+        s"totalPairs=$totalPairs pairsFromBucketsOver64=$over64Pairs " +
+        s"bucketsOver64=${over64.map(_._2).sum}")
+      println(s"[census] $label sizes>16: " + h.filter(_._1 > 16)
+        .map { case (c, n) => s"$c:$n" }.mkString(" "))
+    }
+    // dd03: canonicalized representatives -> minhash -> 32 bands
+    val fpDocs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), md5(col("text")).as("fp"))
+    val groups = fpDocs.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("rep"), max(col("text")).as("text"))
+    val sigs = groups.select(col("rep").as("doc_id"),
+      graft.functions.MinHashFromText.minhashFromText(col("text"), 5, 128).as("sig"))
+    val bands = sigs.select(col("doc_id"),
+        explode(Text.lshBands(col("sig"), 128, 32)).as("b"))
+      .select(col("b.band").as("band"), col("b.bh").as("bh"))
+    report("dd03", bands.groupBy(col("band"), col("bh")).count())
+    // dd04: simhash 15-bit bands
+    val sdocs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.Md5SimHash60.md5Simhash60(
+          split(Text.normText(col("text")), " ")).as("sh64"))
+    val banded = sdocs.select(
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sh64"), b * 15).bitwiseAND(lit(0x7fffL))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bandval")
+    report("dd04", banded.groupBy(col("band"), col("bandval")).count())
   }
 
   /** Stage-by-stage timing of the dd03 MinHash-LSH pipeline. */

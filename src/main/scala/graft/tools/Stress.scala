@@ -185,11 +185,20 @@ object Stress {
       nameArgs.toSeq.filterNot((queries ++ dedupSubset).contains)
     if (unknownNames.nonEmpty)
       sys.error(s"unknown/non-stress queries: ${unknownNames.mkString(", ")}")
+    // mode pairing guard (round-10 advice): a name must belong to the
+    // corpus mode actually being built, or the run would produce
+    // success-looking SCALE evidence against the wrong corpus — the exact
+    // thing the strict parse exists to prevent. dd01/dd03/dd12 live in
+    // both lists and run under either mode.
+    val modeList = if (exactCopies) dedupSubset else queries
+    val wrongMode = nameArgs.toSeq.filterNot(modeList.contains)
+    if (wrongMode.nonEmpty)
+      sys.error(s"queries not in ${if (exactCopies) "exact" else "amplified"}" +
+        s"-mode list: ${wrongMode.mkString(", ")} " +
+        "(dedup-subset names need 'exact'; scalable names forbid it)")
     val selected =
-      if (nameArgs.nonEmpty)
-        (queries ++ dedupSubset).distinct.filter(nameArgs.contains)
-      else if (exactCopies) dedupSubset
-      else queries
+      if (nameArgs.nonEmpty) modeList.filter(nameArgs.contains)
+      else modeList
     var failed = false
     selected.foreach { name =>
       spark.catalog.clearCache()

@@ -127,6 +127,77 @@ class DedupSpec extends AnyFunSuite {
     assert(total == docs)
   }
 
+  test("adaptive hot-bucket cap: default path is bit-identical to the fixed " +
+    "ceiling on the test corpus (census far under the pair budget)") {
+    // the round-11 contract: making the cap duplication-adaptive must not
+    // change a single emitted pair on the corpora the oracle checks —
+    // measured census: sf0.01 has NO bucket over the 64 floor; sf0.1's
+    // over-floor candidate mass is 263k vs the >=1M budget
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val adaptive = rows(Dedup.minhashLshPairs(spark, sf0001))
+    val fixed = rows(Dedup.minhashLshPairsCapped(spark, sf0001, Dedup.HotBucketCap))
+    assert(adaptive == fixed)
+  }
+
+  test("adaptive hot-bucket cap engages at synthetic 100x near-copy " +
+    "duplication under DEFAULT config and keeps every copy group connected") {
+    import spark.implicits._
+    // 100x copymark amplification of 40 long documents (the Stress recipe
+    // at test scale): near-copies survive md5 canonicalization, so the
+    // bucket census is the ONLY signal of duplication — exactly the regime
+    // where the fixed cap=1024 died at 100x (SCALE.md ENOSPC kill). Long
+    // texts keep copy-vs-copy Jaccard >= 0.8 so the pairs are true dups.
+    val base = graft.core.Tables.documents(spark, sf0001)
+      .filter(length(col("text")) > 500)
+      .orderBy(col("doc_id")).limit(40)
+      .select(col("doc_id"), col("text"), col("source"), col("lang"))
+      .collect()
+    assert(base.length == 40, "corpus must have 40 long docs for this test")
+    val span = base.map(_.getLong(0)).max + 1
+    val copies = 100
+    val amplified = for (r <- base.toSeq; i <- 0 until copies) yield
+      (r.getLong(0) + i * span, r.getString(1) + s" copymark$i",
+        r.getString(2), r.getString(3))
+    val dir = java.nio.file.Files.createTempDirectory("graft_dd_adaptive").toString
+    amplified.toDF("doc_id", "text", "source", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // DEFAULT config — no manual cap argument anywhere; the observer only
+    // records the cap the operator derived for the non-vacuity assert
+    var capSeen = -1
+    val pairs = Dedup.minhashLshPairsTracked(spark, dir,
+        capObserver = capSeen = _)._1
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+
+    // non-vacuity: the census must have pushed the effective cap BELOW the
+    // ceiling (i.e. the star fallback actually engaged for the inflated
+    // buckets) — without this the connectivity assert would pass vacuously
+    // on the exact all-pairs path. (Output VOLUME is no proxy: dropped
+    // hot-bucket pairs legitimately resurface via colder bands.)
+    assert(capSeen >= Dedup.HotBucketCapFloor && capSeen < Dedup.HotBucketCap,
+      s"adaptive cap $capSeen did not engage (ceiling ${Dedup.HotBucketCap})")
+    assert(pairs.nonEmpty)
+
+    // connectivity: every one of the 100 copies of a base doc must land in
+    // the same component (the dupClusters/dedupApply guarantee the star
+    // contract preserves)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+    pairs.foreach { case (a, b) => union(a, b) }
+    for (r <- base) {
+      val groupIds = (0 until copies).map(i => r.getLong(0) + i * span)
+      val comps = groupIds.map(find).distinct
+      assert(comps.size == 1,
+        s"copy group of base doc ${r.getLong(0)} split into ${comps.size} components")
+    }
+  }
+
   test("clusterLabels hybrid: driver union-find == distributed propagation") {
     val pairs = Dedup.minhashLshPairsTracked(spark, sf0001)._1
       .select(col("doc_a"), col("doc_b")).persist()

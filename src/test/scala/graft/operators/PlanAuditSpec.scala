@@ -1014,8 +1014,33 @@ class PlanAuditSpec extends AnyFunSuite {
     val plan = planOf(Classifier.thresholdSweepQuery(spark, sf0001))
     assert(!plan.contains("CartesianProduct"), plan)
     // dd20's discipline: threshold comparisons are broadcast nested loops
-    // against the ≤42-row (bin, label) histogram / 1-row positives count
-    assert(count(plan, "BroadcastNestedLoopJoin") >= 2, plan)
+    // against the ≤42-row (bin, label) histogram
+    assert(count(plan, "BroadcastNestedLoopJoin") >= 1, plan)
+    // round-11 pin: the histogram is a collected-and-reemitted
+    // LocalRelation (bounded at 42 rows by construction), so the RETURNED
+    // plan never rescans the corpus — the one scoring scan ran inside the
+    // query builder. A FileScan reappearing here means the sweep went back
+    // to re-deriving cl01 per consumer.
+    assert(plan.contains("LocalTableScan"), plan)
+    assert(!plan.contains("FileScan"), plan)
+    assert(!plan.contains("parquet"), plan)
+  }
+
+  test("iterative loops keep their localCheckpoints: result plans stay bounded (round-10 verdict #9)") {
+    // gr01 (distributed PageRank), gr04 (k-core peel) and dd05 (cluster
+    // label propagation) all iterate plan-on-plan; round 10 added
+    // localCheckpoint()s so lineage resets each round. This sweep pins
+    // them: if a loop drops its checkpoint, the analyzed plan of the
+    // RESULT frame grows with the iteration count and blows this bound
+    // (measured with checkpoints: every one of these stays well under
+    // 64 KB at test scale; without them gr01's plan alone is megabytes).
+    for (name <- Seq("gr01_dup_hub_rank", "gr04_kcore", "dd05_dup_clusters")) {
+      val df = graft.SparkEntry.queries(name)(spark, sf0001)
+      val size = df.queryExecution.analyzed.toString.length
+      assert(size < 65536,
+        s"$name analyzed plan is $size chars — an iterative loop lost its localCheckpoint")
+      spark.sharedState.cacheManager.clearCache()
+    }
   }
 
   test("window audit: every unpartitioned Window sits above a bounded-cardinality input") {

@@ -178,6 +178,12 @@ final class InMemoryTxBroker {
         }
         open = false; slots = Nil; pendingOffsets = Map.empty
       }
+
+      override def committedOffset(groupId: String, topic: String,
+          partition: Int): Option[Long] = {
+        checkFenced()
+        lock.synchronized { groupOffsets.get((groupId, topic, partition)) }
+      }
     }
 }
 

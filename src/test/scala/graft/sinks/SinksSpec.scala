@@ -176,6 +176,37 @@ class SinksSpec extends AnyFunSuite {
     assert(broker.readCommitted("out").size == 9)
   }
 
+  test("strict EOS: post-commit TASK replay of the same dataset is filtered (round-10 advice)") {
+    // the window the round-10 advice named: a Spark task retried (or
+    // speculatively re-attempted) AFTER commitTransaction succeeded
+    // replays the partition from the Dataset, not from broker offsets —
+    // without the committed-offset filter every row would re-produce.
+    val broker = new InMemoryTxBroker
+    for (i <- 0 to 4) broker.produceRaw("in", 0, s"k$i", s"v$i")
+    val txSeq = new java.util.concurrent.atomic.AtomicInteger
+    TxProducers.register("spec-replay",
+      () => broker.producer(s"replay-task-${txSeq.incrementAndGet()}"))
+    def rows(upTo: Int) = (0 to upTo).map { i =>
+      (Message(s"k$i", s"V$i", Map.empty[String, String], "out", 0, 0L,
+        new Timestamp(1700000000000L)),
+        Transactions.SourceOffset("in", 0, i.toLong))
+    }.toDS()
+    Transactions.writeBatchTransactional(rows(2), "spec-replay", "g")
+    assert(broker.readCommitted("out").size == 3)
+    assert(broker.committedOffset("g", "in", 0).contains(3L))
+    // identical partition data replays post-commit: every row is under the
+    // committed floor, no transaction begins, nothing lands twice
+    Transactions.writeBatchTransactional(rows(2), "spec-replay", "g")
+    assert(broker.readCommitted("out").size == 3)
+    assert(broker.committedOffset("g", "in", 0).contains(3L))
+    // a replay carrying BOTH committed and fresh rows produces ONLY the
+    // fresh ones and advances the offset past them
+    Transactions.writeBatchTransactional(rows(4), "spec-replay", "g")
+    assert(broker.readCommitted("out").map(_.value).sorted ==
+      Seq("V0", "V1", "V2", "V3", "V4"))
+    assert(broker.committedOffset("g", "in", 0).contains(5L))
+  }
+
   test("multi-message bulk transform sees the whole batch in order (T2)") {
     import graft.state.GraftTableApp
     val msgs = Seq(msg("a", 2, "g2"), msg("a", 0, "g0"), msg("a", 1, "g1")).toDS()

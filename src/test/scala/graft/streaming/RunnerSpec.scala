@@ -83,6 +83,55 @@ class RunnerSpec extends AnyFunSuite {
     assert(stopped.toSeq == Seq(100, 1000, 100))
   }
 
+  test("runAdaptive surfaces a dead query instead of polling it forever (round-10 advice)") {
+    // a REAL query that fails its first batch: the adaptive loop must
+    // rethrow the failure, not keep sleeping against a dead query until
+    // until() flips (which here never does)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_runner_dead").toString
+    val input = MemoryStream[Message](spark)
+    val failing = input.toDS().map { m =>
+      if (m.key == "boom") throw new IllegalStateException("induced failure")
+      m
+    }
+    input.addData(Seq(msgAt("boom", 0)))
+    def mk(cap: Long) = failing.writeStream.format("noop")
+      .option("checkpointLocation", ckpt).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Runner.runAdaptive(mk, new LagBatchPolicy(60.0, 100),
+        until = () => false, pollMillis = 10)
+    }
+    assert(e.getMessage.contains("induced failure") ||
+      Option(e.getCause).exists(_.getMessage.contains("induced failure")))
+  }
+
+  test("runAdaptive returns when the query was stopped externally (no exception)") {
+    import org.apache.spark.sql.streaming.StreamingQuery
+    final class StoppedQuery extends StreamingQuery {
+      override def name: String = "stopped"
+      override def id: java.util.UUID = java.util.UUID.randomUUID()
+      override def runId: java.util.UUID = java.util.UUID.randomUUID()
+      override def sparkSession: org.apache.spark.sql.SparkSession = spark
+      override def isActive: Boolean = false // externally stopped
+      override def exception = None
+      override def status = null
+      override def recentProgress = Array.empty
+      override def lastProgress = null
+      override def awaitTermination(): Unit = ()
+      override def awaitTermination(timeoutMs: Long): Boolean = true
+      override def processAllAvailable(): Unit = ()
+      override def stop(): Unit = ()
+      override def explain(): Unit = ()
+      override def explain(extended: Boolean): Unit = ()
+    }
+    // restarting on top of whoever stopped it would race — the loop ends
+    val q = Runner.runAdaptive(_ => new StoppedQuery,
+      new LagBatchPolicy(60.0, 100), until = () => false, pollMillis = 1)
+    assert(!q.isActive)
+  }
+
+  private def msgAt(key: String, off: Long): Message =
+    Message(key, s"v$off", Map.empty, "t", 0, off, new Timestamp(off))
+
   test("start() runs a checkpointed query end to end and stops cleanly") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_runner_ckpt").toString
     val input = MemoryStream[Message](spark)

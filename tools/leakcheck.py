@@ -62,7 +62,15 @@ def iter_files(root):
 
 
 def main():
-    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else -1
+    # the round number is REQUIRED: round 10 shipped a "-1" placeholder
+    # stamp because the unset default leaked into the committed artifact,
+    # breaking round traceability — fail loudly instead.
+    if len(sys.argv) < 2:
+        sys.exit("usage: leakcheck.py <round-number> [repo-root] "
+                 "(round is required; an unset round must not be stamped)")
+    rnd = int(sys.argv[1])
+    if rnd < 1:
+        sys.exit(f"invalid round number: {rnd} (must be >= 1)")
     root = sys.argv[2] if len(sys.argv) > 2 else "."
     hits = {k: [] for k in PATTERNS}
     n_files = 0
