@@ -228,6 +228,9 @@ object Bench {
     "dd22_sketch_containment",
     "sa12_token_budget",
     "cl09_threshold_sweep",
+    // round-11: the composed containment funnel — the dd22 screen's one
+    // linear pass plus an exact verify confined to its survivors
+    "dd23_containment_funnel",
     "dq07_snapshot_diff",
     "ev15_cusum",
     "ir13_bm25f",

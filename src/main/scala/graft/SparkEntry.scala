@@ -212,6 +212,7 @@ object SparkEntry {
     "dd19_containment"     -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
     "dd21_containment_sampled" -> ((s: SparkSession, d: String) => Dedup.containmentPairsSampled(s, d)),
     "dd22_sketch_containment" -> ((s: SparkSession, d: String) => Dedup.sketchContainmentQuery(s, d)),
+    "dd23_containment_funnel" -> ((s: SparkSession, d: String) => Dedup.containmentFunnelQuery(s, d)),
     "sa12_token_budget" -> ((s: SparkSession, d: String) => Curation.tokenBudgetQuery(s, d)),
     "cl09_threshold_sweep" -> ((s: SparkSession, d: String) => graft.operators.Classifier.thresholdSweepQuery(s, d)),
     "ta22_novelty"         -> ((s: SparkSession, d: String) => TextAnalysis.noveltyQuery(s, d)),
@@ -804,6 +805,7 @@ object SparkEntry {
     "dd19_containment" -> Dedup.containmentOracleSql(),
     "dd21_containment_sampled" -> Dedup.containmentSampledOracleSql(),
     "dd22_sketch_containment" -> Dedup.sketchContainmentOracleSql(),
+    "dd23_containment_funnel" -> Dedup.containmentFunnelOracleSql(),
     "sa12_token_budget" -> Curation.tokenBudgetOracleSql,
     "cl09_threshold_sweep" -> graft.operators.Classifier.thresholdSweepOracleSql(),
     "ta22_novelty" -> TextAnalysis.noveltyOracleSql,

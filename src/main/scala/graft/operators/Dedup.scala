@@ -1646,6 +1646,129 @@ object Dedup {
       FROM scr WHERE c >= $tau
       ORDER BY ref_id, doc_id"""
 
+  /** Survivor-broadcast guard for [[containmentFunnelQuery]]'s verify
+    * joins: the screen's survivor pair list broadcasts when it holds at
+    * most this many rows (two longs hash at ~50 B/row, so 2M rows ≈
+    * 100 MB — the practical executor ceiling); above it the verify joins
+    * shuffle on their keys instead. The dd05/dd21 size-guarded-hybrid
+    * move, decided by ONE driver-side count that also materializes the
+    * persisted screen. */
+  val FunnelBroadcastMaxSurvivors = 2000000L
+
+  /** dd23 — the containment funnel END TO END: dd22's sketch screen feeds
+    * the exact verify, composed as one operator (the dd16
+    * bloom-before-dd08 pattern applied to containment — SCALE.md's
+    * promised composition). Output: every (reference doc A, corpus doc B)
+    * pair that SURVIVES the KMV sketch screen at ĉ ≥ [[SketchTau]], with
+    * the screen estimate, the EXACT |A∩B| census and score, and a
+    * `confirmed` verdict (exact ≥ [[ContainTau]]) on the row — the audit
+    * report a decontamination pipeline acts on: confirmed rows are the
+    * true inclusions, unconfirmed rows are the screen's measured
+    * over-report (dd22 alone over-reports at the τ-gap by design; dd21
+    * alone cannot run on dense-vocab corpora at full rate; on the test
+    * corpus every survivor is random overlap, so the verdict split is
+    * 0/320 at sf0.01 — the funnel proving the screen's FPs are FPs is
+    * the non-vacuous content).
+    *
+    * Semantics contract (stated, not hidden): the funnel's recall is the
+    * SCREEN's recall — a pair whose true containment ≥ [[ContainTau]] but
+    * whose sketch estimate fell below [[SketchTau]] never reaches the
+    * verify. That is the entire point of screening (the permissive
+    * τ_screen = 0.5 against τ_exact = 0.7 gives the estimator its ~1/√k
+    * error margin), and the spec pins a constructed leak so the trade is
+    * visible, not accidental.
+    *
+    * Determinism: the screen is dd22's (engine-portable hashes, unrounded
+    * threshold compare); the verify is dd19's exact integer census and
+    * ONE IEEE division, threshold-compared unrounded on both engines,
+    * 6dp-rounded on output only.
+    *
+    * Plan shape for 100 TB: corpus touched exactly TWICE — once by the
+    * screen's linear sketch build (dd22's shape: per-doc window cut to k
+    * rows map-side, bounded reference broadcast, native
+    * [[graft.functions.KmvMergeCounts]] merge), once by the verify's
+    * re-scan, where shingling runs ONLY on docs that survived (the
+    * survivor semi-join lands on the scan side BEFORE the explode, so the
+    * 100 TB corpus contributes text bytes only for the screen's hits).
+    * The screen's survivor list persists (released by the session
+    * cache-clear between queries, like dd21's staging table); ONE count
+    * of it materializes the cache and picks broadcast vs shuffle for the
+    * verify joins ([[FunnelBroadcastMaxSurvivors]]). The reference side's
+    * token table is bounded by contract and always broadcasts. Nothing
+    * corpus×corpus is ever formed: the verify's join volume is
+    * Σ_{(A,B) surviving} |B|'s shingles matched against A's — the
+    * output-sensitive floor for exact verification. */
+  def containmentFunnelQuery(s: SparkSession, dir: String,
+      broadcastMaxSurvivors: Long = FunnelBroadcastMaxSurvivors): DataFrame = {
+    val screened = sketchContainmentQuery(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE driver action: materializes the persisted screen AND decides
+    // the verify join strategy (see scaladoc)
+    val bcast = screened.count() <= broadcastMaxSurvivors
+    def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    val surv = screened.select(col("ref_id"), col("doc_id"),
+      col("n_ref"), col("n_tok"), col("est_containment"))
+    val docs = Tables.parallel(Tables.documents(s, dir))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    // shingle ONLY the docs the verify needs: semi-join before explode
+    def toks(ids: DataFrame): DataFrame = docs
+      .join(side(ids), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        explode(graft.functions.CharShingles
+          .charShingles(col("text"), ShingleSize)).as("w"))
+    // reference tokens: bounded by the SketchRef contract — broadcast
+    val aTok = toks(surv.select(col("ref_id").as("doc_id")).distinct())
+      .select(col("doc_id").as("ref_id"), col("w"))
+    val bTok = toks(surv.select(col("doc_id")).distinct())
+    // exact |A∩B|: shingles are per-doc DISTINCT, so the pair-restricted
+    // token equi-join's row count IS the intersection (dd21's fused move)
+    val inter = bTok
+      .join(side(surv.select(col("ref_id"), col("doc_id"))), Seq("doc_id"))
+      .join(broadcast(aTok), Seq("ref_id", "w"))
+      .groupBy(col("ref_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    // TOTAL report over the survivors (left join: a survivor with zero
+    // shared shingles — possible only via a sketch-hash collision — still
+    // gets its verdict row); confirmed = the exact one-division compare
+    surv.join(inter, Seq("ref_id", "doc_id"), "left")
+      .withColumn("ns", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("cx",
+        col("ns").cast("double") / col("n_ref").cast("double"))
+      .select(col("ref_id"), col("doc_id"), col("n_ref"), col("n_tok"),
+        col("ns").as("n_shared"), col("est_containment"),
+        round(col("cx"), 6).as("containment"),
+        (col("cx") >= ContainTau).as("confirmed"))
+      .orderBy(col("ref_id"), col("doc_id"))
+  }
+
+  /** DuckDB SQL replicating [[containmentFunnelQuery]] exactly — the dd22
+    * screen verbatim as a CTE, then the exact token-intersection verify
+    * over its survivors (the dd21-style count restricted to surviving
+    * pairs), same unrounded threshold compares. */
+  def containmentFunnelOracleSql(tau: Double = ContainTau): String = s"""
+      WITH scr AS (${sketchContainmentOracleSql()}),
+      psh2 AS (SELECT doc_id, list_distinct(list_transform(
+                 range(1, greatest(length(text) - ${ShingleSize - 2}, 2)),
+                 i -> substr(text, CAST(i AS INT), $ShingleSize))) AS s
+               FROM documents WHERE text IS NOT NULL),
+      tok2 AS (SELECT doc_id, unnest(s) AS w FROM psh2),
+      ex AS (SELECT s.ref_id, s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+             FROM scr s
+               JOIN tok2 a ON a.doc_id = s.ref_id
+               JOIN tok2 b ON b.doc_id = s.doc_id AND b.w = a.w
+             GROUP BY 1, 2)
+      SELECT s.ref_id, s.doc_id, s.n_ref, s.n_tok,
+             coalesce(ex.n_shared, 0) AS n_shared,
+             s.est_containment,
+             round(CAST(coalesce(ex.n_shared, 0) AS DOUBLE)
+                   / CAST(s.n_ref AS DOUBLE), 6) AS containment,
+             (CAST(coalesce(ex.n_shared, 0) AS DOUBLE)
+              / CAST(s.n_ref AS DOUBLE) >= $tau) AS confirmed
+      FROM scr s LEFT JOIN ex
+        ON s.ref_id = ex.ref_id AND s.doc_id = ex.doc_id
+      ORDER BY s.ref_id, s.doc_id"""
+
   /** dd20 — near-dup threshold sweep (the tuning report behind picking a
     * dedup radius): for every simhash hamming radius 0..3, the pair count
     * and the count of documents touched by at least one pair at that

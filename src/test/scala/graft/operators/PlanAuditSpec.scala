@@ -1026,6 +1026,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("parquet"), plan)
   }
 
+  test("dd23: screen cached before the exact verify; verify scans confined to survivors") {
+    val exec = Dedup.containmentFunnelQuery(spark, sf0001)
+      .queryExecution.executedPlan
+    try {
+      // node walk that STOPS at the cache boundary: the cached screen's
+      // build plan (which legitimately holds dd22's bounded-ref
+      // BroadcastNestedLoopJoin, pinned in its own test) prints once per
+      // InMemoryTableScan in the STRING, so string-counting would see it
+      // 4× — the verify-stage claims below are about the outer plan only
+      def outer(p: SparkPlan): Iterator[SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          outer(a.executedPlan)
+        case _ => Iterator(p) ++
+          (p.children ++ p.subqueries).iterator.flatMap(outer)
+      }
+      val names = outer(exec).map(_.nodeName).toSeq
+      // the dd22 screen ran ONCE (materialized by the size-guard count)
+      // and the verify consumes the cache — a vanished InMemoryTableScan
+      // means the whole sketch chain re-executes per downstream join
+      assert(names.exists(_.contains("InMemoryTableScan")), names.mkString("\n"))
+      // both verify token scans are survivor-confined BEFORE the explode:
+      // the semi-joins are what keep 100 TB of text out of the shingler;
+      // survivor pairs and ref tokens broadcast; nothing corpus×corpus
+      // in the verify stage
+      val s = exec.toString
+      assert(count(s, "LeftSemi") >= 2, s)
+      assert(names.exists(_.contains("BroadcastHashJoin")), names.mkString("\n"))
+      assert(!names.exists(_.contains("CartesianProduct")), names.mkString("\n"))
+      assert(!names.exists(_.contains("BroadcastNestedLoop")), names.mkString("\n"))
+    } finally spark.sharedState.cacheManager.clearCache()
+  }
+
   test("iterative loops keep their localCheckpoints: result plans stay bounded (round-10 verdict #9)") {
     // gr01 (distributed PageRank), gr04 (k-core peel) and dd05 (cluster
     // label propagation) all iterate plan-on-plan; round 10 added
