@@ -716,12 +716,19 @@ object Dedup {
 
   /** Distributed min-label propagation (the > [[DriverCcMaxPairs]] path). */
   private[operators] def distributedLabels(pairs: DataFrame): DataFrame = {
+    // localCheckpoint, not persist: `edges` is joined EVERY iteration, so
+    // its PLAN STRING rides inside every iteration's plan — and the pair
+    // set's plan is the whole LSH chain. persist() caches the data but
+    // keeps the plan, and between the cadence-5 label checkpoints the
+    // nested-join plan grows ~2× per round TIMES the LSH plan: the 100×
+    // copymark rehearsal (round 11) measured 387M-char plan strings and
+    // pl04 at 1054 s, nearly all of it driver-side plan formatting.
+    // localCheckpoint (eager) materializes the same blocks AND truncates
+    // the plan to a scan of them; the blocks free with the RDD via the
+    // ContextCleaner once the final labels are themselves checkpointed.
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize the (tiny) edge set once — label propagation only ever
-    // re-reads `edges`
-    edges.count()
+      .localCheckpoint()
 
     var labels = edges.select(col("doc_a").as("id")).distinct()
       .withColumn("cluster", col("id"))
@@ -753,8 +760,10 @@ object Dedup {
     // silent non-convergence would report one component as several clusters
     require(changed == 0,
       s"dupClusters did not converge after $iter rounds (component diameter > $iter?)")
-    edges.unpersist(blocking = false) // result depends only on final labels
-    labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+    // final truncation: consumers (pl04's broadcast(labels), dd06's join)
+    // get a block scan, not the last ≤4 un-checkpointed rounds over edges
+    labels.localCheckpoint()
+      .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
   }
 
   /** Canonical-document selection (dedup with a QUALITY policy instead of

@@ -97,13 +97,17 @@ object Graph {
     * exchange payload stays node-scale. */
   private[operators] def distributedRanks(pairs: DataFrame,
       iters: Int): DataFrame = {
+    // localCheckpoint, not persist (the [[Dedup.distributedLabels]] round-11
+    // lesson): edges and deg are JOINED every round, so their plan strings
+    // ride inside every iteration's plan — and the pair set's plan is the
+    // whole LSH chain. The ranks checkpoint below keeps growth linear, but
+    // each round would still pay ~2 LSH-plan strings of analyzer/format
+    // work; the eager checkpoint truncates both to block scans.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    edges.count()
+      .localCheckpoint()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    deg.count()
+      .localCheckpoint()
     var ranks = deg.select(col("src").as("doc_id"), lit(1.0).as("pr"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ranks.count()
@@ -136,8 +140,8 @@ object Graph {
       .select(col("doc_id"), col("degree"), round(col("pr"), 6).as("pr"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize, then release every lineage cache it read
-    edges.unpersist(blocking = false)
-    deg.unpersist(blocking = false)
+    // edges/deg are localCheckpoints — their blocks free with the RDD via
+    // the ContextCleaner; ranks' final checkpoint likewise
     ranks.unpersist(blocking = false)
     out
   }

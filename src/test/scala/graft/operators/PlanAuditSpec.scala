@@ -1075,6 +1075,30 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("distributedLabels: result plan is checkpoint-truncated (round-11 pl04 lesson)") {
+    // the sf-scale loop guard above never enters the DISTRIBUTED label
+    // path (test corpora stay under DriverCcMaxPairs), which is exactly
+    // where the 100× rehearsal measured 387M-char plan strings: edges
+    // was persisted (data cached, PLAN kept) and every iteration nested
+    // the LSH chain's plan. Force the path directly on a synthetic pair
+    // frame whose own plan is made deliberately bulky, and pin that the
+    // RESULT plan no longer contains it.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a 3-chain plus a 2-chain; bulk up the input plan with stacked
+    // projections so a lost checkpoint is unmissable in the size bound
+    var pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    for (_ <- 1 to 50)
+      pairs = pairs.select(col("doc_a"), col("doc_b"),
+        (col("doc_a") + col("doc_b")).as("pad")).drop("pad")
+    val labels = Dedup.distributedLabels(pairs)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val size = labels.queryExecution.analyzed.toString.length
+    assert(size < 16384,
+      s"distributedLabels result plan is $size chars — the edges/labels localCheckpoints regressed")
+  }
+
   test("window audit: every unpartitioned Window sits above a bounded-cardinality input") {
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
     // Queries ALLOWED an unpartitioned window, each with the bound that
