@@ -219,6 +219,10 @@ final class KafkaClientsTxProducer(
 
   private val producer: AnyRef = producerRef.construct(jmap(producerConfigs))
   private var admin: AnyRef = _
+  // produce() is the per-record hot path: the Headers implementation class
+  // is resolved once and its method cache reused — no per-record Ref (and
+  // per-record ConcurrentHashMap) allocation
+  private var headersRef: Ref = _
 
   override def initTransactions(): Unit =
     translating(producerRef.call(producer, "initTransactions"))
@@ -231,9 +235,11 @@ final class KafkaClientsTxProducer(
     val rec = recordRef.construct(topic, Int.box(partition), key, value)
     if (headers.nonEmpty) {
       val h = recordRef.call(rec, "headers")
-      val hRef = new Ref(h.getClass)
+      if (headersRef == null || !headersRef.cls.isInstance(h))
+        headersRef = new Ref(h.getClass)
       headers.foreach { case (k, v) =>
-        hRef.call(h, "add", k, v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        headersRef.call(h, "add", k,
+          v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
     }
     producerRef.call(producer, "send", rec)
