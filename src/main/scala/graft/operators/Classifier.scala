@@ -81,7 +81,7 @@ object Classifier {
   private val modelCache = scala.collection.concurrent.TrieMap
     .empty[(String, String, Int, String), Array[Double]]
 
-  def clearModelCache(): Unit = modelCache.clear()
+  def clearModelCache(): Unit = { modelCache.clear(); knnCache.clear() }
 
   /** The `iters` full-batch GD steps (lr = 1.0) behind cl01/cl06/cl09 —
     * run once per (session, corpus, spec) and memoized. A TrieMap race
@@ -338,12 +338,65 @@ object Classifier {
     * Spark's 8 GB broadcast hard limit. */
   val MaxTrainBroadcastBytes: Long = 512L * 1024 * 1024
 
+  /** Neighbor-cut depth held by the session memo — every consumer's k
+    * (cl03/cl04 use 5, cl07 uses 5 and 1) is ≤ this, so ONE scoring pass
+    * serves them all: top-1 is a prefix of top-5 under the same
+    * (cos DESC, cand_id) order. */
+  val KnnMaxK = 5
+
+  /** Session-level kNN neighbor memo — the cl04/cl07 twin of
+    * [[trainedWeights]] (round-11 rehearsal finding: cl04 re-ran cl03's
+    * full test×train scoring — 1197 s ≈ 2× cl03's 598 s at 100×, and
+    * cl07 pays it twice more for k=5 and k=1). Unlike cl01, where the
+    * model is five doubles and re-scoring is a cheap columnar scan, kNN's
+    * expensive part IS the scoring — and the k-independent unit bounded
+    * enough to hold is the top-[[KnnMaxK]] neighbor cut: |test|×maxK
+    * narrow rows, localCheckpoint'ed so consumers get a block scan with
+    * no re-derivation (and no corpus-scale cache pinned — the scored
+    * pre-cut frame is |test|×|train| and is never materialized). Keyed by
+    * applicationId + corpus + routing budget; deterministic, so a memo
+    * hit is oracle-invisible; [[clearModelCache]] clears it. */
+  private val knnCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Int, Long), DataFrame]
+
+  /** The memoized top-[[KnnMaxK]] neighbor cut per test vector (rnk = 1
+    * is the nearest), shared by every kNN consumer. */
+  private[operators] def knnNeighbors(s: SparkSession, dir: String,
+      maxTrainBroadcastBytes: Long = MaxTrainBroadcastBytes): DataFrame =
+    knnCache.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir, KnnMaxK, maxTrainBroadcastBytes),
+      knnNeighborsUncached(s, dir, maxTrainBroadcastBytes).localCheckpoint())
+
+  /** The neighbor-cut derivation itself — split, score (routed), top-maxK
+    * window cut. Package-visible so PlanAuditSpec pins the SCORING plan
+    * shape here (the memoized consumers' plans are block scans by
+    * design). */
+  private[operators] def knnNeighborsUncached(s: SparkSession, dir: String,
+      maxTrainBroadcastBytes: Long = MaxTrainBroadcastBytes): DataFrame = {
+    val byCos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cand_id"))
+    knnScored(s, dir, maxTrainBroadcastBytes)
+      .withColumn("rnk", row_number().over(byCos))
+      .filter(col("rnk") <= KnnMaxK)
+  }
+
   /** The unordered kNN prediction set — shared by [[knnClassifierQuery]]
-    * (which reports it) and [[confusionReportQuery]] (which aggregates
-    * it), so the split/vote derivation exists once. `maxTrainBroadcastBytes`
-    * is the routing guard (tests force the IVF branch by passing 0). */
+    * (which reports it), [[confusionReportQuery]] (which aggregates it)
+    * and [[ensembleQuery]] (k = 5 and 1), so the split/score/cut
+    * derivation exists once per session ([[knnNeighbors]]).
+    * `maxTrainBroadcastBytes` is the routing guard (tests force the IVF
+    * branch by passing 0). */
   private[operators] def knnPredictions(s: SparkSession, dir: String, k: Int,
       maxTrainBroadcastBytes: Long = MaxTrainBroadcastBytes): DataFrame = {
+    require(k <= KnnMaxK, s"k=$k exceeds the memoized neighbor depth $KnnMaxK")
+    knnVote(knnNeighbors(s, dir, maxTrainBroadcastBytes)
+      .filter(col("rnk") <= k))
+  }
+
+  /** The scored (test × candidate) frame behind the neighbor cut —
+    * routed broadcast-exact vs IVF by the budget guard. */
+  private def knnScored(s: SparkSession, dir: String,
+      maxTrainBroadcastBytes: Long): DataFrame = {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
         col("label"))
@@ -357,14 +410,12 @@ object Classifier {
     // (count is a cheap columnar job; dim from the table contract)
     val nTrain = train.count()
     val estBytes = nTrain * (8L * 64 + 64)
-    val scored =
-      if (estBytes <= maxTrainBroadcastBytes)
-        test.join(broadcast(train))
-          .withColumn("cos", round(Similarity.cosine(col("qv"), col("cv")), 6))
-          .select(col("vec_id"), col("true_label"), col("cand_id"),
-            col("cand_label"), col("cos"))
-      else knnScoredIvf(train, test)
-    knnVote(scored, k)
+    if (estBytes <= maxTrainBroadcastBytes)
+      test.join(broadcast(train))
+        .withColumn("cos", round(Similarity.cosine(col("qv"), col("cv")), 6))
+        .select(col("vec_id"), col("true_label"), col("cand_id"),
+          col("cand_label"), col("cos"))
+    else knnScoredIvf(train, test)
   }
 
   /** The above-budget kNN scan (the sim04 IVF routing): deterministic
@@ -405,17 +456,14 @@ object Classifier {
         col("cand_label"), col("cos"))
   }
 
-  /** Shared kNN tail: neighbor cut (top-k by rounded cosine, id
-    * tie-break) + majority vote (ties on smaller label) over a scored
-    * candidate frame — ONE definition for both routings. */
-  private def knnVote(scored: DataFrame, k: Int): DataFrame = {
-    val byCos = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cand_id"))
+  /** Shared kNN tail: majority vote (ties on smaller label) over an
+    * already-cut neighbor frame — ONE definition for both routings. The
+    * neighbor cut itself (top-k by rounded cosine, id tie-break) lives in
+    * [[knnNeighbors]] so the memo can hold it k-independently. */
+  private def knnVote(neighbors: DataFrame): DataFrame = {
     val byVotes = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("n_votes").desc, col("cand_label"))
-    scored
-      .withColumn("rnk", row_number().over(byCos))
-      .filter(col("rnk") <= k)
+    neighbors
       .groupBy(col("vec_id"), col("true_label"), col("cand_label"))
       .agg(count(lit(1)).as("n_votes"))
       .withColumn("vr", row_number().over(byVotes))

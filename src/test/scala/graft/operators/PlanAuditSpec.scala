@@ -579,14 +579,31 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("cl03: train side broadcasts; neighbor cut is a WindowGroupLimit") {
-    val plan = planOf(Classifier.knnClassifierQuery(spark, sf0001))
+    // the scoring plan lives in the UNMEMOIZED derivation — consumers get
+    // the session-memoized checkpoint (next pin)
+    val plan = planOf(Classifier.knnNeighborsUncached(spark, sf0001))
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"), plan)
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("cl03/cl04/cl07: consumers read the memoized neighbor cut — no embedding rescan (round-11)") {
+    // the 100× rehearsal measured cl04 at 1197 s ≈ 2× cl03's 598 s: the
+    // confusion report re-paid the whole test×train scoring. Consumers
+    // must now plan over the |test|×maxK checkpoint: a FileScan of the
+    // embeddings table reappearing here means the memo regressed.
+    Classifier.knnClassifierQuery(spark, sf0001).collect() // populate memo
+    for (df <- Seq(Classifier.knnClassifierQuery(spark, sf0001),
+        Classifier.confusionReportQuery(spark, sf0001))) {
+      val plan = planOf(df)
+      assert(!plan.contains("FileScan"), plan)
+      assert(plan.contains("Scan ExistingRDD") || plan.contains("LogicalRDD") ||
+        plan.contains("ExistingRDD"), plan)
+    }
+  }
+
   test("cl03: forced-IVF routing joins inverted lists keyed by centroid") {
-    val plan = planOf(Classifier.knnPredictions(spark, sf0001, 5,
+    val plan = planOf(Classifier.knnNeighborsUncached(spark, sf0001,
       maxTrainBroadcastBytes = 0L))
     assert(plan.contains("WindowGroupLimit"), plan)
     // the candidate scan is an equi-join keyed by centroid id — the train
@@ -615,9 +632,11 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("cl04: the report adds only label-scale work over the kNN core") {
+    // since the round-11 memo the kNN core is a checkpointed block scan —
+    // the report is two label-scale aggregates + a |labels|-row full
+    // outer join over it, and must NOT re-derive the scoring (FileScan)
     val plan = planOf(Classifier.confusionReportQuery(spark, sf0001))
-    assert(plan.contains("BroadcastNestedLoopJoin") ||
-      plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("FileScan"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
