@@ -245,7 +245,8 @@ object Dedup {
     * [[HotBucketCap]] contract); the test corpus produces no such bucket,
     * so the oracle comparison runs the exact path. */
   def minhashLshPairs(s: SparkSession, dir: String): DataFrame =
-    minhashLshPairsTracked(s, dir)._1
+    materializedVerifiedPairs(s, dir)._1
+      .orderBy(col("doc_a"), col("doc_b"))
 
   /** [[minhashLshPairs]] with an explicit hot-bucket cap — the entry the
     * scale rehearsal (tools/Stress) uses to force the star fallback on a
@@ -643,51 +644,121 @@ object Dedup {
     * rounds ~ component diameter). This is the standard production shape:
     * the pair GRAPH is orders smaller than the corpus, so the driver path
     * almost always wins, while the distributed path keeps the operator
-    * total even when it doesn't. */
-  private[operators] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
-    val (pairs, nPairs) = materializedVerifiedPairs(s, dir)
-    val labels =
-      if (nPairs <= DriverCcMaxPairs) localLabels(s, pairs)
-      else distributedLabels(pairs)
-    pairs.unpersist(blocking = false)
-    labels
+    * total even when it doesn't.
+    *
+    * Session-memoized like the pair set it derives from (six consumers —
+    * dd05/dd14/dd15, pl03/pl04, sa09 — would otherwise each re-run the
+    * component fold): driver labels are a LocalTableScan (plan-embedded,
+    * no cache blocks), distributed labels are already localCheckpoint'ed
+    * by [[distributedLabels]]. Deterministic, so a memo hit is
+    * oracle-invisible; released by [[clearPairCache]]. */
+  private[operators] def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    labelCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      val (pairs, nPairs) = materializedVerifiedPairs(s, dir)
+      val edges = pairs.select(col("doc_a"), col("doc_b"))
+      if (nPairs <= DriverCcMaxPairs) localLabels(s, edges)
+      else distributedLabels(edges)
+    })
+
+  /** Session-level memo of the VERIFIED near-dup pair set per
+    * (applicationId, corpus dir) — the [[Classifier.knnNeighbors]] pattern
+    * applied to the LSH chain (round-11 rehearsal finding: gr01–gr04,
+    * sk03, dd05/dd06/dd14/dd15 and pl03/pl04 each re-derived the FULL
+    * shingle→signature→band→verify chain — sk03 at 100× re-paid dd03's
+    * 240 s, pl04's remaining 322 s was mostly the same re-pay). The pair
+    * set is the k-independent unit every graph-shaped consumer starts
+    * from, and it is collision-bounded (pairs-scale, not corpus-scale),
+    * so holding ONE localCheckpoint'ed copy per corpus is the cheap side
+    * of the trade at any scale. Deterministic, so a memo hit is
+    * oracle-invisible.
+    *
+    * Cache discipline: inserting a NEW corpus key for the same application
+    * evicts (unpersists) that application's entries for OTHER dirs — a
+    * long-lived session sweeping many corpora pins at most one corpus's
+    * pair blocks (the knnCache eviction contract). [[clearPairCache]]
+    * drops everything. localCheckpoint caveat (applies to every memo in
+    * this file and [[Classifier.knnNeighbors]]): blocks are
+    * non-recoverable on executor loss and unsafe under dynamic
+    * allocation — production sessions with dynamic allocation should
+    * checkpoint to reliable storage instead. */
+  private val pairCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (DataFrame, Long)]
+  private val labelCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), DataFrame]
+
+  /** Drops every memoized pair/label frame (and unpersists their
+    * checkpoint blocks, when the above-bound path left any) — the
+    * [[Classifier.clearModelCache]] twin. */
+  def clearPairCache(): Unit = {
+    pairCache.values.foreach { case (df, _) =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+    labelCache.values.foreach { df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+    pairCache.clear(); labelCache.clear()
   }
 
-  /** The verified near-dup pair set, MATERIALIZED (persisted + counted,
-    * LSH lineage caches released) — the shared entry of every graph-shaped
-    * consumer ([[clusterLabels]], [[Graph.dupHubRankQuery]]): one place
-    * owns the persist/count/release-lineage discipline, so a new consumer
-    * cannot drift on cache hygiene. The CALLER unpersists the returned
-    * frame once its own derivation is materialized. */
+  /** Evict other-dir entries for `app` (see the cache-discipline note
+    * above): keeps a corpus sweep from pinning every corpus's blocks. */
+  private def evictOtherDirs(app: String, dir: String): Unit = {
+    pairCache.keys.filter(k => k._1 == app && k._2 != dir).foreach { k =>
+      pairCache.remove(k).foreach { case (df, _) =>
+        try df.unpersist(blocking = false) catch { case _: Throwable => () }
+      }
+      labelCache.remove(k).foreach { df =>
+        try df.unpersist(blocking = false) catch { case _: Throwable => () }
+      }
+    }
+  }
+
+  /** The verified near-dup pair set, MATERIALIZED (chain run once, LSH
+    * lineage caches released) — the shared memoized entry of every
+    * graph-shaped consumer ([[clusterLabels]], [[Graph.dupHubRankQuery]],
+    * [[boundedPairs]], [[dedupApply]], [[dupSourceMatrix]]): one place
+    * owns the materialize/count/release-lineage discipline, so a new
+    * consumer cannot drift on cache hygiene.
+    *
+    * Frame form is size-routed like the CC hybrid: under
+    * [[DriverCcMaxPairs]] the pairs collect ONCE to a LocalTableScan —
+    * plan-embedded rows with EXACT stats, so every consumer join
+    * broadcasts for free and no SQL-cache entry exists for a
+    * clearCache() to strip (the persist-for-stats alternative lost its
+    * InMemoryRelation wrapper to any cache clear and silently degraded
+    * joins to sort-merge). Above the bound the localCheckpoint'ed
+    * distributed frame is returned — block-scan plans, shuffle joins,
+    * which is the correct shape for a billion-pair graph anyway. Callers
+    * must NOT unpersist the returned frame ([[clearPairCache]] owns
+    * release). */
   private[operators] def materializedVerifiedPairs(s: SparkSession,
       dir: String): (DataFrame, Long) = {
-    val (rawPairs, lshCaches) = minhashLshPairsTracked(s, dir)
-    val pairs = rawPairs.select(col("doc_a"), col("doc_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nPairs = pairs.count()
-    lshCaches.foreach(_.unpersist(blocking = false))
-    (pairs, nPairs)
+    val app = s.sparkContext.applicationId
+    pairCache.getOrElseUpdate((app, dir), {
+      evictOtherDirs(app, dir)
+      val (rawPairs, lshCaches) = minhashLshPairsTracked(s, dir)
+      // eager localCheckpoint: materializes the blocks AND truncates the
+      // plan, so the count and the (possible) collect below never re-run
+      // the chain. jaccard rides along so dd03's own report is a memo
+      // consumer too; graph consumers project it away (columnar, free).
+      val cp = rawPairs
+        .select(col("doc_a"), col("doc_b"), col("jaccard")).localCheckpoint()
+      val nPairs = cp.count()
+      lshCaches.foreach(_.unpersist(blocking = false))
+      if (nPairs <= DriverCcMaxPairs) {
+        import s.implicits._
+        val local = cp.as[(Long, Long, Double)].collect().toSeq
+        cp.unpersist(blocking = false) // rows are plan-embedded now
+        (s.createDataFrame(local).toDF("doc_a", "doc_b", "jaccard"), nPairs)
+      } else (cp, nPairs)
+    })
   }
 
-  /** The verified pair set as a frame whose cache does NOT outlive this
-    * call: under [[DriverCcMaxPairs]] the pairs collect to a
-    * LocalTableScan (downstream joins broadcast it for free and the
-    * persist is released immediately — the Graph.localRanks discipline);
-    * above the bound the persisted distributed frame is returned as-is
-    * (the caller's joins re-read the cache, which then lives until Spark
-    * evicts it — the documented trade of the oversized-graph path).
-    * Shared by the LAZY pair consumers (sk03, gr02) that cannot run the
-    * materialize-then-unpersist protocol themselves. */
-  private[operators] def boundedPairs(s: SparkSession, dir: String): DataFrame = {
-    val (pairsCached, nPairs) = materializedVerifiedPairs(s, dir)
-    if (nPairs <= DriverCcMaxPairs) {
-      import s.implicits._
-      val local = pairsCached.select(col("doc_a"), col("doc_b"))
-        .as[(Long, Long)].collect().toSeq
-      pairsCached.unpersist(blocking = false)
-      s.createDataFrame(local).toDF("doc_a", "doc_b")
-    } else pairsCached
-  }
+  /** The verified pair set without its jaccard column — the entry of the
+    * LAZY pair consumers (sk03, gr02, gr03, gr04). Form (LocalTableScan
+    * vs checkpoint blocks) is whatever [[materializedVerifiedPairs]]
+    * routed to. */
+  private[operators] def boundedPairs(s: SparkSession, dir: String): DataFrame =
+    materializedVerifiedPairs(s, dir)._1.select(col("doc_a"), col("doc_b"))
 
   /** Driver union-find over the bounded pair set (see [[clusterLabels]]):
     * path-halving find + link-to-min union, then every vertex labeled with
@@ -821,15 +892,13 @@ object Dedup {
   }
 
   /** Applied dedup (greedy keep-first): the retained corpus after dropping
-    * the higher-id member of every detected near-dup pair. */
+    * the higher-id member of every detected near-dup pair. The drop set is
+    * a distinct projection of the session-memoized pair set
+    * ([[materializedVerifiedPairs]]) — pairs-scale blocks, no LSH re-run
+    * when another consumer already paid for the chain. */
   def dedupApply(s: SparkSession, dir: String): DataFrame = {
-    val (pairs, lshCaches) = minhashLshPairsTracked(s, dir)
+    val (pairs, _) = materializedVerifiedPairs(s, dir)
     val drop = pairs.select(col("doc_b").as("doc_id")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize the (tiny) drop set, then release the LSH pipeline's
-    // intermediate caches — the anti-join below only re-reads `drop`
-    drop.count()
-    lshCaches.foreach(_.unpersist(blocking = false))
     Tables.documents(s, dir)
       .join(drop, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_chars"))
@@ -959,7 +1028,7 @@ object Dedup {
     * (least, greatest) so the matrix is upper-triangular including the
     * diagonal (within-source duplication). */
   def dupSourceMatrix(s: SparkSession, dir: String): DataFrame = {
-    val (pairs, _) = minhashLshPairsTracked(s, dir)
+    val (pairs, _) = materializedVerifiedPairs(s, dir)
     val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
     pairs
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")

@@ -40,13 +40,12 @@ object Graph {
   def dupHubRankQuery(s: SparkSession, dir: String,
       iters: Int = DefaultIters): DataFrame = {
     val (pairs, nPairs) = Dedup.materializedVerifiedPairs(s, dir)
+    // the pair frame is the SESSION-MEMOIZED checkpoint (round-12: shared
+    // by every graph-shaped consumer; never unpersist it here — the memo
+    // owns its blocks, released by Dedup.clearPairCache)
     val out =
       if (nPairs <= Dedup.DriverCcMaxPairs) localRanks(s, pairs, iters)
       else distributedRanks(pairs, iters) // materializes edges/deg/ranks
-    // both branches have materialized everything they derive from the pair
-    // cache by the time they return (collect / per-iteration counts), so
-    // the cache never outlives the call (cl01/pl01 lesson)
-    pairs.unpersist(blocking = false)
     out.orderBy(col("doc_id"))
   }
 
@@ -215,11 +214,10 @@ object Graph {
       import s.implicits._
       val local = pairsCached.select(col("doc_a"), col("doc_b"))
         .as[(Long, Long)].collect().toSeq
-      pairsCached.unpersist(blocking = false)
       localTriangles(s, local)
     } else distributedTriangles(pairsCached)
-    // (distributed path: the pair cache lives until eviction — the
-    // documented oversized-graph trade of Dedup.boundedPairs)
+    // (the pair frame is the session-memoized checkpoint — the memo owns
+    // its blocks; Dedup.clearPairCache releases them)
   }
 
   /** Driver fold twin of [[distributedTriangles]] — identical

@@ -21,7 +21,7 @@ class GraphSpec extends AnyFunSuite {
         .orderBy(col("doc_id")).collect().map(_.toSeq)
       assert(local.length == dist.length && local.length > 0)
       assert(local.sameElements(dist))
-    } finally pairs.unpersist(blocking = false)
+    } finally () // pair frame is the session memo's checkpoint - never unpersist
   }
 
   test("gr02: driver triangle fold equals the distributed wedge join") {
@@ -38,7 +38,7 @@ class GraphSpec extends AnyFunSuite {
       assert(local.sameElements(dist))
       // non-vacuity: the graph must actually close some triangle
       assert(dist.exists(r => r(2).asInstanceOf[Long] > 0L))
-    } finally pairs.unpersist(blocking = false)
+    } finally () // pair frame is the session memo's checkpoint - never unpersist
   }
 
   test("gr01: degrees match the pair multiset; total rank is conserved") {

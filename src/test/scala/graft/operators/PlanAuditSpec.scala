@@ -109,8 +109,10 @@ class PlanAuditSpec extends AnyFunSuite {
   test("dd03: canonicalization groups fingerprints with map-side combine") {
     // the canonicalize-first exchange must carry PARTIAL aggregates (one
     // row per distinct text per map partition), so an exact-copy flood
-    // collapses before it ever reaches the wire
-    val plan = planOf(Dedup.minhashLshPairs(spark, sf0001).limit(1))
+    // collapses before it ever reaches the wire. Pinned on the UNMEMOIZED
+    // derivation — minhashLshPairs itself now returns the session memo's
+    // block scan (see the round-12 memo pin below).
+    val plan = planOf(Dedup.minhashLshPairsTracked(spark, sf0001)._1.limit(1))
     assert(plan.contains("partial_min(doc_id"), plan)
   }
 
@@ -602,6 +604,28 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("dd03/dd05/dd06: consumers read the session-memoized pair set — no LSH re-derivation (round-12)") {
+    // the 100× rehearsal measured sk03 re-paying dd03's full 240 s chain
+    // and pl04's remaining 322 s was mostly the same re-pay: every
+    // graph-shaped consumer must now plan over the checkpointed pair
+    // blocks. A documents-table FileScan reappearing in the PAIR-only
+    // plans below means the memo regressed.
+    Dedup.minhashLshPairs(spark, sf0001).collect() // populate the memo
+    val p1 = planOf(Dedup.minhashLshPairs(spark, sf0001))
+    assert(!p1.contains("FileScan"), p1)
+    assert(p1.contains("ExistingRDD") || p1.contains("LocalTableScan") ||
+      p1.contains("InMemoryTableScan"), p1)
+    // a cluster consumer: labels derive from the memo (LocalTableScan on
+    // the driver path at this sf), never the shingle chain
+    val p2 = planOf(Dedup.dupClusters(spark, sf0001))
+    assert(!p2.contains("FileScan"), p2)
+    // an apply consumer: its only corpus work is the retained-corpus
+    // anti-join — exactly ONE documents FileScan, zero shingle work
+    val p3 = planOf(Dedup.dedupApply(spark, sf0001))
+    assert(count(p3, "FileScan") == 1, p3)
+    assert(!p3.contains("minhash") && !p3.contains("shingle"), p3)
+  }
+
   test("cl03: forced-IVF routing joins inverted lists keyed by centroid") {
     val plan = planOf(Classifier.knnNeighborsUncached(spark, sf0001,
       maxTrainBroadcastBytes = 0L))
@@ -668,7 +692,7 @@ class PlanAuditSpec extends AnyFunSuite {
       val plan = planOf(Graph.distributedTriangles(pairs))
       assert(!plan.contains("CartesianProduct"), plan)
       assert(plan.contains("BroadcastHashJoin"), plan)
-    } finally pairs.unpersist(blocking = false)
+    } finally () // pair frame is the session memo's checkpoint - never unpersist
   }
 
   test("q41: multiset ops plan as count aggregates, no pairwise join blowup") {
