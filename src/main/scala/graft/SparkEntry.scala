@@ -728,9 +728,14 @@ object SparkEntry {
     "sk02_cms_heavy" -> graft.operators.Sketch.cmsHeavyOracleSql(),
     // cl03/cl04: inline — reuse this object's sequential-fold cosSql (like
     // sim04) and share the prediction CTE chain between query and report
+    // recall_at_k is 1.0 by construction at oracle scale: the comparison
+    // budget routes every test corpus to the EXACT path (the approximate
+    // IVF route, where the sampled recall varies, engages only above
+    // Classifier.KnnScoreBudget — far beyond any sf the oracle checks)
     "cl03_knn_classifier" -> s"""
       WITH ${knnPredCtesSql()}
-      SELECT vec_id, true_label, pred_label, n_votes, correct
+      SELECT vec_id, true_label, pred_label, n_votes, correct,
+             1.0 AS recall_at_k
       FROM pred ORDER BY vec_id""",
     "cl04_confusion" -> s"""
       WITH ${knnPredCtesSql()},

@@ -50,7 +50,8 @@ object KafkaClients {
       config: String = "org.apache.kafka.clients.admin.Config",
       configEntry: String = "org.apache.kafka.clients.admin.ConfigEntry",
       listTopicsOptions: String =
-        "org.apache.kafka.clients.admin.ListTopicsOptions")
+        "org.apache.kafka.clients.admin.ListTopicsOptions",
+      alterConfigOp: String = "org.apache.kafka.clients.admin.AlterConfigOp")
 
   val Default: Namespace = Namespace()
 
@@ -143,8 +144,14 @@ object KafkaClients {
     *   - any other `KafkaException` → abort-required (the java-client
     *     transactional contract: abort and reprocess);
     *   - a non-Kafka throwable is NOT translated — it propagates as the
-    *     bug it is. */
-  private[bindings] def toClientError(t0: Throwable): Option[TxClientError] = {
+    *     bug it is. Enforced structurally (round-11 advice): simple-name
+    *     matching only applies to classes whose hierarchy lives under
+    *     `org.apache.kafka` (the real client) or in the injected
+    *     namespace's packages (the parity doubles) — so e.g. a
+    *     `java.util.concurrent.TimeoutException` surfaced from a wrapped
+    *     future can never ride the `_TIMED_OUT` path. */
+  private[bindings] def toClientError(t0: Throwable,
+      ns: Namespace = Default): Option[TxClientError] = {
     // futures surface broker errors wrapped in ExecutionException —
     // classify the cause, like the reference classifies KafkaError off
     // the KafkaException wrapper
@@ -153,8 +160,19 @@ object KafkaClients {
         e.getCause
       case other => other
     }
-    val names = Iterator.iterate[Class[_]](t.getClass)(_.getSuperclass)
-      .takeWhile(_ != null).map(_.getSimpleName).toSet
+    def pkg(c: Class[_]): String = {
+      val n = c.getName; val i = n.lastIndexOf('.')
+      if (i < 0) "" else n.substring(0, i)
+    }
+    val nsPkgs = ns.productIterator.collect {
+      case s: String if s.contains('.') => s.substring(0, s.lastIndexOf('.'))
+    }.toSet
+    val chain = Iterator.iterate[Class[_]](t.getClass)(_.getSuperclass)
+      .takeWhile(_ != null).toSeq
+    val fromClient = chain.exists(c =>
+      pkg(c).startsWith("org.apache.kafka") || nsPkgs.contains(pkg(c)))
+    if (!fromClient) return None
+    val names = chain.map(_.getSimpleName).toSet
     val fence = Set("ProducerFencedException", "InvalidProducerEpochException",
       "FencedInstanceIdException")
     if (names("TimeoutException"))
@@ -171,11 +189,11 @@ object KafkaClients {
     else None
   }
 
-  private[bindings] def translating[A](body: => A): A =
+  private[bindings] def translating[A](ns: Namespace)(body: => A): A =
     try body
     catch {
       case t: Throwable =>
-        throw toClientError(t).getOrElse(throw t)
+        throw toClientError(t, ns).getOrElse(throw t)
     }
 
   private[bindings] def jmap(m: Map[String, AnyRef]): java.util.Map[String, AnyRef] = {
@@ -209,6 +227,9 @@ final class KafkaClientsTxProducer(
     ns: KafkaClients.Namespace = KafkaClients.Default)
     extends TxProducerClient {
   import KafkaClients._
+
+  private def translating[A](body: => A): A =
+    KafkaClients.translating(ns)(body)
 
   private val producerRef = ref(ns.producer)
   private val recordRef = ref(ns.record)
@@ -306,6 +327,9 @@ final class KafkaClientsAdmin(
     extends AdminOps with AutoCloseable {
   import KafkaClients._
   import scala.jdk.CollectionConverters._
+
+  private def translating[A](body: => A): A =
+    KafkaClients.translating(ns)(body)
 
   private val adminRef = ref(ns.admin)
   private val admin: AnyRef =
@@ -423,16 +447,47 @@ final class KafkaClientsAdmin(
     c.getClass.getSimpleName
   }
 
+  /** Resolve an AlterConfigOp.OpType constant — enum on the real client;
+    * the doubles may expose either enum constants or a static valueOf. */
+  private def alterOpType(op: String): AnyRef = {
+    val cls = Class.forName(ns.alterConfigOp + "$OpType")
+    Option(cls.getEnumConstants)
+      .flatMap(_.collectFirst {
+        case e if e.toString == op => e.asInstanceOf[AnyRef] })
+      .getOrElse(cls.getMethod("valueOf", classOf[String]).invoke(null, op))
+  }
+
   override protected def applyTopicConfig(name: String,
       configs: Map[String, String]): Unit = {
     val entries = configs.toSeq.sortBy(_._1).map { case (k, v) =>
       ref(ns.configEntry).construct(k, v)
     }
-    val cfg = ref(ns.config).construct(
-      entries.asJava: java.util.Collection[AnyRef])
-    val j = new java.util.HashMap[AnyRef, AnyRef]
-    j.put(topicResource(name), cfg)
-    val result = translating(a.call(admin, "alterConfigs", j))
+    val result = translating {
+      try {
+        val cfg = ref(ns.config).construct(
+          entries.asJava: java.util.Collection[AnyRef])
+        val j = new java.util.HashMap[AnyRef, AnyRef]
+        j.put(topicResource(name), cfg)
+        a.call(admin, "alterConfigs", j)
+      } catch {
+        case _: NoSuchMethodException =>
+          // kafka-clients 4.x removed the legacy Admin.alterConfigs
+          // (deprecated since 2.3): fall back to incrementalAlterConfigs
+          // with one SET op per desired entry (round-11 advice). NOTE the
+          // semantics difference, stated not hidden: incremental SET
+          // MERGES into the topic's dynamic config — a dynamic key absent
+          // from `configs` survives, where the legacy full-replacement
+          // call would have dropped it. The toolbox's alter loop passes
+          // the full desired override set (retain mode re-asserts current
+          // values), so convergence is unaffected for the keys it manages.
+          val opType = alterOpType("SET")
+          val ops = entries.map(e => ref(ns.alterConfigOp).construct(e, opType))
+          val j = new java.util.HashMap[AnyRef, AnyRef]
+          j.put(topicResource(name),
+            ops.asJava: java.util.Collection[AnyRef])
+          a.call(admin, "incrementalAlterConfigs", j)
+      }
+    }
     val futures = new Ref(result.getClass).call(result, "values")
       .asInstanceOf[java.util.Map[AnyRef, AnyRef]].asScala
     futures.values.foreach { f =>
@@ -443,21 +498,28 @@ final class KafkaClientsAdmin(
             Option(if (t.getCause != null) t.getCause.getMessage
             else t.getMessage).getOrElse(""))
         case t: Throwable =>
-          throw KafkaClients.toClientError(t).getOrElse(t)
+          throw KafkaClients.toClientError(t, ns).getOrElse(t)
       }
     }
   }
 
-  /** fluvii_toolbox.py:144-149 verbatim: the broker message is split on
-    * ':', fields from the third on are per-config verdicts; the ones
-    * carrying "This config cannot be updated." are uneditable (their key
-    * is the text before '='), the rest are unhandled. */
+  /** fluvii_toolbox.py:144-149 semantics: fields split on ':' are
+    * per-config verdicts; the ones carrying "This config cannot be
+    * updated." are UNEDITABLE (their key is the text before '='), the
+    * rest are unhandled. The 'Broker: Policy violation' preamble is
+    * librdkafka's message formatting — the java client's
+    * PolicyViolationException carries the broker plugin's raw message
+    * without it (round-11 advice) — so leading fields are dropped only
+    * when they actually match that known preamble; an unparseable
+    * message yields PolicyViolation(Nil, Nil), which the toolbox's alter
+    * loop propagates (no-progress rule) instead of retrying blind. */
   private[bindings] def parsePolicyViolation(msg: String): PolicyViolation = {
-    val fields = msg.split(":").drop(2)
-    val (editableRefusals, rest) =
+    val preamble = Set("broker", "policy violation")
+    val fields = msg.split(":").dropWhile(f => preamble(f.trim.toLowerCase))
+    val (uneditableFields, rest) =
       fields.partition(_.contains("This config cannot be updated."))
     PolicyViolation(
-      editableRefusals.map(_.split("=")(0).trim).toSeq,
+      uneditableFields.map(_.split("=")(0).trim).toSeq,
       rest.map(_.trim).filter(_.nonEmpty).toSeq)
   }
 

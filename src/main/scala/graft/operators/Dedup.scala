@@ -1639,7 +1639,8 @@ object Dedup {
     * per-row work is O(k·|refs|) array arithmetic inside codegen — the
     * corpus is scanned once past the sketch build and NOTHING corpus×
     * corpus is ever formed. */
-  def sketchContainmentQuery(s: SparkSession, dir: String): DataFrame = {
+  def sketchContainmentQuery(s: SparkSession, dir: String,
+      k: Int = SketchK, tau: Double = SketchTau): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.parallel(Tables.documents(s, dir))
       .filter(col("text").isNotNull)
@@ -1653,7 +1654,7 @@ object Dedup {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("h"), col("w"))
     val sketches = tok
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= SketchK)
+      .filter(col("rnk") <= k)
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("h"))).as("sk"))
     val sizes = shing.select(col("doc_id"),
@@ -1673,14 +1674,14 @@ object Dedup {
     // compares, no allocation
     docSk.join(broadcast(refs), col("doc_id") =!= col("ref_id"))
       .withColumn("mi", graft.functions.KmvMergeCounts.kmvMergeCounts(
-        col("ska"), col("sk"), SketchK))
+        col("ska"), col("sk"), k))
       .withColumn("est_j",
         element_at(col("mi"), 2).cast("double") /
           element_at(col("mi"), 1).cast("double"))
       .withColumn("c",
         (col("est_j") * (col("n_ref") + col("n_tok")).cast("double")) /
           ((lit(1.0d) + col("est_j")) * col("n_ref").cast("double")))
-      .filter(col("c") >= SketchTau)
+      .filter(col("c") >= tau)
       .select(col("ref_id"), col("doc_id"), col("n_ref"), col("n_tok"),
         round(col("est_j"), 6).as("est_jaccard"),
         round(col("c"), 6).as("est_containment"))
@@ -1733,6 +1734,32 @@ object Dedup {
     * persisted screen. */
   val FunnelBroadcastMaxSurvivors = 2000000L
 
+  /** Sketch depth for the FUNNEL's screen pass — deeper than dd22's
+    * standalone k = [[SketchK]] because the funnel PAYS for every screen
+    * survivor with an exact verify: at the 100× rehearsal the k=64 screen
+    * passed 6.7M random-overlap pairs and the verify spent 400+ s
+    * refuting every one. 4× the depth halves the estimator's σ twice
+    * over; the screen's own cost is O(k) per pair inside codegen and one
+    * k-row window cut per doc — corpus-linear either way. */
+  val FunnelScreenK = 256
+
+  /** z-score of the funnel's precision gate (see
+    * [[containmentFunnelQuery]]): a pair whose TRUE containment is
+    * exactly [[ContainTau]] survives the gate with Φ(3) ≈ 99.87%
+    * probability per pair — recall is spent where the estimator actually
+    * needs it (per-pair, size-aware) instead of a flat τ_screen margin
+    * paying for worst-case variance on every pair. */
+  val FunnelScreenZ = 3.0
+
+  /** Broadcast budget for the funnel verify's REFERENCE token table, in
+    * shingle rows (Σ n_ref over surviving refs): ~60 B per hashed row
+    * puts 8M rows ≈ 500 MB — the executor-memory ceiling the survivor
+    * guard uses. Above it the verify's token join shuffles on
+    * (ref_id, w) instead of broadcasting (round-11 advice: the SketchRef
+    * contract bounds the ref COUNT but not per-doc shingle counts, so a
+    * few huge reference docs could blow an unconditional broadcast). */
+  val FunnelRefBroadcastMaxTokens = 8000000L
+
   /** dd23 — the containment funnel END TO END: dd22's sketch screen feeds
     * the exact verify, composed as one operator (the dd16
     * bloom-before-dd08 pattern applied to containment — SCALE.md's
@@ -1777,13 +1804,55 @@ object Dedup {
     * Σ_{(A,B) surviving} |B|'s shingles matched against A's — the
     * output-sensitive floor for exact verification. */
   def containmentFunnelQuery(s: SparkSession, dir: String,
-      broadcastMaxSurvivors: Long = FunnelBroadcastMaxSurvivors): DataFrame = {
-    val screened = sketchContainmentQuery(s, dir)
+      broadcastMaxSurvivors: Long = FunnelBroadcastMaxSurvivors,
+      refBroadcastMaxTokens: Long = FunnelRefBroadcastMaxTokens): DataFrame = {
+    // SCREEN, two gates (round-12: the 100× rehearsal's k=64/τ=0.5 screen
+    // passed 6.7M random-overlap survivors that the verify then spent
+    // 400+ s refuting):
+    //  1. dd22's permissive base gate, at the funnel's deeper
+    //     k = FunnelScreenK (4× depth → half the estimator σ);
+    //  2. a per-pair PRECISION gate in Jaccard space. Containment ≥ τ_exact
+    //     forces Ĵ near j_tau = τ·n_A / (n_A + n_B − τ·n_A) — both sizes
+    //     are exact and ride the screen row — and the KMV estimator's σ at
+    //     j_tau is √(j_tau(1−j_tau)/k), so keeping est_j ≥ j_tau − Z·σ
+    //     retains a true-τ pair w.p. Φ(Z) while cutting random-overlap
+    //     survivors whose Ĵ sits far below any τ_exact-compatible value.
+    //     This is size-AWARE: an extreme n_B/n_A ratio (tiny j_tau, where
+    //     the sketch genuinely cannot resolve containment) relaxes the
+    //     gate toward the base screen instead of silently losing recall.
+    //     j_tau is clamped at 1.0: n_tok < (2τ−1)·n_ref makes the raw
+    //     value exceed 1 — a pair whose candidate is too small to ever
+    //     reach τ containment (c_max = n_tok/n_ref < τ). The clamp keeps
+    //     sqrt's argument non-negative on BOTH engines (DuckDB errors on
+    //     sqrt(<0); Spark would silently NaN→false) and the resulting
+    //     est_j ≥ 1.0 gate correctly drops the τ-infeasible pair.
+    val jTau = least(lit(1.0d),
+      (lit(ContainTau) * col("n_ref").cast("double")) /
+        (col("n_ref").cast("double") + col("n_tok").cast("double") -
+          lit(ContainTau) * col("n_ref").cast("double")))
+    val screened = sketchContainmentQuery(s, dir, FunnelScreenK, SketchTau)
+      .withColumn("j_tau", jTau)
+      .filter(col("est_jaccard") >= col("j_tau") - lit(FunnelScreenZ) *
+        sqrt(col("j_tau") * (lit(1.0d) - col("j_tau")) /
+          lit(FunnelScreenK.toDouble)))
+      .drop("j_tau")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // ONE driver action: materializes the persisted screen AND decides
-    // the verify join strategy (see scaladoc)
+    // ONE driver action materializes the persisted screen AND decides the
+    // survivor join strategy; a second pairs-scale aggregate sizes the
+    // REFERENCE token table (Σ n_ref over surviving refs) for its own
+    // broadcast guard (round-11 advice: ref COUNT is bounded by contract,
+    // per-doc shingle counts are not)
     val bcast = screened.count() <= broadcastMaxSurvivors
     def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    val refTokTotal = screened
+      .select(col("ref_id"), col("n_ref")).distinct()
+      .agg(coalesce(sum(col("n_ref")), lit(0L))).collect()(0).getLong(0)
+    val refBcast = refTokTotal <= refBroadcastMaxTokens
+    def refSide(df: DataFrame): DataFrame = if (refBcast) broadcast(df) else df
+    if (!refBcast)
+      log.warn(s"containmentFunnel: surviving reference docs carry " +
+        s"$refTokTotal shingles (> $refBroadcastMaxTokens); verify joins " +
+        "the reference tokens by shuffle instead of broadcast")
     val surv = screened.select(col("ref_id"), col("doc_id"),
       col("n_ref"), col("n_tok"), col("est_containment"))
     val docs = Tables.parallel(Tables.documents(s, dir))
@@ -1795,7 +1864,6 @@ object Dedup {
       .select(col("doc_id"),
         explode(graft.functions.CharShingles
           .charShingles(col("text"), ShingleSize)).as("w"))
-    // reference tokens: bounded by the SketchRef contract — broadcast
     val aTok = toks(surv.select(col("ref_id").as("doc_id")).distinct())
       .select(col("doc_id").as("ref_id"), col("w"))
     val bTok = toks(surv.select(col("doc_id")).distinct())
@@ -1803,7 +1871,7 @@ object Dedup {
     // token equi-join's row count IS the intersection (dd21's fused move)
     val inter = bTok
       .join(side(surv.select(col("ref_id"), col("doc_id"))), Seq("doc_id"))
-      .join(broadcast(aTok), Seq("ref_id", "w"))
+      .join(refSide(aTok), Seq("ref_id", "w"))
       .groupBy(col("ref_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
     // TOTAL report over the survivors (left join: a survivor with zero
@@ -1821,11 +1889,22 @@ object Dedup {
   }
 
   /** DuckDB SQL replicating [[containmentFunnelQuery]] exactly — the dd22
-    * screen verbatim as a CTE, then the exact token-intersection verify
-    * over its survivors (the dd21-style count restricted to surviving
-    * pairs), same unrounded threshold compares. */
+    * screen at the funnel's deeper k as a CTE, the per-pair precision
+    * gate in Jaccard space (same IEEE expression order as the Spark
+    * plan), then the exact token-intersection verify over its survivors
+    * (the dd21-style count restricted to surviving pairs), same unrounded
+    * threshold compares. */
   def containmentFunnelOracleSql(tau: Double = ContainTau): String = s"""
-      WITH scr AS (${sketchContainmentOracleSql()}),
+      WITH scr0 AS (${sketchContainmentOracleSql(k = FunnelScreenK)}),
+      scr AS (SELECT ref_id, doc_id, n_ref, n_tok, est_jaccard,
+                     est_containment
+              FROM (SELECT *,
+                      least(1.0, ($tau * CAST(n_ref AS DOUBLE)) /
+                        (CAST(n_ref AS DOUBLE) + CAST(n_tok AS DOUBLE)
+                         - $tau * CAST(n_ref AS DOUBLE))) AS j_tau
+                    FROM scr0) z
+              WHERE est_jaccard >= j_tau - $FunnelScreenZ *
+                sqrt(j_tau * (1.0 - j_tau) / ${FunnelScreenK.toDouble})),
       psh2 AS (SELECT doc_id, list_distinct(list_transform(
                  range(1, greatest(length(text) - ${ShingleSize - 2}, 2)),
                  i -> substr(text, CAST(i AS INT), $ShingleSize))) AS s

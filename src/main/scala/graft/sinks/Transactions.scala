@@ -59,6 +59,27 @@ import org.apache.spark.sql.Dataset
   */
 object Transactions {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Observation point for the missing-replay-floor warning (local-mode
+    * test hook: SinksSpec asserts the degradation is SURFACED, not just
+    * documented — round-11 verdict #3). Executor-side in a real cluster,
+    * so production observers must be serializable-safe; tests run
+    * local[*] where the closure shares the JVM. */
+  @volatile private[sinks] var noFloorObserver: (String, String, Int) => Unit =
+    (_, _, _) => ()
+
+  /** Once-per-task surfacing of an inactive post-commit replay filter:
+    * with no committed-offset floor this task's guarantee is
+    * at-least-once on task retry, not exactly-once — an operator running
+    * a None-binding must be able to see which guarantee they have. */
+  private def warnNoFloor(groupId: String, topic: String, partition: Int): Unit = {
+    log.warn(s"committedOffset unavailable from this producer binding " +
+      s"(group=$groupId, first key=$topic/$partition): post-commit replay " +
+      "filter INACTIVE - this task degrades to at-least-once on task retry")
+    noFloorObserver(groupId, topic, partition)
+  }
+
   /** A consumed source coordinate riding with an output record — what
     * `send_offsets_to_transaction` commits (as offset + 1, the
     * next-to-read convention of consumer.py:148-149). */
@@ -99,12 +120,19 @@ object Transactions {
         // transaction (this task's prior attempt) and must not re-produce
         val committedAtStart =
           scala.collection.mutable.Map.empty[(String, Int), Long]
+        var warnedNoFloor = false
         try {
           it.foreach { case (m, src) =>
             val floor = committedAtStart.getOrElseUpdate(
               (src.topic, src.partition),
               producer.committedOffset(groupId, src.topic, src.partition)
-                .getOrElse(0L))
+                .getOrElse {
+                  if (!warnedNoFloor) {
+                    warnedNoFloor = true
+                    warnNoFloor(groupId, src.topic, src.partition)
+                  }
+                  0L
+                })
             if (src.offset >= floor) {
               txn.markConsumed(src.topic, src.partition, src.offset)
               txn.produce(m.topic, m.partition, m.key, m.value, m.headers)

@@ -20,6 +20,15 @@ object Scratch {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.contains("dd03stages")) { dd03Stages(spark, dir); spark.stop(); return }
     if (args.contains("bucketcensus")) { bucketCensus(spark, dir); spark.stop(); return }
+    // `show <query...>`: print the first rows instead of timing — for
+    // reading a data-bearing column (e.g. cl03's recall_at_k) off a
+    // rehearsal corpus without a full Verify dump
+    if (args.contains("show")) {
+      names.filter(_ != "show").foreach { name =>
+        graft.SparkEntry.queries(name)(spark, dir).show(5, truncate = false)
+      }
+      spark.stop(); return
+    }
     names.foreach { name =>
       val q = graft.SparkEntry.queries(name)
       if (verbose) q(spark, dir).explain("formatted")

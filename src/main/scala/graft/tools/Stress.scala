@@ -166,10 +166,12 @@ object Stress {
       // banded pair stream (never recomputes per radius, and the radius
       // grid joins ≤4-row histograms, never raw pairs); ir14's window
       // scoring must stay confined to the broadcast top-k docs.
-      // cl07 is exempt like dd19/q43: its kNN member runs the test×train
-      // scorer that is quadratic on the amplified copy-flood corpus (the
-      // IVF guard routes on corpus size, and the flood multiplies both
-      // sides); cl07 rehearses under Bench at sf0.1 where cl03 is timed.
+      // round-12: cl03 (listed above) no longer pays the quadratic exact
+      // scan here — above KnnScoreBudget the routing derives an
+      // approximate IVF by default and the output carries the sampled
+      // recall@k. cl07 (which folds the same kNN member twice) stays on
+      // the sf0.1 bench — its rehearsal value is subsumed by cl03's now
+      // that the member self-routes.
       "ev16_ab_test", "dd20_hamming_sweep", "ir14_snippets",
       // round-8 ninth batch: ta23's merge rounds must stay vocab-scale
       // (one corpus pass) under the amplified corpus

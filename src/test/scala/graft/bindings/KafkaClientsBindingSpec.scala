@@ -214,5 +214,60 @@ class KafkaClientsBindingSpec extends AnyFunSuite {
       "weird.flag=1. Some other refusal.")
     assert(pv.uneditable == Seq("min.insync.replicas"))
     assert(pv.unhandled == Seq("weird.flag=1. Some other refusal."))
+    // round-12: the java client's PolicyViolationException carries the
+    // plugin's RAW message with no librdkafka preamble — the tolerant
+    // parse must yield the same verdicts, and an unparseable message
+    // must land as (Nil, rest) → the alter loop's propagate path
+    val raw = kc.parsePolicyViolation(
+      "min.insync.replicas=2. This config cannot be updated.:" +
+        "weird.flag=1. Some other refusal.")
+    assert(raw.uneditable == Seq("min.insync.replicas"))
+    assert(raw.unhandled == Seq("weird.flag=1. Some other refusal."))
+    val junk = kc.parsePolicyViolation("some opaque plugin text")
+    assert(junk.uneditable.isEmpty &&
+      junk.unhandled == Seq("some opaque plugin text"))
+  }
+
+  test("admin binding: kafka-clients 4.x classpath (no legacy alterConfigs) falls back to incrementalAlterConfigs (round-11 advice)") {
+    import graft.tools.TopicSpec
+    FakeCluster.reset(); FakeAdminState.reset()
+    FakeAdminState.restricted = Set("min.insync.replicas")
+    val ns4 = fakeNs.copy(admin = "graft.bindings.fake.FakeAdmin4x",
+      alterConfigOp = "graft.bindings.fake.FakeAlterConfigOp")
+    val a = new KafkaClientsAdmin(Map.empty, ns4)
+    a.createTopics(Map("t" -> TopicSpec(1, 1, Map("segment.ms" -> "1000"))))
+    // D3 alter on a 4.x surface: must not throw NoSuchMethodException —
+    // the SET-op fallback lands the change
+    assert(a.alterTopicConfigs(Map("t" -> Map("segment.ms" -> "2000")))
+      == Seq("t"))
+    assert(a.listTopics()("t").configs("segment.ms") == "2000")
+    assert(FakeCluster.calls.exists(_.startsWith(
+      "admin.incrementalAlterConfigs(t")))
+    assert(!FakeCluster.calls.exists(_.startsWith("admin.alterConfigs(")))
+    // the retry-around-uneditable contract survives the fallback AND the
+    // java client's preamble-less policy message
+    assert(a.alterTopicConfigs(Map("t" -> Map(
+      "min.insync.replicas" -> "2", "segment.ms" -> "3000"))) == Seq("t"))
+    assert(a.listTopics()("t").configs("segment.ms") == "3000")
+    assert(!a.listTopics()("t").configs.contains("min.insync.replicas"))
+  }
+
+  test("toClientError: non-Kafka throwables are never translated (round-11 advice)") {
+    // a j.u.c.TimeoutException has the simple name the _TIMED_OUT path
+    // matches, but its hierarchy lives in java.util — it must propagate
+    // as the bug it is, even when future-wrapped
+    assert(KafkaClients.toClientError(
+      new java.util.concurrent.TimeoutException("not kafka")).isEmpty)
+    assert(KafkaClients.toClientError(
+      new java.util.concurrent.ExecutionException(
+        new java.util.concurrent.TimeoutException("wrapped"))).isEmpty)
+    // while the parity doubles' namesake (injected namespace) still rides
+    // the classification, and would on a real org.apache.kafka class
+    val fake = new graft.bindings.fake.errors.TimeoutException("fake broker")
+    val e = KafkaClients.toClientError(fake, fakeNs)
+    assert(e.exists(c => c.code == "_TIMED_OUT" && c.retriable))
+    // but NOT under the default namespace: a random non-kafka class named
+    // like a kafka error is exactly the bug the gate exists to propagate
+    assert(KafkaClients.toClientError(fake).isEmpty)
   }
 }

@@ -288,3 +288,71 @@ object FakeAdmin {
     new FakeAdmin
   }
 }
+
+/** A kafka-clients-4.x-shaped admin double: the legacy `alterConfigs`
+  * (removed in 4.0) does NOT exist on this surface, so the binding's
+  * reflective dispatch throws NoSuchMethodException and must fall back to
+  * `incrementalAlterConfigs` with SET ops ([[FakeAlterConfigOp]]).
+  * Incremental semantics are faithfully MERGE (a dynamic key absent from
+  * the ops survives), and the policy-violation message is the java
+  * client's RAW plugin text — no librdkafka 'Broker: Policy violation'
+  * preamble — so the tolerant parse is exercised too. Everything else
+  * delegates to [[FakeAdmin]]. */
+class FakeAdmin4x {
+  import FakeAdminState._
+  import scala.jdk.CollectionConverters._
+  private val inner = new FakeAdmin
+
+  def listTopics(o: FakeListTopicsOptions): FakeListTopicsResult =
+    inner.listTopics(o)
+  def describeTopics(n: java.util.Collection[String]): FakeDescribeTopicsResult =
+    inner.describeTopics(n)
+  def describeConfigs(r: java.util.Collection[AnyRef]): FakeDescribeConfigsResult =
+    inner.describeConfigs(r)
+  def createTopics(t: java.util.Collection[AnyRef]): FakeGenericResult =
+    inner.createTopics(t)
+  def deleteTopics(n: java.util.Collection[String]): FakeGenericResult =
+    inner.deleteTopics(n)
+  def listConsumerGroupOffsets(g: String): FakeLCGOResult =
+    inner.listConsumerGroupOffsets(g)
+  def close(): Unit = inner.close()
+
+  def incrementalAlterConfigs(
+      m: java.util.Map[AnyRef, AnyRef]): FakeAlterResult = {
+    val futures = m.asScala.map { case (res, opsAny) =>
+      val name = res.asInstanceOf[FakeConfigResource].name()
+      val ops = opsAny.asInstanceOf[java.util.Collection[AnyRef]].asScala
+        .map(_.asInstanceOf[FakeAlterConfigOp])
+      require(ops.forall(_.opType() == FakeAlterConfigOp.OpType.SET),
+        "binding fallback must emit SET ops only")
+      val entries = ops.map { op =>
+        val e = op.configEntry().asInstanceOf[FakeConfigEntry]
+        e.name() -> e.value()
+      }.toMap
+      FakeCluster.record(s"admin.incrementalAlterConfigs($name," +
+        s"${entries.toSeq.sorted.mkString(";")})")
+      (res, new FakeFuture(() => {
+        val bad = entries.keySet.intersect(restricted).toSeq.sorted
+        if (bad.nonEmpty)
+          // java-client shape: the broker plugin's raw error_message,
+          // WITHOUT librdkafka's preamble
+          throw new java.util.concurrent.ExecutionException(
+            new errors.PolicyViolationException(
+              bad.map(k =>
+                s"${k}=${entries(k)}. This config cannot be updated.")
+                .mkString(":")))
+        val cur = topics(name)
+        topics(name) = cur.copy(configs = cur.configs ++ entries) // MERGE
+        null
+      }): AnyRef)
+    }
+    new FakeAlterResult(futures.toMap.asJava)
+  }
+}
+
+object FakeAdmin4x {
+  def create(configs: java.util.Map[String, AnyRef]): FakeAdmin4x = {
+    FakeCluster.record("admin.create")
+    new FakeAdmin4x
+  }
+}

@@ -90,4 +90,28 @@ class ClassifierSpec extends AnyFunSuite {
     val perQuery = scored.groupBy("vec_id").count().count()
     assert(perQuery == nTest, s"pruned scan lost test vectors: $perQuery of $nTest")
   }
+
+  test("cl03 round-12: above-budget routing derives an approximate IVF; recall@k is sampled and sane") {
+    // default route on the test corpus is EXACT (far under KnnScoreBudget)
+    // and the query's recall column is exactly 1.0 with no probe work
+    val defRoute = Classifier.knnRoute(spark, sf0001)
+    assert(defRoute.exact)
+    assert(Classifier.knnRecallAtK(spark, sf0001, 5) == 1.0)
+    val rows = Classifier.knnClassifierQuery(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.forall(
+      _.getAs[Double]("recall_at_k") == 1.0))
+    // a tiny budget forces the approximate derivation: nProbe must come
+    // out strictly under nCentroids (the approximation actually engages)
+    // and scale with the budget
+    val r1 = Classifier.knnRoute(spark, sf0001, budget = 1000L)
+    assert(!r1.exact && r1.nProbe >= 1 && r1.nProbe < r1.nCentroids)
+    val halfWork = r1.nTest * r1.nTrain / 2
+    val r2 = Classifier.knnRoute(spark, sf0001, budget = halfWork)
+    assert(!r2.exact && r2.nProbe >= r1.nProbe)
+    // the sampled recall probe runs the ROUTED derivation end to end on
+    // the sample and lands in (0, 1]; determinism: same budget → same value
+    val rec = Classifier.knnRecallAtK(spark, sf0001, 5, budget = 1000L)
+    assert(rec > 0.0 && rec <= 1.0, s"recall out of range: $rec")
+    assert(rec == Classifier.knnRecallAtK(spark, sf0001, 5, budget = 1000L))
+  }
 }

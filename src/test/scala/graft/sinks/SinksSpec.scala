@@ -207,6 +207,50 @@ class SinksSpec extends AnyFunSuite {
     assert(broker.committedOffset("g", "in", 0).contains(5L))
   }
 
+  test("strict EOS: committedOffset=None binding SURFACES its at-least-once degradation (round-11 verdict #3)") {
+    // a binding that cannot read group offsets leaves the post-commit
+    // replay filter inactive; the degradation must FIRE a warning at
+    // runtime (once per task), not just sit in the scaladoc
+    val broker = new InMemoryTxBroker
+    val txSeq = new java.util.concurrent.atomic.AtomicInteger
+    TxProducers.register("spec-nofloor", () => {
+      val real = broker.producer(s"nofloor-task-${txSeq.incrementAndGet()}")
+      new TxProducerClient { // committedOffset NOT overridden → trait None
+        def initTransactions(): Unit = real.initTransactions()
+        def beginTransaction(): Unit = real.beginTransaction()
+        def produce(topic: String, partition: Int, key: String,
+            value: String, headers: Map[String, String]): Unit =
+          real.produce(topic, partition, key, value, headers)
+        def sendOffsetsToTransaction(offsets: Map[(String, Int), Long],
+            groupId: String): Unit =
+          real.sendOffsetsToTransaction(offsets, groupId)
+        def commitTransaction(timeoutSecs: Int): Unit =
+          real.commitTransaction(timeoutSecs)
+        def abortTransaction(timeoutSecs: Int): Unit =
+          real.abortTransaction(timeoutSecs)
+        override def close(): Unit = real.close()
+      }
+    })
+    val fired = new java.util.concurrent.atomic.AtomicInteger
+    Transactions.noFloorObserver = (_, _, _) => fired.incrementAndGet()
+    try {
+      def rows = (0 to 2).map { i =>
+        (Message(s"k$i", s"V$i", Map.empty[String, String], "out", 0, 0L,
+          new Timestamp(1700000000000L)),
+          Transactions.SourceOffset("in", 0, i.toLong))
+      }.toDS()
+      Transactions.writeBatchTransactional(rows, "spec-nofloor", "g")
+      assert(fired.get() == 1, "warning must fire exactly once per task")
+      assert(broker.readCommitted("out").size == 3)
+      // post-commit replay of the SAME rows: with no floor every row
+      // re-produces — the honest at-least-once the warning announced
+      Transactions.writeBatchTransactional(rows, "spec-nofloor", "g")
+      assert(fired.get() == 2)
+      assert(broker.readCommitted("out").size == 6,
+        "None-binding replay is at-least-once by contract")
+    } finally Transactions.noFloorObserver = (_, _, _) => ()
+  }
+
   test("multi-message bulk transform sees the whole batch in order (T2)") {
     import graft.state.GraftTableApp
     val msgs = Seq(msg("a", 2, "g2"), msg("a", 0, "g0"), msg("a", 1, "g1")).toDS()
