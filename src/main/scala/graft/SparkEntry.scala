@@ -537,12 +537,23 @@ object SparkEntry {
                i -> CASE WHEN length(text) = 0 THEN 0
                          ELSE ord(substr(text, CAST((i % length(text)) + 1 AS INT), 1)) END)), 0) AS BIGINT) AS f2
       FROM documents ORDER BY media_id""",
-    "mm02_frame_sample" -> """
-      WITH d AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n FROM documents)
-      SELECT media_id, CAST(i.i AS INT) AS frame_idx,
-             CAST(least(64, n - i.i*64) AS BIGINT) AS frame_len
-      FROM d, range(0, 100) i(i)
-      WHERE i.i*64 < n AND i.i % 4 = 0
+    // mm02 (round-12): the oracle re-derives each SAMPLED frame's decoded
+    // pixel sum from the GIF fixtures' known per-frame pixel function
+    // (frame f pixel i = text byte ((i + 7f) mod len)) — the mm01 recipe
+    // swept across frames
+    "mm02_frame_sample" -> s"""
+      WITH fr AS (SELECT CAST(f.f AS BIGINT) AS frame_idx
+                  FROM range(0, ${Multimodal.GifFrameCount}) f(f)
+                  WHERE f.f % ${Multimodal.GifFrameStride} = 0)
+      SELECT doc_id AS media_id, frame_idx,
+             CAST(256 AS BIGINT) AS n_px,
+             CAST(coalesce(list_sum(list_transform(range(0, 256),
+               i -> CASE WHEN length(text) = 0 THEN 0
+                    ELSE ord(substr(text,
+                      CAST(((i + ${Multimodal.GifPixelStep} * frame_idx)
+                            % length(text)) + 1 AS INT), 1)) END)), 0)
+               AS BIGINT) AS px_sum
+      FROM documents CROSS JOIN fr
       ORDER BY media_id, frame_idx""",
     "mm03_media_embed_topk" -> Multimodal.mediaEmbedTopKOracleSql(),
     // mm04: the oracle re-derives the aHash bits from the fixtures' known

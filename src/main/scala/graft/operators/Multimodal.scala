@@ -20,10 +20,12 @@ import graft.core.Tables
   * source text, which is what keeps the decoded features SQL-derivable
   * for the DuckDB oracle. The embedding-retrieval path (mm03) rides the
   * same real decode: its embeddings are pooled from decoded rasters, not
-  * from raw payload bytes. Only the video-shaped frame plumbing (mm02)
-  * stays payload-agnostic over opaque bytes; [[FakeDecoder]] remains as
-  * the documented stand-in signature for heavyweight NEURAL encoders
-  * (none exist in this environment) — no shipped query uses it.
+  * from raw payload bytes. The VIDEO path (mm02, round-12) is a real
+  * container round-trip too: multi-frame animated GIF fixtures through
+  * javax.imageio's sequence writer/reader, frame-sampled after an honest
+  * per-frame decode. [[FakeDecoder]] remains as the documented stand-in
+  * signature for heavyweight NEURAL encoders (none exist in this
+  * environment) — no shipped query uses it.
   */
 object Multimodal {
 
@@ -49,7 +51,7 @@ object Multimodal {
       val out = new Array[Long](dim)
       var j = 0
       while (j < bytes.length) {
-        // ??? real decode goes here — strided octet pooling stands in
+        // a real neural encoder would replace this strided octet pooling
         out(j % dim) += (bytes(j) & 0xff).toLong
         j += 1
       }
@@ -225,13 +227,141 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "frame_bytes_len", "frame_bytes")
   }
 
-  /** Query mm02: frame-sampling plumbing over the corpus (every 4th
-    * 64-byte chunk), emitting per-frame sizes. */
-  def frameSampleQuery(s: SparkSession, dir: String): DataFrame =
-    sampleFrames(mediaFromDocuments(s, dir))
-      .select(col("media_id"), col("frame_idx"),
-        col("frame_bytes_len").cast("long").as("frame_len"))
+  /** mm02 video-container contract: [[GifFrameCount]] 16×16 frames per
+    * document; frame f's pixel i (row-major) is text byte
+    * ((i + [[GifPixelStep]]·f) mod len) — a known per-frame pixel
+    * function, so anything pooled from the DECODED frames is
+    * re-derivable in SQL from the source text (the mm01 recipe, swept
+    * across frames). Sampling keeps every [[GifFrameStride]]-th frame. */
+  val GifFrameCount = 8
+  val GifFrameStride = 4
+  val GifPixelStep = 7
+
+  /** Deterministic multi-frame grayscale GIF fixtures through the REAL
+    * javax.imageio sequence writer. Frames are TYPE_BYTE_INDEXED over an
+    * identity 256-gray palette, so the (lossless, palette-indexed) GIF
+    * round-trip recovers exactly the written samples. */
+  object GifFixtures {
+    javax.imageio.ImageIO.setUseCache(false) // see ImageFixtures
+    private val grays = Array.tabulate(256)(_.toByte)
+    private val icm =
+      new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+
+    private def frame(payload: Array[Byte], f: Int, w: Int, h: Int)
+        : java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      val raster = img.getRaster
+      var i = 0
+      while (i < w * h) {
+        val v =
+          if (payload.length == 0) 0
+          else payload((i + GifPixelStep * f) % payload.length) & 0xff
+        raster.setSample(i % w, i / w, 0, v)
+        i += 1
+      }
+      img
+    }
+
+    def grayAnimatedGif(payload: Array[Byte], frames: Int = GifFrameCount,
+        w: Int = 16, h: Int = 16): Array[Byte] = {
+      val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+      require(writers.hasNext, "JDK GIF writer missing")
+      val writer = writers.next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        (0 until frames).foreach { f =>
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(frame(payload, f, w, h), null, null),
+            null)
+        }
+        writer.endWriteSequence()
+      } finally {
+        writer.dispose(); ios.close()
+      }
+      bos.toByteArray
+    }
+  }
+
+  /** REAL multi-frame decode via the JDK GIF reader: every stored image
+    * descriptor read back as a full frame. Fails fast on an undecodable
+    * payload, like [[ImageDecoder]]. */
+  object GifDecoder {
+    javax.imageio.ImageIO.setUseCache(false)
+    def frames(bytes: Array[Byte]): Vector[java.awt.image.BufferedImage] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext)
+        throw new IllegalArgumentException(
+          s"undecodable video payload (${bytes.length} bytes)")
+      val r = readers.next()
+      try {
+        r.setInput(iis, false, false)
+        (0 until r.getNumImages(true)).map(r.read(_)).toVector
+      } finally { r.dispose(); iis.close() }
+    }
+    /** Pixel sum of a decoded frame THROUGH the color model (getRGB), so
+      * the pooling is palette-representation-agnostic. */
+    def pixelSum(img: java.awt.image.BufferedImage): Long = {
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) { sum += img.getRGB(x, y) & 0xff; x += 1 }
+        y += 1
+      }
+      sum
+    }
+  }
+
+  /** The document corpus as animated-GIF media (the video-column shape):
+    * one [[GifFrameCount]]-frame container per document via the real
+    * javax.imageio sequence writer. */
+  def gifMediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        MediaRecord(id, "video",
+          GifFixtures.grayAnimatedGif(text.getBytes("UTF-8")), 16, 16)
+      }
+  }
+
+  /** Query mm02 — frame sampling through a REAL container decode
+    * (round-12; formerly opaque-chunk plumbing): each document's
+    * animated-GIF payload is decoded frame by frame with the JDK GIF
+    * reader, every [[GifFrameStride]]-th frame is kept (what frame
+    * extraction does to video), and the per-frame report pools the
+    * DECODED pixels (n_px from the decoded frame; px_sum through the
+    * color model). The oracle re-derives both from the fixtures' known
+    * per-frame pixel function.
+    *
+    * Plan shape for 100 TB: encode+decode run inside one mapPartitions
+    * (codec init amortized per partition — the mapInPandas shape); the
+    * payload never reaches an exchange; the output is frame-scale rows
+    * only. */
+  def frameSampleQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    gifMediaFromDocuments(s, dir)
+      .flatMap { m =>
+        val fs = GifDecoder.frames(m.bytes)
+        require(fs.length == GifFrameCount,
+          s"media ${m.media_id}: expected $GifFrameCount frames, got ${fs.length}")
+        fs.zipWithIndex.collect {
+          case (img, idx) if idx % GifFrameStride == 0 =>
+            (m.media_id, idx.toLong,
+              (img.getWidth * img.getHeight).toLong,
+              GifDecoder.pixelSum(img))
+        }
+      }
+      .toDF("media_id", "frame_idx", "n_px", "px_sum")
       .orderBy(col("media_id"), col("frame_idx"))
+  }
 
   /** Query mm01: the honest decode path — PNG fixtures through the real
     * javax.imageio decoder, features pooled from the decoded raster.

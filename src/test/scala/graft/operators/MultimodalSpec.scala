@@ -105,6 +105,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.filter(_.getInt(1) > 0).forall(r => r.getInt(2) <= 64))
   }
 
+  test("mm02 round-12: GIF container round-trip decodes the exact written frames") {
+    // the written GIF is a REAL multi-frame container: the JDK reader
+    // must recover every frame's pixels exactly (lossless 256-gray
+    // palette), matching the fixtures' per-frame pixel function
+    val payload = "graft gif frame fixture payload 0123456789".getBytes("UTF-8")
+    val gif = Multimodal.GifFixtures.grayAnimatedGif(payload)
+    val frames = Multimodal.GifDecoder.frames(gif)
+    assert(frames.length == Multimodal.GifFrameCount)
+    for (f <- frames.indices; i <- 0 until 16 * 16) {
+      val expected = payload(
+        (i + Multimodal.GifPixelStep * f) % payload.length) & 0xff
+      val got = frames(f).getRGB(i % 16, i / 16) & 0xff
+      assert(got == expected, s"frame $f pixel $i: $got != $expected")
+    }
+    // empty payload decodes to all-zero frames, not a crash
+    val empty = Multimodal.GifDecoder.frames(
+      Multimodal.GifFixtures.grayAnimatedGif(Array.empty[Byte]))
+    assert(empty.forall(Multimodal.GifDecoder.pixelSum(_) == 0L))
+    // undecodable bytes fail fast
+    intercept[Exception] {
+      Multimodal.GifDecoder.frames("not a gif at all".getBytes)
+    }
+    // the query equals a driver recompute of the sampled frames' sums
+    val got = Multimodal.frameSampleQuery(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = (for {
+      (id, text) <- docs
+      bytes = text.getBytes("UTF-8")
+      f <- 0 until Multimodal.GifFrameCount
+      if f % Multimodal.GifFrameStride == 0
+    } yield {
+      val sum = (0 until 256).map(i =>
+        if (bytes.isEmpty) 0L
+        else (bytes((i + Multimodal.GifPixelStep * f) % bytes.length) & 0xff).toLong).sum
+      (id, f.toLong, 256L, sum)
+    }).sortBy(t => (t._1, t._2))
+    assert(got.toSeq == expected.toSeq)
+  }
+
   test("embed top-k: well-formed ranking; identical payloads embed identically") {
     // ranking invariants over the corpus
     val rows = Multimodal.mediaEmbedTopK(spark, sf0001).collect()
