@@ -1740,7 +1740,11 @@ object Dedup {
     * passed 6.7M random-overlap pairs and the verify spent 400+ s
     * refuting every one. 4× the depth halves the estimator's σ twice
     * over; the screen's own cost is O(k) per pair inside codegen and one
-    * k-row window cut per doc — corpus-linear either way. */
+    * k-row window cut per doc — corpus-linear either way. k = 256 is the
+    * MEASURED sweet spot of the merge-cost-vs-survivor-volume trade
+    * (sf0.1 funnel survivors/wall: k=128 → 12,754/4.6 s; k=256 →
+    * 7,884/4.2 s; k=512 → 5,975/4.5 s — halving σ again buys too few
+    * survivors for the doubled merge). */
   val FunnelScreenK = 256
 
   /** z-score of the funnel's precision gate (see

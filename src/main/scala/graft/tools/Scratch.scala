@@ -29,6 +29,15 @@ object Scratch {
       }
       spark.stop(); return
     }
+    // `count <query...>`: print row counts (e.g. a screen's survivor
+    // volume at a given sf — the number a gate change moves)
+    if (args.contains("count")) {
+      names.filter(_ != "count").foreach { name =>
+        val n = graft.SparkEntry.queries(name)(spark, dir).count()
+        println(s"[scratch] $name: $n rows")
+      }
+      spark.stop(); return
+    }
     names.foreach { name =>
       val q = graft.SparkEntry.queries(name)
       if (verbose) q(spark, dir).explain("formatted")
