@@ -307,7 +307,11 @@ object Bench {
     // honestly flagged contended, but only after the gate gave the machine
     // every chance to clear.
     val maxWaitSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_WAIT_SEC", "900").toLong
+      try math.max(0L, sys.env.getOrElse("SPARK_GRAFT_BENCH_WAIT_SEC", "900").toLong)
+      catch { case _: NumberFormatException =>
+        System.err.println("[bench] bad SPARK_GRAFT_BENCH_WAIT_SEC; using 900")
+        900L
+      }
     var ambientLoad = loadavg1
     if (ambientLoad > loadThreshold && maxWaitSec > 0) {
       val deadline = System.nanoTime() + maxWaitSec * 1000000000L

@@ -511,8 +511,9 @@ final class KafkaClientsAdmin(
     * PolicyViolationException carries the broker plugin's raw message
     * without it (round-11 advice) — so leading fields are dropped only
     * when they actually match that known preamble; an unparseable
-    * message yields PolicyViolation(Nil, Nil), which the toolbox's alter
-    * loop propagates (no-progress rule) instead of retrying blind. */
+    * message yields PolicyViolation(Nil, Seq(msg)) — the whole text as
+    * one unhandled field — which the toolbox's alter loop propagates
+    * (unhandled-nonempty rule, Toolbox.scala) instead of retrying blind. */
   private[bindings] def parsePolicyViolation(msg: String): PolicyViolation = {
     val preamble = Set("broker", "policy violation")
     val fields = msg.split(":").dropWhile(f => preamble(f.trim.toLowerCase))

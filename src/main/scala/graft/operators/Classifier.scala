@@ -83,7 +83,17 @@ object Classifier {
   private val modelCache = scala.collection.concurrent.TrieMap
     .empty[(String, String, Int, String), Array[Double]]
 
-  def clearModelCache(): Unit = { modelCache.clear(); knnCache.clear() }
+  def clearModelCache(): Unit = {
+    modelCache.clear()
+    // release the neighbor frames' checkpoint blocks too — dropping only
+    // the map references would pin stale corpus-scale blocks until GC
+    // (the Dedup.clearPairCache discipline)
+    knnCache.values.foreach { df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+    knnCache.clear()
+    knnRouteCache.clear(); knnRecallCache.clear()
+  }
 
   /** The `iters` full-batch GD steps (lr = 1.0) behind cl01/cl06/cl09 —
     * run once per (session, corpus, spec) and memoized. A TrieMap race
@@ -370,7 +380,11 @@ object Classifier {
     * Cache discipline (round-12, mirrors [[Dedup.materializedVerifiedPairs]]):
     * inserting a NEW corpus key evicts (unpersists) the same
     * application's entries for OTHER dirs, so a long-lived session
-    * sweeping many corpora pins at most one corpus's checkpoint blocks.
+    * sweeping many corpora pins at most one corpus's checkpoint blocks —
+    * with the same invalidation contract as [[Dedup]]'s evictOtherDirs:
+    * a lazy neighbor frame held across a different-dir call is no longer
+    * executable (its blocks ARE its lineage); materialize before
+    * switching corpora.
     * localCheckpoint caveat: blocks are non-recoverable on executor loss
     * and unsafe under dynamic allocation — production sessions with
     * dynamic allocation should checkpoint to reliable storage instead. */
@@ -455,21 +469,32 @@ object Classifier {
   private[operators] case class KnnRoute(nTrain: Long, nTest: Long,
       exact: Boolean, nCentroids: Int, nProbe: Int)
 
+  // the route (two corpus counts) and the recall estimate (an nTrain-
+  // scale sampled probe on the approximate route) are deterministic per
+  // (application, corpus, budget) — memoized like the models, so a cl03
+  // rebuild costs neither extra embedding scans nor a probe re-run
+  private val knnRouteCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Long), KnnRoute]
+  private val knnRecallCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Int, Long), Double]
+
   private[operators] def knnRoute(s: SparkSession, dir: String,
-      budget: Long = KnnScoreBudget): KnnRoute = {
-    val (train, test) = knnSplit(s, dir)
-    val nTrain = train.count()
-    val nTest = test.count()
-    val work = nTest * math.max(1L, nTrain)
-    if (work <= budget) KnnRoute(nTrain, nTest, exact = true, 16, 16)
-    else {
-      val nc = math.min(4096,
-        math.max(64, math.ceil(math.sqrt(nTrain.toDouble)).toInt))
-      val np = math.min(nc.toLong,
-        math.max(1L, budget / math.max(1L, work / nc))).toInt
-      KnnRoute(nTrain, nTest, exact = false, nc, np)
-    }
-  }
+      budget: Long = KnnScoreBudget): KnnRoute =
+    knnRouteCache.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir, budget), {
+        val (train, test) = knnSplit(s, dir)
+        val nTrain = train.count()
+        val nTest = test.count()
+        val work = nTest * math.max(1L, nTrain)
+        if (work <= budget) KnnRoute(nTrain, nTest, exact = true, 16, 16)
+        else {
+          val nc = math.min(4096,
+            math.max(64, math.ceil(math.sqrt(nTrain.toDouble)).toInt))
+          val np = math.min(nc.toLong,
+            math.max(1L, budget / math.max(1L, work / nc))).toInt
+          KnnRoute(nTrain, nTest, exact = false, nc, np)
+        }
+      })
 
   /** The scored (test × candidate) frame behind the neighbor cut —
     * routed exact (broadcast vs block-join by the bytes guard) under the
@@ -508,7 +533,13 @@ object Classifier {
     * |approx∩exact|/k average, HALF_UP 4dp. Deterministic: the sample,
     * both top-k cuts, and the division are all fixed. */
   private[operators] def knnRecallAtK(s: SparkSession, dir: String, k: Int,
-      budget: Long = KnnScoreBudget): Double = {
+      budget: Long = KnnScoreBudget): Double =
+    knnRecallCache.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir, k, budget),
+      knnRecallAtKUncached(s, dir, k, budget))
+
+  private def knnRecallAtKUncached(s: SparkSession, dir: String, k: Int,
+      budget: Long): Double = {
     val route = knnRoute(s, dir, budget)
     if (route.exact) 1.0
     else {

@@ -700,7 +700,18 @@ object Dedup {
   }
 
   /** Evict other-dir entries for `app` (see the cache-discipline note
-    * above): keeps a corpus sweep from pinning every corpus's blocks. */
+    * above): keeps a corpus sweep from pinning every corpus's blocks.
+    *
+    * INVALIDATION CONTRACT (deliberate trade, both directions were
+    * weighed): eviction unpersists the old dir's checkpoint blocks, so a
+    * LAZY frame obtained from the memo before a different-dir call is no
+    * longer executable afterwards (checkpointing truncated its lineage —
+    * there is nothing to recompute from). The alternative — leaving the
+    * blocks alive — is precisely the unbounded multi-corpus pinning the
+    * round-11 advice flagged. Consumers must materialize what they need
+    * from one corpus before switching to another; every in-repo consumer
+    * executes within its own query construction, and the driver-bound
+    * path (LocalTableScan) is immune (rows are plan-embedded). */
   private def evictOtherDirs(app: String, dir: String): Unit = {
     pairCache.keys.filter(k => k._1 == app && k._2 != dir).foreach { k =>
       pairCache.remove(k).foreach { case (df, _) =>
