@@ -84,9 +84,16 @@ class ResolutionSpec extends AnyFunSuite {
   }
 
   test("er01: gram-keyed join, pruned scan, no cartesian") {
-    val plan = Resolution.fuzzyMatchQuery(spark, sf0001)
+    // pinned on the UNMEMOIZED derivation — fuzzyMatchQuery itself now
+    // returns the round-12 session memo's embedded/block scan
+    val plan = Resolution.matchPairs(spark, sf0001, 24, 4, 4)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+    // and the memoized consumers plan over the pair set with no re-scan
+    Resolution.fuzzyMatchQuery(spark, sf0001).collect() // populate memo
+    val p2 = Resolution.fuzzyClustersQuery(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("FileScan"), p2)
   }
 }
