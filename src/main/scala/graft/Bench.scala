@@ -340,6 +340,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.memory.storageFraction", "0.3") // see GraftSession
       .config("spark.ui.enabled", "false")
       .config("spark.sql.maxPlanStringLength", "4194304")
       .getOrCreate()

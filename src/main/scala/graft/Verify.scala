@@ -12,6 +12,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.memory.storageFraction", "0.3") // see GraftSession
       .config("spark.ui.enabled", "false")
       .config("spark.sql.maxPlanStringLength", "4194304")
       .getOrCreate()

@@ -18,6 +18,15 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // cache-heavy pipelines (the session memos hold pairs-scale
+      // checkpoint blocks while graph loops aggregate): shrink the
+      // UNEVICTABLE storage region so execution can push cached blocks to
+      // disk instead of failing allocation — every block this engine
+      // caches is MEMORY_AND_DISK, so eviction is a spill, never a loss
+      // (measured: the 100x er rehearsal's label loop hit
+      // AGGREGATE_OUT_OF_MEMORY at the default 0.5 with the 29M-pair memo
+      // resident; green at 0.3)
+      .config("spark.memory.storageFraction", "0.3")
 
   /** Register graft's native expressions as SQL functions:
     * graft_minhash(text, n, k), graft_shingles(text, n),

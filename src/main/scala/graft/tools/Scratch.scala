@@ -14,6 +14,7 @@ object Scratch {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.memory.storageFraction", "0.3") // see GraftSession
       .config("spark.ui.enabled", "false")
       .config("spark.sql.maxPlanStringLength", "4194304").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
