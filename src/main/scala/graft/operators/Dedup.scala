@@ -1650,8 +1650,16 @@ object Dedup {
     * per-row work is O(k·|refs|) array arithmetic inside codegen — the
     * corpus is scanned once past the sketch build and NOTHING corpus×
     * corpus is ever formed. */
+  /** `feasibleTau`: when set, pairs whose candidate is too small to EVER
+    * reach that containment (n_tok < (2·τ−1)·n_ref ⇒ c_max = n_tok/n_ref
+    * < τ, see the funnel's clamp note) are dropped BEFORE the O(k) merge
+    * — the merge is the screen's only per-pair cost, so the τ-infeasible
+    * pairs the funnel's gate would discard anyway never pay it. Plain
+    * dd22 passes None (its own τ_screen admits pairs the exact listing
+    * re-checks; feasibility at τ_screen barely prunes). */
   def sketchContainmentQuery(s: SparkSession, dir: String,
-      k: Int = SketchK, tau: Double = SketchTau): DataFrame = {
+      k: Int = SketchK, tau: Double = SketchTau,
+      feasibleTau: Option[Double] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.parallel(Tables.documents(s, dir))
       .filter(col("text").isNotNull)
@@ -1683,7 +1691,11 @@ object Dedup {
     // with allocations — and measured 49 s at sf0.1 / 632 s at the 100×
     // rehearsal's 52M pair-estimates; the expression is O(k) primitive
     // compares, no allocation
-    docSk.join(broadcast(refs), col("doc_id") =!= col("ref_id"))
+    val joined = docSk.join(broadcast(refs), col("doc_id") =!= col("ref_id"))
+    val feasible = feasibleTau.fold(joined)(t =>
+      joined.filter(col("n_tok").cast("double") >=
+        (lit(2.0d) * lit(t) - lit(1.0d)) * col("n_ref").cast("double")))
+    feasible
       .withColumn("mi", graft.functions.KmvMergeCounts.kmvMergeCounts(
         col("ska"), col("sk"), k))
       .withColumn("est_j",
@@ -1704,7 +1716,8 @@ object Dedup {
     * merge-and-recut estimator, same unrounded threshold compare. */
   def sketchContainmentOracleSql(k: Int = SketchK, tau: Double = SketchTau,
       refMod: Int = SketchRefMod, refMaxId: Long = SketchRefMaxId,
-      minTok: Int = ContainMinTokens): String = s"""
+      minTok: Int = ContainMinTokens,
+      feasibleTau: Option[Double] = None): String = s"""
       WITH psh AS (SELECT doc_id, list_distinct(list_transform(
                      range(1, greatest(length(text) - ${ShingleSize - 2}, 2)),
                      i -> substr(text, CAST(i AS INT), $ShingleSize))) AS s
@@ -1726,7 +1739,10 @@ object Dedup {
                   CAST(len(m) AS DOUBLE) AS j
               FROM (SELECT *,
                       (list_sort(list_distinct(ska || sk)))[1:$k] AS m
-                    FROM refs, ds WHERE ds.doc_id <> refs.ref_id) z),
+                    FROM refs, ds WHERE ds.doc_id <> refs.ref_id${
+      feasibleTau.fold("")(t =>
+        s"\n                      AND CAST(ds.n_tok AS DOUBLE) >= " +
+          s"(2.0 * $t - 1.0) * CAST(refs.n_ref AS DOUBLE)")}) z),
       scr AS (SELECT *,
                 (j * CAST(n_ref + n_tok AS DOUBLE)) /
                   ((1.0 + j) * CAST(n_ref AS DOUBLE)) AS c
@@ -1845,7 +1861,11 @@ object Dedup {
       (lit(ContainTau) * col("n_ref").cast("double")) /
         (col("n_ref").cast("double") + col("n_tok").cast("double") -
           lit(ContainTau) * col("n_ref").cast("double")))
-    val screened = sketchContainmentQuery(s, dir, FunnelScreenK, SketchTau)
+    // feasibleTau pushes the τ-infeasibility cut BEFORE the O(k) merge
+    // (the clamp below remains as the gate's own guard for the same
+    // condition — belt and braces, both engine-mirrored)
+    val screened = sketchContainmentQuery(s, dir, FunnelScreenK, SketchTau,
+        feasibleTau = Some(ContainTau))
       .withColumn("j_tau", jTau)
       .filter(col("est_jaccard") >= col("j_tau") - lit(FunnelScreenZ) *
         sqrt(col("j_tau") * (lit(1.0d) - col("j_tau")) /
@@ -1910,7 +1930,8 @@ object Dedup {
     * (the dd21-style count restricted to surviving pairs), same unrounded
     * threshold compares. */
   def containmentFunnelOracleSql(tau: Double = ContainTau): String = s"""
-      WITH scr0 AS (${sketchContainmentOracleSql(k = FunnelScreenK)}),
+      WITH scr0 AS (${sketchContainmentOracleSql(k = FunnelScreenK,
+        feasibleTau = Some(tau))}),
       scr AS (SELECT ref_id, doc_id, n_ref, n_tok, est_jaccard,
                      est_containment
               FROM (SELECT *,

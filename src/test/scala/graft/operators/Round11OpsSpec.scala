@@ -83,6 +83,10 @@ class Round11OpsSpec extends AnyFunSuite {
     (for {
       ra <- refs; (b, _) <- docs
       if b != ra
+      // the round-12 feasibility pre-cut (runs BEFORE the merge in the
+      // operator): candidate too small to ever reach ContainTau
+      if sh(b).size.toDouble >=
+        (2.0 * Dedup.ContainTau - 1.0) * sh(ra).size.toDouble
       (estJ, estC) = screenEst(sh(ra), sh(b))
       if estC >= Dedup.SketchTau
       if passesGate(estJ, sh(ra).size.toLong, sh(b).size.toLong)
