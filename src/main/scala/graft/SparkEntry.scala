@@ -47,14 +47,16 @@ object SparkEntry {
     "q28_percentiles"      -> Relational.percentiles _,
     "q29_correlated_subq"  -> Relational.aboveNationAvg _,
     "q30_pushdown"         -> Relational.pushdownShowcase _,
-    // q31 ORACLE EXEMPTION CONTRACT: approx_count_distinct (HLL++) and
-    // percentile_approx (engine-specific sketch) have no cross-engine
-    // equality oracle by construction — their bit layout is Spark's own.
-    // The query stays (the approximate API surface is part of the
-    // contract); its CORRECTNESS check is the split pair: q42_exact_stats
-    // is the hash-checked exact twin, and Round6cOpsSpec pins q31's
-    // sketch outputs against q42's exact values within the documented
-    // error bounds (rsd 0.02, rank accuracy 1/1000).
+    // q31: sketch aggregates with an EMBEDDED oracle-checkable bounds
+    // audit (round-13). The sketch estimates themselves have no
+    // cross-engine equality oracle (HLL++/KLL bit layouts are Spark's
+    // own), so the query emits the exact twin's values plus *_ok flags
+    // (1 iff each sketch landed inside its documented bound — rsd 0.02
+    // at 5 sigma, rank accuracy 1/1000); the DuckDB oracle recomputes
+    // the exact columns and asserts the flags literally. A sketch
+    // regression flips a flag and fails the hash match — the bounds
+    // check IS the oracle now. q42_exact_stats remains the standalone
+    // exact twin; Round6cOpsSpec pins the same contract in-process.
     "q31_approx_stats"     -> Relational.approxStats _,
     "q32_range_frame"      -> Relational.rangeFrame _,
     "q33_map_funcs"        -> Relational.mapFuncs _,
@@ -782,6 +784,10 @@ object SparkEntry {
     "q40_array_hof" -> Relational.arrayHofOracleSql,
     "q41_set_ops_all" -> Relational.setOpsAllOracleSql,
     "q42_exact_stats" -> Relational.exactStatsOracleSql,
+    // q31's oracle: exact columns recomputed, in-bounds flags asserted
+    // literally 1 (see the queries-map note — the bounds audit IS the
+    // oracle; an out-of-bounds sketch flips a flag and hash-mismatches)
+    "q31_approx_stats" -> Relational.approxStatsOracleSql,
     "pl04_dataset_card" ->
       graft.operators.Pipeline.datasetCardOracleSql(ccCtesSql),
     "sk04_sample_quantiles" ->

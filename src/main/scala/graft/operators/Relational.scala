@@ -654,18 +654,93 @@ object Relational {
       .select(col("p_partkey"), col("p_retailprice"))
       .orderBy(col("p_partkey"))
 
-  /** Sketch-based approximate aggregates (A2): HLL++ distinct counts and
-    * approximate quantiles — the constant-memory forms that replace their
-    * exact cousins at 100 TB. No cross-engine oracle (sketch internals
-    * differ); error bounds are asserted in ScalaTest. */
-  def approxStats(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
+  /** Sketch-based approximate aggregates (A2) WITH an embedded,
+    * oracle-checkable bounds audit: HLL++ distinct counts and an
+    * approximate median — the constant-memory forms that replace their
+    * exact cousins at 100 TB — evaluated against the exact twin's values
+    * and reported as (exact value, in-bounds flag) per sketch.
+    *
+    * The sketch ESTIMATES themselves have no cross-engine equality oracle
+    * by construction (HLL++/KLL bit layouts are Spark's own), so the
+    * query's OUTPUT carries only cross-engine-deterministic columns: the
+    * exact values (the [[exactStats]] recipe, already hash-checked as
+    * q42) and `*_ok` flags — 1 iff the sketch landed inside its
+    * documented error bound. The DuckDB oracle computes the same exact
+    * columns and asserts the flags are literally 1, so a sketch
+    * regression (estimate drifting outside rsd/rank bounds) flips a flag
+    * to 0 and fails the hash match. This is the round-12 verdict's
+    * "express the bounds check as an oracle-checkable query".
+    *
+    * Bounds (the Round6cOpsSpec contract): HLL++ rsd 0.02 gets 5 sigma
+    * (|est−exact|/exact ≤ 0.10 — one-in-ten-million flake budget);
+    * percentile_approx(accuracy=1000) has rank error ≤ 1/1000, so the
+    * returned median must sit between the exact 0.49 and 0.51 order
+    * statistics (rank window ±1 for the integer-truncation edge, the
+    * same indices the spec uses). 0.49·n / 0.51·n are single IEEE double
+    * multiplications + floor — bit-portable cross-engine.
+    *
+    * Plan shape for 100 TB: the PRODUCTION plan is the sketch aggregate
+    * alone (one pass, constant memory per group — that subplan is the
+    * point of the operator). The exact twin + rank windows exist here to
+    * make the audit a standing oracle row; a deployment runs the audit on
+    * a sample or a canary partition, not the full corpus. */
+  def approxStats(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val sketches = li.groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag"))
+    val ranked = li.select(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+    val qlo = ranked
+      .filter(col("rn") ===
+        greatest(lit(1L), floor(lit(0.49) * col("n")).cast("long")))
+      .select(col("l_returnflag"), col("l_extendedprice").as("q_lo"))
+    val qhi = ranked
+      .filter(col("rn") ===
+        least(col("n"), (floor(lit(0.51) * col("n")) + 2).cast("long")))
+      .select(col("l_returnflag"), col("l_extendedprice").as("q_hi"))
+    exactStats(s, dir)
+      .join(sketches, "l_returnflag")
+      .join(qlo, "l_returnflag")
+      .join(qhi, "l_returnflag")
+      .select(col("l_returnflag"), col("n_parts"), col("n_orders"),
+        col("median_price"),
+        when(abs(col("approx_parts") - col("n_parts")).cast("double") /
+          col("n_parts") <= 0.10, 1L).otherwise(0L).as("parts_ok"),
+        when(abs(col("approx_orders") - col("n_orders")).cast("double") /
+          col("n_orders") <= 0.10, 1L).otherwise(0L).as("orders_ok"),
+        when(col("approx_median").between(col("q_lo"), col("q_hi")), 1L)
+          .otherwise(0L).as("median_ok"))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** DuckDB SQL replicating [[approxStats]]'s deterministic columns (the
+    * q42 exact recipe) with the in-bounds flags asserted literally 1 —
+    * the oracle side of the embedded bounds audit. */
+  val approxStatsOracleSql: String = """
+      WITH c AS (SELECT l_returnflag,
+                   CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+                   CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+                 FROM lineitem GROUP BY 1),
+      r AS (SELECT l_returnflag, l_extendedprice,
+              CAST(row_number() OVER (PARTITION BY l_returnflag
+                ORDER BY l_extendedprice) AS BIGINT) AS rn,
+              CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+            FROM lineitem),
+      m AS (SELECT l_returnflag, sum(l_extendedprice) / count(*) AS median_price
+            FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY 1)
+      SELECT c.l_returnflag, n_parts, n_orders, median_price,
+             CAST(1 AS BIGINT) AS parts_ok,
+             CAST(1 AS BIGINT) AS orders_ok,
+             CAST(1 AS BIGINT) AS median_ok
+      FROM c JOIN m USING (l_returnflag) ORDER BY l_returnflag"""
 
   /** q42 — the oracle-checkable EXACT twin of [[approxStats]]: per
     * returnflag, exact distinct counts and the exact median extendedprice

@@ -383,34 +383,34 @@ class Round6cOpsSpec extends AnyFunSuite {
       s"expected $expected\ngot $got")
   }
 
-  test("q31: sketches stay inside their documented bounds of the q42 exact twin") {
-    // q31 is the one oracle-exempt query (engine-specific HLL++/KLL bit
-    // layouts); this pin IS its correctness check — every sketch output
-    // vs the hash-checked exact twin, per group, within contract bounds
+  test("q31: embedded bounds audit — exact columns match q42, all flags 1") {
+    // q31 carries its bounds check IN the output now (round-13): exact
+    // columns must equal the q42 twin's, and every *_ok flag must be 1
+    // (the sketch landed inside its documented bound). The same contract
+    // the DuckDB oracle asserts via hash match.
     val exact = Relational.exactStats(spark, sf0001).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
-    val approx = Relational.approxStats(spark, sf0001).collect()
-    assert(approx.map(_.getString(0)).toSet == exact.keySet)
-    // per-group values for rank-error checking of the approximate median
-    val prices = graft.core.Tables.lineitem(spark, sf0001)
-      .select(col("l_returnflag"), col("l_extendedprice")).collect()
-      .map(r => r.getString(0) -> r.getDouble(1))
-      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
-    approx.foreach { r =>
+    val audited = Relational.approxStats(spark, sf0001).collect()
+    assert(audited.map(_.getString(0)).toSet == exact.keySet)
+    audited.foreach { r =>
       val flag = r.getString(0)
-      val (nParts, nOrders, _) = exact(flag)
-      // HLL++ rsd 0.02: allow 5 sigma (one-in-ten-million flake budget)
-      assert(math.abs(r.getLong(1) - nParts).toDouble / nParts <= 5 * 0.02,
-        s"$flag approx_parts ${r.getLong(1)} vs exact $nParts")
-      assert(math.abs(r.getLong(2) - nOrders).toDouble / nOrders <= 5 * 0.02,
-        s"$flag approx_orders ${r.getLong(2)} vs exact $nOrders")
-      // percentile_approx(accuracy=1000): rank error <= 1/1000, so the
-      // returned value must sit between the exact 0.49 and 0.51 quantiles
-      val ps = prices(flag)
-      val lo = ps(math.max(0, (0.49 * ps.length).toInt - 1))
-      val hi = ps(math.min(ps.length - 1, (0.51 * ps.length).toInt + 1))
-      val med = r.getDouble(3)
-      assert(med >= lo && med <= hi, s"$flag approx_median $med outside [$lo, $hi]")
+      val (nParts, nOrders, median) = exact(flag)
+      assert(r.getLong(1) == nParts && r.getLong(2) == nOrders &&
+        r.getDouble(3) == median,
+        s"$flag exact columns drifted from the q42 twin: $r")
+      assert(r.getLong(4) == 1L, s"$flag parts_ok=0 (HLL++ outside 5*rsd)")
+      assert(r.getLong(5) == 1L, s"$flag orders_ok=0 (HLL++ outside 5*rsd)")
+      assert(r.getLong(6) == 1L, s"$flag median_ok=0 (outside 0.49..0.51 ranks)")
     }
+  }
+
+  test("q31: the in-bounds flag logic detects an out-of-bounds estimate") {
+    // the audit must be a live gate, not a tautology: feed the flag
+    // formula a deliberately-bad estimate and it must emit 0
+    import spark.implicits._
+    val df = Seq((100L, 112L), (100L, 109L)).toDF("n_parts", "approx_parts")
+      .select(when(abs(col("approx_parts") - col("n_parts")).cast("double") /
+        col("n_parts") <= 0.10, 1L).otherwise(0L).as("ok"))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L))
   }
 }
