@@ -252,17 +252,53 @@ object Bench {
     "sa11_temporal_split",
   )
 
+  /** Bench-only session-memo BUILD steps, timed as first-class entries
+    * (fam "xm") that run BEFORE any query: the pair/ER/model/kNN memos
+    * are deliberately durable across `spark.catalog.clearCache()` (they
+    * are what a long-lived production session holds), so without an
+    * explicit home their one-time build cost lands on whichever consumer
+    * query happens to run first — the round-12 dd03 "9.8× regression"
+    * was exactly that phantom (memo-warm builder baseline 0.084 s vs a
+    * driver run that charged the whole LSH+verify build to dd03).
+    *
+    * Protocol: each timed attempt CLEARS the memo and rebuilds it, so
+    * the reported min is an honest cold build; after the last attempt
+    * the memo stays warm, so every consumer query below is timed at its
+    * production steady state. When args restrict the run, un-requested
+    * builds still execute once (untimed) so the requested consumers see
+    * the same warm state a full run would. */
+  val memoBuilds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "xm01_pair_memo" -> { (s, d) =>
+      graft.operators.Dedup.clearPairCache()
+      graft.operators.Dedup.warmPairMemo(s, d)
+    },
+    "xm02_er_memo" -> { (s, d) =>
+      graft.operators.Resolution.clearMatchCache()
+      graft.operators.Resolution.warmMatchMemo(s, d)
+    },
+    "xm03_model_memo" -> { (s, d) =>
+      graft.operators.Classifier.clearWeightsCache()
+      graft.operators.Classifier.warmModelMemo(s, d)
+    },
+    "xm04_knn_memo" -> { (s, d) =>
+      graft.operators.Classifier.clearKnnCache()
+      graft.operators.Classifier.warmKnnMemo(s, d)
+    },
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val memoNames = memoBuilds.map(_._1)
     // optional args restrict the run to the named queries (targeted timing
     // during optimization); the driver's full run passes no args. Unknown
     // names are an ERROR — a typo must not produce a success-looking JSON
     // that timed nothing.
     val headline: Seq[String] =
-      if (args.isEmpty) Bench.headline
+      if (args.isEmpty) memoNames ++ Bench.headline
       else {
-        val unknown = args.toSeq.filterNot(Bench.headline.contains)
+        val valid = memoNames ++ Bench.headline
+        val unknown = args.toSeq.filterNot(valid.contains)
         if (unknown.nonEmpty) {
           System.err.println(
             s"[bench] unknown/non-headline queries: ${unknown.mkString(", ")}")
@@ -346,22 +382,42 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def force(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
+    val memoFns = memoBuilds.toMap
+    def force(name: String): Unit = memoFns.get(name) match {
+      case Some(build) => build(spark, sfDir)
+      case None => SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+    }
 
     // JVM/codegen warm-up on the smallest sf so measured times are the
     // steady-state engine, not janino compilation. A warm-up failure is
     // LOGGED (stderr; stdout stays the one JSON line) — silently skipping
     // it would charge janino compile time to the query's timed run.
+    // Memo builders warm first (their clear+build path is what xm* times).
     val warmDir = "/root/testdata/sf0.001"
-    headline.foreach { n =>
+    memoBuilds.foreach { case (n, build) =>
+      try build(spark, warmDir)
+      catch { case t: Throwable =>
+        System.err.println(s"[bench] WARM-UP FAILED for $n: ${t.getClass.getName}: ${t.getMessage}")
+      }
+    }
+    headline.filterNot(memoFns.contains).foreach { n =>
       try SparkEntry.queries(n)(spark, warmDir)
         .write.format("noop").mode("overwrite").save()
       catch { case t: Throwable =>
         System.err.println(s"[bench] WARM-UP FAILED for $n: ${t.getClass.getName}: ${t.getMessage}")
       }
     }
+    // args-restricted runs: execute un-requested memo builds ONCE
+    // (untimed) at the target sf so the requested consumers are timed
+    // against the same warm state a full run produces
+    memoBuilds.filterNot { case (n, _) => headline.contains(n) }
+      .foreach { case (n, build) =>
+        try build(spark, sfDir)
+        catch { case t: Throwable =>
+          System.err.println(s"[bench] memo pre-build FAILED for $n: ${t.getMessage}")
+        }
+      }
 
     val loadAfterWarmup = loadavg1
 
@@ -397,7 +453,8 @@ object Bench {
         if (!sameSf) Map.empty
         else """"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble)
-          .filter { case (k, _) => Bench.headline.contains(k) }
+          .filter { case (k, _) =>
+            Bench.headline.contains(k) || memoFns.contains(k) }
           .toMap
       } catch { case _: Throwable => Map.empty }
     if (baseline.isEmpty)

@@ -686,6 +686,15 @@ object Dedup {
   private val labelCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), DataFrame]
 
+  /** Builds (or rebuilds) the session pair + cluster-label memos — the
+    * entry Bench times as xm01 so the LSH+verify+components build cost
+    * has a stable home instead of landing on whichever pair consumer
+    * runs first (the round-12 dd03 phantom-regression finding). */
+  def warmPairMemo(s: SparkSession, dir: String): Unit = {
+    materializedVerifiedPairs(s, dir)
+    clusterLabels(s, dir)
+  }
+
   /** Drops every memoized pair/label frame (and unpersists their
     * checkpoint blocks, when the above-bound path left any) — the
     * [[Classifier.clearModelCache]] twin. */

@@ -55,6 +55,15 @@ object Resolution {
   private val labelCache = scala.collection.concurrent.TrieMap
     .empty[(String, String, Int, Int, Int), DataFrame]
 
+  /** Builds (or rebuilds) the match-pair + entity-label memos for the
+    * default er01/er02/er03 parameters — Bench's xm02 entry (see
+    * [[Dedup.warmPairMemo]] for the attribution rationale). */
+  def warmMatchMemo(s: SparkSession, dir: String, keyLen: Int = 24,
+      q: Int = 4, maxDist: Int = 4): Unit = {
+    materializedMatchPairs(s, dir, keyLen, q, maxDist)
+    fuzzyClustersQuery(s, dir, keyLen, q, maxDist)
+  }
+
   def clearMatchCache(): Unit = {
     pairCache.values.foreach { case (df, _) =>
       try df.unpersist(blocking = false) catch { case _: Throwable => () }
