@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.Tables
+import graft.core.{Checkpoints, Tables}
 import graft.functions.Text
 
 /** Model-based quality filtering — the fasttext/logistic-regression corpus
@@ -425,7 +425,7 @@ object Classifier {
           try df.unpersist(blocking = false) catch { case _: Throwable => () }
         }
       }
-      knnNeighborsUncached(s, dir, maxTrainBroadcastBytes).localCheckpoint()
+      Checkpoints.truncate(knnNeighborsUncached(s, dir, maxTrainBroadcastBytes))
     })
   }
 

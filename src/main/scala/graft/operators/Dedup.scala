@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.Tables
+import graft.core.{Checkpoints, Tables}
 import graft.functions.Text
 
 /** Deduplication operators for a large-scale training-data pipeline.
@@ -760,8 +760,8 @@ object Dedup {
       // plan, so the count and the (possible) collect below never re-run
       // the chain. jaccard rides along so dd03's own report is a memo
       // consumer too; graph consumers project it away (columnar, free).
-      val cp = rawPairs
-        .select(col("doc_a"), col("doc_b"), col("jaccard")).localCheckpoint()
+      val cp = Checkpoints.truncate(rawPairs
+        .select(col("doc_a"), col("doc_b"), col("jaccard")))
       val nPairs = cp.count()
       lshCaches.foreach(_.unpersist(blocking = false))
       if (nPairs <= DriverCcMaxPairs) {
@@ -817,9 +817,8 @@ object Dedup {
     // localCheckpoint (eager) materializes the same blocks AND truncates
     // the plan to a scan of them; the blocks free with the RDD via the
     // ContextCleaner once the final labels are themselves checkpointed.
-    val edges = pairs
-      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint()
+    val edges = Checkpoints.truncate(pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
 
     var labels = edges.select(col("doc_a").as("id")).distinct()
       .withColumn("cluster", col("id"))
@@ -846,14 +845,14 @@ object Dedup {
       // round's join, and at real scale a 15-deep lineage makes every retry
       // recompute the whole history — localCheckpoint cuts the plan at the
       // materialized blocks (same pattern GraphX uses in Pregel)
-      if (iter % 5 == 0) labels = labels.localCheckpoint()
+      if (iter % 5 == 0) labels = Checkpoints.truncate(labels)
     }
     // silent non-convergence would report one component as several clusters
     require(changed == 0,
       s"dupClusters did not converge after $iter rounds (component diameter > $iter?)")
     // final truncation: consumers (pl04's broadcast(labels), dd06's join)
     // get a block scan, not the last ≤4 un-checkpointed rounds over edges
-    labels.localCheckpoint()
+    Checkpoints.truncate(labels)
       .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
   }
 

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core.Checkpoints
 
 /** Graph analytics over the verified near-dup graph — the corpus-hygiene
   * view a large pipeline wants AFTER dedup clustering: PageRank centrality
@@ -102,11 +103,11 @@ object Graph {
     // whole LSH chain. The ranks checkpoint below keeps growth linear, but
     // each round would still pay ~2 LSH-plan strings of analyzer/format
     // work; the eager checkpoint truncates both to block scans.
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+    val edges = Checkpoints.truncate(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    val deg = Checkpoints.truncate(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     var ranks = deg.select(col("src").as("doc_id"), lit(1.0).as("pr"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ranks.count()
@@ -132,7 +133,7 @@ object Graph {
       // doubles per iteration (measured 38→76→152 MB over 3 rounds). The
       // checkpoint job re-reads the cache `next.count()` just filled, so
       // the extra pass is node-scale and cache-resident.
-      ranks = next.localCheckpoint()
+      ranks = Checkpoints.truncate(next)
     }
     val out = deg.select(col("src").as("doc_id"), col("deg").as("degree"))
       .join(ranks, "doc_id")
@@ -475,7 +476,7 @@ object Graph {
       // don't cut the plan STRING — without the checkpoint the analyzer
       // cost and the judge-visible plan double per round. Edge-scale
       // data, so the eager checkpoint job is one cache-resident pass.
-      edges = edges.localCheckpoint()
+      edges = Checkpoints.truncate(edges)
     }
     val degF = degOf(edges).select(col("src"), col("deg").as("core_deg"))
     deg0.select(col("src"), col("deg"))

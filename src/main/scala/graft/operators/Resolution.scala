@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.Tables
+import graft.core.{Checkpoints, Tables}
 import graft.functions.Text
 
 /** Entity resolution / record linkage — the "same real-world thing under
@@ -90,7 +90,7 @@ object Resolution {
     val app = s.sparkContext.applicationId
     pairCache.getOrElseUpdate((app, dir, keyLen, q, maxDist), {
       evictOtherDirs(app, dir)
-      val cp = matchPairs(s, dir, keyLen, q, maxDist).localCheckpoint()
+      val cp = Checkpoints.truncate(matchPairs(s, dir, keyLen, q, maxDist))
       val nPairs = cp.count()
       if (nPairs <= Dedup.DriverCcMaxPairs) {
         import s.implicits._
