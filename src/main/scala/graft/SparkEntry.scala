@@ -229,6 +229,10 @@ object SparkEntry {
     "dq08_key_uniqueness"  -> ((s: SparkSession, d: String) => graft.operators.DataQuality.keyUniquenessQuery(s, d)),
     "q43_salted_join"      -> ((s: SparkSession, d: String) => Relational.saltedJoinQuery(s, d)),
     "mm08_audio_neardup"   -> ((s: SparkSession, d: String) => Multimodal.audioNearDupQuery(s, d)),
+    // mm09: the quarantine report — empty on the clean corpus (its oracle
+    // asserts zero false quarantines); corrupt-fixture behavior is pinned
+    // in MultimodalSpec where the parquet corpus can't express it
+    "mm09_media_quarantine" -> Multimodal.mediaQuarantineQuery _,
     "cl08_langid_agreement" -> ((s: SparkSession, d: String) => graft.operators.Classifier.langAgreementQuery(s, d)),
     "pl05_tokenizer_apply"  -> ((s: SparkSession, d: String) => TextAnalysis.tokenizerApplyQuery(s, d)),
     "sa11_temporal_split"   -> ((s: SparkSession, d: String) => Curation.temporalSplitQuery(s, d)),
@@ -842,6 +846,7 @@ object SparkEntry {
     "dq08_key_uniqueness" -> graft.operators.DataQuality.keyUniquenessOracleSql,
     "q43_salted_join" -> Relational.saltedJoinOracleSql,
     "mm08_audio_neardup" -> Multimodal.audioNearDupOracleSql(),
+    "mm09_media_quarantine" -> Multimodal.mediaQuarantineOracleSql,
     "cl08_langid_agreement" -> graft.operators.Classifier.langAgreementOracleSql,
     "pl05_tokenizer_apply" -> TextAnalysis.tokenizerApplyOracleSql,
     "sa11_temporal_split" -> Curation.temporalSplitOracleSql,

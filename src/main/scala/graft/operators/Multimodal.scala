@@ -36,6 +36,28 @@ object Multimodal {
 
   val FeatureDim = 8
 
+  /** QUARANTINE CONTRACT (round-13): the decoders themselves stay
+    * fail-fast (a library caller handing bytes to [[ImageDecoder.decode]]
+    * wants the exception), but no QUERY may die because one container in
+    * a 100 TB corpus is malformed — the reference classifies per-message
+    * errors and keeps consuming (fluvii `components/consumer/consumer
+    * .py:74-81`) rather than crashing the loop. Every decode-consuming
+    * dataset therefore routes per-row decode through [[attempt]]: a
+    * failure becomes an `err` verdict carried on a side row (or the row
+    * is excluded from pair-building), the analytics output filters
+    * `err IS NULL` (so oracle rows are unchanged on a clean corpus), and
+    * [[mediaQuarantineQuery]] (mm09) reports every quarantined container
+    * with its verdict — empty on a clean corpus, which is exactly what
+    * its oracle asserts. MultimodalSpec feeds corrupt fixtures through
+    * each codec path and proves clean rows survive alongside verdicts. */
+  private[operators] def attempt[T](body: => T): Either[String, T] =
+    try Right(body)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        Left((e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("")).trim.take(200))
+    }
+
   /** STUB decoder: stands in for image decode + feature extraction.
     * Deterministic in the bytes; replace with a real codec at the same
     * signature. A real implementation would decode `bytes` (JPEG/PNG/...)
@@ -172,18 +194,38 @@ object Multimodal {
   case class ImageFeatures(media_id: Long, kind: String, n_px: Long,
       features: Array[Long])
 
-  /** Batched per-partition DECODE + pool over the image table — same
-    * mapPartitions plumbing as [[extractFeatures]], but through the real
-    * codec; n_px comes from the decoded image, not trusted metadata. */
-  def extractImageFeatures(media: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
+  /** Per-image decode verdict row: success carries the pooled features,
+    * failure carries the `err` message (see the quarantine contract). */
+  case class ImageFeatureRow(media_id: Long, kind: String,
+      n_px: Option[Long], features: Array[Long], err: Option[String])
+
+  /** Batched per-partition DECODE + pool over the image table with the
+    * quarantine verdict — the mapPartitions plumbing of
+    * [[extractFeatures]] through the real codec; n_px comes from the
+    * decoded image, not trusted metadata. */
+  private[operators] def imageFeatureRows(
+      media: Dataset[MediaRecord]): Dataset[ImageFeatureRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // per-partition setup happens HERE (once): ImageIO scans its reader
       // registry lazily on first use
       it.map { m =>
-        val (nPx, fs) = ImageDecoder.features(m.bytes)
-        ImageFeatures(m.media_id, m.kind, nPx, fs)
+        attempt(ImageDecoder.features(m.bytes)) match {
+          case Right((nPx, fs)) =>
+            ImageFeatureRow(m.media_id, m.kind, Some(nPx), fs, None)
+          case Left(err) =>
+            ImageFeatureRow(m.media_id, m.kind, None, null, Some(err))
+        }
       }
+    }
+  }
+
+  /** The successfully-decoded image features (quarantined rows excluded —
+    * [[mediaQuarantineQuery]] reports them). */
+  def extractImageFeatures(media: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    imageFeatureRows(media).flatMap { r =>
+      r.n_px.map(n => ImageFeatures(r.media_id, r.kind, n, r.features))
     }
   }
 
@@ -345,22 +387,38 @@ object Multimodal {
     * (codec init amortized per partition — the mapInPandas shape); the
     * payload never reaches an exchange; the output is frame-scale rows
     * only. */
-  def frameSampleQuery(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    gifMediaFromDocuments(s, dir)
+  def frameSampleQuery(s: SparkSession, dir: String): DataFrame =
+    gifFrameRows(gifMediaFromDocuments(s, dir))
+      .filter(col("err").isNull).drop("err")
+      .orderBy(col("media_id"), col("frame_idx"))
+
+  /** The mm02 decode with the quarantine verdict: a decodable container
+    * emits its sampled frame rows (err null); an undecodable or
+    * wrong-frame-count container emits ONE verdict row (frame columns
+    * null, err set) instead of killing the job — see the quarantine
+    * contract at [[attempt]]. */
+  private[operators] def gifFrameRows(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media
       .flatMap { m =>
-        val fs = GifDecoder.frames(m.bytes)
-        require(fs.length == GifFrameCount,
-          s"media ${m.media_id}: expected $GifFrameCount frames, got ${fs.length}")
-        fs.zipWithIndex.collect {
-          case (img, idx) if idx % GifFrameStride == 0 =>
-            (m.media_id, idx.toLong,
-              (img.getWidth * img.getHeight).toLong,
-              GifDecoder.pixelSum(img))
+        attempt {
+          val fs = GifDecoder.frames(m.bytes)
+          require(fs.length == GifFrameCount,
+            s"media ${m.media_id}: expected $GifFrameCount frames, got ${fs.length}")
+          fs
+        } match {
+          case Right(fs) => fs.zipWithIndex.collect {
+            case (img, idx) if idx % GifFrameStride == 0 =>
+              (m.media_id, Some(idx.toLong),
+                Some((img.getWidth * img.getHeight).toLong),
+                Some(GifDecoder.pixelSum(img)), Option.empty[String])
+          }
+          case Left(err) =>
+            Seq((m.media_id, Option.empty[Long], Option.empty[Long],
+              Option.empty[Long], Some(err)))
         }
       }
-      .toDF("media_id", "frame_idx", "n_px", "px_sum")
-      .orderBy(col("media_id"), col("frame_idx"))
+      .toDF("media_id", "frame_idx", "n_px", "px_sum", "err")
   }
 
   /** Query mm01: the honest decode path — PNG fixtures through the real
@@ -470,7 +528,11 @@ object Multimodal {
       s"maxHamming=$maxHamming loses the 4-band pigeonhole recall guarantee")
     val hashes = imageMediaFromDocuments(s, dir)
       .mapPartitions { it =>
-        it.map(m => (m.media_id, ImageDecoder.aHash64(ImageDecoder.decode(m.bytes))))
+        // quarantine contract: an undecodable image drops out of the pair
+        // search (mm09 reports it) instead of killing the query
+        it.flatMap(m =>
+          attempt(ImageDecoder.aHash64(ImageDecoder.decode(m.bytes)))
+            .toOption.map(h => (m.media_id, h)))
       }
       .toDF("media_id", "ahash")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -723,29 +785,43 @@ object Multimodal {
     * [[sceneCutQuery]]'s lag). The final orderBy exists for the oracle
     * comparison, not the operator. */
   def audioFramesQuery(s: SparkSession, dir: String, frameLen: Int = 64,
-      thresholdMs: Long = 5500): DataFrame = {
-    import s.implicits._
-    audioMediaFromDocuments(s, dir)
-      .flatMap { m =>
-        val samples = AudioDecoder.pcm(m.bytes)
-        (0 until (samples.length + frameLen - 1) / frameLen).map { fi =>
-          val from = fi * frameLen
-          val until = math.min(from + frameLen, samples.length)
-          var energy = 0L
-          var zc = 0L
-          var j = from
-          while (j < until) {
-            val a = samples(j)
-            energy += a.toLong * a
-            if (j > from && samples(j - 1) * a < 0) zc += 1
-            j += 1
-          }
-          AudioFrame(m.media_id, fi.toLong, (until - from).toLong, energy, zc)
-        }
-      }
-      .toDF()
+      thresholdMs: Long = 5500): DataFrame =
+    audioFrameRows(audioMediaFromDocuments(s, dir), frameLen)
+      .filter(col("err").isNull).drop("err")
       .withColumn("active", col("energy") > col("n_samples") * thresholdMs)
       .orderBy(col("media_id"), col("frame_idx"))
+
+  /** The mm06 decode with the quarantine verdict (the [[gifFrameRows]]
+    * shape for audio): a decodable container emits its frame stat rows
+    * (err null); an undecodable one emits ONE verdict row. */
+  private[operators] def audioFrameRows(media: Dataset[MediaRecord],
+      frameLen: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media
+      .flatMap { m =>
+        attempt(AudioDecoder.pcm(m.bytes)) match {
+          case Right(samples) =>
+            (0 until (samples.length + frameLen - 1) / frameLen).map { fi =>
+              val from = fi * frameLen
+              val until = math.min(from + frameLen, samples.length)
+              var energy = 0L
+              var zc = 0L
+              var j = from
+              while (j < until) {
+                val a = samples(j)
+                energy += a.toLong * a
+                if (j > from && samples(j - 1) * a < 0) zc += 1
+                j += 1
+              }
+              (m.media_id, Some(fi.toLong), Some((until - from).toLong),
+                Some(energy), Some(zc), Option.empty[String])
+            }
+          case Left(err) =>
+            Seq((m.media_id, Option.empty[Long], Option.empty[Long],
+              Option.empty[Long], Option.empty[Long], Some(err)))
+        }
+      }
+      .toDF("media_id", "frame_idx", "n_samples", "energy", "zc", "err")
   }
 
   /** DuckDB SQL replicating [[audioFramesQuery]] exactly: PCM re-derived
@@ -866,11 +942,14 @@ object Multimodal {
     import s.implicits._
     val frames = audioMediaFromDocuments(s, dir)
       .flatMap { m =>
-        val samples = AudioDecoder.pcm(m.bytes)
-        (0 until (samples.length + frameLen - 1) / frameLen).map { fi =>
-          val from = fi * frameLen
-          val until = math.min(from + frameLen, samples.length)
-          (m.media_id, samples.slice(from, until).mkString(","))
+        // quarantine contract: an undecodable payload drops out of the
+        // pair search (mm09 reports it) instead of killing the query
+        attempt(AudioDecoder.pcm(m.bytes)).toOption.toSeq.flatMap { samples =>
+          (0 until (samples.length + frameLen - 1) / frameLen).map { fi =>
+            val from = fi * frameLen
+            val until = math.min(from + frameLen, samples.length)
+            (m.media_id, samples.slice(from, until).mkString(","))
+          }
         }
       }
       .toDF("media_id", "fs")
@@ -925,4 +1004,43 @@ object Multimodal {
       WHERE round(CAST(n_common AS DOUBLE) /
                   CAST(a.n + b.n - n_common AS DOUBLE), 6) >= $minJaccard
       ORDER BY media_a, media_b"""
+
+  /** mm09 — the media quarantine report: every container any decode path
+    * (PNG/mm01, GIF/mm02, WAV/mm06 — mm03/mm04/mm08 share those
+    * decoders) refused, with its error verdict. The side output the
+    * quarantine contract at [[attempt]] promises: at 100 TB a bad
+    * container lands HERE, the analytics queries above proceed without
+    * it, and nothing throws.
+    *
+    * On a clean corpus this is EMPTY — which is exactly what its oracle
+    * asserts (zero false quarantines), making the contract itself a
+    * standing hash-checked row. MultimodalSpec proves the positive
+    * direction (corrupt fixtures surface here with verdicts) where the
+    * parquet corpus can't.
+    *
+    * Plan shape for 100 TB: three independent decode scans (each the
+    * mapPartitions of its query family), verdict rows only — output is
+    * failure-scale, never corpus-scale; no exchange except the final
+    * presentation sort. */
+  def mediaQuarantineQuery(s: SparkSession, dir: String): DataFrame = {
+    val img = imageFeatureRows(imageMediaFromDocuments(s, dir)).toDF()
+      .filter(col("err").isNotNull)
+      .select(col("media_id"), col("kind"), col("err"))
+    val gif = gifFrameRows(gifMediaFromDocuments(s, dir))
+      .filter(col("err").isNotNull)
+      .select(col("media_id"), lit("video").as("kind"), col("err"))
+    val wav = audioFrameRows(audioMediaFromDocuments(s, dir), frameLen = 64)
+      .filter(col("err").isNotNull)
+      .select(col("media_id"), lit("audio").as("kind"), col("err"))
+    img.unionByName(gif).unionByName(wav)
+      .orderBy(col("media_id"), col("kind"))
+  }
+
+  /** DuckDB SQL replicating [[mediaQuarantineQuery]] on the (clean)
+    * fixture corpus: empty, same schema — the zero-false-quarantines
+    * assertion. */
+  val mediaQuarantineOracleSql: String = """
+      SELECT CAST(NULL AS BIGINT) AS media_id, CAST(NULL AS VARCHAR) AS kind,
+             CAST(NULL AS VARCHAR) AS err
+      WHERE 1 = 0"""
 }

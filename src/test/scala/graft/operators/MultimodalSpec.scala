@@ -194,6 +194,57 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("quarantine: corrupt containers become verdict rows, clean rows survive") {
+    import spark.implicits._
+    import Multimodal._
+    // one clean + one corrupt container per codec family
+    val junk = "definitely not a media container".getBytes("UTF-8")
+    val truncPng = ImageFixtures.grayPng("hello world".getBytes).take(20)
+    val images = Seq(
+      MediaRecord(1L, "image", ImageFixtures.grayPng("clean doc".getBytes), 16, 16),
+      MediaRecord(2L, "image", junk, 16, 16),
+      MediaRecord(3L, "image", truncPng, 16, 16)).toDS()
+    val imgRows = imageFeatureRows(images).collect()
+    assert(imgRows.length == 3)
+    val (imgOk, imgBad) = imgRows.partition(_.err.isEmpty)
+    assert(imgOk.map(_.media_id).toSet == Set(1L) && imgOk.head.n_px.contains(256L))
+    assert(imgBad.map(_.media_id).toSet == Set(2L, 3L) &&
+      imgBad.forall(r => r.n_px.isEmpty && r.err.exists(_.nonEmpty)))
+
+    // GIF: undecodable bytes AND a wrong-frame-count (but valid) container
+    val shortGif = GifFixtures.grayAnimatedGif("x".getBytes, frames = 3)
+    val gifs = Seq(
+      MediaRecord(1L, "video", GifFixtures.grayAnimatedGif("clean doc".getBytes), 16, 16),
+      MediaRecord(2L, "video", junk, 16, 16),
+      MediaRecord(3L, "video", shortGif, 16, 16)).toDS()
+    val gifRows = gifFrameRows(gifs).collect()
+    val gifOk = gifRows.filter(_.isNullAt(4))
+    val gifBad = gifRows.filterNot(_.isNullAt(4))
+    assert(gifOk.map(_.getLong(0)).toSet == Set(1L) &&
+      gifOk.length == GifFrameCount / GifFrameStride)
+    assert(gifBad.map(_.getLong(0)).toSet == Set(2L, 3L) &&
+      gifBad.forall(_.isNullAt(1)))
+    assert(gifBad.find(_.getLong(0) == 3L).get.getString(4).contains("expected"))
+
+    // WAV
+    val wavs = Seq(
+      MediaRecord(1L, "audio", AudioFixtures.pcm16Wav("clean doc".getBytes), 0, 0),
+      MediaRecord(2L, "audio", junk, 0, 0)).toDS()
+    val wavRows = audioFrameRows(wavs, frameLen = 4).collect()
+    val wavOk = wavRows.filter(_.isNullAt(5))
+    val wavBad = wavRows.filterNot(_.isNullAt(5))
+    assert(wavOk.nonEmpty && wavOk.forall(_.getLong(0) == 1L))
+    assert(wavBad.map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("quarantine: pair queries drop undecodable media instead of dying") {
+    // mm09 on the clean corpus is EMPTY (the oracle's claim), and the
+    // schema is the contract (media_id, kind, err)
+    val q = Multimodal.mediaQuarantineQuery(spark, sf0001)
+    assert(q.columns.toSeq == Seq("media_id", "kind", "err"))
+    assert(q.count() == 0L)
+  }
+
   test("mm04: banded candidates equal brute-force hamming (lossless at <=3)") {
     val got = Multimodal.imageNearDupQuery(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
