@@ -250,6 +250,9 @@ object Bench {
     // round-8 eleventh batch: tokenizer application, temporal split
     "pl05_tokenizer_apply",
     "sa11_temporal_split",
+    // round-13: the quarantine report (three decode scans, verdict rows
+    // only — failure-scale output, benchable at any SF)
+    "mm09_media_quarantine",
   )
 
   /** Bench-only session-memo BUILD steps, timed as first-class entries
@@ -376,7 +379,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.memory.storageFraction", "0.3") // see GraftSession
+      // see GraftSession; env-overridable for A/B profiling runs only
+      .config("spark.memory.storageFraction",
+        sys.env.getOrElse("SPARK_GRAFT_STORAGE_FRACTION", "0.3"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.maxPlanStringLength", "4194304")
       .getOrCreate()
