@@ -160,6 +160,10 @@ object Stress {
       // rehearsal round)
       "dd23_containment_funnel", "pl01_pipeline", "pl02_funnel",
       "pl03_training_weights",
+      // round-13: mm02 became a REAL multi-frame GIF decode in round 12 —
+      // its encode+decode flatMap must stay one pass on the scan with
+      // frame-scale output under the amplified corpus (verdict item 7)
+      "mm02_frame_sample",
       // cl09 sweeps cl01's scored pass through a ≤42-row histogram — the
       // grid work is corpus-independent by construction
       "cl09_threshold_sweep",
