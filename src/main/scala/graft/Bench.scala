@@ -307,7 +307,11 @@ object Bench {
             s"[bench] unknown/non-headline queries: ${unknown.mkString(", ")}")
           sys.exit(2)
         }
-        args.toSeq
+        // requested memo builds ALWAYS run before requested consumers,
+        // whatever order the args came in — otherwise a consumer listed
+        // first would be timed against a cold memo, re-creating the exact
+        // misattribution the xm entries exist to kill
+        memoNames.filter(args.contains) ++ args.toSeq.filterNot(memoNames.contains)
       }
 
     // Contention self-report, round-5 lesson: ONE ambient loadavg sample

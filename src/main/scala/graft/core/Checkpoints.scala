@@ -28,6 +28,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * ClusterSafeSpec proves both modes produce identical results.
   */
 object Checkpoints {
+  private val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Session conf key; "true" routes [[truncate]] through reliable
     * `checkpoint()`. Default (absent/false) keeps `localCheckpoint()`. */
   val ConfKey = "spark.graft.cluster-safe"
@@ -35,10 +37,28 @@ object Checkpoints {
   def clusterSafe(s: SparkSession): Boolean =
     s.conf.getOption(ConfKey).exists(_.trim.equalsIgnoreCase("true"))
 
+  /** File-retention discipline (stated, not hidden): Spark never deletes
+    * reliable checkpoint files on unpersist or at memo eviction — only
+    * the ContextCleaner can, when the checkpointed RDD is GC'd AND
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`. A
+    * long-lived cluster-safe session (the flag's whole audience) MUST set
+    * that conf and point the checkpoint dir at a per-application path its
+    * platform reaps at job end, or the dir grows without bound —
+    * iterative loops truncate every round. Warned once per JVM here. */
+  private val warnedRetention =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** Eagerly materialize `df` and truncate its lineage, by the session's
     * policy. Both branches are eager, so callers may count/collect the
     * result without re-running the upstream chain, and both cut the plan
-    * string (the analyzer-cost guarantee the iterative loops rely on). */
+    * string (the analyzer-cost guarantee the iterative loops rely on).
+    *
+    * The reliable branch persists BEFORE checkpointing: eager
+    * `checkpoint()` runs its count job and then a SEPARATE
+    * write-to-checkpoint-dir job, and without a cache that second job
+    * recomputes the whole lineage (the double-compute Spark's own API doc
+    * warns about). The transient cache is released as soon as the files
+    * are written. */
   def truncate(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     if (!clusterSafe(s)) df.localCheckpoint()
@@ -46,7 +66,17 @@ object Checkpoints {
       require(s.sparkContext.getCheckpointDir.isDefined,
         s"$ConfKey=true requires sparkContext.setCheckpointDir(<reliable " +
           "storage>) — reliable checkpoints need somewhere durable to live")
-      df.checkpoint()
+      if (!s.sparkContext.getConf.getBoolean(
+          "spark.cleaner.referenceTracking.cleanCheckpoints", false) &&
+          warnedRetention.compareAndSet(false, true))
+        logger.warn("cluster-safe checkpoints are write-once files Spark " +
+          "never deletes on unpersist; set spark.cleaner.referenceTracking" +
+          ".cleanCheckpoints=true and use a per-application checkpoint dir " +
+          "your platform reaps, or the dir grows without bound")
+      val cached =
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try cached.checkpoint() // eager: count + file write, both cache-fed
+      finally cached.unpersist(blocking = false)
     }
   }
 }

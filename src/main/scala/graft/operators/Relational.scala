@@ -684,6 +684,25 @@ object Relational {
     * point of the operator). The exact twin + rank windows exist here to
     * make the audit a standing oracle row; a deployment runs the audit on
     * a sample or a canary partition, not the full corpus. */
+  /** q31's in-bounds verdict expressions, package-visible so the
+    * negative spec drives the PRODUCTION formulas (a re-implemented copy
+    * in the test could pass while the query's own gate degraded into a
+    * tautology): HLL++ rsd 0.02 gets 5 sigma; the approximate median
+    * must sit between the exact 0.49/0.51 rank values. */
+  private[operators] def hllWithinRsd(est: Column, exact: Column): Column =
+    when(abs(est - exact).cast("double") / exact <= 0.10, 1L).otherwise(0L)
+  private[operators] def withinRankBounds(est: Column, lo: Column,
+      hi: Column): Column =
+    when(est.between(lo, hi), 1L).otherwise(0L)
+
+  /** The exact distinct-count aggregate shared by q42 and q31's embedded
+    * audit — one definition so the bit-equality the spec asserts between
+    * the twins cannot drift. */
+  private def exactDistinctCounts(li: DataFrame): DataFrame =
+    li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+
   def approxStats(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val sketches = li.groupBy(col("l_returnflag"))
@@ -691,9 +710,7 @@ object Relational {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
-    val counts = li.groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_orderkey")).as("n_orders"))
+    val counts = exactDistinctCounts(li)
     // ONE ranked pass serves the exact median AND both bound quantiles —
     // three order statistics off a single per-group window sort (the
     // naive form paid three sorts of the same frame; a judge-read plan
@@ -725,30 +742,18 @@ object Relational {
       .join(sketches, "l_returnflag")
       .select(col("l_returnflag"), col("n_parts"), col("n_orders"),
         col("median_price"),
-        when(abs(col("approx_parts") - col("n_parts")).cast("double") /
-          col("n_parts") <= 0.10, 1L).otherwise(0L).as("parts_ok"),
-        when(abs(col("approx_orders") - col("n_orders")).cast("double") /
-          col("n_orders") <= 0.10, 1L).otherwise(0L).as("orders_ok"),
-        when(col("approx_median").between(col("q_lo"), col("q_hi")), 1L)
-          .otherwise(0L).as("median_ok"))
+        hllWithinRsd(col("approx_parts"), col("n_parts")).as("parts_ok"),
+        hllWithinRsd(col("approx_orders"), col("n_orders")).as("orders_ok"),
+        withinRankBounds(col("approx_median"), col("q_lo"), col("q_hi"))
+          .as("median_ok"))
       .orderBy(col("l_returnflag"))
   }
 
   /** DuckDB SQL replicating [[approxStats]]'s deterministic columns (the
-    * q42 exact recipe) with the in-bounds flags asserted literally 1 —
-    * the oracle side of the embedded bounds audit. */
-  val approxStatsOracleSql: String = """
-      WITH c AS (SELECT l_returnflag,
-                   CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
-                   CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
-                 FROM lineitem GROUP BY 1),
-      r AS (SELECT l_returnflag, l_extendedprice,
-              CAST(row_number() OVER (PARTITION BY l_returnflag
-                ORDER BY l_extendedprice) AS BIGINT) AS rn,
-              CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
-            FROM lineitem),
-      m AS (SELECT l_returnflag, sum(l_extendedprice) / count(*) AS median_price
-            FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY 1)
+    * q42 CTE chain, shared verbatim) with the in-bounds flags asserted
+    * literally 1 — the oracle side of the embedded bounds audit. */
+  val approxStatsOracleSql: String = s"""
+      WITH $exactStatsCtesSql
       SELECT c.l_returnflag, n_parts, n_orders, median_price,
              CAST(1 AS BIGINT) AS parts_ok,
              CAST(1 AS BIGINT) AS orders_ok,
@@ -773,9 +778,7 @@ object Relational {
     * is the whole point of the pair). */
   def exactStats(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-    val counts = li.groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_orderkey")).as("n_orders"))
+    val counts = exactDistinctCounts(li)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
     val wn = org.apache.spark.sql.expressions.Window
@@ -791,11 +794,12 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
-  /** DuckDB SQL replicating [[exactStats]] exactly (same integer-rank
-    * median selection; the two selected order statistics are identical
-    * doubles, so the single averaging division is bit-portable). */
-  val exactStatsOracleSql: String = """
-      WITH c AS (SELECT l_returnflag,
+  /** The c/r/m CTE chain shared by the q42 and q31 oracles — ONE copy of
+    * the integer-rank median recipe, so the bit-equality Round6cOpsSpec
+    * asserts between the twins cannot drift between two SQL texts. */
+  // a def, not a val: approxStatsOracleSql initializes EARLIER in this
+  // object and a forward val reference would silently interpolate null
+  private def exactStatsCtesSql: String = """c AS (SELECT l_returnflag,
                    CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
                    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
                  FROM lineitem GROUP BY 1),
@@ -805,7 +809,13 @@ object Relational {
               CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
             FROM lineitem),
       m AS (SELECT l_returnflag, sum(l_extendedprice) / count(*) AS median_price
-            FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY 1)
+            FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY 1)"""
+
+  /** DuckDB SQL replicating [[exactStats]] exactly (same integer-rank
+    * median selection; the two selected order statistics are identical
+    * doubles, so the single averaging division is bit-portable). */
+  val exactStatsOracleSql: String = s"""
+      WITH $exactStatsCtesSql
       SELECT c.l_returnflag, n_parts, n_orders, median_price
       FROM c JOIN m USING (l_returnflag) ORDER BY l_returnflag"""
 

@@ -21,10 +21,17 @@ class ClusterSafeSpec extends AnyFunSuite {
     Classifier.clearModelCache()
   }
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+
   /** Runs `body` with cluster-safe on and a temp checkpoint dir; clears
-    * the session memos on both sides so each mode derives from scratch
-    * and leaves no mode-tainted memo for other suites. */
+    * the session memos on both sides so each mode derives from scratch,
+    * restores the prior checkpoint dir (the session is suite-shared), and
+    * deletes the temp checkpoint files. */
   private def inClusterSafe[T](body: String => T): T = {
+    val prior = spark.sparkContext.getCheckpointDir
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
     spark.conf.set(Checkpoints.ConfKey, "true")
@@ -33,6 +40,8 @@ class ClusterSafeSpec extends AnyFunSuite {
     finally {
       spark.conf.unset(Checkpoints.ConfKey)
       clearAllMemos()
+      prior.foreach(spark.sparkContext.setCheckpointDir)
+      deleteRecursively(new java.io.File(dir))
     }
   }
 
@@ -65,18 +74,23 @@ class ClusterSafeSpec extends AnyFunSuite {
     // default mode: same call leaves the checkpoint dir untouched
     val dir2 = java.nio.file.Files.createTempDirectory("graft_ckpt2").toString
     spark.sparkContext.setCheckpointDir(dir2)
-    val t2 = Checkpoints.truncate(spark.range(10).toDF("id"))
-    assert(t2.count() == 10)
-    assert(Option(new java.io.File(dir2).listFiles()).forall(
-      _.forall(f => Option(f.listFiles()).forall(_.isEmpty))),
-      "default-mode truncate wrote reliable checkpoint files")
+    try {
+      val t2 = Checkpoints.truncate(spark.range(10).toDF("id"))
+      assert(t2.count() == 10)
+      assert(Option(new java.io.File(dir2).listFiles()).forall(
+        _.forall(f => Option(f.listFiles()).forall(_.isEmpty))),
+        "default-mode truncate wrote reliable checkpoint files")
+    } finally deleteRecursively(new java.io.File(dir2))
   }
 
   test("memo consumers are bit-identical across modes (dd05/er02/cl03)") {
     def snapshot(): Map[String, Set[String]] = Map(
       "dd05" -> Dedup.dupClusters(spark, sf).collect().map(_.toString).toSet,
       "er02" -> Resolution.fuzzyClustersQuery(spark, sf).collect().map(_.toString).toSet,
-      "cl03" -> Classifier.knnClassifierQuery(spark, sf).collect().map(_.toString).toSet)
+      "cl03" -> Classifier.knnClassifierQuery(spark, sf).collect().map(_.toString).toSet,
+      // gr04's k-core peel truncates its edge frame EVERY round — the
+      // loop-heavy consumer of the switch
+      "gr04" -> Graph.kcoreQuery(spark, sf).collect().map(_.toString).toSet)
     clearAllMemos()
     val base = snapshot()
     assert(base.values.forall(_.nonEmpty))

@@ -405,12 +405,17 @@ class Round6cOpsSpec extends AnyFunSuite {
   }
 
   test("q31: the in-bounds flag logic detects an out-of-bounds estimate") {
-    // the audit must be a live gate, not a tautology: feed the flag
-    // formula a deliberately-bad estimate and it must emit 0
+    // the audit must be a live gate, not a tautology: feed the PRODUCTION
+    // flag expressions (the very ones approxStats emits — not a re-typed
+    // copy that could diverge) deliberately-bad estimates and they must
+    // emit 0
     import spark.implicits._
-    val df = Seq((100L, 112L), (100L, 109L)).toDF("n_parts", "approx_parts")
-      .select(when(abs(col("approx_parts") - col("n_parts")).cast("double") /
-        col("n_parts") <= 0.10, 1L).otherwise(0L).as("ok"))
-    assert(df.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    val hll = Seq((100L, 112L), (100L, 109L)).toDF("exact", "est")
+      .select(Relational.hllWithinRsd(col("est"), col("exact")).as("ok"))
+    assert(hll.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    val med = Seq((5.0, 1.0, 4.0), (3.0, 1.0, 4.0), (0.5, 1.0, 4.0))
+      .toDF("est", "lo", "hi")
+      .select(Relational.withinRankBounds(col("est"), col("lo"), col("hi")).as("ok"))
+    assert(med.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 0L))
   }
 }
