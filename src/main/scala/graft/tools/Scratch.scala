@@ -18,7 +18,33 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.maxPlanStringLength", "4194304").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // -safe: run under the cluster-safe checkpoint policy (reliable
+    // checkpoint() into target/ckpt_scratch) — for measuring the
+    // write+read overhead the flag costs at a given corpus size
+    if (args.contains("-safe")) {
+      spark.sparkContext.setCheckpointDir("target/ckpt_scratch")
+      spark.conf.set(graft.core.Checkpoints.ConfKey, "true")
+      println("[scratch] cluster-safe mode: reliable checkpoints on")
+    }
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // `memo`: time the session-memo builds themselves (clear + rebuild,
+    // twice each) — with -safe this measures exactly what the reliable
+    // checkpoint policy costs over localCheckpoint at this corpus size
+    if (args.contains("memo")) {
+      def timed(label: String)(f: => Unit): Unit = (1 to 2).foreach { i =>
+        val t0 = System.nanoTime(); f
+        println(f"[scratch] $label run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      timed("pair_memo") {
+        graft.operators.Dedup.clearPairCache()
+        graft.operators.Dedup.warmPairMemo(spark, dir)
+      }
+      timed("er_memo") {
+        graft.operators.Resolution.clearMatchCache()
+        graft.operators.Resolution.warmMatchMemo(spark, dir)
+      }
+      spark.stop(); return
+    }
     if (args.contains("dd03stages")) { dd03Stages(spark, dir); spark.stop(); return }
     if (args.contains("bucketcensus")) { bucketCensus(spark, dir); spark.stop(); return }
     // `show <query...>`: print the first rows instead of timing — for

@@ -106,6 +106,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(count(plan, "rangepartitioning") == 1, plan)
   }
 
+  test("q31: ONE ranked pass serves median + both bound quantiles") {
+    // the audit's three order statistics must ride a single per-group
+    // window sort (round-13 fusion) — the naive form derived three ranked
+    // frames (6 Window nodes); a regression re-inflates this count
+    val plan = planOf(Relational.approxStats(spark, sf0001))
+    assert(count(plan, "Window ") <= 2, plan) // rn + per-group n
+    assert(plan.contains("hashpartitioning(l_returnflag"), plan)
+  }
+
   test("dd03: canonicalization groups fingerprints with map-side combine") {
     // the canonicalize-first exchange must carry PARTIAL aggregates (one
     // row per distinct text per map partition), so an exact-copy flood
