@@ -106,6 +106,22 @@ object Multimodal {
     }
   }
 
+  /** Decode-bomb guard: a crafted container header can declare absurd
+    * dimensions (a 40-byte PNG claiming 60000×60000 = 3.6 G samples) and
+    * the full decode then throws `OutOfMemoryError` — an Error, which
+    * [[attempt]] deliberately does NOT catch (NonFatal excludes it, and
+    * rightly: post-OOM JVM state is suspect), so without a pre-decode cap
+    * one malicious container in a crawl kills the executor despite the
+    * quarantine. Dimensions are read from the HEADER ONLY (ImageIO
+    * readers expose width/height without decoding pixels) and oversized
+    * containers are rejected as the cheap IllegalArgumentException the
+    * quarantine turns into an err verdict. 64 M pixels ≈ a 256 MB gray
+    * raster — far above any legitimate fixture, far below bomb scale. */
+  val MaxDecodePixels: Long = 64L * 1024 * 1024
+  /** Frame-count cap for multi-frame containers (mm02's GIFs): a stream
+    * of tiny frames is the other bomb axis. */
+  val MaxDecodeFrames: Int = 4096
+
   /** REAL image decode + feature extraction via the JDK codec: parse the
     * compressed payload with ImageIO, then pool the decoded raster's
     * samples — feature j sums every pixel at row-major index ≡ j (mod dim),
@@ -115,11 +131,28 @@ object Multimodal {
   object ImageDecoder {
     javax.imageio.ImageIO.setUseCache(false) // see ImageFixtures
     def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      if (img == null)
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) {
+        iis.close()
         throw new IllegalArgumentException(
           s"undecodable image payload (${bytes.length} bytes)")
-      img
+      }
+      val r = readers.next()
+      try {
+        r.setInput(iis, true, false)
+        // header-only dimension read BEFORE any pixel allocation
+        val (w, h) = (r.getWidth(0).toLong, r.getHeight(0).toLong)
+        if (w <= 0 || h <= 0 || w * h > MaxDecodePixels)
+          throw new IllegalArgumentException(
+            s"decode bomb guard: header claims ${w}x$h pixels (cap $MaxDecodePixels)")
+        val img = r.read(0)
+        if (img == null)
+          throw new IllegalArgumentException(
+            s"undecodable image payload (${bytes.length} bytes)")
+        img
+      } finally { r.dispose(); iis.close() }
     }
     /** 64-bit average hash (aHash) of the decoded image: downsample to an
       * 8x8 grid of block sums, bit b set iff block b's mean exceeds the
@@ -343,7 +376,19 @@ object Multimodal {
       val r = readers.next()
       try {
         r.setInput(iis, false, false)
-        (0 until r.getNumImages(true)).map(r.read(_)).toVector
+        val n = r.getNumImages(true)
+        if (n > MaxDecodeFrames)
+          throw new IllegalArgumentException(
+            s"decode bomb guard: container claims $n frames (cap $MaxDecodeFrames)")
+        (0 until n).map { i =>
+          // per-frame header dimensions BEFORE pixel allocation (the
+          // [[ImageDecoder.decode]] bomb guard, swept across frames)
+          val (w, h) = (r.getWidth(i).toLong, r.getHeight(i).toLong)
+          if (w <= 0 || h <= 0 || w * h > MaxDecodePixels)
+            throw new IllegalArgumentException(
+              s"decode bomb guard: frame $i claims ${w}x$h pixels (cap $MaxDecodePixels)")
+          r.read(i)
+        }.toVector
       } finally { r.dispose(); iis.close() }
     }
     /** Pixel sum of a decoded frame THROUGH the color model (getRGB), so

@@ -237,6 +237,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(wavBad.map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("decode bomb guard: oversized headers quarantine BEFORE allocation") {
+    import spark.implicits._
+    import Multimodal._
+    // a REAL png whose IHDR claims 60000x60000 (3.6 G samples): header
+    // parses (CRC fixed up), so without the pre-decode cap the reader
+    // would attempt a multi-GB raster allocation — an OutOfMemoryError
+    // the quarantine's NonFatal wrapper deliberately does not catch
+    val bomb = ImageFixtures.grayPng("x".getBytes).clone()
+    def put32(a: Array[Byte], off: Int, v: Long): Unit = (0 to 3).foreach { i =>
+      a(off + i) = ((v >>> (8 * (3 - i))) & 0xff).toByte
+    }
+    put32(bomb, 16, 60000L) // IHDR width
+    put32(bomb, 20, 60000L) // IHDR height
+    val crc = new java.util.zip.CRC32
+    crc.update(bomb, 12, 4 + 13) // chunk type + IHDR payload
+    put32(bomb, 29, crc.getValue)
+    val e = intercept[IllegalArgumentException](ImageDecoder.decode(bomb))
+    assert(e.getMessage.contains("bomb"))
+    // and through the dataset path: an err verdict, not a dead executor
+    val rows = imageFeatureRows(
+      Seq(MediaRecord(1L, "image", bomb, 16, 16)).toDS()).collect()
+    assert(rows.head.err.exists(_.contains("bomb")))
+
+    // multi-frame axis: a container with more image descriptors than the
+    // cap is rejected from the header scan, before any frame decodes
+    val manyFrames = GifFixtures.grayAnimatedGif("x".getBytes,
+      frames = MaxDecodeFrames + 1, w = 2, h = 2)
+    val g = intercept[IllegalArgumentException](GifDecoder.frames(manyFrames))
+    assert(g.getMessage.contains("bomb"))
+  }
+
   test("quarantine: pair queries drop undecodable media instead of dying") {
     // mm09 on the clean corpus is EMPTY (the oracle's claim), and the
     // schema is the contract (media_id, kind, err)
