@@ -16,10 +16,11 @@ import graft.functions.Murmur3
   */
 object Produce {
 
-  /** Pluggable guid source: uuid by default, fixable for deterministic
-    * tests (the reference uses uuid1; only uniqueness is contractual). */
+  /** Pluggable guid source: RFC 4122 v1 (time-based) by default — the same
+    * UUID version the reference's `uuid1()` emits (producer.py:92-93) —
+    * fixable for deterministic tests. */
   type GuidFactory = () => String
-  val defaultGuid: GuidFactory = () => java.util.UUID.randomUUID().toString
+  val defaultGuid: GuidFactory = () => graft.functions.Uuid1.next().toString
 
   def message(
       consumed: Message,
