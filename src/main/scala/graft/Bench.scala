@@ -227,6 +227,9 @@ object Bench {
     // and the token-budget mixer cut (columnar pass + one source window)
     "dd22_sketch_containment",
     "sa12_token_budget",
+    // round-13: the streaming admission gate's batch replay (stateless
+    // columnar gates + the per-source budget fold)
+    "sa13_streaming_admission",
     "cl09_threshold_sweep",
     // round-11: the composed containment funnel — the dd22 screen's one
     // linear pass plus an exact verify confined to its survivors

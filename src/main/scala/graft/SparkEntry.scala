@@ -216,6 +216,10 @@ object SparkEntry {
     "dd22_sketch_containment" -> ((s: SparkSession, d: String) => Dedup.sketchContainmentQuery(s, d)),
     "dd23_containment_funnel" -> ((s: SparkSession, d: String) => Dedup.containmentFunnelQuery(s, d)),
     "sa12_token_budget" -> ((s: SparkSession, d: String) => Curation.tokenBudgetQuery(s, d)),
+    // sa13: continuous ingestion admission — stateless ta01/ta02/sa03 gates
+    // + a stateful per-source token budget; deterministic batch replay of
+    // the transformWithState backend (the dd12 harness pattern)
+    "sa13_streaming_admission" -> graft.state.AdmissionStream.streamingAdmission _,
     "cl09_threshold_sweep" -> ((s: SparkSession, d: String) => graft.operators.Classifier.thresholdSweepQuery(s, d)),
     "ta22_novelty"         -> ((s: SparkSession, d: String) => TextAnalysis.noveltyQuery(s, d)),
     "dq07_snapshot_diff"   -> ((s: SparkSession, d: String) => graft.operators.DataQuality.snapshotDiffQuery(s, d)),
@@ -833,6 +837,7 @@ object SparkEntry {
     "dd22_sketch_containment" -> Dedup.sketchContainmentOracleSql(),
     "dd23_containment_funnel" -> Dedup.containmentFunnelOracleSql(),
     "sa12_token_budget" -> Curation.tokenBudgetOracleSql,
+    "sa13_streaming_admission" -> graft.state.AdmissionStream.oracleSql,
     "cl09_threshold_sweep" -> graft.operators.Classifier.thresholdSweepOracleSql(),
     "ta22_novelty" -> TextAnalysis.noveltyOracleSql,
     "dq07_snapshot_diff" -> graft.operators.DataQuality.snapshotDiffOracleSql,

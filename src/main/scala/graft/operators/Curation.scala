@@ -107,15 +107,15 @@ object Curation {
     * engine-portable pseudo-random key behind the whole sampling family
     * (sa03 threshold cut, sa04 per-domain rates, sa05 shard hash). One
     * definition so a change to the prefix width cannot drift per-operator. */
-  private[operators] def prefix32(md5hex: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def prefix32(md5hex: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5hex, 1, 8), 16, 10)
-  private[operators] def md5Prefix32(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def md5Prefix32(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     prefix32(md5(id.cast("string")))
 
   /** The sa03 sampling threshold — rate * 2^32, compared against the 32-bit
     * md5 prefix. ONE definition shared by the sampler, its oracle and the
     * pl01 pipeline so the cut derivation cannot drift per-operator. */
-  private[operators] def hashCut(rate: Double): Long = (rate * 4294967296.0).toLong
+  private[graft] def hashCut(rate: Double): Long = (rate * 4294967296.0).toLong
 
   def hashSampleQuery(s: SparkSession, dir: String, rate: Double = 0.15): DataFrame = {
     val cut = hashCut(rate)

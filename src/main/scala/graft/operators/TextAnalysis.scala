@@ -11,26 +11,38 @@ import graft.functions.Text
   * is exactly what you want for a 100 TB cleaning pass. */
 object TextAnalysis {
 
-  /** DuckDB SQL replicating [[langIdQuery]] exactly — generated from the
-    * same [[LangProfiles]] so the heuristic and its oracle cannot drift. */
-  def langIdOracleSql: String = {
-    // mirror of Text.wordOccurrences: double the spaces so adjacent
-    // occurrences count, \Q..\E-quoted literal, non-overlapping 'g' replace
-    def occ(w: String): String =
-      s"CAST((length(dd) - length(regexp_replace(dd, ' \\Q$w\\E ', '', 'g'))) / ${w.length + 2} AS BIGINT)"
-    val scoreExprs = LangProfiles.map { case (l, ws) =>
-      ws.map(occ).mkString(" + ") + s" AS score_$l"
-    }.mkString(",\n             ")
+  /** SQL mirror of Text.wordOccurrences over a doubled-spaces column `dd`:
+    * double the spaces so adjacent occurrences count, \Q..\E-quoted
+    * literal, non-overlapping 'g' replace. Shared by the ta01 oracle and
+    * the composed sa13 oracle. */
+  def occSqlExpr(w: String): String =
+    s"CAST((length(dd) - length(regexp_replace(dd, ' \\Q$w\\E ', '', 'g'))) / ${w.length + 2} AS BIGINT)"
+
+  /** SQL form of [[langScoreCols]]: one `<sum> AS score_<lang>` item per
+    * profile, over a doubled-spaces column `dd`. */
+  def langScoreSqlExprs: Seq[String] = LangProfiles.map { case (l, ws) =>
+    ws.map(occSqlExpr).mkString(" + ") + s" AS score_$l"
+  }
+
+  /** SQL form of [[bestLangCol]] over score_<lang> columns: argmax with
+    * first-profile tie-break — l wins iff score_l > 0, strictly beats
+    * every EARLIER profile, and is >= every LATER profile; the branches
+    * are mutually exclusive, so CASE order cannot mask a winner. */
+  def predLangCaseSql: String = {
     val langs = LangProfiles.map(_._1)
-    // argmax with first-profile tie-break: l wins iff score_l > 0, strictly
-    // beats every EARLIER profile, and is >= every LATER profile — the
-    // branches are mutually exclusive, so CASE order cannot mask a winner
-    val caseExpr = langs.zipWithIndex.foldRight("'und'") { case ((l, i), acc) =>
+    langs.zipWithIndex.foldRight("'und'") { case ((l, i), acc) =>
       val earlier = langs.take(i).map(p => s"score_$l > score_$p")
       val later = langs.drop(i + 1).map(p => s"score_$l >= score_$p")
       val cond = (s"score_$l > 0" +: (earlier ++ later)).mkString(" AND ")
       s"CASE WHEN $cond THEN '$l' ELSE $acc END"
     }
+  }
+
+  /** DuckDB SQL replicating [[langIdQuery]] exactly — generated from the
+    * same [[LangProfiles]] so the heuristic and its oracle cannot drift. */
+  def langIdOracleSql: String = {
+    val scoreExprs = langScoreSqlExprs.mkString(",\n             ")
+    val caseExpr = predLangCaseSql
     s"""
       WITH d AS (SELECT doc_id, lang AS declared_lang,
                         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t

@@ -154,6 +154,10 @@ object Stress {
       // by contract, so it stresses at any amplification; sa12's
       // admission must stay one source-keyed window over counts
       "dd22_sketch_containment", "sa12_token_budget",
+      // round-13: the streaming admission gate's batch replay — the gate
+      // pass must stay scan-shaped and the budget stage must shuffle only
+      // the 4 narrow columns under the amplified corpus
+      "sa13_streaming_admission",
       // round-11: the composed funnel — screen linear, verify confined to
       // survivors; and the remaining unrehearsed composition pipelines
       // (pl04/pl05 already run here; pl01-pl03 joined for the 100×

@@ -12,12 +12,12 @@ class BenchContractSpec extends AnyFunSuite {
 
   private val famNum = "([a-z]+)([0-9]+)".r
 
-  test("every SparkEntry query has an oracle and vice versa (190/190)") {
+  test("every SparkEntry query has an oracle and vice versa (191/191)") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
     assert((q -- o).isEmpty, s"queries without oracles: ${q -- o}")
-    assert(q.size == 190, s"query count drifted: ${q.size}")
+    assert(q.size == 191, s"query count drifted: ${q.size}")
   }
 
   test("every headline name resolves to a query; exclusions are the documented brute-force set") {

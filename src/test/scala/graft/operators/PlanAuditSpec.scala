@@ -1062,6 +1062,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Generate"), plan)
   }
 
+  test("sa13: gates ride the scan; only 4 narrow columns reach the budget exchange") {
+    val plan = planOf(graft.state.AdmissionStream
+      .streamingAdmission(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Join"), plan)
+    // exactly one source-keyed exchange (the budget fold's groupByKey);
+    // the text column must be projected away before it — a `t#` or
+    // `text#` attribute in the AppendColumns output means the corpus
+    // string is riding the shuffle
+    assert(count(plan, "hashpartitioning") == 1, plan)
+    val append = plan.linesIterator.filter(_.contains("AppendColumns")).mkString
+    assert(append.nonEmpty && !append.contains("text#") && !append.contains(" t#"),
+      s"corpus text enters the budget exchange:\n$plan")
+  }
+
   test("cl09: the sweep grid joins the tiny bin histogram — never the corpus") {
     val plan = planOf(Classifier.thresholdSweepQuery(spark, sf0001))
     assert(!plan.contains("CartesianProduct"), plan)

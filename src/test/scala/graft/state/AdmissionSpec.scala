@@ -1,0 +1,193 @@
+package graft.state
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession.{sf0001, spark}
+
+/** sa13 — continuous ingestion admission: fold semantics per gate, batch
+  * replay vs an independent window-cumsum model, stream/batch equality on
+  * the same increments, and the rolling-budget TTL. */
+class AdmissionSpec extends AnyFunSuite {
+
+  import AdmissionStream._
+
+  private def docsDF(rows: (Long, String, String, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "lang", "source", "text")
+  }
+
+  // passes every stateless gate for an even doc_id: predicts 'en' (two
+  // profile stopwords), mean token length (29+6-... ) = (34-6+1)/6 ≈ 4.83
+  // in [4.05, 4.95], and even small ids hash under the 0.8 cut (1, 2, 4
+  // do; 0, 3, 5, 10 do not — asserted below, derived from md5)
+  private val passText = "the data stream window register of"
+
+  test("stateless gates: each reason fires on its crafted document") {
+    val g = gatedDocs(docsDF(
+      (1L, "en", "s", passText),
+      (2L, "en", "s", ""),                                // empty
+      (4L, "zh", "s", passText),                          // langid says en
+      (6L, "en", "s", "the abcdefghijklmnop the abcdefghijklmnop xy"), // atl 9+
+      (3L, "en", "s", passText)))                         // md5 prefix >= cut
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3)).orNull).toMap
+    assert(g(1L) == null)
+    assert(g(2L) == "empty")
+    assert(g(4L) == "lang")
+    assert(g(6L) == "quality")
+    assert(g(3L) == "sample")
+  }
+
+  test("budget fold: counter advances on gate-passers only; admit while under") {
+    val rows = Iterator(
+      GateRow(1L, "s", 6L, null),
+      GateRow(2L, "s", 4L, "lang"),  // rejected upstream: no spend
+      GateRow(3L, "s", 6L, null),
+      GateRow(4L, "s", 1L, null))
+    val (out, cum) = processSourceGroup(0L, rows, budget = 10L)
+    assert(cum == 13L) // 6 + 6 + 1: the lang reject never spends
+    val byId = out.map(v => v.doc_id -> v).toMap
+    assert(byId(1L).admitted && byId(1L).cum_before.contains(0L))
+    assert(!byId(2L).admitted && byId(2L).reason == "lang" &&
+      byId(2L).cum_before.isEmpty)
+    assert(byId(3L).admitted && byId(3L).cum_before.contains(6L))
+    assert(!byId(4L).admitted && byId(4L).reason == "budget" &&
+      byId(4L).cum_before.contains(12L))
+    // admitted set is a prefix of the gate-passing arrivals
+    val passers = out.filter(_.reason != "lang").map(_.admitted)
+    assert(passers == passers.sorted.reverse)
+  }
+
+  test("batch replay equals the independent window-cumsum model at sf0.001") {
+    val g = gatedDocs(graft.core.Tables.documents(spark, sf0001))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cumg = coalesce(sum(when(col("reason").isNull, col("n_tokens"))
+      .otherwise(0L)).over(w), lit(0L))
+    val expected = g.withColumn("cumg", cumg)
+      .select(col("doc_id"),
+        (col("reason").isNull && col("cumg") < BudgetTokens).as("admitted"),
+        when(col("reason").isNotNull, col("reason"))
+          .when(col("cumg") >= BudgetTokens, "budget").as("reason"),
+        when(col("reason").isNull, col("cumg")).as("cum_before"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), Option(r.getString(2)).orNull,
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val got = streamingAdmission(spark, sf0001).collect()
+    assert(got.length == expected.size && got.nonEmpty)
+    got.foreach { r =>
+      val o = (r.getBoolean(3), Option(r.getString(4)).orNull,
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))
+      assert(o == expected(r.getLong(0)), s"doc ${r.getLong(0)}: $o")
+    }
+    // the corpus exercises the gates: some admitted, some lang-rejected
+    assert(got.count(_.getBoolean(3)) > 0)
+    assert(got.count(r => r.getString(4) == "lang") > 0)
+  }
+
+  test("streaming replay over increments equals the batch run (transformWithState)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      val docs = graft.core.Tables.documents(spark, sf0001)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .as[(Long, String, String, String)].collect().sortBy(_._1)
+      val inc = docs.grouped(math.max(docs.length / 3 + 1, 1)).toSeq
+      val input = MemoryStream[(Long, String, String, String)](spark)
+      val gated = gatedDocs(input.toDS()
+        .toDF("doc_id", "lang", "source", "text")).as[GateRow]
+      val q = admissionStream(gated).toDF()
+        .writeStream.format("memory").queryName("sa13_stream")
+        .outputMode(OutputMode.Append).start()
+      try {
+        inc.foreach { batch =>
+          input.addData(batch.toSeq); q.processAllAvailable()
+        }
+        val streamed = spark.table("sa13_stream")
+          .orderBy(col("doc_id")).collect().map(_.toSeq)
+        val batchRun = streamingAdmission(spark, sf0001)
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            col("admitted"), col("reason"), col("cum_before"))
+          .collect().map(_.toSeq)
+        assert(streamed.length == batchRun.length && streamed.nonEmpty)
+        streamed.zip(batchRun).foreach { case (s, b) => assert(s == b) }
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("TTL: expired spend re-opens admission (rolling-window budget)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val ckKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    val prev = spark.conf.getOption(key)
+    val prevCk = spark.conf.getOption(ckKey)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(ckKey, "false") // see NearDupSpec's TTL deadlock note
+    // ProcessingTime mode schedules continuous cleanup batches, so
+    // processAllAvailable would never return — observe progress through a
+    // listener instead (NearDupSpec's TTL harness)
+    val seen = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.name == "sa13_ttl") seen.addAndGet(e.progress.numInputRows)
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    def waitUntil(cond: => Boolean, what: String): Unit = {
+      val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
+      while (!cond && System.nanoTime < deadline) Thread.sleep(50)
+      assert(cond, s"timed out waiting for $what")
+    }
+    spark.streams.addListener(listener)
+    try {
+      import spark.implicits._
+      val input = MemoryStream[(Long, String, String, String)](spark)
+      val gated = gatedDocs(input.toDS()
+        .toDF("doc_id", "lang", "source", "text")).as[GateRow]
+      // budget 6 tokens; passText spends exactly 6 — a second arrival
+      // inside the window is over budget, but once the spend expires the
+      // counter is gone and the source re-admits
+      val q = admissionStream(gated, budget = 6L,
+          ttl = Some(java.time.Duration.ofSeconds(4))).toDF()
+        .writeStream.format("memory").queryName("sa13_ttl")
+        .outputMode(OutputMode.Append).start()
+      try {
+        input.addData((1L, "en", "s", passText))
+        waitUntil(seen.get >= 1, "doc 1 processed")
+        input.addData((2L, "en", "s", passText))
+        waitUntil(seen.get >= 2, "doc 2 processed")
+        Thread.sleep(6000) // > TTL: the source's spend expires
+        input.addData((4L, "en", "s", passText))
+        waitUntil(seen.get >= 3, "doc 4 processed")
+        val rows = spark.table("sa13_ttl")
+          .select(col("doc_id"), col("admitted"), col("reason")).collect()
+          .map(r => r.getLong(0) -> (r.getBoolean(1), Option(r.getString(2)).orNull))
+          .toMap
+        assert(rows(1L) == ((true, null)), s"doc 1: ${rows(1L)}")
+        assert(rows(2L) == ((false, "budget")), s"doc 2: ${rows(2L)}")
+        assert(rows(4L) == ((true, null)), s"doc 4 after expiry: ${rows(4L)}")
+      } finally q.stop()
+    } finally {
+      spark.streams.removeListener(listener)
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+      prevCk match {
+        case Some(v) => spark.conf.set(ckKey, v)
+        case None    => spark.conf.unset(ckKey)
+      }
+    }
+  }
+}
