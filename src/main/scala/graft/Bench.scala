@@ -273,6 +273,24 @@ object Bench {
     * production steady state. When args restrict the run, un-requested
     * builds still execute once (untimed) so the requested consumers see
     * the same warm state a full run would. */
+  /** Per-query baseline extraction from the bench_baseline.json TEXT —
+    * regex-based by design (no JSON parser on the main classpath), which
+    * makes it FORMAT-SENSITIVE: the file must stay compactly encoded
+    * (`"name":1.234`, no space after the colon) or every pair silently
+    * stops matching and the straggler-retry rule goes inactive.
+    * BenchContractSpec pins the committed file against this exact parser
+    * so a pretty-printing rewrite cannot ship. */
+  private[graft] def parseBaseline(txt: String, sfDir: String): Map[String, Double] = {
+    val sameSf = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt)
+      .exists(_.group(1) == sfDir)
+    if (!sameSf) Map.empty
+    else """"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)""".r.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .filter { case (k, _) =>
+        headline.contains(k) || memoBuilds.exists(_._1 == k) }
+      .toMap
+  }
+
   val memoBuilds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "xm01_pair_memo" -> { (s, d) =>
       graft.operators.Dedup.clearPairCache()
@@ -460,14 +478,7 @@ object Bench {
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(baselinePath)), "UTF-8")
-        val sameSf = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt)
-          .exists(_.group(1) == sfDir)
-        if (!sameSf) Map.empty
-        else """"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble)
-          .filter { case (k, _) =>
-            Bench.headline.contains(k) || memoFns.contains(k) }
-          .toMap
+        Bench.parseBaseline(txt, sfDir)
       } catch { case _: Throwable => Map.empty }
     if (baseline.isEmpty)
       System.err.println(s"[bench] no same-sf baseline at $baselinePath; " +

@@ -380,6 +380,11 @@ object Multimodal {
         if (n > MaxDecodeFrames)
           throw new IllegalArgumentException(
             s"decode bomb guard: container claims $n frames (cap $MaxDecodeFrames)")
+        // the per-frame cap alone still admits frames x pixels products in
+        // the hundreds of GB (4096 frames x 64M px, all retained in the
+        // returned Vector) — the CONTAINER shares one pixel budget, checked
+        // as a running total before any frame's pixels are allocated
+        var totalPx = 0L
         (0 until n).map { i =>
           // per-frame header dimensions BEFORE pixel allocation (the
           // [[ImageDecoder.decode]] bomb guard, swept across frames)
@@ -387,6 +392,11 @@ object Multimodal {
           if (w <= 0 || h <= 0 || w * h > MaxDecodePixels)
             throw new IllegalArgumentException(
               s"decode bomb guard: frame $i claims ${w}x$h pixels (cap $MaxDecodePixels)")
+          totalPx += w * h
+          if (totalPx > MaxDecodePixels)
+            throw new IllegalArgumentException(
+              s"decode bomb guard: container claims $totalPx pixels across " +
+                s"${i + 1} frames (cap $MaxDecodePixels)")
           r.read(i)
         }.toVector
       } finally { r.dispose(); iis.close() }

@@ -35,13 +35,17 @@ import graft.operators.{Curation, TextAnalysis}
   *
   * Gates 1-4 are stateless columnar expressions (zero exchanges, codegen'd
   * — exactly the ta01/ta02/sa03 plans); only the budget needs state: ONE
-  * long per source, keyed by source. The counter advances on every
-  * gate-passing document whether or not it is admitted; since it is
-  * non-decreasing and admission compares counter-before < budget, the
-  * admitted set is the prefix of gate-passing arrivals whose cumulative
-  * tokens stay under the budget — identical to counting admitted tokens
-  * only, but expressible as a plain window cumsum, which is what the
-  * DuckDB oracle runs.
+  * long per source, keyed by source. The counter holds ADMITTED spend and
+  * advances only when a document is admitted — crucial for the TTL
+  * semantics below: a budget-REJECTED arrival performs no state write, so
+  * a flooding over-budget source does not keep refreshing its own lockout.
+  * The admit decision (counter-before < budget) still yields exactly the
+  * prefix of gate-passing arrivals whose cumulative tokens stay under the
+  * budget: both counters agree up to the first rejection (every earlier
+  * passer was admitted), and from it on both sit >= budget forever — so
+  * the DuckDB oracle derives the admitted FLAG from a plain window cumsum
+  * over gate-passing tokens, and the reported `cum_before` from a second
+  * cumsum over admitted tokens.
   *
   * Plan shape for 100 TB: the stateless gates ride the ingest scan; the
   * budget stage shuffles ONLY (doc_id, source, n_tokens, reason) — the
@@ -50,7 +54,11 @@ import graft.operators.{Curation, TextAnalysis}
   * is 8 bytes x |sources|. With a retention `ttl` the budget is a ROLLING
   * window budget: the counter ages out with the retention window, so a
   * long-running deployment re-opens admission as old spend expires
-  * ([[candidatesStream]]'s TTL discipline, same mechanism).
+  * ([[candidatesStream]]'s TTL discipline, same mechanism). The TTL clock
+  * restarts on state WRITES, which is why only admissions write: under a
+  * continuous flood of rejected arrivals the admitted spend still expires
+  * on schedule and the source re-opens (AdmissionSpec pins both the
+  * no-write-on-reject fold and the post-expiry re-admission).
   *
   * Batch twin: [[graft.operators.Curation.tokenBudgetQuery]] (sa12) is the
   * score-priority batch form; `streamingAdmission` is replay-deterministic
@@ -121,7 +129,9 @@ object AdmissionStream {
         val admitted = cum < budget
         out += Verdict(r.doc_id, r.source, r.n_tokens, admitted,
           if (admitted) null else "budget", Some(cum))
-        cum += r.n_tokens
+        // admitted spend only: a rejection must not advance (and, through
+        // [[BudgetProcessor]], must not TTL-refresh) the counter
+        if (admitted) cum += r.n_tokens
       }
     }
     (out.result(), cum)
@@ -200,13 +210,19 @@ object AdmissionStream {
               CAST(coalesce(sum(CASE WHEN reason IS NULL THEN n_tokens ELSE 0 END)
                 OVER (PARTITION BY source ORDER BY doc_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumg
-            FROM g)
-      SELECT doc_id, source, n_tokens,
-             (reason IS NULL AND cumg < $BudgetTokens) AS admitted,
+            FROM g),
+      b2 AS (SELECT doc_id, source, n_tokens, reason,
+               (reason IS NULL AND cumg < $BudgetTokens) AS admitted
+             FROM b)
+      SELECT doc_id, source, n_tokens, admitted,
              CASE WHEN reason IS NOT NULL THEN reason
-                  WHEN cumg >= $BudgetTokens THEN 'budget' END AS reason,
-             CASE WHEN reason IS NULL THEN cumg END AS cum_before
-      FROM b ORDER BY doc_id"""
+                  WHEN NOT admitted THEN 'budget' END AS reason,
+             CASE WHEN reason IS NULL THEN
+               CAST(coalesce(sum(CASE WHEN admitted THEN n_tokens ELSE 0 END)
+                 OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             END AS cum_before
+      FROM b2 ORDER BY doc_id"""
   }
 }
 

@@ -31,6 +31,23 @@ class BenchContractSpec extends AnyFunSuite {
       "dd19_containment"), s"unexpected bench exclusions: ${q -- h}")
   }
 
+  test("committed bench_baseline.json parses under Bench's real regex parser") {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("bench_baseline.json")), "UTF-8")
+    // the sf recorded in the file is the driver scale; parse against it
+    val sf = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+    assert(sf.nonEmpty, "baseline has no sf field")
+    val parsed = Bench.parseBaseline(txt, sf.get)
+    // every benched headline + memo entry must resolve to a baseline time,
+    // or the straggler-retry rule silently deactivates (a pretty-printed
+    // rewrite of the file is the failure mode this pins against)
+    val expected = (Bench.headline ++ Bench.memoBuilds.map(_._1)).toSet
+    assert((expected -- parsed.keySet).isEmpty,
+      s"baseline entries unparsed or missing: ${expected -- parsed.keySet}")
+    assert(Bench.parseBaseline(txt, "/some/other/sf").isEmpty,
+      "sf mismatch must disable the baseline")
+  }
+
   test("memo-build entries are bench-only, uniquely named, and family-encodable") {
     val names = Bench.memoBuilds.map(_._1)
     assert(names.distinct.size == names.size)

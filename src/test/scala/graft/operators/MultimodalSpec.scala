@@ -266,6 +266,15 @@ class MultimodalSpec extends AnyFunSuite {
       frames = MaxDecodeFrames + 1, w = 2, h = 2)
     val g = intercept[IllegalArgumentException](GifDecoder.frames(manyFrames))
     assert(g.getMessage.contains("bomb"))
+
+    // cross-frame axis: every frame under the per-frame cap, but the
+    // container's TOTAL exceeds the shared pixel budget (frames x pixels
+    // is the product bomb the independent caps would admit) — rejected
+    // from the running total before the overflow frame's pixels allocate
+    val product = GifFixtures.grayAnimatedGif(Array.emptyByteArray,
+      frames = 2, w = 6000, h = 6000) // 36M px/frame, 72M total > 64M cap
+    val t = intercept[IllegalArgumentException](GifDecoder.frames(product))
+    assert(t.getMessage.contains("across"))
   }
 
   test("quarantine: pair queries drop undecodable media instead of dying") {

@@ -47,7 +47,8 @@ class AdmissionSpec extends AnyFunSuite {
       GateRow(3L, "s", 6L, null),
       GateRow(4L, "s", 1L, null))
     val (out, cum) = processSourceGroup(0L, rows, budget = 10L)
-    assert(cum == 13L) // 6 + 6 + 1: the lang reject never spends
+    assert(cum == 12L) // 6 + 6: neither the lang reject nor the budget
+    // reject spends — ADMITTED tokens only (the TTL-refresh contract)
     val byId = out.map(v => v.doc_id -> v).toMap
     assert(byId(1L).admitted && byId(1L).cum_before.contains(0L))
     assert(!byId(2L).admitted && byId(2L).reason == "lang" &&
@@ -58,6 +59,12 @@ class AdmissionSpec extends AnyFunSuite {
     // admitted set is a prefix of the gate-passing arrivals
     val passers = out.filter(_.reason != "lang").map(_.admitted)
     assert(passers == passers.sorted.reverse)
+    // a group of pure rejections leaves the counter untouched — the
+    // no-state-write path that keeps a flooding source's TTL expiring
+    val (out2, cum2) = processSourceGroup(12L,
+      Iterator(GateRow(9L, "s", 5L, null)), budget = 10L)
+    assert(cum2 == 12L && !out2.head.admitted &&
+      out2.head.reason == "budget" && out2.head.cum_before.contains(12L))
   }
 
   test("batch replay equals the independent window-cumsum model at sf0.001") {
@@ -66,12 +73,16 @@ class AdmissionSpec extends AnyFunSuite {
       .rowsBetween(Window.unboundedPreceding, -1)
     val cumg = coalesce(sum(when(col("reason").isNull, col("n_tokens"))
       .otherwise(0L)).over(w), lit(0L))
+    val cumA = coalesce(sum(when(col("admitted"), col("n_tokens"))
+      .otherwise(0L)).over(w), lit(0L))
     val expected = g.withColumn("cumg", cumg)
-      .select(col("doc_id"),
-        (col("reason").isNull && col("cumg") < BudgetTokens).as("admitted"),
+      .withColumn("admitted",
+        col("reason").isNull && col("cumg") < BudgetTokens)
+      .withColumn("cum_a", cumA)
+      .select(col("doc_id"), col("admitted"),
         when(col("reason").isNotNull, col("reason"))
-          .when(col("cumg") >= BudgetTokens, "budget").as("reason"),
-        when(col("reason").isNull, col("cumg")).as("cum_before"))
+          .when(!col("admitted"), "budget").as("reason"),
+        when(col("reason").isNull, col("cum_a")).as("cum_before"))
       .collect().map(r => r.getLong(0) ->
         (r.getBoolean(1), Option(r.getString(2)).orNull,
           if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
