@@ -47,6 +47,27 @@ class Uuid1Spec extends AnyFunSuite {
     assert(us.map(_.toString).distinct.length == us.length)
   }
 
+  test("concurrent generation stays unique and collision-free (CAS loop)") {
+    import scala.jdk.CollectionConverters._
+    val all = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val n = 8
+    val per = 5000
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      val tasks = (1 to n).map { _ =>
+        pool.submit(new Runnable {
+          def run(): Unit = (1 to per).foreach(_ => all.add(Uuid1.next().toString))
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    // every uuid distinct: the timestamp CAS hands out strictly increasing
+    // ticks across threads, and clockSeq/node are process constants
+    assert(all.size == n * per, s"collisions: ${n * per - all.size}")
+    val ts = all.asScala.toSeq.map(s => Uuid1.timestampOf(java.util.UUID.fromString(s)))
+    assert(ts.distinct.length == ts.length)
+  }
+
   test("node is 48 bits and stable within the process") {
     assert((Uuid1.node & ~0xffffffffffffL) == 0)
     assert(Uuid1.next().node() == Uuid1.next().node())

@@ -67,6 +67,47 @@ class AdmissionSpec extends AnyFunSuite {
       out2.head.reason == "budget" && out2.head.cum_before.contains(12L))
   }
 
+  test("budget fold properties hold on generated arrivals (fixed-seed)") {
+    import org.scalacheck.{Gen, rng}
+    val gen = for {
+      n <- Gen.choose(0, 40)
+      rows <- Gen.listOfN(n, for {
+        tok <- Gen.choose(1L, 20L)
+        reason <- Gen.oneOf(null, null, null, "lang", "quality", "sample")
+      } yield (tok, reason))
+      budget <- Gen.choose(1L, 120L)
+      cum0 <- Gen.choose(0L, 30L)
+    } yield (rows.zipWithIndex.map { case ((t, r), i) =>
+      GateRow(i.toLong, "s", t, r) }, budget, cum0)
+    (0 until 200).foreach { seed =>
+      gen(Gen.Parameters.default, rng.Seed(seed.toLong)).foreach {
+        case (rows, budget, cum0) =>
+          val (out, cum) = processSourceGroup(cum0, rows.iterator, budget)
+          // counter = cum0 + admitted spend exactly
+          assert(cum == cum0 + out.filter(_.admitted).map(_.n_tokens).sum)
+          // admitted set is a prefix of the gate-passers; rejects carry
+          // 'budget' + the frozen counter; upstream rejects carry no counter
+          val passers = out.filter(v => v.reason == null || v.reason == "budget")
+          assert(passers.map(_.admitted) ==
+            passers.map(_.admitted).sorted.reverse, s"seed $seed not a prefix")
+          passers.foreach { v =>
+            assert(v.cum_before.nonEmpty)
+            assert(v.admitted == (v.cum_before.get < budget))
+          }
+          // the equivalence the oracle relies on: admit flag from the
+          // GATE-PASSING cumsum equals the fold's admitted-spend decision
+          var gatepass = cum0
+          passers.foreach { v =>
+            assert(v.admitted == (gatepass < budget),
+              s"seed $seed: gatepass-cumsum flag diverged at doc ${v.doc_id}")
+            gatepass += v.n_tokens
+          }
+          out.filter(v => v.reason != null && v.reason != "budget")
+            .foreach(v => assert(v.cum_before.isEmpty && !v.admitted))
+      }
+    }
+  }
+
   test("batch replay equals the independent window-cumsum model at sf0.001") {
     val g = gatedDocs(graft.core.Tables.documents(spark, sf0001))
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
