@@ -44,9 +44,10 @@ object Curation {
       .select(col("doc_id"), col("declared_lang"),
         md5(col("t")).as("fp"),
         Text.tokenCount(col("t")).as("n_tokens"),
-        Text.doubledSpaces(col("t")).as("dd"))
+        TextAnalysis.langCountsCol(col("t")).as("swc"))
       .select(Seq(col("doc_id"), col("declared_lang"), col("fp"),
-        col("n_tokens")) ++ TextAnalysis.langScoreCols(col("dd")): _*)
+        col("n_tokens")) ++
+        TextAnalysis.langScoreColsFromCounts(col("swc")): _*)
       .withColumn("pred_lang", TextAnalysis.bestLangCol)
       .withColumn("keep_id", min(col("doc_id")).over(w))
     val sp = Dedup.repeatedSpans(s, dir)

@@ -69,9 +69,31 @@ object TextAnalysis {
     words.map(w => Text.wordOccurrencesInDoubled(doubled, w)).reduce(_ + _)
 
   /** Per-profile score columns (named score_<lang>) over the doubled-spaces
-    * text — shared by [[langIdQuery]] and the fused [[Curation]] pass. */
+    * text — the regex formulation, kept as the executable spec the native
+    * census is parity-tested against (ExpressionPropertySpec). */
   def langScoreCols(doubled: Column): Seq[Column] =
     LangProfiles.map { case (l, ws) => langScore(doubled, ws).as(s"score_$l") }
+
+  /** Every profile word flattened in profile order — the census layout of
+    * [[langCountsCol]]. */
+  val AllProfileWords: Seq[String] = LangProfiles.flatMap(_._2)
+
+  /** ONE-pass native census over NORMALIZED (not doubled) text: the whole
+    * 20-word language-ID count in a single tokenize scan instead of 20
+    * doubled-regex scans. Hoist it into its own projection (the dd
+    * discipline) so consumers evaluate it once. */
+  def langCountsCol(norm: Column): Column =
+    graft.functions.StopwordCounts.counts(norm, AllProfileWords)
+
+  /** score_<lang> columns read off a materialized [[langCountsCol]] array —
+    * plain codegen'd getItem sums, same long type and values as
+    * [[langScoreCols]]. */
+  def langScoreColsFromCounts(counts: Column): Seq[Column] = {
+    val offsets = LangProfiles.scanLeft(0) { case (o, (_, ws)) => o + ws.length }
+    LangProfiles.zip(offsets).map { case ((l, ws), o) =>
+      ws.indices.map(i => counts.getItem(o + i)).reduce(_ + _).as(s"score_$l")
+    }
+  }
 
   /** Argmax over the score_<lang> columns with the first-profile tie-break:
     * mutually-exclusive conditions (strictly beats earlier profiles, >=
@@ -93,9 +115,9 @@ object TextAnalysis {
     val txt = Text.normText(col("text"))
     val scored = Tables.parallel(Tables.documents(s, dir))
       .select(col("doc_id"), col("lang").as("declared_lang"),
-        Text.doubledSpaces(txt).as("dd"))
+        langCountsCol(txt).as("swc"))
       .select(Seq(col("doc_id"), col("declared_lang")) ++
-        langScoreCols(col("dd")): _*)
+        langScoreColsFromCounts(col("swc")): _*)
     scored
       .withColumn("pred_lang", bestLangCol)
       .select(col("doc_id"), col("declared_lang"), col("pred_lang"),

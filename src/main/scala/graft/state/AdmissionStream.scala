@@ -96,13 +96,13 @@ object AdmissionStream {
         Text.normText(col("text")).as("t"))
       .select(col("doc_id"), col("declared_lang"), col("source"), col("t"),
         Text.tokenCount(col("t")).as("n_tokens"),
-        Text.doubledSpaces(col("t")).as("dd"))
+        TextAnalysis.langCountsCol(col("t")).as("swc"))
       .select(Seq(col("doc_id"), col("declared_lang"), col("source"),
         col("n_tokens"),
         when(tok > 0, (length(col("t")) - tok + 1).cast("double") / tok)
           .as("atl"),
         Curation.md5Prefix32(col("doc_id")).cast("long").as("h32")) ++
-        TextAnalysis.langScoreCols(col("dd")): _*)
+        TextAnalysis.langScoreColsFromCounts(col("swc")): _*)
       .withColumn("pred_lang", TextAnalysis.bestLangCol)
       .select(col("doc_id"), col("source"), col("n_tokens"),
         when(col("n_tokens") === 0, "empty")

@@ -96,6 +96,10 @@ class CodegenParitySpec extends AnyFunSuite {
     run(MinHashFromText(s, 5, 32), texts)
     run(CharShingles(s, 5), texts)
     run(TokenNgrams(s, 3), texts)
+    run(StopwordCounts(s, Seq("the", "fox", "ünïcode", "a")), texts ++ Seq(
+      row(UTF8String.fromString("")),
+      row(UTF8String.fromString("  the  the ")), // multi-space, padding
+      row(UTF8String.fromString("the")))) // single token, no delimiter
   }
 
   test("SimHash64 / Md5SimHash60 compiled == interpreted") {

@@ -52,6 +52,23 @@ class ExpressionPropertySpec extends AnyFunSuite {
     assert(df.count() == 0)
   }
 
+  test("StopwordCounts == doubled-regex spec on adversarial strings (raw AND normalized)") {
+    // words cover: plain stopwords, regex metachars (\Q-quoted in the
+    // spec), a unicode word, a word that is a prefix of another
+    val words = Seq("the", "a", "ab", "a.c", "é中", "ab ".trim)
+    def check(textCol: org.apache.spark.sql.Column, df: org.apache.spark.sql.DataFrame): Unit = {
+      val fast = StopwordCounts.counts(textCol, words.distinct)
+      val spec = array(words.distinct.map(w =>
+        Text.wordOccurrencesInDoubled(Text.doubledSpaces(textCol), w)): _*)
+      val bad = df.withColumn("fast", fast).withColumn("spec", spec)
+        .filter(col("fast") =!= col("spec"))
+      assert(bad.count() == 0, bad.limit(3).collect().mkString("\n"))
+    }
+    val raw = samples(nastyText, 300).toDF("text")
+    check(col("text"), raw) // parity holds on ARBITRARY text...
+    check(Text.normText(col("text")), raw) // ...and on the caller contract
+  }
+
   test("MinHashFromText is deterministic and shingle-consistent on nasty input") {
     val df = samples(nastyText, 200).toDF("text")
       .withColumn("fast", MinHashFromText.minhashFromText(col("text"), 5, 32))
