@@ -291,6 +291,37 @@ object Bench {
       .toMap
   }
 
+  /** Straggler-retry rule (round-7 lesson): a min exceeding RetryFactor ×
+    * the committed same-sf baseline earns up to RetryExtra more attempts
+    * before its number lands in the artifact. */
+  private[graft] val RetryFactor = 1.5
+  private[graft] val RetryExtra = 2
+
+  /** Per-query foreign-core bar above which a still-slow reading is
+    * DEFERRED to an end-of-run re-measure instead of shipping (round-13
+    * lesson: 0.946 foreign cores — far under the old cpus/8=4 contended
+    * bar — put a phantom 7.07× ev04 reading in the shipped artifact; the
+    * judge's idle re-run measured 1.33×). 0.25 cores is well above the
+    * jiffy-resolution noise floor of a sub-second window yet low enough
+    * to catch the single-core disturbances that demonstrably distort
+    * sub-second queries on this box. */
+  private[graft] val DeferFgCores = 0.25
+
+  /** Whole-run foreign-core bar for the `contended` flag. ~One core of
+    * outside load on a 32-thread run measurably inflates timings (round
+    * 13 shipped a 7× phantom at 0.946 foreign cores), so the flag fires
+    * just under that measured regime, not at cpus/8. */
+  private[graft] val ForeignFlagCores = 0.75
+
+  /** A query's shipped min is re-measured at end of run when its window
+    * saw elevated foreign load AND the reading still exceeds the retry
+    * bar — i.e. exactly the readings the in-line retries could not clean
+    * because the contention outlived them. */
+  private[graft] def shouldDefer(min: Double, baseline: Option[Double],
+      fgCores: Double): Boolean =
+    min >= 0 && fgCores > DeferFgCores &&
+      baseline.exists(b => min > b * RetryFactor)
+
   val memoBuilds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "xm01_pair_memo" -> { (s, d) =>
       graft.operators.Dedup.clearPairCache()
@@ -470,8 +501,8 @@ object Bench {
     // before its number lands in the artifact. Genuine regressions
     // reproduce across the retries and still ship; one-off JIT/GC/IO
     // stalls do not.
-    val RetryFactor = 1.5
-    val RetryExtra = 2
+    val RetryFactor = Bench.RetryFactor
+    val RetryExtra = Bench.RetryExtra
     val baselinePath =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "bench_baseline.json")
     val baseline: Map[String, Double] =
@@ -484,37 +515,113 @@ object Bench {
       System.err.println(s"[bench] no same-sf baseline at $baselinePath; " +
         "straggler retry rule inactive for this run")
 
+    /** Foreign cpu (cores) busy while `body` ran: system busy time minus
+      * this JVM's cpu time, per wall second — the bench's own 32-thread
+      * work subtracted out. Foreign load is exactly the thing that
+      * inflates timings; measuring it PER QUERY WINDOW (round-14) is what
+      * lets a slow reading be attributed to outside load and re-measured
+      * instead of shipped (round-13's ev04 phantom: 0.946 foreign cores,
+      * 7.07× reading, idle re-run 1.33×). */
+    def foreignOver[A](body: => A): (A, Double) = {
+      val j0 = sysBusyJiffies; val p0 = procCpuNanos; val t0 = System.nanoTime()
+      val a = body
+      val wall = (System.nanoTime() - t0) / 1e9
+      val j1 = sysBusyJiffies; val p1 = procCpuNanos
+      val fg =
+        if (j0 < 0 || j1 < 0 || p0 < 0 || p1 < 0 || wall <= 0) -1.0
+        else math.max(0.0, ((j1 - j0) / 100.0 - (p1 - p0) / 1e9) / wall)
+      (a, fg)
+    }
+
+    def attempt(name: String): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val ok = try { force(name); true } catch { case _: Throwable => false }
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    /** Base attempts + in-line straggler retries for one query, with the
+      * window's foreign-core reading sampled around the whole thing.
+      * Returns (certified min, every attempt, foreign cores). */
+    def measure(name: String, nAttempts: Int): (Double, Seq[Double], Double) = {
+      val ((min, allRuns), fg) = foreignOver {
+        val base = (1 to nAttempts).map(_ => attempt(name))
+        var good = base // certification source: base + successful retries
+        var runs = base // artifact source: every attempt, incl. failed retries
+        val bar = baseline.get(name).map(_ * RetryFactor)
+        var extra = RetryExtra
+        while (good.forall(_ >= 0) && extra > 0 && bar.exists(good.min > _)) {
+          System.err.println(f"[bench] $name min ${good.min}%.3f s exceeds " +
+            f"${RetryFactor}x baseline ${baseline(name)}%.3f s - retrying")
+          val t = attempt(name)
+          runs = runs :+ t
+          // a transient FAILURE during a retry must not decertify a query
+          // whose base attempts all passed — stop retrying, keep the honest
+          // (slow) base result; the -1 stays visible in the runs artifact
+          if (t < 0) extra = 0
+          else { good = good :+ t; extra -= 1 }
+        }
+        ((if (base.forall(_ >= 0)) good.filter(_ >= 0).min else -1.0), runs)
+      }
+      (min, allRuns, fg)
+    }
+
     val sysJ0 = sysBusyJiffies
     val procNs0 = procCpuNanos
     val wall0 = System.nanoTime()
-    val results = headline.map { name =>
-      def attempt(): Double = {
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        val ok = try { force(name); true } catch { case _: Throwable => false }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      }
-      val base = (1 to attempts).map(_ => attempt())
-      var good = base // certification source: base + successful retries
-      var allRuns = base // artifact source: every attempt, incl. failed retries
-      val bar = baseline.get(name).map(_ * RetryFactor)
-      var extra = RetryExtra
-      while (good.forall(_ >= 0) && extra > 0 && bar.exists(good.min > _)) {
-        System.err.println(f"[bench] $name min ${good.min}%.3f s exceeds " +
-          f"${RetryFactor}x baseline ${baseline(name)}%.3f s - retrying")
-        val t = attempt()
-        allRuns = allRuns :+ t
-        // a transient FAILURE during a retry must not decertify a query
-        // whose base attempts all passed — stop retrying, keep the honest
-        // (slow) base result; the -1 stays visible in the runs artifact
-        if (t < 0) extra = 0
-        else { good = good :+ t; extra -= 1 }
-      }
-      (name, if (base.forall(_ >= 0)) good.filter(_ >= 0).min else -1.0, allRuns)
+    val pass1 = headline.map { name =>
+      val (min, runs, fg) = measure(name, attempts)
+      (name, min, runs, fg)
     }
-    // average foreign cores busy during the timed window: system busy time
-    // minus this JVM's cpu time, per wall second. >cpus/8 foreign cores in
-    // hand means other processes were competing for the machine.
+
+    // DEFERRED RE-RUN QUEUE (round-14, the round-13 verdict's top item):
+    // a reading that is BOTH over the retry bar AND was taken under
+    // elevated foreign load is a suspected phantom — the in-line retries
+    // could not clean it because the contention outlived them. Instead of
+    // shipping it, wait for the foreign load to drain (sampled directly,
+    // same /proc/stat machinery) and re-measure at the end of the run;
+    // the shipped min is the best of both windows, so a GENUINE
+    // regression still reproduces and still ships.
+    val deferredNames = pass1.collect {
+      case (name, min, _, fg)
+        if Bench.shouldDefer(min, baseline.get(name), fg) => name
+    }
+    val rerun: Map[String, (Double, Seq[Double], Double)] =
+      if (deferredNames.isEmpty) Map.empty
+      else {
+        System.err.println(s"[bench] deferred re-run queue " +
+          s"(slow under foreign load): ${deferredNames.mkString(", ")}")
+        def fgSample(ms: Long): Double = foreignOver(Thread.sleep(ms))._2
+        val deadline = System.nanoTime() + maxWaitSec * 1000000000L
+        var fgNow = fgSample(5000)
+        while (fgNow > Bench.DeferFgCores && System.nanoTime() < deadline) {
+          System.err.println(f"[bench] re-run wait: $fgNow%.2f foreign " +
+            "cores still busy")
+          fgNow = fgSample(10000)
+        }
+        if (fgNow > Bench.DeferFgCores)
+          System.err.println(f"[bench] re-run wait TIMED OUT at " +
+            f"$fgNow%.2f foreign cores after $maxWaitSec s; re-measuring " +
+            "anyway (per-query fg readings stay in the artifact)")
+        else
+          System.err.println(f"[bench] foreign load drained " +
+            f"($fgNow%.2f cores); re-measuring ${deferredNames.size} queries")
+        deferredNames.map { name => name -> measure(name, 2) }.toMap
+      }
+    // merge: shipped min is the best certified window; every attempt from
+    // both windows stays in the runs artifact; the fg recorded is the one
+    // from the window that produced the shipped min.
+    val results = pass1.map { case (name, min1, runs1, fg1) =>
+      rerun.get(name) match {
+        case Some((min2, runs2, fg2)) =>
+          val (min, fg) =
+            if (min2 >= 0 && (min1 < 0 || min2 <= min1)) (min2, fg2)
+            else (min1, fg1)
+          (name, min, runs1 ++ runs2, fg)
+        case None => (name, min1, runs1, fg1)
+      }
+    }
+    // average foreign cores busy across the whole timed window (all
+    // queries), for the run-level contended flag.
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val foreignCores = {
       val sysJ1 = sysBusyJiffies; val procNs1 = procCpuNanos
@@ -524,26 +631,39 @@ object Bench {
     }
     val loadAtEnd = loadavg1
     val samples = Seq(ambientLoad, loadAfterWarmup, loadAtEnd)
-    val contended = ambientLoad > loadThreshold || foreignCores > loadThreshold
-    if (foreignCores > loadThreshold)
+    // round-14: the foreign-core bar for the contended flag is ~1 core,
+    // not cpus/8 — 0.946 foreign cores demonstrably produced a 7× phantom
+    // in round 13 while the old bar self-certified the run clean.
+    val contended = ambientLoad > loadThreshold ||
+      foreignCores > Bench.ForeignFlagCores
+    if (foreignCores > Bench.ForeignFlagCores)
       System.err.println(f"[bench] WARNING: $foreignCores%.2f foreign cores " +
-        f"busy during the timed window (> $loadThreshold%.1f) - flagging " +
-        "contended:true; timings are inflated by outside load.")
+        f"busy during the timed window (> ${Bench.ForeignFlagCores}%.1f) - " +
+        "flagging contended:true; timings are inflated by outside load.")
 
     def r3(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2).filter(_ >= 0).sum
 
-    // FULL artifact (full query names, every attempt, load samples) goes to
-    // a file + stderr: the driver's stdout capture is truncated (~2k chars;
-    // BENCH_r05's "parsed":null), so the machine-read line must stay small.
-    val runs = results.map { case (k, _, ts) =>
+    // FULL artifact (full query names, every attempt, per-query foreign
+    // cores, load samples) goes to a file + stderr: the driver's stdout
+    // capture is truncated (~2k chars; BENCH_r05's "parsed":null), so the
+    // machine-read line must stay small.
+    val runs = results.map { case (k, _, ts, _) =>
       "\"" + k + "\":[" + ts.map(r3).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val qsFull = results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
+    val qsFull = results.map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    // per-query foreign-core reading from the window that produced the
+    // shipped min (2 decimals; jiffy resolution doesn't support more)
+    def r2(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val fgMap = results.map { case (k, _, _, fg) => "\"" + k + "\":" + r2(fg) }
+      .mkString("{", ",", "}")
+    val deferredJson =
+      deferredNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsFull,"runs":$runs,"attempts":$attempts,"contended":$contended,"foreign_cores":${r3(foreignCores)},"loadavg":[${samples.map(r3).mkString(",")}],"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsFull,"runs":$runs,"foreign_cores_per_query":$fgMap,"deferred":$deferredJson,"attempts":$attempts,"contended":$contended,"foreign_cores":${r3(foreignCores)},"loadavg":[${samples.map(r3).mkString(",")}],"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
     try {
       val p = java.nio.file.Paths.get(outPath)
@@ -574,7 +694,7 @@ object Bench {
     val famNum = "([a-z]+)([0-9]+)".r
     val byFam = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.Map[Int, Double]]
-    results.foreach { case (k, v, _) =>
+    results.foreach { case (k, v, _, _) =>
       k.takeWhile(_ != '_') match {
         case famNum(fam, num) =>
           byFam.getOrElseUpdate(fam,

@@ -237,6 +237,10 @@ object SparkEntry {
     // asserts zero false quarantines); corrupt-fixture behavior is pinned
     // in MultimodalSpec where the parquet corpus can't express it
     "mm09_media_quarantine" -> Multimodal.mediaQuarantineQuery _,
+    // mm10: the NON-vacuous twin — deterministic corruption injection, so
+    // quarantined rows (and their exact verdicts) are hash-checked against
+    // DuckDB; Verify-only (duplicates mm09's decode cost in bench terms)
+    "mm10_quarantine_injected" -> Multimodal.mediaQuarantineInjectedQuery _,
     "cl08_langid_agreement" -> ((s: SparkSession, d: String) => graft.operators.Classifier.langAgreementQuery(s, d)),
     "pl05_tokenizer_apply"  -> ((s: SparkSession, d: String) => TextAnalysis.tokenizerApplyQuery(s, d)),
     "sa11_temporal_split"   -> ((s: SparkSession, d: String) => Curation.temporalSplitQuery(s, d)),
@@ -852,6 +856,7 @@ object SparkEntry {
     "q43_salted_join" -> Relational.saltedJoinOracleSql,
     "mm08_audio_neardup" -> Multimodal.audioNearDupOracleSql(),
     "mm09_media_quarantine" -> Multimodal.mediaQuarantineOracleSql,
+    "mm10_quarantine_injected" -> Multimodal.mediaQuarantineInjectedOracleSql,
     "cl08_langid_agreement" -> graft.operators.Classifier.langAgreementOracleSql,
     "pl05_tokenizer_apply" -> TextAnalysis.tokenizerApplyOracleSql,
     "sa11_temporal_split" -> Curation.temporalSplitOracleSql,

@@ -17,8 +17,15 @@ import java.util.concurrent.atomic.AtomicLong
   *     are strictly monotonic (CPython `uuid.py` `_last_timestamp` logic);
   *   - the node is the hardware MAC when one is readable, else 48 random
   *     bits with the multicast bit set (CPython `uuid._random_getnode`),
-  *     which can never collide with a real MAC;
-  *   - the clock sequence is random-initialized once per process.
+  *     which can never collide with a real MAC.
+  *
+  * Deliberate divergence: the clock sequence is random-initialized ONCE
+  * PER PROCESS (RFC 4122 §4.1.5's recommendation), whereas CPython's
+  * `uuid1()` draws a fresh 14-bit clock_seq on every call. Combined with
+  * the monotonic timestamp bump this gives strictly stronger in-process
+  * uniqueness than CPython (a per-call draw can collide across calls in
+  * the same 100-ns tick; a per-process constant cannot, because the
+  * timestamp bump already disambiguates same-tick calls).
   *
   * The JVM offers only `randomUUID()` (v4), so the bit assembly is manual.
   * Generation is lock-free: one CAS loop on the packed (timestamp) counter.

@@ -1098,4 +1098,68 @@ object Multimodal {
       SELECT CAST(NULL AS BIGINT) AS media_id, CAST(NULL AS VARCHAR) AS kind,
              CAST(NULL AS VARCHAR) AS err
       WHERE 1 = 0"""
+
+  /** mm10 — the NON-vacuous quarantine oracle (round-14; the round-13
+    * verdict's mm09b item): mm09's oracle is empty by construction on the
+    * clean corpus, so no quarantined row was ever hash-checked against
+    * DuckDB — only spec-asserted. This query re-runs the same three
+    * decode scans over a deterministically CORRUPTED view of the corpus
+    * (every doc_id ≡ [[CorruptResidue]] mod [[CorruptEvery]] has its
+    * container replaced by an 8-byte ASCII junk payload that no
+    * registered codec claims), so each corrupted document must surface
+    * exactly three verdict rows — one per decoder, with the decoder's
+    * deterministic undecodable-payload message — and every clean document
+    * must surface none. The oracle predicts the full report row-for-row,
+    * which hash-checks both directions of the quarantine contract: bad
+    * containers land in the report (non-vacuous), good ones don't (zero
+    * false quarantines), and nothing throws.
+    *
+    * Verify-only by design: it duplicates mm09's three-scan decode cost
+    * and measures nothing new, so it joins dd02/sim03/dd19 in the
+    * documented bench-exclusion set (BenchContractSpec). */
+  val CorruptEvery = 13L
+  val CorruptResidue = 5L
+  private[operators] val JunkPayload: Array[Byte] =
+    "CORRUPT!".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  private def injectCorrupt(media: Dataset[MediaRecord]): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      if (m.media_id % CorruptEvery == CorruptResidue) m.copy(bytes = JunkPayload)
+      else m
+    }
+  }
+
+  def mediaQuarantineInjectedQuery(s: SparkSession, dir: String): DataFrame = {
+    val img = imageFeatureRows(injectCorrupt(imageMediaFromDocuments(s, dir))).toDF()
+      .filter(col("err").isNotNull)
+      .select(col("media_id"), col("kind"), col("err"))
+    val gif = gifFrameRows(injectCorrupt(gifMediaFromDocuments(s, dir)))
+      .filter(col("err").isNotNull)
+      .select(col("media_id"), lit("video").as("kind"), col("err"))
+    val wav = audioFrameRows(injectCorrupt(audioMediaFromDocuments(s, dir)), frameLen = 64)
+      .filter(col("err").isNotNull)
+      .select(col("media_id"), lit("audio").as("kind"), col("err"))
+    img.unionByName(gif).unionByName(wav)
+      .orderBy(col("media_id"), col("kind"))
+  }
+
+  /** DuckDB oracle for [[mediaQuarantineInjectedQuery]]: the corrupted-id
+    * arithmetic and each decoder's verdict literal, cross-joined — the
+    * exact report, not just its shape. The three literals are pinned to
+    * the decoders' `undecodable <kind> payload (N bytes)` messages with
+    * N = the junk payload's length. */
+  val mediaQuarantineInjectedOracleSql: String = {
+    val n = JunkPayload.length
+    s"""
+      WITH bad AS (SELECT doc_id FROM documents
+                   WHERE doc_id % $CorruptEvery = $CorruptResidue),
+      verdicts(kind, err) AS (VALUES
+        ('audio', 'IllegalArgumentException: undecodable audio payload ($n bytes)'),
+        ('image', 'IllegalArgumentException: undecodable image payload ($n bytes)'),
+        ('video', 'IllegalArgumentException: undecodable video payload ($n bytes)'))
+      SELECT doc_id AS media_id, kind, err
+      FROM bad CROSS JOIN verdicts
+      ORDER BY media_id, kind"""
+  }
 }

@@ -374,18 +374,18 @@ object TextAnalysis {
   def repetitionQuery(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.parallel(Tables.documents(s, dir))
       .select(col("doc_id"), Text.normText(col("text")).as("t"))
-    def tagged(n: Int) = transform(
-      graft.functions.TokenNgrams.tokenNgrams(col("t"), n),
-      g => struct(lit(n).as("gn"), g.as("gram")))
-    // ONE corpus pass emits both gram sizes (tagged), ONE count shuffle on
-    // (doc_id, gn, gram) with map-side combine, then a per-doc reduce:
+    // ONE corpus pass emits both gram sizes pre-tagged (TokenNgramsMulti —
+    // a single boundary scan instead of one tokenize per size plus the
+    // transform+concat re-wrap), ONE count shuffle on (doc_id, gn, gram)
+    // with map-side combine, then a per-doc reduce:
     //   - top 2-gram: min over a (-cnt, gram) struct = highest count then
     //     lexicographically smallest gram, as a plain aggregate (no window
     //     sort); min ignores the null 3-gram rows
     //   - dup-3-gram chars: conditional sum over the same reduce
     val perDoc = docs
       .select(col("doc_id"),
-        explode(concat(tagged(2), tagged(3))).as("e"))
+        explode(graft.functions.TokenNgramsMulti
+          .tokenNgramsMulti(col("t"), Seq(2, 3))).as("e"))
       .groupBy(col("doc_id"), col("e.gn").as("gn"), col("e.gram").as("gram"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"))
@@ -730,22 +730,24 @@ object TextAnalysis {
     * identical in the oracle. */
   def piiQuery(s: SparkSession, dir: String): DataFrame = {
     val t = piiEnriched(col("doc_id"), col("text"))
-    // Column API throughout — expr() would route the patterns through a
-    // Spark SQL string literal, whose backslash escaping corrupts \. and
-    // silently desynchronizes the regexes from the oracle's
-    def hits(re: String): Column = regexp_extract_all(col("t"), lit(re), lit(0))
+    // ONE native scan (PiiScan) replaces the nine regex-engine passes
+    // (4 × regexp_extract_all + 4 chained regexp_replace + the Luhn
+    // filter's re-extraction): hand-rolled matchers reproduce the exact
+    // find()/replace semantics of these four patterns (parity pinned in
+    // ExpressionPropertySpec); hoisted into its own projection so the
+    // multi-field read evaluates it once. The oracle keeps the regex
+    // formulation, so the engine must hash-match it byte-for-byte.
     Tables.parallel(Tables.documents(s, dir))
       .select(col("doc_id"), t.as("t"))
+      .select(col("doc_id"), graft.functions.PiiScan.scan(col("t")).as("p"))
       .select(col("doc_id"),
-        size(hits(EmailRe)).cast("long").as("n_emails"),
-        size(hits(PhoneRe)).cast("long").as("n_phones"),
-        size(hits(Ipv4Re)).cast("long").as("n_ips"),
-        size(hits(CardRe)).cast("long").as("n_cards"),
-        size(filter(hits(CardRe), c => call_function("luhn_check", c)))
+        col("p.n_emails").as("n_emails"),
+        col("p.n_phones").as("n_phones"),
+        col("p.n_ips").as("n_ips"),
+        size(col("p.cards")).cast("long").as("n_cards"),
+        size(filter(col("p.cards"), c => call_function("luhn_check", c)))
           .cast("long").as("n_cards_valid"),
-        md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-          col("t"), EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]"),
-          Ipv4Re, "[IP]"), CardRe, "[CARD]")).as("redacted_md5"))
+        md5(col("p.redacted")).as("redacted_md5"))
       .withColumn("has_pii",
         col("n_emails") + col("n_phones") + col("n_ips") + col("n_cards") > 0)
       .orderBy(col("doc_id"))
@@ -1158,18 +1160,23 @@ object TextAnalysis {
     * nothing explodes into a shuffle, and the only exchange is the output
     * sort. */
   def readabilityQuery(s: SparkSession, dir: String): DataFrame = {
-    val t = graft.functions.Text.normText(col("text"))
-    val words = split(t, " ")
-    val nWords = size(words).cast("long")
-    val nSents = greatest(lit(1L), regexp_count(t, lit("[.!?]+")).cast("long"))
-    val nSyll = aggregate(words, lit(0L),
-      (acc, w) => acc + greatest(lit(1), regexp_count(w, lit("[aeiouy]+"))))
+    // the three censuses in ONE native scan (FleschCensus) instead of a
+    // regex-engine call per token — hoisted into its own projection (the
+    // ta01 `swc` discipline) so the multi-field read evaluates it once;
+    // the regex formulation survives verbatim in the oracle and as the
+    // ExpressionPropertySpec parity obligation
+    val nWords = col("c.n_words")
+    val nSents = greatest(lit(1L), col("c.n_sent_runs"))
+    val nSyll = col("c.n_syllables")
     Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"), graft.functions.Text.normText(col("text")).as("t"))
+      .select(col("doc_id"), length(col("t")).cast("long").as("len"),
+        graft.functions.FleschCensus.census(col("t")).as("c"))
       .select(col("doc_id"),
-        when(length(t) > 0, nWords).otherwise(0L).as("n_words"),
-        when(length(t) > 0, nSents).otherwise(0L).as("n_sentences"),
-        when(length(t) > 0, nSyll).otherwise(0L).as("n_syllables"),
-        when(length(t) > 0, round(
+        when(col("len") > 0, nWords).otherwise(0L).as("n_words"),
+        when(col("len") > 0, nSents).otherwise(0L).as("n_sentences"),
+        when(col("len") > 0, nSyll).otherwise(0L).as("n_syllables"),
+        when(col("len") > 0, round(
           lit(206.835) -
             lit(1.015) * (nWords.cast("double") / nSents.cast("double")) -
             lit(84.6) * (nSyll.cast("double") / nWords.cast("double")), 4))

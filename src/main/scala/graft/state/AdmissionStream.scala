@@ -227,7 +227,10 @@ object AdmissionStream {
 }
 
 /** The per-source budget counter as a [[StatefulProcessor]]: ValueState of
-  * the cumulative gate-passing token count. Within a micro-batch the
+  * the cumulative ADMITTED token spend — rejected rows (gate-failing or
+  * over-budget) never advance the counter and never TTL-refresh it, which
+  * is what lets a flooded source's budget re-open when the retention
+  * window ages the admitted spend out. Within a micro-batch the
   * processor sorts its rows (arrival order across micro-batches is the
   * replay order, ascending doc_id — [[NearDupBucketProcessor]]'s
   * discipline); `ttl` ages the counter out with the retention window. */

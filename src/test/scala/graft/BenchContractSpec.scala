@@ -17,7 +17,7 @@ class BenchContractSpec extends AnyFunSuite {
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
     assert((q -- o).isEmpty, s"queries without oracles: ${q -- o}")
-    assert(q.size == 191, s"query count drifted: ${q.size}")
+    assert(q.size == 192, s"query count drifted: ${q.size}")
   }
 
   test("every headline name resolves to a query; exclusions are the documented brute-force set") {
@@ -26,9 +26,12 @@ class BenchContractSpec extends AnyFunSuite {
     assert((h -- q).isEmpty, s"headline without query: ${h -- q}")
     assert(Bench.headline.distinct.size == Bench.headline.size, "duplicate headline entries")
     // the only un-benched queries are the true-quadratic oracle twins
-    // (see the Bench scaladoc and the dd19 exemption note)
+    // (see the Bench scaladoc and the dd19 exemption note) and mm10, the
+    // Verify-only corruption-injection twin of mm09 (same three-scan
+    // decode cost, no new perf information)
     assert((q -- h) == Set("dd02_ngram_jaccard", "sim03_embed_neardup",
-      "dd19_containment"), s"unexpected bench exclusions: ${q -- h}")
+      "dd19_containment", "mm10_quarantine_injected"),
+      s"unexpected bench exclusions: ${q -- h}")
   }
 
   test("committed bench_baseline.json parses under Bench's real regex parser") {
@@ -46,6 +49,39 @@ class BenchContractSpec extends AnyFunSuite {
       s"baseline entries unparsed or missing: ${expected -- parsed.keySet}")
     assert(Bench.parseBaseline(txt, "/some/other/sf").isEmpty,
       "sf mismatch must disable the baseline")
+  }
+
+  test("deferral fires exactly on slow-under-foreign-load readings (round-14)") {
+    // round-13's shipped phantom: ev04 min 3.72 s vs 0.526 s baseline under
+    // 0.946 foreign cores — must defer under the new rule
+    assert(Bench.shouldDefer(3.72, Some(0.526), 0.946))
+    // same slowness on an idle window: a genuine regression — ships (after
+    // the in-line retries), never deferred
+    assert(!Bench.shouldDefer(3.72, Some(0.526), 0.0))
+    assert(!Bench.shouldDefer(3.72, Some(0.526), Bench.DeferFgCores))
+    // under the retry bar: nothing to defer however loaded the window was
+    assert(!Bench.shouldDefer(0.6, Some(0.526), 5.0))
+    assert(!Bench.shouldDefer(0.526 * Bench.RetryFactor, Some(0.526), 5.0))
+    // no baseline (new query / foreign sf): rule inactive
+    assert(!Bench.shouldDefer(3.72, None, 5.0))
+    // failed query: -1 must never enter the deferral queue
+    assert(!Bench.shouldDefer(-1.0, Some(0.526), 5.0))
+    // unmeasurable fg (-1, /proc/stat unavailable) must not defer
+    assert(!Bench.shouldDefer(3.72, Some(0.526), -1.0))
+  }
+
+  test("contention thresholds pin the round-13 phantom regime") {
+    // 0.946 foreign cores produced a 7× phantom while the old cpus/8=4 bar
+    // self-certified the run clean; the flag bar must catch ~1 core and
+    // the per-query deferral bar must sit well under it
+    assert(Bench.ForeignFlagCores < 0.946,
+      "flag bar must catch the round-13 phantom regime (0.946 cores)")
+    assert(Bench.ForeignFlagCores > Bench.DeferFgCores,
+      "run-level flag must be laxer than the per-query deferral bar")
+    assert(Bench.DeferFgCores < 0.946,
+      "deferral bar must catch the round-13 phantom regime")
+    assert(Bench.DeferFgCores >= 0.1,
+      "deferral bar under jiffy noise floor would defer every slow query")
   }
 
   test("memo-build entries are bench-only, uniquely named, and family-encodable") {

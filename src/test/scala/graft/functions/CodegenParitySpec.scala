@@ -100,6 +100,15 @@ class CodegenParitySpec extends AnyFunSuite {
       row(UTF8String.fromString("")),
       row(UTF8String.fromString("  the  the ")), // multi-space, padding
       row(UTF8String.fromString("the")))) // single token, no delimiter
+    run(TokenNgramsMulti(s, Seq(2, 3)), texts)
+    run(FleschCensus(s), texts ++ Seq(
+      row(UTF8String.fromString("")),
+      row(UTF8String.fromString("one. two! three?? mixed!?.")),
+      row(UTF8String.fromString("  y  ")))) // empty tokens, lone vowel
+    run(PiiScan(s), texts ++ Seq(
+      row(UTF8String.fromString("")),
+      row(UTF8String.fromString(
+        "mail u3@ex.com call 555-1234 from 1.2.3.4 card 4111111111111111"))))
   }
 
   test("SimHash64 / Md5SimHash60 compiled == interpreted") {

@@ -69,6 +69,85 @@ class ExpressionPropertySpec extends AnyFunSuite {
     check(Text.normText(col("text")), raw) // ...and on the caller contract
   }
 
+  test("TokenNgramsMulti == concat(transform(TokenNgrams)) spec on adversarial strings") {
+    // the exact formulation ta09 used before the one-pass expression:
+    // per-size native ngrams (themselves parity-tested above), tagged and
+    // concatenated in size order
+    val sizes = Seq(2, 3)
+    val df = samples(nastyText, 300).toDF("raw")
+      .select(Text.normText(col("raw")).as("text"))
+      .withColumn("fast", TokenNgramsMulti.tokenNgramsMulti(col("text"), sizes))
+      .withColumn("spec", concat(sizes.map(n => transform(
+        TokenNgrams.tokenNgrams(col("text"), n),
+        g => struct(lit(n).as("gn"), g.as("gram")))): _*))
+      .filter(col("fast") =!= col("spec"))
+    assert(df.count() == 0, df.limit(3).collect().mkString("\n"))
+  }
+
+  test("FleschCensus == split/regexp spec on adversarial strings (raw AND normalized)") {
+    def check(textCol: org.apache.spark.sql.Column, df: org.apache.spark.sql.DataFrame): Unit = {
+      val w = split(textCol, " ")
+      val fast = FleschCensus.census(textCol)
+      val spec = struct(
+        size(w).cast("long").as("n_words"),
+        regexp_count(textCol, lit("[.!?]+")).cast("long").as("n_sent_runs"),
+        aggregate(w, lit(0L),
+          (acc, t) => acc + greatest(lit(1), regexp_count(t, lit("[aeiouy]+"))))
+          .as("n_syllables"))
+      val bad = df.withColumn("fast", fast).withColumn("spec", spec)
+        .filter(col("fast") =!= col("spec"))
+      assert(bad.count() == 0, bad.limit(3).collect().mkString("\n"))
+    }
+    // vowel/punctuation-heavy generator on top of the shared nasty pool
+    val senty: Gen[String] = Gen.oneOf(
+      nastyText,
+      Gen.listOf(Gen.oneOf('a', 'e', 'y', 'b', '.', '!', '?', ' ', 'z'))
+        .map(_.mkString),
+      Gen.const("one. two! three?? mixed!?. y aa.ee"))
+    val raw = samples(senty, 400).toDF("text")
+    check(col("text"), raw) // parity holds on ARBITRARY text...
+    check(Text.normText(col("text")), raw) // ...and on the caller contract
+  }
+
+  test("PiiScan == regexp_extract_all/regexp_replace spec on adversarial strings") {
+    val EmailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    val PhoneRe = "555-[0-9]{4}"
+    val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val CardRe = "4[0-9]{15}"
+    def hits(re: String) = regexp_extract_all(col("text"), lit(re), lit(0))
+    // PII-shaped fragments glued adversarially: truncated/overlapping
+    // emails, digit runs straddling octet limits, cards touching emails,
+    // back-to-back phones — the corner cases where hand-rolled matcher
+    // semantics could drift from java.util.regex
+    val frag: Gen[String] = Gen.oneOf(
+      Gen.const("u3@ex.com"), Gen.const("@ex."), Gen.const("a@b.c"),
+      Gen.const("a@b@c.d"), Gen.const("555-1234"), Gen.const("555-12"),
+      Gen.const("555-555-1234"), Gen.const("1.2.3.4"), Gen.const("1234.5.6.7"),
+      Gen.const("1.2.3.45678"), Gen.const("..."), Gen.const("9"),
+      Gen.const("4111111111111111"), Gen.const("44111111111111111111"),
+      Gen.const("4111111111111111@a.b"), Gen.const("x4@y.z4111111111111111"),
+      Gen.const(" "), Gen.const("."), Gen.const("-"), Gen.const("@"),
+      Gen.alphaNumStr.map(_.toLowerCase), Gen.numStr)
+    val pii: Gen[String] = Gen.listOf(frag).map(_.mkString)
+    val df = samples(pii, 500).toDF("text")
+      .withColumn("p", PiiScan.scan(col("text")))
+      .withColumn("spec_counts", struct(
+        size(hits(EmailRe)).cast("long"), size(hits(PhoneRe)).cast("long"),
+        size(hits(Ipv4Re)).cast("long")))
+      .withColumn("fast_counts", struct(
+        col("p.n_emails"), col("p.n_phones"), col("p.n_ips")))
+      .withColumn("spec_cards", hits(CardRe))
+      .withColumn("spec_red", regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(col("text"), EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]"),
+        Ipv4Re, "[IP]"), CardRe, "[CARD]"))
+      .filter(col("fast_counts") =!= col("spec_counts") ||
+        col("p.cards") =!= col("spec_cards") ||
+        col("p.redacted") =!= col("spec_red"))
+    assert(df.count() == 0,
+      df.select("text", "p", "spec_counts", "spec_cards", "spec_red")
+        .limit(3).collect().mkString("\n"))
+  }
+
   test("MinHashFromText is deterministic and shingle-consistent on nasty input") {
     val df = samples(nastyText, 200).toDF("text")
       .withColumn("fast", MinHashFromText.minhashFromText(col("text"), 5, 32))

@@ -177,6 +177,90 @@ class AdmissionSpec extends AnyFunSuite {
     }
   }
 
+  test("crash between state commit and output commit replays exactly-once") {
+    // The exactly-once claim the budget counter makes (round-14, verdict
+    // item #6): a micro-batch that died AFTER the state store committed
+    // its version but BEFORE the batch's commit-log entry landed is
+    // replayed on restart AGAINST THE PRE-BATCH STATE — the replayed
+    // verdicts are identical and the spend is counted once, not twice.
+    // The crash window is recreated literally: run the batch, then delete
+    // its commits/ entry from the checkpoint before restarting.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      val ckpt = java.nio.file.Files.createTempDirectory("sa13_crash_ck").toString
+      val input = MemoryStream[(Long, String, String, String)](spark)
+      // the memory sink refuses checkpoint recovery; foreachBatch is the
+      // fault-tolerant sink that also lets the test SEE the replayed batch
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Boolean, String, Long)]
+      // budget 12 = exactly two passText admissions (6 tokens each);
+      // doc ids 1/2/4 all clear the md5 sample gate (asserted above)
+      def start() = {
+        val gated = gatedDocs(input.toDS()
+          .toDF("doc_id", "lang", "source", "text")).as[GateRow]
+        admissionStream(gated, budget = 12L).toDF()
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.collect().foreach(r => got.add((r.getLong(0), r.getBoolean(3),
+              Option(r.getString(4)).orNull, if (r.isNullAt(5)) -1L else r.getLong(5))))
+          }
+          .outputMode(OutputMode.Append).start()
+      }
+      def drain(): Seq[(Long, Boolean, String, Long)] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean, String, Long)]
+        var v = got.poll()
+        while (v != null) { out += v; v = got.poll() }
+        out.toSeq.sortBy(_._1)
+      }
+      val q1 = start()
+      try {
+        input.addData((1L, "en", "s", passText)) // batch 0: admitted, spend 6
+        q1.processAllAvailable()
+        input.addData((2L, "en", "s", passText)) // batch 1: admitted, cum 6→12
+        q1.processAllAvailable()
+        assert(drain() == Seq((1L, true, null, 0L), (2L, true, null, 6L)))
+      } finally q1.stop()
+      // the crash: batch 1's commit-log entry vanishes; its state-store
+      // version (and its offsets entry) survive — restart must replay it
+      val commits = new java.io.File(ckpt, "commits").listFiles()
+        .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+      assert(commits.map(_.getName) sameElements Array("0", "1"),
+        s"unexpected commit log: ${commits.map(_.getName).mkString(",")}")
+      assert(commits.last.delete(), s"could not delete ${commits.last}")
+      // the local-FS checksum sidecar must crash along with its file, or
+      // the replay's commit rename trips over the stale .crc
+      val crc = new java.io.File(commits.last.getParentFile,
+        "." + commits.last.getName + ".crc")
+      if (crc.exists()) assert(crc.delete(), s"could not delete $crc")
+      val q2 = start()
+      try {
+        q2.processAllAvailable() // replays batch 1 from the checkpoint
+        // the replay ran against the PRE-batch counter: doc 2 is admitted
+        // again with the same frozen cum_before=6. A double-counted spend
+        // (replay on top of the crashed batch's state) would start the
+        // fold at 12 and budget-reject it — the failure this test pins out
+        val replayed = drain()
+        assert(replayed == Seq((2L, true, null, 6L)),
+          s"replayed batch diverged: $replayed")
+        // and the post-replay counter holds the spend ONCE: the next
+        // passer sees exactly 12 and is budget-rejected, not 18
+        input.addData((4L, "en", "s", passText))
+        q2.processAllAvailable()
+        val after = drain()
+        assert(after == Seq((4L, false, "budget", 12L)),
+          s"post-replay state diverged: $after")
+      } finally q2.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("TTL: expired spend re-opens admission (rolling-window budget)") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val ckKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
