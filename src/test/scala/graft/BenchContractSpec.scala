@@ -51,6 +51,22 @@ class BenchContractSpec extends AnyFunSuite {
       "sf mismatch must disable the baseline")
   }
 
+  test("parseBaseline reads the queries object only, never the fg map (round-14)") {
+    // a promoted full artifact carries foreign_cores_per_query with the
+    // SAME keys as queries and bare decimals — a whole-file scan with
+    // last-match-wins would replace every time with its fg reading
+    val q = Bench.headline.head
+    val txt = s"""{"metric":"total","value":9.999,"unit":"sec","queries":{"$q":1.234},""" +
+      s""""runs":{"$q":[1.300,1.234]},"foreign_cores_per_query":{"$q":0.12},""" +
+      s""""deferred":[],"attempts":2,"contended":false,"foreign_cores":0.120,""" +
+      s""""loadavg":[1.000,2.000,3.000],"sf":"/some/sf"}"""
+    val parsed = Bench.parseBaseline(txt, "/some/sf")
+    assert(parsed == Map(q -> 1.234),
+      s"parser leaked non-queries sections: $parsed")
+    // and a file with no queries object parses to empty, not garbage
+    assert(Bench.parseBaseline(s"""{"foo":1.0,"sf":"/some/sf"}""", "/some/sf").isEmpty)
+  }
+
   test("deferral fires exactly on slow-under-foreign-load readings (round-14)") {
     // round-13's shipped phantom: ev04 min 3.72 s vs 0.526 s baseline under
     // 0.946 foreign cores — must defer under the new rule
