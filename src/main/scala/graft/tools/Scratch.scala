@@ -46,6 +46,7 @@ object Scratch {
       spark.stop(); return
     }
     if (args.contains("dd03stages")) { dd03Stages(spark, dir); spark.stop(); return }
+    if (args.contains("censusab")) { censusAb(spark, dir); spark.stop(); return }
     if (args.contains("bucketcensus")) { bucketCensus(spark, dir); spark.stop(); return }
     // `show <query...>`: print the first rows instead of timing — for
     // reading a data-bearing column (e.g. cl03's recall_at_k) off a
@@ -120,6 +121,68 @@ object Scratch {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bandval")
     report("dd04", banded.groupBy(col("band"), col("bandval")).count())
+  }
+
+  /** A/B: the round-14 one-pass census expressions vs the regex/HOF
+    * formulations they replaced, timed as bare projections over the same
+    * corpus scan (noop sink) — isolates expression cost from the scan,
+    * sort and (for ta06/ta09) join/shuffle cost the query-level numbers
+    * fold in. */
+  private def censusAb(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.core.Tables
+    import graft.functions.{FleschCensus, PiiScan, Text, TokenNgrams, TokenNgramsMulti}
+    def timed(label: String)(df: => org.apache.spark.sql.DataFrame): Unit =
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        println(f"[censusab] $label run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    val docs = Tables.parallel(Tables.documents(spark, dir))
+      .select(col("doc_id"), Text.normText(col("text")).as("t"))
+    // ta21 census
+    timed("flesch_native") {
+      docs.select(col("doc_id"), FleschCensus.census(col("t")).as("c"))
+    }
+    timed("flesch_regex") {
+      val w = split(col("t"), " ")
+      docs.select(col("doc_id"), struct(
+        size(w).cast("long"),
+        regexp_count(col("t"), lit("[.!?]+")).cast("long"),
+        aggregate(w, lit(0L),
+          (acc, tok) => acc + greatest(lit(1), regexp_count(tok, lit("[aeiouy]+"))))).as("c"))
+    }
+    // ta09 gram emission (no shuffle, just the arrays)
+    timed("ngrams_multi") {
+      docs.select(col("doc_id"),
+        TokenNgramsMulti.tokenNgramsMulti(col("t"), Seq(2, 3)).as("g"))
+    }
+    timed("ngrams_two_pass") {
+      def tagged(n: Int) = transform(TokenNgrams.tokenNgrams(col("t"), n),
+        g => struct(lit(n).as("gn"), g.as("gram")))
+      docs.select(col("doc_id"), concat(tagged(2), tagged(3)).as("g"))
+    }
+    // ta15 scan (raw text, as piiQuery uses)
+    val raw = Tables.parallel(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text").as("t"))
+    timed("pii_native") {
+      raw.select(col("doc_id"), PiiScan.scan(col("t")).as("p"))
+    }
+    timed("pii_regex") {
+      val EmailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+      val PhoneRe = "555-[0-9]{4}"
+      val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+      val CardRe = "4[0-9]{15}"
+      def hits(re: String) = regexp_extract_all(col("t"), lit(re), lit(0))
+      raw.select(col("doc_id"), struct(
+        size(hits(EmailRe)).cast("long"),
+        size(hits(PhoneRe)).cast("long"),
+        size(hits(Ipv4Re)).cast("long"),
+        hits(CardRe),
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          col("t"), EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]"),
+          Ipv4Re, "[IP]"), CardRe, "[CARD]")).as("p"))
+    }
   }
 
   /** Stage-by-stage timing of the dd03 MinHash-LSH pipeline. */
