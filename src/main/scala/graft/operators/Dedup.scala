@@ -1526,16 +1526,20 @@ object Dedup {
     val mem = fpDocs.select(col("doc_id"), col("fp"))
       .join(groups.select(col("fp"), col("rep")), "fp")
       .select(col("rep"), col("doc_id"))
+    // the shingle table feeds both sides of the fused join AND the size
+    // census: persist the ARRAY form once (round-14; formerly the exploded
+    // token table was persisted and `sizes` re-ran the scan + shingling a
+    // second time) — the array form is the smaller cache (no per-token row
+    // overhead) and both consumers derive from it with a cheap explode /
+    // size() projection. Released by the session cache-clear between
+    // queries, so embedders who reuse a session should clear the cache
+    // after their final action.
     val shing = groups.select(col("rep").as("doc"),
       (substring(col("fp"), 1, 2) <= lit(ContainSampleHexMax)).as("sampled"),
       graft.functions.CharShingles.charShingles(col("text"), ShingleSize)
         .as("sh"))
-    // the shingle table feeds both sides of the fused join (and the size
-    // guard's count): persist it once — the dd03/dd19 staging-table move;
-    // the session cache-clear between queries releases it, so embedders
-    // who reuse a session should clear the cache after their final action
-    val tok = shing.select(col("doc"), explode(col("sh")).as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tok = shing.select(col("doc"), explode(col("sh")).as("w"))
     val sizes = shing.select(col("doc"), col("sampled"),
       size(col("sh")).cast("long").as("n_tok"))
     val sampDocs = sizes
@@ -1675,18 +1679,24 @@ object Dedup {
     val shing = docs.select(col("doc_id"),
       graft.functions.CharShingles.charShingles(col("text"), ShingleSize)
         .as("sh"))
-    val tok = shing.select(col("doc_id"), explode(col("sh")).as("w"))
+    // n_tok RIDES the token rows through the window cut (round-14): the
+    // former shape derived sizes from a SECOND documents scan — a full
+    // re-shingling of the corpus — and reunited it with the sketches by a
+    // doc-keyed join (scan + exchange + join, ×2 with the ref side). One
+    // 8-byte column on the ≤k-per-doc-per-map-task surviving rows is free
+    // by comparison, and first(n_tok) per doc group is exact (every token
+    // row of a doc carries the same size).
+    val tok = shing.select(col("doc_id"),
+        size(col("sh")).cast("long").as("n_tok"), explode(col("sh")).as("w"))
       .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10)
         .cast("long"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("h"), col("w"))
-    val sketches = tok
+    val docSk = tok
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("h"))).as("sk"))
-    val sizes = shing.select(col("doc_id"),
-      size(col("sh")).cast("long").as("n_tok"))
-    val docSk = sketches.join(sizes, "doc_id")
+      .agg(sort_array(collect_list(col("h"))).as("sk"),
+        first(col("n_tok")).as("n_tok"))
     val refs = docSk
       .filter(col("doc_id") % SketchRefMod === 0 &&
         col("doc_id") <= SketchRefMaxId &&
@@ -1880,16 +1890,18 @@ object Dedup {
           lit(FunnelScreenK.toDouble)))
       .drop("j_tau")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // ONE driver action materializes the persisted screen AND decides the
-    // survivor join strategy; a second pairs-scale aggregate sizes the
-    // REFERENCE token table (Σ n_ref over surviving refs) for its own
-    // broadcast guard (round-11 advice: ref COUNT is bounded by contract,
-    // per-doc shingle counts are not)
-    val bcast = screened.count() <= broadcastMaxSurvivors
+    // ONE driver action materializes the persisted screen AND feeds both
+    // size guards (round-14; formerly the survivor count and the ref-token
+    // total ran as two sequential jobs): a per-ref census is bounded by
+    // the SketchRef contract (refs are an eval suite, not a corpus slice),
+    // so collecting it yields the survivor count (Σ per-ref counts) and
+    // the reference token mass (Σ n_ref over distinct refs) in one pass.
+    val refCensus = screened.groupBy(col("ref_id"))
+      .agg(count(lit(1)).as("c"), first(col("n_ref")).as("nr"))
+      .collect()
+    val bcast = refCensus.map(_.getLong(1)).sum <= broadcastMaxSurvivors
     def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
-    val refTokTotal = screened
-      .select(col("ref_id"), col("n_ref")).distinct()
-      .agg(coalesce(sum(col("n_ref")), lit(0L))).collect()(0).getLong(0)
+    val refTokTotal = refCensus.map(_.getLong(2)).sum
     val refBcast = refTokTotal <= refBroadcastMaxTokens
     def refSide(df: DataFrame): DataFrame = if (refBcast) broadcast(df) else df
     if (!refBcast)

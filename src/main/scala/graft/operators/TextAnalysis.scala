@@ -1049,33 +1049,63 @@ object TextAnalysis {
     val docs = Tables.parallel(Tables.documents(s, dir))
       .select(col("doc_id"), col("source"),
         split(Text.normText(col("text")), " ").as("toks"))
-    val uni = docs.select(col("doc_id"), col("source"), lit(1L).as("g"),
-      explode(col("toks")).as("gram"))
     // guarded: Spark's sequence(1, 0) counts DOWN, so short docs must map
     // to an empty bigram list explicitly
-    val bi = docs.select(col("doc_id"), col("source"), lit(2L).as("g"),
-      explode(when(size(col("toks")) > 1,
-        expr("transform(sequence(1, size(toks) - 1), " +
-          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
-        .otherwise(array().cast("array<string>"))).as("gram"))
-    val cnt = uni.unionByName(bi)
-      .groupBy(col("doc_id"), col("source"), col("g"), col("gram"))
-      .agg(count(lit(1)).as("c"))
+    def grams(d: DataFrame): DataFrame = {
+      val uni = d.select(col("doc_id"), col("source"), lit(1L).as("g"),
+        explode(col("toks")).as("gram"))
+      val bi = d.select(col("doc_id"), col("source"), lit(2L).as("g"),
+        explode(when(size(col("toks")) > 1,
+          expr("transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      uni.unionByName(bi)
+    }
     val heads = docs.groupBy(col("source")).agg(min(col("doc_id")).as("ref_id"))
-    // doc_id functionally determines source, so the head join needs only the
-    // id key (a source equality here would be a trivially-true self-compare:
-    // heads shares cnt's lineage)
-    val refc = cnt.join(broadcast(heads.select(col("ref_id"))),
-        cnt("doc_id") === col("ref_id"))
-      .select(col("source"), col("g"), col("gram"), col("c").as("rc"))
-    val cand = cnt.join(broadcast(heads), Seq("source"))
+    // ROUND-14 shape: the old plan grouped the ENTIRE corpus gram stream
+    // by (doc, g, gram) and then re-grouped it for the per-doc totals —
+    // two corpus-gram-scale exchanges carrying gram STRINGS. Neither is
+    // needed: the per-doc candidate total is sum-of-counts = the positional
+    // gram COUNT, a pure size() projection off the token arrays (no
+    // exchange at all), and clipped-overlap counting only ever needs the
+    // grams that HIT the bounded per-source reference set — so the
+    // reference grams are counted first (head docs only, a tiny exchange)
+    // and the corpus stream is broadcast-filtered to matches BEFORE any
+    // aggregation state is built. The only gram-scale exchange left is the
+    // matched-gram count, map-side combined.
+    // doc_id functionally determines source, so the head-side restriction
+    // needs only the id key (a source equality here would be a trivially
+    // true self-compare: heads shares the docs lineage)
+    val refIds = heads.select(col("ref_id"))
+    val refc = grams(docs.join(broadcast(refIds),
+        docs("doc_id") === refIds("ref_id"), "left_semi"))
+      .groupBy(col("source"), col("g"), col("gram"))
+      .agg(count(lit(1)).as("rc"))
+    // per-doc totals straight off the token arrays: Σc over a doc's grams
+    // IS its positional gram count — size(toks) unigrams, size-1 bigrams
+    // (no bigram row for 1-token docs, matching the guarded explode above)
+    val candtot = docs
+      .select(col("doc_id"), col("source"),
+        explode(when(size(col("toks")) > 1,
+          array(struct(lit(1L).as("g"), size(col("toks")).cast("long").as("n_cand")),
+            struct(lit(2L).as("g"), (size(col("toks")) - 1).cast("long").as("n_cand"))))
+          .otherwise(array(
+            struct(lit(1L).as("g"), size(col("toks")).cast("long").as("n_cand")))))
+          .as("x"))
+      .select(col("doc_id"), col("source"), col("x.g").as("g"),
+        col("x.n_cand").as("n_cand"))
+      .join(broadcast(heads), Seq("source"))
       .filter(col("doc_id") =!= col("ref_id"))
-    val candtot = cand
-      .groupBy(col("doc_id"), col("ref_id"), col("source"), col("g"))
-      .agg(sum(col("c")).as("n_cand"))
+      .select(col("doc_id"), col("ref_id"), col("source"), col("g"),
+        col("n_cand"))
     val reftot = refc.groupBy(col("source"), col("g"))
       .agg(sum(col("rc")).as("n_ref"))
-    val clip = cand.join(broadcast(refc), Seq("source", "g", "gram"))
+    val clip = grams(docs)
+      .join(broadcast(heads), Seq("source"))
+      .filter(col("doc_id") =!= col("ref_id"))
+      .join(broadcast(refc), Seq("source", "g", "gram"))
+      .groupBy(col("doc_id"), col("g"), col("gram"))
+      .agg(count(lit(1)).as("c"), first(col("rc")).as("rc"))
       .groupBy(col("doc_id"), col("g"))
       .agg(sum(least(col("c"), col("rc"))).as("n_clip0"))
     val joined = candtot

@@ -46,6 +46,7 @@ object Scratch {
       spark.stop(); return
     }
     if (args.contains("dd03stages")) { dd03Stages(spark, dir); spark.stop(); return }
+    if (args.contains("funnelstages")) { funnelStages(spark, dir); spark.stop(); return }
     if (args.contains("censusab")) { censusAb(spark, dir); spark.stop(); return }
     if (args.contains("bucketcensus")) { bucketCensus(spark, dir); spark.stop(); return }
     // `show <query...>`: print the first rows instead of timing — for
@@ -182,6 +183,31 @@ object Scratch {
         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
           col("t"), EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]"),
           Ipv4Re, "[IP]"), CardRe, "[CARD]")).as("p"))
+    }
+  }
+
+  /** Stage-by-stage timing of the dd23 containment funnel: the dd22
+    * screen at the funnel's k (alone, noop-forced), then the full funnel
+    * — the difference is the precision gate + persist + verify cost. */
+  private def funnelStages(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.Dedup
+    def timed(label: String)(f: => Unit): Unit = (1 to 2).foreach { i =>
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime(); f
+      println(f"[scratch] $label run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    timed("screen_k64_dd22") {
+      Dedup.sketchContainmentQuery(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    timed("screen_k256_feas") {
+      Dedup.sketchContainmentQuery(spark, dir, Dedup.FunnelScreenK,
+          Dedup.SketchTau, feasibleTau = Some(Dedup.ContainTau))
+        .write.format("noop").mode("overwrite").save()
+    }
+    timed("full_funnel") {
+      Dedup.containmentFunnelQuery(spark, dir)
+        .write.format("noop").mode("overwrite").save()
     }
   }
 
