@@ -351,6 +351,17 @@ object Bench {
       graft.operators.Classifier.clearKnnCache()
       graft.operators.Classifier.warmKnnMemo(s, d)
     },
+    // round-14: the curation-verdict and decontamination manifests join
+    // the memo protocol — ta06/pl01/pl02/pl03/pl04 (verdicts) and
+    // dd08/pl01/pl02 (decontam) each re-derived the full chain per query
+    "xm05_verdict_memo" -> { (s, d) =>
+      graft.operators.Curation.clearVerdictCache()
+      graft.operators.Curation.warmVerdictMemo(s, d)
+    },
+    "xm06_decontam_memo" -> { (s, d) =>
+      graft.operators.Dedup.clearDecontamCache()
+      graft.operators.Dedup.warmDecontamMemo(s, d)
+    },
   )
 
   def main(args: Array[String]): Unit = {

@@ -507,7 +507,48 @@ object Dedup {
     * degrades to shuffle-on-span, same answer. Output: doc_id, n_spans,
     * n_contam_spans, contaminated. */
   def decontaminate(s: SparkSession, dir: String, benchSource: String = "src0",
-      n: Int = 8): DataFrame = {
+      n: Int = 8): DataFrame =
+    decontamVerdicts(s, dir, benchSource, n).orderBy(col("doc_id"))
+
+  /** Session memo of the decontamination manifest (round-14, the
+    * [[Curation.curationVerdicts]] move): dd08 reports it and pl01/pl02
+    * stage it — three consumers, each previously re-paying the full
+    * span-explode + broadcast-mark + per-doc census chain. Keyed by every
+    * parameter that shapes the relation; deterministic, so a memo hit is
+    * oracle-invisible. Built by Bench's xm06 entry; released by
+    * [[clearDecontamCache]]. */
+  private val decontamCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, String, Int), DataFrame]
+
+  /** Builds (or rebuilds) the decontamination memo — Bench's xm06. */
+  def warmDecontamMemo(s: SparkSession, dir: String): Unit = {
+    decontamVerdicts(s, dir, "src0", 8); ()
+  }
+
+  def clearDecontamCache(): Unit = {
+    decontamCache.values.foreach { df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+    decontamCache.clear()
+  }
+
+  private def evictOtherDecontamDirs(app: String, dir: String): Unit =
+    decontamCache.keys.filter(k => k._1 == app && k._2 != dir).foreach { k =>
+      decontamCache.remove(k).foreach { df =>
+        try df.unpersist(blocking = false) catch { case _: Throwable => () }
+      }
+    }
+
+  private[operators] def decontamVerdicts(s: SparkSession, dir: String,
+      benchSource: String, n: Int): DataFrame =
+    decontamCache.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir, benchSource, n), {
+        evictOtherDecontamDirs(s.sparkContext.applicationId, dir)
+        Checkpoints.truncate(computeDecontam(s, dir, benchSource, n))
+      })
+
+  private[operators] def computeDecontam(s: SparkSession, dir: String,
+      benchSource: String, n: Int): DataFrame = {
     def spansOf(df: DataFrame): DataFrame = df.select(col("doc_id"),
       explode(graft.functions.TokenNgrams.tokenNgrams(
         Text.normText(col("text")), n)).as("span"))
@@ -528,7 +569,6 @@ object Dedup {
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_contam_spans"), lit(0L)).as("n_contam_spans"),
         (coalesce(col("n_contam_spans"), lit(0L)) > 0).as("contaminated"))
-      .orderBy(col("doc_id"))
   }
 
   /** DuckDB SQL replicating [[decontaminate]] exactly (token 8-grams) — a

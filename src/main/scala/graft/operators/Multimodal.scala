@@ -216,8 +216,8 @@ object Multimodal {
     * already-encoded payloads from parquet binary columns. */
   def imageMediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaRecord] = {
     import s.implicits._
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("text"))
+    Tables.parallel(Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")))
       .as[(Long, String)]
       .map { case (id, text) =>
         MediaRecord(id, "image", ImageFixtures.grayPng(text.getBytes("UTF-8")), 16, 16)
@@ -420,8 +420,8 @@ object Multimodal {
     * javax.imageio sequence writer. */
   def gifMediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaRecord] = {
     import s.implicits._
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("text"))
+    Tables.parallel(Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")))
       .as[(Long, String)]
       .map { case (id, text) =>
         MediaRecord(id, "video",

@@ -87,7 +87,7 @@ object Pipeline {
         Curation.md5Prefix32(col("doc_id")).cast("long").as("h32"),
         md5(col("doc_id").cast("string")).as("rk"))
     val cur = Curation.curationVerdicts(s, dir).select(col("doc_id"), col("reason"))
-    val dec = Dedup.decontaminate(s, dir, benchSource)
+    val dec = Dedup.decontamVerdicts(s, dir, benchSource, 8)
       .select(col("doc_id"), col("contaminated"))
     base
       .join(cur, "doc_id")

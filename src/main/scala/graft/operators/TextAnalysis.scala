@@ -1381,6 +1381,15 @@ object TextAnalysis {
             "concat(' ', replace(bp, ' ', ''), ' '))"))
         .select(trim(regexp_replace(col("m"), " +", " ")).as("sym"),
           col("freq"))
+      // persist every intermediate round (round-14): round k+1's pair
+      // census AND the k+1 rewrite both re-execute cur_k — unpersisted,
+      // each round re-ran every previous round's join+rewrite chain, so a
+      // BpeMerges-round loop paid O(rounds²) vocabulary passes (pl05's
+      // final-vocab consumer re-paid the whole chain once more). All
+      // frames are vocabulary-scale; the session cache-clear between
+      // queries releases them.
+      if (step < BpeMerges)
+        cur = cur.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     (steps.toSeq, cur)
   }

@@ -58,11 +58,21 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("dd08: decontamination joins the benchmark span set by broadcast") {
-    val plan = planOf(Dedup.decontaminate(spark, sf0001))
+    // the pin targets the DERIVATION plan (what the xm06 memo build runs);
+    // the consumer-facing decontaminate() reads the memo — pinned below
+    val plan = planOf(Dedup.computeDecontam(spark, sf0001, "src0", 8))
     assert(plan.contains("BroadcastHashJoin"), plan)
     // the corpus span stream must NOT be exchanged for the bench join —
     // only per-doc aggregation and the final doc_id joins may shuffle
     assert(!plan.contains("SortMergeJoin"), plan)
+    // the declared query consumes the session memo: its plan must be a
+    // checkpoint scan + presentation sort, never a silent chain re-run
+    Dedup.clearDecontamCache()
+    try {
+      val consumer = planOf(Dedup.decontaminate(spark, sf0001))
+      assert(consumer.contains("Scan ExistingRDD"), consumer)
+      assert(!consumer.contains("Generate"), consumer)
+    } finally Dedup.clearDecontamCache()
   }
 
   test("q30: filters reach the parquet scan (PushedFilters)") {
@@ -328,8 +338,9 @@ class PlanAuditSpec extends AnyFunSuite {
   test("pl01: manifest joins only, bench spans broadcast, shard window partitioned") {
     val plan = planOf(Pipeline.pipelineQuery(spark, sf0001))
     assert(!plan.contains("CartesianProduct"), plan)
-    // dd08's benchmark span set must still ride a broadcast inside the
-    // composition, not degrade to a corpus-span shuffle
+    // the verdict/decontam manifests join the base scan by broadcast (the
+    // round-14 memos hand the composition doc-keyed manifests; dd08's
+    // benchmark-span broadcast is pinned on the xm06 build plan instead)
     assert(plan.contains("BroadcastHashJoin"), plan)
     // the shard/pos window is partitioned on the synthetic pk (kept rows by
     // shard, dropped rows by spread keys) — a global (unpartitioned) window
