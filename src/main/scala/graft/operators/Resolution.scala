@@ -90,8 +90,10 @@ object Resolution {
     val app = s.sparkContext.applicationId
     pairCache.getOrElseUpdate((app, dir, keyLen, q, maxDist), {
       evictOtherDirs(app, dir)
-      val cp = Checkpoints.truncate(matchPairs(s, dir, keyLen, q, maxDist))
+      val (pairs, buildCaches) = matchPairsTracked(s, dir, keyLen, q, maxDist)
+      val cp = Checkpoints.truncate(pairs)
       val nPairs = cp.count()
+      buildCaches.foreach(_.unpersist(blocking = false))
       if (nPairs <= Dedup.DriverCcMaxPairs) {
         import s.implicits._
         val local = cp.as[(Long, Long, Long)].collect().toSeq
@@ -128,10 +130,27 @@ object Resolution {
     * are key-keyed equi-joins whose output is the true match set itself
     * (output-sensitive, the only irreducible cost). */
   private[operators] def matchPairs(s: SparkSession, dir: String, keyLen: Int,
-      q: Int, maxDist: Int): DataFrame = {
+      q: Int, maxDist: Int): DataFrame =
+    matchPairsTracked(s, dir, keyLen, q, maxDist)._1
+
+  /** [[matchPairs]] plus the staging frames it persisted (round-14, the
+    * [[Dedup.minhashLshPairsTracked]] move): `mem` is consumed FOUR times
+    * (two expansion joins + both sides of the within-group self-join) and
+    * `groups`/`grams` twice each — unpersisted, every consumer re-ran the
+    * key scan + canonicalize exchange (the xm02 memo build paid the gram
+    * explode and the group-by five times over). The memo builder releases
+    * the caches once the checkpointed pair set is materialized. */
+  private[operators] def matchPairsTracked(s: SparkSession, dir: String,
+      keyLen: Int, q: Int, maxDist: Int): (DataFrame, Seq[DataFrame]) = {
     require(maxDist * q < keyLen - q + 1,
       s"lossless blocking needs maxDist*q < keyLen-q+1 " +
         s"(got ${maxDist * q} vs ${keyLen - q + 1})")
+    val caches = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def cached(df: DataFrame): DataFrame = {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      caches += df
+      df
+    }
     val minShared = keyLen - q + 1 - maxDist * q
     val w = maxDist + 1 // bucket width > maxDist: ±maxDist spans ≤ 3 buckets
     val keys = Tables.parallel(Tables.documents(s, dir))
@@ -142,15 +161,15 @@ object Resolution {
     // candidate quadratic (the 10× stress corpus — 10 copies of every
     // key — blocks at DISTINCT-key cost; the naive form spilled >80 GB
     // there). Membership and within-group pairs are output-sensitive.
-    val groups = keys.groupBy(col("p")).agg(min(col("doc_id")).as("pid"))
-    val mem = keys.join(groups, "p")
-      .select(col("pid"), col("doc_id"))
+    val groups = cached(keys.groupBy(col("p")).agg(min(col("doc_id")).as("pid")))
+    val mem = cached(keys.join(groups, "p")
+      .select(col("pid"), col("doc_id")))
     val reps = groups.select(col("pid"), col("p"))
     // positional q-gram blocking + count filter over DISTINCT keys only
-    val grams = reps.select(col("pid"),
+    val grams = cached(reps.select(col("pid"),
       explode(array((1 to keyLen - q + 1).map(i =>
         struct(lit(i).as("i"), substring(col("p"), i, q).as("g"))): _*)).as("x"))
-      .select(col("pid"), col("x.i").as("i"), col("x.g").as("g"))
+      .select(col("pid"), col("x.i").as("i"), col("x.g").as("g")))
     // the gram join's INPUTS are small (vocabulary of distinct keys) but
     // its OUTPUT fans out quadratically within blocks — AQE's size-based
     // partition coalescing would run that fan-out nearly single-threaded;
@@ -189,7 +208,7 @@ object Resolution {
         col("x.pid") === col("y.pid") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         lit(0L).as("edit_dist"))
-    within.unionByName(cross)
+    (within.unionByName(cross), caches.toSeq)
   }
 
   /** er02 — entity groups: exact connected components over the verified

@@ -113,8 +113,12 @@ object Search {
   def tfIdfTopTerms(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    // tf feeds BOTH the df aggregate and the score join: persist it once
+    // (round-14) — unpersisted, the tokenize + (doc, term) exchange + agg
+    // ran twice; released by the session cache-clear between queries
     val tf = tokens(s, dir)
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
     tf.join(df, "term").crossJoin(broadcast(n))
@@ -315,7 +319,11 @@ object Search {
   def pmiCooccurQuery(s: SparkSession, dir: String, minDfPct: Int = 5,
       maxDfPct: Int = 95, minPairPct: Int = 2, k: Int = 100): DataFrame = {
     val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    // present feeds BOTH the df census and the banded self-join: persist
+    // it once (round-14) — unpersisted, the tokenize + distinct exchange
+    // ran three times (df, and each self-join side)
     val present = tokens(s, dir).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = present.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(n))
       .filter(col("df") * 100 >= col("n_docs") * minDfPct &&
