@@ -319,11 +319,17 @@ object Search {
   def pmiCooccurQuery(s: SparkSession, dir: String, minDfPct: Int = 5,
       maxDfPct: Int = 95, minPairPct: Int = 2, k: Int = 100): DataFrame = {
     val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
-    // present feeds BOTH the df census and the banded self-join: persist
-    // it once (round-14) — unpersisted, the tokenize + distinct exchange
-    // ran three times (df, and each self-join side)
-    val present = tokens(s, dir).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // distinct() on (doc_id, term) deduplicates WITHIN documents only, so
+    // the corpus-scale distinct exchange it planned was pure overhead:
+    // array_distinct on the token array is partition-local and the
+    // presence stream never shuffles un-aggregated (round-15; idle A/B
+    // 2.44 → 1.61/1.50 s at sf0.1). The round-14 persist of the distinct
+    // frame is GONE with the exchange — it re-measured SLOWER on every
+    // clean window (the cl02 anti-pattern: caching a corpus-scale
+    // near-unique frame costs more than recomputing the cheap explode).
+    val present = Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(array_distinct(
+        split(graft.functions.Text.normText(col("text")), " "))).as("term"))
     val df = present.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(n))
       .filter(col("df") * 100 >= col("n_docs") * minDfPct &&

@@ -1046,6 +1046,13 @@ object TextAnalysis {
     * on gram. Final assembly joins doc-level totals (one row per doc per
     * order) against the tiny per-source reference totals. */
   def rougeQuery(s: SparkSession, dir: String): DataFrame = {
+    // round-15 idle A/Bs settled the round-14 open question: THIS shape
+    // measures 2.82–2.94 s at sf0.1 vs 3.29 s for the pre-round-14
+    // two-corpus-exchange shape (the r14 driver's "regression" was a
+    // contention phantom — its window ran under ~1 foreign core).
+    // Persisting these token arrays was ALSO tried (they feed 4 subtrees)
+    // and measured 3.91 s — the corpus-array cache costs more than the
+    // re-scans it saves; do not re-add.
     val docs = Tables.parallel(Tables.documents(s, dir))
       .select(col("doc_id"), col("source"),
         split(Text.normText(col("text")), " ").as("toks"))

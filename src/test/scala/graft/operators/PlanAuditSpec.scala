@@ -592,6 +592,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     // the doc-keyed self-join must be an equi-join, never a cartesian
     assert(!plan.contains("CartesianProduct"), plan)
+    // round-15: per-doc presence comes from array_distinct (partition-
+    // local), never a corpus-scale (doc_id, term) distinct exchange
+    assert(plan.contains("array_distinct"), plan)
+    assert(count(plan, "hashpartitioning\\(doc_id[#,][^\\n]*term") == 0,
+      s"presence dedup must not shuffle (doc_id, term):\n$plan")
   }
 
   test("sk02: counter build combines map-side; probe joins by broadcast") {
