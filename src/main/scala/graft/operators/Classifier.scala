@@ -258,10 +258,17 @@ object Classifier {
     // count instead of a second tokenization: 1.9 s → 3.2 s at sf0.1 — the
     // near-unique (doc, word) hash-agg state costs more than the cheap
     // re-explode it saves. The two-aggregation shape is the right one.)
+    // the wide grid feeds THREE subtrees (the stacked grid's two consumers
+    // and the V census): persist it (round-15) — unpersisted, each re-ran
+    // the corpus tokenization + vocabulary aggregation, so the tokenize
+    // pass executed 3× here (+1 for the doc-word counts below). The cache
+    // is VOCABULARY-scale (one row per word), not the (doc, word) grain
+    // the recorded negative A/B below rejects.
     val wide = toks.groupBy(col("word"))
       .agg(sum(when(col("lang") === langs.head, 1L).otherwise(0L)).as("c_0"),
         langs.tail.zipWithIndex.map { case (l, i) =>
           sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"c_${i + 1}") }: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def sparkLit(l: String) = l.replace("\\", "\\\\").replace("'", "\\'")
     val stackArgs = langs.zipWithIndex
       .map { case (l, i) => s"'${sparkLit(l)}', c_$i" }.mkString(", ")

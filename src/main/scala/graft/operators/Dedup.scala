@@ -1118,7 +1118,17 @@ object Dedup {
     simhashPairs(s, dir, HotBucketCap, adaptive = true)
 
   def simhashPairs(s: SparkSession, dir: String, hotBucketCap: Int,
-      adaptive: Boolean = false): DataFrame = {
+      adaptive: Boolean = false): DataFrame =
+    simhashPairsUnordered(s, dir, hotBucketCap, adaptive)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[simhashPairs]] without the declared output ordering — for
+    * consumers that aggregate the pair stream (dd20): persisting the
+    * ORDERED frame would materialize a range exchange + sort the
+    * aggregations never needed (EliminateSorts removes it from lazy
+    * plans, but a cache boundary defeats that). */
+  private[operators] def simhashPairsUnordered(s: SparkSession, dir: String,
+      hotBucketCap: Int, adaptive: Boolean): DataFrame = {
     val docs = Tables.parallel(Tables.documents(s, dir))
       .select(col("doc_id"),
         graft.functions.Md5SimHash60.md5Simhash60(
@@ -1183,7 +1193,6 @@ object Dedup {
     pairs
       .filter(col("hamming") <= 3)
       .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** dd17 — cross-document boilerplate strip (the C4/RefinedWeb "remove
@@ -2046,7 +2055,14 @@ object Dedup {
     * whole point of sweeping on the pair stream instead of re-running
     * dedup. */
   def hammingSweepQuery(s: SparkSession, dir: String): DataFrame = {
-    val p = simhashPairs(s, dir)
+    // (round-15 A/B, persist rejected: caching the unordered pair stream
+    // for the two histogram consumers measured 2.28–2.30 s vs 2.20–2.33 s
+    // unpersisted — no resolvable win. simhashPairs already persists its
+    // docs/banded stages internally, so the duplicated tail (self-join +
+    // hamming filter + distinct) is cheap, and the two histogram subtrees
+    // are independent stages the scheduler overlaps; a cache barrier
+    // would serialize them.)
+    val p = simhashPairsUnordered(s, dir, HotBucketCap, adaptive = true)
     val radii = s.range(0, 4).select(col("id").as("radius"))
     // pair-scale work ends here: two map-side-combined histograms
     val hHist = p.groupBy(col("hamming")).agg(count(lit(1)).as("cnt"))

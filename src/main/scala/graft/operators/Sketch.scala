@@ -112,6 +112,17 @@ object Sketch {
     * exact branch reuses dd08's broadcast span join unchanged. */
   def bloomDecontaminateQuery(s: SparkSession, dir: String,
       benchSource: String = "src0", n: Int = 8): DataFrame = {
+    // (round-15 A/Bs, both alternatives rejected — keep this shape:
+    //  1. fusing the exact branch into the Bloom-probe chain (one corpus
+    //     span pass instead of two) measured 1.71–1.81 s vs 1.41–1.77 s
+    //     for this shape on matched clean windows — no resolvable win at
+    //     bench SF, where the two branches are independent subtrees the
+    //     scheduler overlaps; kept the simpler two-branch form;
+    //  2. replacing the (doc_id, span) distinct() with array_distinct on
+    //     the gram array measured 2.33–2.53 s — clearly WORSE: per-row
+    //     set-building over ~50-char span strings costs more than the
+    //     map-side-combined dedup exchange it removes, the opposite of
+    //     ir06's single-token arrays where the same move won 1.5×.)
     def spansOf(df: DataFrame): DataFrame = df.select(col("doc_id"),
       explode(graft.functions.TokenNgrams.tokenNgrams(
         Text.normText(col("text")), n)).as("span"))
