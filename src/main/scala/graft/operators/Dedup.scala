@@ -1980,8 +1980,12 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
     // TOTAL report over the survivors (left join: a survivor with zero
     // shared shingles — possible only via a sketch-hash collision — still
-    // gets its verdict row); confirmed = the exact one-division compare
-    surv.join(inter, Seq("ref_id", "doc_id"), "left")
+    // gets its verdict row); confirmed = the exact one-division compare.
+    // inter is bounded by the survivor count, so it rides the same
+    // broadcast guard (round-15): under the guard the report join plans
+    // as BroadcastHashJoin LeftOuter instead of exchanging + sorting both
+    // survivor-scale sides for a sort-merge join.
+    surv.join(side(inter), Seq("ref_id", "doc_id"), "left")
       .withColumn("ns", coalesce(col("n_shared"), lit(0L)))
       .withColumn("cx",
         col("ns").cast("double") / col("n_ref").cast("double"))
